@@ -1,0 +1,69 @@
+"""Bench harness — times the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line the driver records as BENCH_r{N}.json.
+
+Protocol mirrors BASELINE.md: one shared warm SparkSession (cold start
+excluded), one warm-up run per query, then a timed run with the result
+fully materialized via collect().
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from sd2_drp_experimentgen_spark.plans import all_specs  # noqa: E402
+from sd2_drp_experimentgen_spark.session import get_spark  # noqa: E402
+
+# Headline set: the shapes BASELINE.md records probe numbers for, plus
+# flagship extensions as they land.
+HEADLINE = [
+    "q_agg_groupby_q1",
+    "q_join_multiway_topk",
+    "q_filter_pred_q6",
+    "q_win_rank_topn",
+    "q_stream_tumbling_1h",
+    "q_text_tokenize_counts",
+    "q_mix_weighted_avg",
+    "q_dedup_exact_docs",
+    "q_sim_cosine_topk",
+    "q_join_interval",
+    "q_stream_session_30m",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+    spark = get_spark(app_name="sd2drp-bench", shuffle_partitions=32)
+
+    specs = all_specs()
+    names = [n for n in HEADLINE if n in specs]
+    timings: dict[str, float] = {}
+    for name in names:
+        fn = specs[name].fn
+        fn(spark, sf_dir).collect()  # warm-up (JIT, file listing, broadcast)
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).collect()
+        timings[name] = round(time.perf_counter() - t0, 4)
+
+    total = round(sum(timings.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total_warm",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

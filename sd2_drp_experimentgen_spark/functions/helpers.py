@@ -1,0 +1,59 @@
+"""Reusable column-expression helpers shared across operators.
+
+All helpers return Column expressions (JVM-side, codegen-friendly) —
+never Python UDFs. They encode the cross-engine determinism rules from
+SURVEY §5.3 so individual operators don't re-derive them.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def _round_halfup(col: Column | str, scale: int) -> Column:
+    """Deterministic cross-engine rounding: floor(x*10^s + 0.5)/10^s.
+
+    Built-in round() differs between engines in the last ulp (Spark uses
+    BigDecimal HALF_UP on the exact decimal expansion; DuckDB rounds in
+    float arithmetic), which produced observed 0.1%-of-rows hash
+    mismatches at 4dp. This explicit formula is pure IEEE double ops, so
+    both engines compute bit-identical results from bit-identical
+    inputs. Oracle SQL uses the literal same formula.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    p = 10**scale
+    return F.floor(c * F.lit(p) + F.lit(0.5)) / F.lit(p)
+
+
+def r4(col: Column | str) -> Column:
+    """Round a float expression to 4dp (cross-engine hash stability)."""
+    return _round_halfup(col, 4)
+
+
+def r6(col: Column | str) -> Column:
+    """Round a float expression to 6dp."""
+    return _round_halfup(col, 6)
+
+
+def sql_r(expr: str, scale: int = 4) -> str:
+    """Oracle-side twin of :func:`_round_halfup` for DuckDB SQL strings."""
+    p = 10**scale
+    return f"floor(({expr}) * {p} + 0.5) / {p}"
+
+
+def epoch_seconds(ts: Column | str) -> Column:
+    """Timestamp -> whole epoch seconds as BIGINT (never emit raw ts)."""
+    c = F.col(ts) if isinstance(ts, str) else ts
+    return c.cast("long")
+
+
+def well_label(rank0: Column) -> Column:
+    """0-based rank -> plate well label 'A1'..'H12' (row-major 8x12).
+
+    The signature plate-layout computation of the reference pipeline
+    (rank -> row letter + column number), as a pure Column expression.
+    """
+    row_letter = F.char(F.lit(65) + (rank0 / F.lit(12)).cast("int"))
+    col_number = (rank0 % F.lit(12) + F.lit(1)).cast("string")
+    return F.concat(row_letter, col_number)

@@ -1,0 +1,122 @@
+"""Explicit StructType schemas for every fixture table.
+
+Engine policy (SURVEY §1.2): never rely on schema inference in production
+paths. These constants mirror FIXTURES.md exactly; ``events`` is listed
+with its *post-ingest* schema (ts converted from raw int64 nanoseconds to
+a microsecond TimestampType by sources.tables.load_events).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql.types import (
+    ArrayType,
+    DoubleType,
+    FloatType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampNTZType,
+    TimestampType,
+)
+
+
+def _s(*fields: tuple[str, object]) -> StructType:
+    return StructType([StructField(n, t, True) for n, t in fields])
+
+
+REGION = _s(("r_regionkey", IntegerType()), ("r_name", StringType()))
+
+NATION = _s(
+    ("n_nationkey", IntegerType()),
+    ("n_name", StringType()),
+    ("n_regionkey", IntegerType()),
+)
+
+CUSTOMER = _s(
+    ("c_custkey", LongType()),
+    ("c_name", StringType()),
+    ("c_nationkey", IntegerType()),
+    ("c_acctbal", DoubleType()),
+    ("c_mktsegment", StringType()),
+)
+
+SUPPLIER = _s(
+    ("s_suppkey", LongType()),
+    ("s_name", StringType()),
+    ("s_nationkey", IntegerType()),
+    ("s_acctbal", DoubleType()),
+)
+
+PART = _s(
+    ("p_partkey", LongType()),
+    ("p_name", StringType()),
+    ("p_brand", StringType()),
+    ("p_type", StringType()),
+    ("p_size", IntegerType()),
+    ("p_retailprice", DoubleType()),
+)
+
+ORDERS = _s(
+    ("o_orderkey", LongType()),
+    ("o_custkey", LongType()),
+    ("o_orderstatus", StringType()),
+    ("o_totalprice", DoubleType()),
+    ("o_orderdate", TimestampNTZType()),
+    ("o_orderpriority", StringType()),
+)
+
+LINEITEM = _s(
+    ("l_orderkey", LongType()),
+    ("l_partkey", LongType()),
+    ("l_suppkey", LongType()),
+    ("l_linenumber", IntegerType()),
+    ("l_quantity", DoubleType()),
+    ("l_extendedprice", DoubleType()),
+    ("l_discount", DoubleType()),
+    ("l_tax", DoubleType()),
+    ("l_returnflag", StringType()),
+    ("l_linestatus", StringType()),
+    ("l_shipdate", TimestampNTZType()),
+)
+
+# Post-ingest schema (raw parquet carries ts as INT64 TIMESTAMP(NANOS);
+# timestamp_micros() yields a session-TZ TimestampType, session TZ is UTC).
+EVENTS = _s(
+    ("event_id", LongType()),
+    ("ts", TimestampType()),
+    ("user_id", LongType()),
+    ("event_type", StringType()),
+    ("value", DoubleType()),
+    ("props", StringType()),
+)
+
+DOCUMENTS = _s(
+    ("doc_id", LongType()),
+    ("text", StringType()),
+    ("lang", StringType()),
+    ("source", StringType()),
+    ("n_chars", LongType()),
+)
+
+EMBEDDINGS = _s(
+    ("vec_id", LongType()),
+    ("embedding", ArrayType(FloatType())),
+    ("label", IntegerType()),
+)
+
+TABLES: dict[str, StructType] = {
+    "region": REGION,
+    "nation": NATION,
+    "customer": CUSTOMER,
+    "supplier": SUPPLIER,
+    "part": PART,
+    "orders": ORDERS,
+    "lineitem": LINEITEM,
+    "events": EVENTS,
+    "documents": DOCUMENTS,
+    "embeddings": EMBEDDINGS,
+}
+
+TABLE_NAMES = tuple(TABLES)

@@ -1,0 +1,71 @@
+"""SparkSession factory with the engine's normative configuration.
+
+Configs follow SURVEY.md §4.4. The two that are *required for
+correctness* (not just speed) are also applied at runtime by
+``configure_session`` so that queries work on a driver-provided session
+that was not built by this factory:
+
+- ``spark.sql.legacy.parquet.nanosAsLong=true`` — events.parquet stores
+  ``ts`` as TIMESTAMP(NANOS), which Spark 4.x refuses to read otherwise.
+- ``spark.sql.session.timeZone=UTC`` — hash-stable timestamp rendering.
+
+Scale posture: on a real cluster the same factory applies; only
+``master`` and the shuffle-partition count change (shuffle partitions
+should track cluster cores × 2-3 at 100 TB, or be left to AQE coalescing
+with a high initial value).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Runtime-settable SQL confs every query path assumes. Applied both at
+# build time and defensively on foreign sessions (driver harness).
+RUNTIME_CONFS = {
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+}
+
+
+def configure_session(spark: SparkSession) -> SparkSession:
+    """Apply required runtime confs to an existing session (idempotent)."""
+    for k, v in RUNTIME_CONFS.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            # Conf not settable at runtime on this build — queries that
+            # depend on it will surface a clear error instead.
+            pass
+    return spark
+
+
+def get_spark(
+    app_name: str = "sd2drp-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    """Build (or fetch) the shared SparkSession.
+
+    local[$SPARK_GRAFT_CPUS] by default; low shuffle-partition counts at
+    test scale kill per-task overhead (SURVEY §4.1), while AQE coalescing
+    keeps the setting safe if data grows.
+    """
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        shuffle_partitions = int(os.environ.get("SPARK_SHUFFLE_PARTITIONS", "32"))
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+    )
+    for k, v in RUNTIME_CONFS.items():
+        builder = builder.config(k, v)
+    return configure_session(builder.getOrCreate())

@@ -1,0 +1,59 @@
+"""Source-layer unit tests: nanos-timestamp ingest, schema constants,
+expression helpers."""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import functions as F
+
+from sd2_drp_experimentgen_spark import schemas
+from sd2_drp_experimentgen_spark.functions.helpers import well_label
+from sd2_drp_experimentgen_spark.sources.tables import load_events, load_table
+from tests.conftest import SF_T1
+
+
+def test_events_ts_is_truncated_microseconds(spark, duck_t1):
+    """Spark's ns->µs conversion must equal DuckDB's truncating read."""
+    ev = load_events(spark, SF_T1)
+    assert dict(ev.dtypes)["ts"] == "timestamp"
+    got = {
+        r["event_id"]: r["ts"]
+        for r in ev.orderBy("event_id").limit(50).collect()
+    }
+    want = dict(
+        duck_t1.execute(
+            "SELECT event_id, ts FROM events ORDER BY event_id LIMIT 50"
+        ).fetchall()
+    )
+    # Spark returns tz-naive datetimes in session UTC; normalize both.
+    got = {k: v.replace(tzinfo=None) for k, v in got.items()}
+    want = {k: v.replace(tzinfo=None) for k, v in want.items()}
+    assert got == want
+
+
+def test_schema_constants_match_files(spark):
+    for name in schemas.TABLE_NAMES:
+        df = load_table(spark, SF_T1, name)
+        assert df.schema == schemas.TABLES[name], name
+
+
+def test_well_label_layout(spark):
+    df = spark.range(0, 96).select(
+        well_label(F.col("id")).alias("well")
+    )
+    labels = [r["well"] for r in df.collect()]
+    assert labels[0] == "A1"
+    assert labels[11] == "A12"
+    assert labels[12] == "B1"
+    assert labels[95] == "H12"
+    assert len(set(labels)) == 96
+
+
+def test_events_values_sane(spark):
+    ev = load_events(spark, SF_T1)
+    row = ev.agg(
+        F.min("ts").alias("lo"), F.max("ts").alias("hi")
+    ).collect()[0]
+    assert row["lo"] >= datetime.datetime(2024, 1, 1)
+    assert row["hi"] < datetime.datetime(2024, 1, 31)

@@ -1,0 +1,123 @@
+"""Local pre-verifier — replicates the driver's t2 correctness gate.
+
+Runs every registered query on Spark and its oracle SQL on DuckDB over
+the same parquet directory, then compares:
+  1. row count
+  2. column names (sorted — the driver sorts columns before hashing)
+  3. values, order-insensitively (rows canonicalized and sorted)
+
+Never declare a query the pre-verifier hasn't passed (SURVEY §7.2 risk
+#1). Usage:
+
+    python tools/verify_local.py [--sf-dir /root/testdata/sf0.01] [names...]
+"""
+
+from __future__ import annotations
+
+import argparse
+import math
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+import duckdb  # noqa: E402
+
+from sd2_drp_experimentgen_spark.schemas import TABLE_NAMES  # noqa: E402
+from sd2_drp_experimentgen_spark.session import get_spark  # noqa: E402
+from sd2_drp_experimentgen_spark.plans import all_specs  # noqa: E402
+
+
+def duck_connect(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TABLE_NAMES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    return con
+
+
+def canon_value(v):
+    """Canonicalize one cell for cross-engine comparison."""
+    if v is None:
+        return "NULL"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        # full-precision shortest repr: at least as strict as any hash the
+        # driver computes — a pass here implies bit-identical doubles
+        return repr(v)
+    if isinstance(v, bool):
+        return str(v).lower()
+    if hasattr(v, "isoformat"):  # datetime/date
+        return v.isoformat()
+    return str(v)
+
+
+def canon_rows(cols, rows):
+    """Sort columns by name, canonicalize cells, sort rows."""
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = [tuple(canon_value(r[i]) for i in order) for r in rows]
+    out.sort()
+    return [cols[i] for i in order], out
+
+
+def compare(name, spark_df, duck_res) -> tuple[bool, str]:
+    s_cols = spark_df.columns
+    s_rows = [tuple(r) for r in spark_df.collect()]
+    d_cols = [c[0] for c in duck_res.description]
+    d_rows = duck_res.fetchall()
+
+    if sorted(s_cols) != sorted(d_cols):
+        return False, f"columns differ: spark={sorted(s_cols)} duck={sorted(d_cols)}"
+    if len(s_rows) != len(d_rows):
+        return False, f"row count differs: spark={len(s_rows)} duck={len(d_rows)}"
+    _, s_canon = canon_rows(s_cols, s_rows)
+    _, d_canon = canon_rows(d_cols, d_rows)
+    if s_canon != d_canon:
+        diffs = [
+            (a, b) for a, b in zip(s_canon, d_canon) if a != b
+        ]
+        sample = diffs[:3]
+        return False, f"{len(diffs)}/{len(s_canon)} rows differ; sample: {sample}"
+    return True, f"{len(s_rows)} rows"
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    ap.add_argument("names", nargs="*")
+    args = ap.parse_args()
+
+    specs = all_specs()
+    names = args.names or sorted(specs)
+    spark = get_spark(shuffle_partitions=8)
+    con = duck_connect(args.sf_dir)
+
+    n_pass = n_fail = n_rows_only = 0
+    for name in names:
+        spec = specs[name]
+        t0 = time.time()
+        try:
+            df = spec.fn(spark, args.sf_dir)
+            if spec.oracle is None:
+                cnt = df.count()
+                n_rows_only += 1
+                print(f"ROWS-ONLY {name}: {cnt} rows ({time.time()-t0:.2f}s)")
+                continue
+            ok, msg = compare(name, df, con.execute(spec.oracle))
+        except Exception as e:  # noqa: BLE001
+            ok, msg = False, f"EXCEPTION: {type(e).__name__}: {e}"
+        dt = time.time() - t0
+        if ok:
+            n_pass += 1
+            print(f"PASS {name}: {msg} ({dt:.2f}s)")
+        else:
+            n_fail += 1
+            print(f"FAIL {name}: {msg} ({dt:.2f}s)")
+    print(f"\n{n_pass} pass, {n_fail} fail, {n_rows_only} rows-only")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
