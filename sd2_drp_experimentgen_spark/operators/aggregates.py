@@ -150,3 +150,308 @@ def q_mix_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("w_avg_price"),
         r4(F.sum("l_quantity")).alias("total_qty"),
     )
+
+
+@register(
+    "q_agg_approx_distinct",
+    oracle=None,  # HLL sketches differ per engine; rows-only + self-test
+    tier="P2",
+    doc="approx_count_distinct (HyperLogLog++) next to the exact count. "
+    "No cross-engine oracle exists (different HLL implementations); the "
+    "pytest self-check asserts |approx-exact|/exact < 5%. At 100 TB the "
+    "approx path is the only affordable one — a single pass, fixed "
+    "memory, no distinct shuffle.",
+)
+def q_agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+        F.countDistinct("l_orderkey").alias("exact_orders"),
+    )
+
+
+@register(
+    "q_agg_stats",
+    oracle=f"""
+    SELECT l_returnflag,
+           {sql_r('stddev_samp(l_discount)', 6)} AS sd_disc,
+           {sql_r('var_samp(l_discount)', 6)} AS var_disc,
+           {sql_r('corr(l_quantity, l_extendedprice)', 6)} AS corr_qty_price,
+           {sql_r('covar_samp(l_quantity, l_discount)', 6)} AS cov_qty_disc
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    tier="P1",
+    doc="Statistical aggregates: stddev/variance/correlation/covariance "
+    "per return flag (descriptor statistics analog). Computed over "
+    "O(1)-magnitude columns so 6dp rounding absorbs partial-merge "
+    "reduction-order noise.",
+)
+def q_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.helpers import r6
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        r6(F.stddev_samp("l_discount")).alias("sd_disc"),
+        r6(F.var_samp("l_discount")).alias("var_disc"),
+        r6(F.corr("l_quantity", "l_extendedprice")).alias("corr_qty_price"),
+        r6(F.covar_samp("l_quantity", "l_discount")).alias("cov_qty_disc"),
+    )
+
+
+@register(
+    "q_agg_percentile",
+    oracle=f"""
+    SELECT o_orderstatus,
+           {sql_r('quantile_cont(o_totalprice, 0.5)')} AS median_price,
+           {sql_r('quantile_cont(o_totalprice, 0.9)')} AS p90_price
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+    tier="P1",
+    doc="Exact interpolated percentiles (median + p90) per order status "
+    "(score-distribution analog). Spark percentile() and DuckDB "
+    "quantile_cont share linear-interpolation semantics.",
+)
+def q_agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        r4(F.percentile("o_totalprice", 0.5)).alias("median_price"),
+        r4(F.percentile("o_totalprice", 0.9)).alias("p90_price"),
+    )
+
+
+@register(
+    "q_agg_conditional_pivot",
+    oracle="""
+    SELECT user_id,
+           CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_click,
+           CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_view,
+           CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_purchase,
+           CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_signup,
+           CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_error
+    FROM events
+    GROUP BY user_id
+    """,
+    tier="P1",
+    doc="SIGNATURE: pivot to one column per category — the robot-file "
+    "export shape (one column per reagent). Explicit value list (never "
+    "implicit: implicit pivot scans twice and its column order is "
+    "data-dependent); missing combos coalesced to 0 to match the "
+    "conditional-aggregation oracle.",
+)
+def q_agg_conditional_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.tables import load_events
+
+    types = ["click", "view", "purchase", "signup", "error"]
+    ev = load_events(spark, sf_dir)
+    pv = (
+        ev.groupBy("user_id")
+        .pivot("event_type", types)
+        .count()
+    )
+    return pv.select(
+        "user_id",
+        *[
+            F.coalesce(F.col(t), F.lit(0)).alias(f"n_{t}")
+            for t in types
+        ],
+    )
+
+
+@register(
+    "q_agg_rollup",
+    oracle="""
+    SELECT coalesce(r_name, 'ALL') AS region,
+           coalesce(n_name, 'ALL') AS nation,
+           count(*) AS n_custs
+    FROM customer
+    JOIN nation ON n_nationkey = c_nationkey
+    JOIN region ON r_regionkey = n_regionkey
+    GROUP BY ROLLUP(r_name, n_name)
+    """,
+    tier="P1",
+    doc="ROLLUP(region, nation) customer counts with the NULL group "
+    "labels replaced by 'ALL' on both engines (hierarchical reporting). "
+    "Dimension joins broadcast.",
+)
+def q_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    joined = c.join(
+        F.broadcast(n), c.c_nationkey == n.n_nationkey
+    ).join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    return (
+        joined.rollup("r_name", "n_name")
+        .agg(F.count(F.lit(1)).alias("n_custs"))
+        .select(
+            F.coalesce(F.col("r_name"), F.lit("ALL")).alias("region"),
+            F.coalesce(F.col("n_name"), F.lit("ALL")).alias("nation"),
+            "n_custs",
+        )
+    )
+
+
+@register(
+    "q_agg_cube",
+    oracle=f"""
+    SELECT coalesce(c_mktsegment, 'ALL') AS segment,
+           coalesce(o_orderstatus, 'ALL') AS status,
+           count(*) AS n_orders,
+           {sql_r('sum(o_totalprice)')} AS total_price
+    FROM orders
+    JOIN customer ON c_custkey = o_custkey
+    GROUP BY CUBE(c_mktsegment, o_orderstatus)
+    """,
+    tier="P1",
+    doc="CUBE(segment, status) order counts + totals with 'ALL' labels "
+    "(cross-tab reporting).",
+)
+def q_agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    joined = o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+    return (
+        joined.cube("c_mktsegment", "o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            r4(F.sum("o_totalprice")).alias("total_price"),
+        )
+        .select(
+            F.coalesce(F.col("c_mktsegment"), F.lit("ALL")).alias("segment"),
+            F.coalesce(F.col("o_orderstatus"), F.lit("ALL")).alias("status"),
+            "n_orders",
+            "total_price",
+        )
+    )
+
+
+@register(
+    "q_agg_grouping_sets",
+    oracle="""
+    SELECT coalesce(c_mktsegment, 'ALL') AS segment,
+           coalesce(o_orderstatus, 'ALL') AS status,
+           count(*) AS n_orders
+    FROM orders JOIN customer ON c_custkey = o_custkey
+    GROUP BY GROUPING SETS ((c_mktsegment), (o_orderstatus), ())
+    """,
+    tier="P2",
+    doc="Explicit GROUPING SETS ((segment),(status),()) via Spark SQL "
+    "over temp views (the most portable route in PySpark).",
+)
+def q_agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("gs_orders")
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("gs_customer")
+    return spark.sql(
+        """
+        SELECT coalesce(c_mktsegment, 'ALL') AS segment,
+               coalesce(o_orderstatus, 'ALL') AS status,
+               count(*) AS n_orders
+        FROM gs_orders JOIN gs_customer ON c_custkey = o_custkey
+        GROUP BY GROUPING SETS ((c_mktsegment), (o_orderstatus), ())
+        """
+    )
+
+
+@register(
+    "q_train_features_wide",
+    oracle=f"""
+    WITH ord AS (
+      SELECT o_custkey,
+             count(*) AS n_orders,
+             {sql_r('sum(o_totalprice)')} AS total_spend,
+             {sql_r('avg(o_totalprice)')} AS avg_spend,
+             max(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS label
+      FROM orders
+      GROUP BY o_custkey
+    ), li AS (
+      SELECT o_custkey,
+             {sql_r('avg(l_discount)')} AS avg_disc,
+             count(*) AS n_items
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY o_custkey
+    )
+    SELECT c_custkey,
+           n_name,
+           r_name,
+           n_orders,
+           total_spend,
+           avg_spend,
+           coalesce(avg_disc, 0.0) AS avg_disc,
+           CAST(coalesce(n_items, 0) AS BIGINT) AS n_items,
+           label,
+           CASE WHEN c_mktsegment = 'AUTOMOBILE' THEN 1 ELSE 0 END AS seg_automobile,
+           CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END AS seg_building,
+           CASE WHEN c_mktsegment = 'FURNITURE' THEN 1 ELSE 0 END AS seg_furniture,
+           CASE WHEN c_mktsegment = 'HOUSEHOLD' THEN 1 ELSE 0 END AS seg_household,
+           CASE WHEN c_mktsegment = 'MACHINERY' THEN 1 ELSE 0 END AS seg_machinery
+    FROM customer
+    JOIN nation ON n_nationkey = c_nationkey
+    JOIN region ON r_regionkey = n_regionkey
+    JOIN ord ON ord.o_custkey = c_custkey
+    LEFT JOIN li ON li.o_custkey = c_custkey
+    """,
+    tier="P1",
+    doc="SIGNATURE: the ML training table — one row per customer with a "
+    "binary label, engineered spend/discount features, manual one-hot "
+    "segment encoding (CASE WHEN so it hash-checks), and dim names "
+    "joined in. This is the reference's training-CSV generation step; "
+    "the MLlib pipeline (q_mllib_train_pipeline) consumes it.",
+)
+def q_train_features_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+
+    ord_agg = (
+        o.groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            r4(F.sum("o_totalprice")).alias("total_spend"),
+            r4(F.avg("o_totalprice")).alias("avg_spend"),
+            F.max(
+                F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)
+            ).alias("label"),
+        )
+        .withColumnRenamed("o_custkey", "ord_custkey")
+    )
+    li_agg = (
+        li.join(o.select("o_orderkey", "o_custkey"), li.l_orderkey == F.col("o_orderkey"))
+        .groupBy("o_custkey")
+        .agg(
+            r4(F.avg("l_discount")).alias("avg_disc"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .withColumnRenamed("o_custkey", "li_custkey")
+    )
+    seg = F.col("c_mktsegment")
+    onehots = [
+        F.when(seg == s, 1).otherwise(0).alias(f"seg_{s.lower()}")
+        for s in ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"]
+    ]
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .join(ord_agg, ord_agg.ord_custkey == c.c_custkey)
+        .join(li_agg, li_agg.li_custkey == c.c_custkey, "left")
+        .select(
+            "c_custkey",
+            "n_name",
+            "r_name",
+            "n_orders",
+            "total_spend",
+            "avg_spend",
+            F.coalesce(F.col("avg_disc"), F.lit(0.0)).alias("avg_disc"),
+            F.coalesce(F.col("n_items"), F.lit(0)).alias("n_items"),
+            "label",
+            *onehots,
+        )
+    )

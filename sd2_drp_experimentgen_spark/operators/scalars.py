@@ -142,3 +142,266 @@ def q_gen_stateset_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max(total).alias("max_total"),
         )
     )
+
+
+@register(
+    "q_str_funcs",
+    oracle="""
+    SELECT c_custkey,
+           upper(c_name) AS uname,
+           lower(c_name) AS lname,
+           substring(c_name, 1, 8) AS sub8,
+           concat_ws('-', c_mktsegment, c_name) AS joined,
+           CAST(length(c_name) AS INTEGER) AS name_len,
+           trim(' ' || c_name || ' ') AS trimmed,
+           replace(c_name, 'Customer#', 'Cust_') AS repl,
+           lpad(CAST(c_custkey AS VARCHAR), 12, '0') AS padded
+    FROM customer
+    """,
+    tier="P1",
+    doc="String function battery: upper/lower/substr/concat_ws/length/"
+    "trim/replace/lpad (chemical-name munging analog).",
+)
+def q_str_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    name = F.col("c_name")
+    return c.select(
+        "c_custkey",
+        F.upper(name).alias("uname"),
+        F.lower(name).alias("lname"),
+        F.substring(name, 1, 8).alias("sub8"),
+        F.concat_ws("-", F.col("c_mktsegment"), name).alias("joined"),
+        F.length(name).alias("name_len"),
+        F.trim(F.concat(F.lit(" "), name, F.lit(" "))).alias("trimmed"),
+        F.replace(name, F.lit("Customer#"), F.lit("Cust_")).alias("repl"),
+        F.lpad(F.col("c_custkey").cast("string"), 12, "0").alias("padded"),
+    )
+
+
+@register(
+    "q_regexp_funcs",
+    oracle="""
+    SELECT p_partkey,
+           regexp_extract(p_name, '([a-z]+)', 1) AS first_word,
+           regexp_extract(p_name, ' ([a-z]+)$', 1) AS last_word
+    FROM part
+    WHERE regexp_matches(p_name, '^(red|blue|green)')
+    """,
+    tier="P1",
+    doc="Regex extract + regex filter (spec-string parsing analog). "
+    "Patterns restricted to syntax identical under Java regex and RE2.",
+)
+def q_regexp_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    return p.where(F.col("p_name").rlike("^(red|blue|green)")).select(
+        "p_partkey",
+        F.regexp_extract(F.col("p_name"), "([a-z]+)", 1).alias("first_word"),
+        F.regexp_extract(F.col("p_name"), " ([a-z]+)$", 1).alias("last_word"),
+    )
+
+
+@register(
+    "q_date_funcs",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(year(o_orderdate) AS INTEGER) AS yr,
+           CAST(month(o_orderdate) AS INTEGER) AS mo,
+           CAST(isodow(o_orderdate) - 1 AS INTEGER) AS wd,
+           CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+           CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '2002-01-01')
+                AS INTEGER) AS days_to_2002,
+           CAST(o_orderdate + INTERVAL 3 MONTH AS DATE) AS plus3mo
+    FROM orders
+    """,
+    tier="P1",
+    doc="Date functions: year/month/weekday/date_trunc/datediff/"
+    "add_months (run-date stamping analog). Weekday emitted Monday=0 "
+    "(Spark weekday == DuckDB isodow-1; dayofweek disagrees between "
+    "engines).",
+)
+def q_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    d = F.col("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        F.year(d).alias("yr"),
+        F.month(d).alias("mo"),
+        F.weekday(d).alias("wd"),
+        # DuckDB date_trunc('month') yields DATE; cast to match
+        F.date_trunc("month", d).cast("date").alias("month_start"),
+        F.datediff(F.lit("2002-01-01").cast("date"), d.cast("date")).alias(
+            "days_to_2002"
+        ),
+        F.add_months(d, 3).alias("plus3mo"),
+    )
+
+
+@register(
+    "q_math_funcs",
+    oracle=f"""
+    SELECT l_orderkey,
+           l_linenumber,
+           abs(l_quantity - 25) AS abs_dev,
+           CAST(ceil(l_extendedprice / 1000) AS BIGINT) AS price_k_ceil,
+           CAST(floor(l_extendedprice / 1000) AS BIGINT) AS price_k_floor,
+           {sql_r('sqrt(l_quantity)', 6)} AS sqrt_qty,
+           {sql_r('ln(l_extendedprice)', 6)} AS ln_price,
+           {sql_r('exp(l_discount)', 6)} AS exp_disc,
+           {sql_r('pow(l_quantity, 2)', 6)} AS qty_sq,
+           l_linenumber % 3 AS mod3
+    FROM lineitem
+    """,
+    tier="P1",
+    doc="Math battery: abs/ceil/floor/sqrt/ln/exp/pow/mod "
+    "(concentration-math analog).",
+)
+def q_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.helpers import r6
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.abs(F.col("l_quantity") - 25).alias("abs_dev"),
+        F.ceil(F.col("l_extendedprice") / 1000).alias("price_k_ceil"),
+        F.floor(F.col("l_extendedprice") / 1000).alias("price_k_floor"),
+        r6(F.sqrt(F.col("l_quantity"))).alias("sqrt_qty"),
+        r6(F.log(F.col("l_extendedprice"))).alias("ln_price"),
+        r6(F.exp(F.col("l_discount"))).alias("exp_disc"),
+        r6(F.pow(F.col("l_quantity"), 2)).alias("qty_sq"),
+        (F.col("l_linenumber") % 3).alias("mod3"),
+    )
+
+
+@register(
+    "q_json_extract",
+    oracle=f"""
+    SELECT event_type,
+           count(*) AS n,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS INTEGER))
+                AS BIGINT) AS sum_k,
+           {sql_r("avg(CAST(json_extract_string(props, '$.k') AS INTEGER))")}
+             AS avg_k
+    FROM events
+    GROUP BY event_type
+    """,
+    tier="P1",
+    doc="JSON field extraction from the props column + per-type stats "
+    "(experiment-spec JSON handling analog).",
+)
+def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.tables import load_events
+
+    ev = load_events(spark, sf_dir)
+    k = F.get_json_object(F.col("props"), "$.k").cast("int")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(k).alias("sum_k"),
+        r4(F.avg(k)).alias("avg_k"),
+    )
+
+
+@register(
+    "q_array_funcs",
+    oracle=f"""
+    SELECT vec_id,
+           CAST(len(embedding) AS INTEGER) AS dim,
+           {sql_r('CAST(embedding[1] AS DOUBLE)')} AS first_val,
+           {sql_r('list_sum(list_transform(list_slice(embedding, 1, 3),'
+                  ' x -> CAST(x AS DOUBLE)))')} AS head3_sum,
+           {sql_r('sqrt(list_sum(list_transform(embedding,'
+                  ' x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))')} AS l2_norm
+    FROM embeddings
+    """,
+    tier="P1",
+    doc="Array functions over the embedding column: size/element_at/"
+    "slice + per-row L2 norm (multimodal-column extension). float32 "
+    "elements cast to double before arithmetic on both engines; "
+    "element order is identical so the fold is bit-deterministic.",
+)
+def q_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    emb = F.col("embedding")
+    dbl = lambda x: x.cast("double")  # noqa: E731
+    return e.select(
+        "vec_id",
+        F.size(emb).alias("dim"),
+        r4(F.element_at(emb, 1).cast("double")).alias("first_val"),
+        r4(
+            F.aggregate(
+                F.slice(emb, 1, 3), F.lit(0.0), lambda acc, x: acc + dbl(x)
+            )
+        ).alias("head3_sum"),
+        r4(
+            F.sqrt(
+                F.aggregate(emb, F.lit(0.0), lambda acc, x: acc + dbl(x) * dbl(x))
+            )
+        ).alias("l2_norm"),
+    )
+
+
+@register(
+    "q_map_funcs",
+    oracle="""
+    SELECT event_id,
+           CAST(len(json_keys(props)) AS INTEGER) AS n_keys,
+           CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_val
+    FROM events
+    """,
+    tier="P2",
+    doc="from_json into map<string,int> + map_keys/element_at emitted "
+    "as sortable scalars (map internals are never emitted directly).",
+)
+def q_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.tables import load_events
+
+    ev = load_events(spark, sf_dir)
+    m = F.from_json(F.col("props"), "map<string,int>")
+    return ev.select(
+        "event_id",
+        F.size(F.map_keys(m)).alias("n_keys"),
+        F.element_at(m, "k").alias("k_val"),
+    )
+
+
+@register(
+    "q_wellplate_labels",
+    oracle="""
+    WITH top AS (
+      SELECT o_orderkey, o_totalprice
+      FROM orders
+      ORDER BY o_totalprice DESC, o_orderkey
+      LIMIT 96
+    ), ranked AS (
+      SELECT o_orderkey, o_totalprice,
+             row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey) - 1
+               AS rn
+      FROM top
+    )
+    SELECT o_orderkey,
+           chr(65 + CAST(floor(rn / 12) AS INTEGER))
+             || CAST(rn % 12 + 1 AS VARCHAR) AS well
+    FROM ranked
+    """,
+    tier="P1",
+    doc="SIGNATURE: plate/well layout — top-96 orders ranked into an "
+    "8x12 plate with labels A1..H12 (rank -> row letter + column "
+    "number). Top-96 via TakeOrderedAndProject, then the rank window "
+    "runs on 96 rows only.",
+)
+def q_wellplate_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..functions.helpers import well_label
+
+    o = load_table(spark, sf_dir, "orders")
+    top = (
+        o.select("o_orderkey", "o_totalprice")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(96)
+    )
+    w = Window.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return top.select(
+        "o_orderkey",
+        well_label(F.row_number().over(w) - 1).alias("well"),
+    )

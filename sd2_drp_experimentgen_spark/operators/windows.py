@@ -11,6 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.helpers import sql_r
 from ..plans.registry import register
 from ..sources.tables import load_table
 
@@ -48,4 +49,103 @@ def q_win_rank_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.row_number().over(w).alias("rn"),
         )
         .where(F.col("rn") <= 3)
+    )
+
+
+@register(
+    "q_win_running",
+    oracle=f"""
+    SELECT event_id,
+           user_id,
+           {sql_r("sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id"
+                  " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)")}
+             AS running_sum,
+           {sql_r("avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id"
+                  " ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)")}
+             AS mov_avg4
+    FROM events
+    """,
+    tier="P1",
+    doc="Running sum + 4-row moving average of event value per user "
+    "(cumulative dosing curves analog). Emits event_id, never raw ts; "
+    "frame order is total (ts, event_id).",
+)
+def q_win_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.helpers import r4
+    from ..sources.tables import load_events
+
+    ev = load_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "event_id",
+        "user_id",
+        r4(F.sum("value").over(w.rowsBetween(Window.unboundedPreceding, 0))).alias(
+            "running_sum"
+        ),
+        r4(F.avg("value").over(w.rowsBetween(-3, 0))).alias("mov_avg4"),
+    )
+
+
+@register(
+    "q_win_lag_lead",
+    oracle="""
+    SELECT event_id,
+           user_id,
+           (epoch_us(ts) - lag(epoch_us(ts)) OVER w) // 1000000 AS gap_s,
+           lead(event_type) OVER w AS next_type
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+    tier="P1",
+    doc="Per-user inter-event gap in whole seconds via lag over "
+    "microsecond epochs (integer floor-division — both engines see "
+    "identical µs after the truncating ns ingest), plus lead of the "
+    "next event type.",
+)
+def q_win_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.tables import load_events
+
+    ev = load_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.floor((us - F.lag(us).over(w)) / 1000000).alias("gap_s"),
+        F.lead("event_type").over(w).alias("next_type"),
+    )
+
+
+@register(
+    "q_win_ntile_firstlast",
+    oracle="""
+    SELECT o_orderkey,
+           o_orderstatus,
+           ntile(4) OVER w AS quartile,
+           first_value(o_orderkey) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+                                          AND UNBOUNDED FOLLOWING) AS first_k,
+           last_value(o_orderkey) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND UNBOUNDED FOLLOWING) AS last_k
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderstatus
+                 ORDER BY o_totalprice DESC, o_orderkey)
+    """,
+    tier="P2",
+    doc="ntile(4) quartile binning per order status + first/last_value "
+    "with an explicit full-partition ROWS frame (quartile binning "
+    "analog). Partitioned by status so no global single-partition "
+    "window exists at scale.",
+)
+def q_win_ntile_firstlast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    wfull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return o.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.ntile(4).over(w).alias("quartile"),
+        F.first("o_orderkey").over(wfull).alias("first_k"),
+        F.last("o_orderkey").over(wfull).alias("last_k"),
     )
