@@ -49,3 +49,130 @@ def q_stream_tumbling_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_value",
         )
     )
+
+
+@register(
+    "q_stream_sliding_1h_15m",
+    oracle=f"""
+    SELECT CAST(epoch(time_bucket(INTERVAL '15 minutes', ts)
+                      - ks.k * INTERVAL '15 minutes') AS BIGINT)
+             AS window_start,
+           event_type,
+           count(*) AS n,
+           {sql_r('sum(value)')} AS sum_value
+    FROM events
+    CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS k) ks
+    GROUP BY 1, 2
+    """,
+    tier="P1",
+    doc="Sliding window 1h length / 15min slide per event type. Spark "
+    "aligns sliding windows to the epoch; the oracle reproduces that by "
+    "generating each event's 4 covering windows (bucket15(ts) - k*15min "
+    "for k=0..3). Streaming twin uses the same F.window with watermark.",
+)
+def q_stream_sliding_1h_15m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_events(spark, sf_dir)
+    return (
+        ev.groupBy(
+            F.window("ts", "1 hour", "15 minutes").alias("w"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            r4(F.sum("value")).alias("sum_value"),
+        )
+        .select(
+            epoch_seconds(F.col("w.start")).alias("window_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+@register(
+    "q_stream_session_30m",
+    oracle="""
+    WITH gapped AS (
+      SELECT user_id, event_id, epoch_us(ts) AS us,
+             CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                    OR epoch_us(ts) - lag(epoch_us(ts)) OVER w
+                       > 1800 * 1000000
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sessions AS (
+      SELECT user_id, event_id, us,
+             sum(is_new) OVER (PARTITION BY user_id ORDER BY us, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS session_idx
+      FROM gapped
+    )
+    SELECT user_id,
+           CAST(session_idx AS BIGINT) AS session_idx,
+           count(*) AS n_events,
+           (max(us) - min(us)) // 1000000 AS dur_s
+    FROM sessions
+    GROUP BY user_id, session_idx
+    """,
+    tier="P1",
+    doc="Sessionization with a 30-min inactivity gap via the "
+    "lag+cumsum construction (deterministic cross-engine; session "
+    "boundaries compared in integer microseconds). Emits one row per "
+    "(user, session): event count + duration in whole seconds. The "
+    "streaming twin uses F.session_window; a pytest self-check asserts "
+    "its boundaries equal this construction.",
+)
+def q_stream_session_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_events(spark, sf_dir)
+    us = F.unix_micros(F.col("ts"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = 1800 * 1_000_000
+    gapped = ev.select(
+        "user_id",
+        "event_id",
+        us.alias("us"),
+        F.when(
+            F.lag(us).over(w).isNull() | ((us - F.lag(us).over(w)) > gap_us), 1
+        )
+        .otherwise(0)
+        .alias("is_new"),
+    )
+    wc = (
+        Window.partitionBy("user_id")
+        .orderBy("us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    sessions = gapped.select(
+        "user_id",
+        "event_id",
+        "us",
+        F.sum("is_new").over(wc).alias("session_idx"),
+    )
+    return sessions.groupBy("user_id", "session_idx").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.expr("(max(us) - min(us)) div 1000000").alias("dur_s"),
+    )
+
+
+@register(
+    "q_stream_dedup",
+    oracle="""
+    SELECT event_type, count(DISTINCT event_id) AS n
+    FROM events
+    GROUP BY event_type
+    """,
+    tier="P1",
+    doc="Duplicate-event drop by event_id + per-type counts (batch twin "
+    "of streaming dropDuplicatesWithinWatermark). event_id is unique in "
+    "the fixtures so survivor choice cannot diverge; the streaming twin "
+    "is exercised by a self-test with injected duplicates.",
+)
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_events(spark, sf_dir)
+    return (
+        ev.dropDuplicates(["event_id"])
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

@@ -182,3 +182,200 @@ def q_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c.join(ev, c.c_custkey == ev.user_id, "left_anti").select(
         "c_custkey", "c_name"
     )
+
+
+@register(
+    "q_join_full_outer",
+    oracle="""
+    SELECT CASE WHEN o_orderkey IS NULL THEN 'right_only'
+                WHEN l_orderkey IS NULL THEN 'left_only'
+                ELSE 'both' END AS side,
+           count(*) AS n
+    FROM orders FULL OUTER JOIN lineitem ON l_orderkey = o_orderkey
+    GROUP BY 1
+    """,
+    tier="P1",
+    doc="Full outer join orders<->lineitem, rows classified "
+    "both/left_only/right_only (reconciliation of generated vs "
+    "executed runs; ~1.7% of orders have no lineitems).",
+)
+def q_join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey, "full")
+        .select(
+            F.when(F.col("o_orderkey").isNull(), "right_only")
+            .when(F.col("l_orderkey").isNull(), "left_only")
+            .otherwise("both")
+            .alias("side")
+        )
+        .groupBy("side")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
+    "q_join_cross",
+    oracle="""
+    SELECT r_name, n_name FROM region CROSS JOIN nation
+    """,
+    tier="P1",
+    doc="Cartesian product of the two smallest dims (grid building "
+    "block; 125 pairs).",
+)
+def q_join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = load_table(spark, sf_dir, "region")
+    n = load_table(spark, sf_dir, "nation")
+    return r.crossJoin(n).select("r_name", "n_name")
+
+
+@register(
+    "q_join_theta",
+    oracle="""
+    SELECT s_nationkey AS nationkey, count(*) AS n_pairs
+    FROM supplier JOIN customer
+      ON s_nationkey = c_nationkey AND s_acctbal > c_acctbal
+    GROUP BY s_nationkey
+    """,
+    tier="P1",
+    doc="Theta join: equi on nation + non-equi balance comparison "
+    "(threshold pairing analog). The equi component keeps the plan a "
+    "hash/sort-merge join with a residual filter — never a pure "
+    "nested-loop — so it scales with per-nation cardinality.",
+)
+def q_join_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = load_table(spark, sf_dir, "supplier")
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        s.join(
+            c,
+            (s.s_nationkey == c.c_nationkey) & (s.s_acctbal > c.c_acctbal),
+        )
+        .groupBy(F.col("s_nationkey").alias("nationkey"))
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+
+
+@register(
+    "q_join_interval",
+    oracle="""
+    SELECT a.user_id, count(*) AS n_pairs
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND b.ts > a.ts
+     AND b.ts <= a.ts + INTERVAL 5 MINUTE
+    GROUP BY a.user_id
+    """,
+    tier="P1",
+    doc="Interval self-join: event pairs per user within (0, 5min] "
+    "(time-proximate observation pairing). Implemented with the 100 TB "
+    "blocking-key pattern (SURVEY §4.3): probe side explodes to its "
+    "5-min bucket and the next, equi-join on (user_id, bucket) bounds "
+    "each task's pair candidates, exact range predicate applied after. "
+    "OSS Spark has no range-join optimization, so without the bucket "
+    "key the equi-on-user join degrades to per-user quadratic scans.",
+)
+def q_join_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.tables import load_events
+
+    bucket_us = 300 * 1_000_000  # 5 minutes in microseconds
+    ev = load_events(spark, sf_dir).select(
+        "user_id", "event_id", F.unix_micros("ts").alias("us")
+    )
+    a = ev.select(
+        F.col("user_id"),
+        F.col("us").alias("a_us"),
+        F.explode(
+            F.array(
+                (F.col("us") / bucket_us).cast("long"),
+                (F.col("us") / bucket_us).cast("long") + 1,
+            )
+        ).alias("bucket"),
+    )
+    b = ev.select(
+        F.col("user_id").alias("b_user"),
+        F.col("us").alias("b_us"),
+        (F.col("us") / bucket_us).cast("long").alias("b_bucket"),
+    )
+    return (
+        a.join(
+            b,
+            (a.user_id == b.b_user)
+            & (a.bucket == b.b_bucket)
+            & (b.b_us > a.a_us)
+            & (b.b_us <= a.a_us + bucket_us),
+        )
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+
+
+@register(
+    "q_join_asof",
+    oracle="""
+    SELECT event_id,
+           o_orderkey AS asof_orderkey,
+           CAST(o_orderdate AS DATE) AS asof_date
+    FROM (
+      SELECT e.event_id, o.o_orderkey, o.o_orderdate,
+             row_number() OVER (
+               PARTITION BY e.event_id
+               ORDER BY o.o_orderdate DESC, o.o_orderkey DESC
+             ) AS rn
+      FROM events e JOIN orders o
+        ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+    )
+    WHERE rn = 1
+    """,
+    tier="P1",
+    doc="As-of join: for each event, the latest order of that customer "
+    "with o_orderdate <= ts (latest-stock-solution-as-of-run-date "
+    "lookup). Spark has no native as-of; implemented with the scalable "
+    "union-sort pattern: tag both sides, single sort per user on "
+    "(time, side, key), last(ignorenulls) carries the most recent "
+    "order payload forward — one shuffle, no candidate explosion. "
+    "Ties on o_orderdate resolve to max o_orderkey on both engines.",
+)
+def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..sources.tables import load_events
+
+    ev = load_events(spark, sf_dir).select(
+        F.col("user_id").alias("key"),
+        F.unix_micros("ts").alias("t_us"),
+        F.lit(0).alias("is_order"),
+        F.col("event_id"),
+        F.lit(None).cast("long").alias("o_orderkey"),
+        F.lit(None).cast("timestamp_ntz").alias("o_orderdate"),
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("key"),
+        F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias("t_us"),
+        F.lit(1).alias("is_order"),
+        F.lit(None).cast("long").alias("event_id"),
+        F.col("o_orderkey"),
+        F.col("o_orderdate"),
+    )
+    # Orders sort before events at equal time (is_order desc) so the
+    # as-of is inclusive; equal-date orders resolve to max o_orderkey.
+    w = (
+        Window.partitionBy("key")
+        .orderBy(F.asc("t_us"), F.desc("is_order"), F.asc("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    tagged = ev.unionByName(orders)
+    return (
+        tagged.select(
+            "event_id",
+            "is_order",
+            F.last("o_orderkey", ignorenulls=True).over(w).alias("asof_orderkey"),
+            F.last("o_orderdate", ignorenulls=True)
+            .over(w)
+            .cast("date")
+            .alias("asof_date"),
+        )
+        .where(F.col("is_order") == 0)
+        .select("event_id", "asof_orderkey", "asof_date")
+    )
