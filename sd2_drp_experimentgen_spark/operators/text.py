@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.helpers import sql_r
 from ..plans.registry import register
 from ..sources.tables import load_table
 
@@ -62,4 +63,172 @@ def q_text_tokenize_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy(F.desc("n"), F.asc("token"))
         .limit(20)
+    )
+
+
+@register(
+    "q_text_stats_by_lang",
+    oracle=f"""
+    SELECT lang,
+           count(*) AS n_docs,
+           {sql_r('avg(n_chars)')} AS avg_chars,
+           {sql_r("avg(len(string_split(text, ' ')))")} AS avg_tokens
+    FROM documents
+    GROUP BY lang
+    """,
+    tier="P1",
+    doc="Per-language doc count, average chars, average token count.",
+)
+def q_text_stats_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.helpers import r4
+
+    d = load_table(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        r4(F.avg("n_chars")).alias("avg_chars"),
+        r4(F.avg(F.size(F.split(F.col("text"), " ")))).alias("avg_tokens"),
+    )
+
+
+@register(
+    "q_tfidf_top_terms",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, lang, unnest(string_split(text, ' ')) AS token
+      FROM documents
+    ), tf AS (
+      SELECT lang, token, count(*) AS tf
+      FROM tok GROUP BY lang, token
+    ), df AS (
+      SELECT token, count(DISTINCT doc_id) AS df
+      FROM tok GROUP BY token
+    ), n AS (
+      SELECT count(*) AS n FROM documents
+    ), scored AS (
+      SELECT lang, tf.token AS token,
+             floor((CAST(tf AS DOUBLE)
+                    * ln(CAST(n AS DOUBLE) / CAST(df AS DOUBLE)))
+                   * 1000000 + 0.5) / 1000000 AS score
+      FROM tf JOIN df ON tf.token = df.token CROSS JOIN n
+    )
+    SELECT lang, token, score
+    FROM (
+      SELECT lang, token, score,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY score DESC, token) AS rn
+      FROM scored
+    )
+    WHERE rn <= 5
+    """,
+    tier="P1",
+    doc="Exact arithmetic TF-IDF (never HashingTF — must hash-match): "
+    "tf = corpus-wide term count per (lang, token); idf = ln(N/df) with "
+    "df the distinct-doc count. Because idf is constant per token the "
+    "score is (sum of integer tfs) * ln(N/df) — a single float multiply, "
+    "so no float-summation order exists and the result is "
+    "bit-deterministic. Top-5 per lang, token tiebreak.",
+)
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..functions.helpers import r6
+
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", "lang", F.explode(F.split(F.col("text"), " ")).alias("token")
+    )
+    tf = tok.groupBy("lang", "token").agg(F.count(F.lit(1)).alias("tf"))
+    df = tok.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    n = d.agg(F.count(F.lit(1)).alias("n"))
+    scored = (
+        tf.join(df, "token")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "lang",
+            "token",
+            r6(
+                F.col("tf").cast("double")
+                * F.log(F.col("n").cast("double") / F.col("df").cast("double"))
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("lang").orderBy(F.desc("score"), F.asc("token"))
+    return (
+        scored.select("lang", "token", "score", F.row_number().over(w).alias("rn"))
+        .where(F.col("rn") <= 5)
+        .select("lang", "token", "score")
+    )
+
+
+@register(
+    "q_neardup_jaccard",
+    oracle="""
+    WITH dt AS (
+      SELECT DISTINCT doc_id, source, token
+      FROM (SELECT doc_id, source, unnest(string_split(text, ' ')) AS token
+            FROM documents)
+    ), sizes AS (
+      SELECT doc_id, count(*) AS n_tok FROM dt GROUP BY doc_id
+    ), inter AS (
+      SELECT a.doc_id AS id_lo, b.doc_id AS id_hi, count(*) AS n_inter
+      FROM dt a JOIN dt b
+        ON a.token = b.token AND a.source = b.source
+       AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT id_lo, id_hi,
+           floor((CAST(n_inter AS DOUBLE)
+                  / (sa.n_tok + sb.n_tok - n_inter)) * 10000 + 0.5) / 10000
+             AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_lo
+    JOIN sizes sb ON sb.doc_id = id_hi
+    WHERE CAST(n_inter AS DOUBLE) / (sa.n_tok + sb.n_tok - n_inter) >= 0.6
+    """,
+    tier="P1",
+    doc="Exact near-duplicate pairs: Jaccard over distinct-token sets "
+    "with same-source blocking (the natural blocking key: 20 sources), "
+    "J >= 0.6. All arithmetic is integer counts + one float divide, so "
+    "cross-engine bit-deterministic. This is the ground truth the "
+    "MinHash-LSH scale path (q_dedup_minhash_lsh) is checked against; "
+    "at 100 TB the blocking key is what bounds the token self-join.",
+)
+def q_neardup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.helpers import r4
+
+    d = load_table(spark, sf_dir, "documents")
+    dt = d.select(
+        "doc_id", "source", F.explode(F.split(F.col("text"), " ")).alias("token")
+    ).distinct()
+    sizes = dt.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_tok"))
+    a = dt.select(
+        F.col("doc_id").alias("id_lo"),
+        F.col("source").alias("src_a"),
+        "token",
+    )
+    b = dt.select(
+        F.col("doc_id").alias("id_hi"),
+        F.col("source").alias("src_b"),
+        F.col("token").alias("token_b"),
+    )
+    inter = (
+        a.join(
+            b,
+            (a.token == b.token_b)
+            & (a.src_a == b.src_b)
+            & (a.id_lo < b.id_hi),
+        )
+        .groupBy("id_lo", "id_hi")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("id_lo"), F.col("n_tok").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("id_hi"), F.col("n_tok").alias("nb"))
+    j = F.col("n_inter").cast("double") / (
+        F.col("na") + F.col("nb") - F.col("n_inter")
+    )
+    return (
+        inter.join(sa, "id_lo")
+        .join(sb, "id_hi")
+        .where(j >= 0.6)
+        .select("id_lo", "id_hi", r4(j).alias("jaccard"))
     )

@@ -1,1 +1,163 @@
-"""Placeholder — populated in a later milestone (SURVEY §7.1)."""
+"""UDF / UDAF / UDTF surface — SURVEY §2.9.
+
+These exist to exercise the JVM<->Python worker boundary (process
+boundary #2 in SURVEY §3.3), not because the formulas need Python —
+each one's oracle is plain SQL. Performance doctrine: row-at-a-time
+Python UDFs (q_udf_python_scalar) are the documented slow path; the
+Arrow-vectorized pandas variants are the acceptable one; JVM-native
+Column expressions remain the default everywhere else in the engine.
+
+Determinism: rounding happens INSIDE the UDF with the same
+floor(x*10^n+0.5)/10^n formula as the oracle, so the Python/numpy libm
+and the IEEE rounding agree with DuckDB bit-for-bit.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import DoubleType
+
+from ..functions.helpers import sql_r
+from ..plans.registry import register
+from ..sources.tables import load_table
+
+
+def _score(price: float, disc: float) -> float:
+    s = math.log(1.0 + price) * (1.0 - disc)
+    return math.floor(s * 1e6 + 0.5) / 1e6
+
+
+@register(
+    "q_udf_python_scalar",
+    oracle=f"""
+    SELECT l_orderkey,
+           l_linenumber,
+           {sql_r('ln(1 + l_extendedprice) * (1 - l_discount)', 6)} AS score
+    FROM lineitem
+    """,
+    tier="P1",
+    doc="Row-at-a-time Python UDF computing ln(1+price)*(1-disc) — "
+    "exercises the per-row Python-worker boundary. Deliberately the "
+    "slow path; kept off every hot path in the engine.",
+)
+def q_udf_python_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    score_udf = F.udf(_score, DoubleType())
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        score_udf(F.col("l_extendedprice"), F.col("l_discount")).alias("score"),
+    )
+
+
+# NOTE: pandas_udf objects are built inside each query fn — the
+# decorator parses its DDL return type against the active session, so
+# module-level construction would require a SparkSession at import time.
+def _score_vec_udf():
+    @pandas_udf("double")
+    def _score_vec(price: pd.Series, disc: pd.Series) -> pd.Series:
+        import numpy as np
+
+        s = np.log1p(price.to_numpy()) * (1.0 - disc.to_numpy())
+        return pd.Series(np.floor(s * 1e6 + 0.5) / 1e6)
+
+    return _score_vec
+
+
+@register(
+    "q_udf_pandas_vectorized",
+    oracle=f"""
+    SELECT l_orderkey,
+           l_linenumber,
+           {sql_r('ln(1 + l_extendedprice) * (1 - l_discount)', 6)} AS score
+    FROM lineitem
+    """,
+    tier="P1",
+    doc="Same formula as an Arrow-vectorized pandas UDF — the "
+    "acceptable Python boundary (~10-100x the row-at-a-time UDF).",
+)
+def q_udf_pandas_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        _score_vec_udf()(F.col("l_extendedprice"), F.col("l_discount")).alias(
+            "score"
+        ),
+    )
+
+
+def _geomean_udf():
+    @pandas_udf("double")
+    def _geomean(v: pd.Series) -> float:
+        import numpy as np
+
+        x = np.log(v.to_numpy(dtype=np.float64))
+        # exact sum absorbs reduction-order noise vs the SQL oracle
+        return float(np.exp(math.fsum(x) / len(x)))
+
+    return _geomean
+
+
+@register(
+    "q_udaf_pandas_grouped",
+    oracle=f"""
+    SELECT c_mktsegment,
+           {sql_r('exp(avg(ln(o_totalprice)))')} AS geo_mean_price
+    FROM orders JOIN customer ON c_custkey = o_custkey
+    GROUP BY c_mktsegment
+    """,
+    tier="P2",
+    doc="Grouped-agg pandas UDAF: geometric mean of order totals per "
+    "market segment (exp of mean log). fsum inside the UDAF + 4dp "
+    "rounding absorb reduction-order noise vs the SQL oracle.",
+)
+def q_udaf_pandas_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.helpers import r4
+
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(r4(_geomean_udf()(F.col("o_totalprice"))).alias("geo_mean_price"))
+    )
+
+
+@register(
+    "q_udtf_split",
+    oracle="""
+    SELECT token, count(*) AS n
+    FROM (SELECT unnest(string_split(p_name, ' ')) AS token FROM part)
+    GROUP BY token
+    """,
+    tier="P2",
+    doc="Python UDTF (Spark 4 @udtf) exploding a delimited string to "
+    "rows, lateral-joined in SQL, + token counts. Scale note: for "
+    "real pipelines explode() is the JVM-native equivalent; the UDTF "
+    "exists to cover the table-function API surface.",
+)
+def q_udtf_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="token: string")
+    class SplitWords:
+        def eval(self, text: str):
+            for tok in text.split(" "):
+                yield (tok,)
+
+    spark.udtf.register("udtf_split_words", SplitWords)
+    load_table(spark, sf_dir, "part").createOrReplaceTempView("udtf_part")
+    return spark.sql(
+        """
+        SELECT t.token, count(*) AS n
+        FROM udtf_part, LATERAL udtf_split_words(p_name) t
+        GROUP BY t.token
+        """
+    )
