@@ -1,0 +1,260 @@
+"""LLM-training-data pipeline operators over ``documents`` — the
+north-star extensions beyond the reference's own surface: language ID,
+quality scoring, tokenizer-style counting, content fingerprinting, and
+SimHash near-dup bucketing.
+
+All five are hash-checked against DuckDB oracles: every computation is
+expressed in integer arithmetic, md5 (identical across engines), and
+single float divides, so no cross-engine float noise exists.
+
+Scale posture: each operator is a single projection or one groupBy —
+per-document work parallelizes embarrassingly; the SimHash collision
+grouping shuffles 2-byte signatures, never documents.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.helpers import sql_r
+from ..plans.registry import register
+from ..sources.tables import load_table
+
+# Stopword-voting language ID. The structure is the standard top-K
+# stopword/n-gram voter; the marker sets are drawn from the fixture's
+# 31-token synthetic vocabulary (real deployments swap in per-language
+# stopword lists — the plan shape is identical). Sets are disjoint.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "order", "table"),
+    "fr": ("scan", "data", "batch"),
+    "es": ("slow", "agg", "merge"),
+    "de": ("customer", "hash", "join"),
+    "zh": ("small", "row", "column"),
+}
+
+QUALITY_STOPWORDS = ("the", "a", "key", "value", "data")
+
+
+def _hits(tokens, markers: tuple[str, ...]):
+    arr = F.array(*[F.lit(m) for m in markers])
+    return F.size(F.filter(tokens, lambda t: F.array_contains(arr, t)))
+
+
+def _sql_hits(markers: tuple[str, ...]) -> str:
+    lst = ", ".join(f"''{m}''" for m in markers).replace("''", "'")
+    return (
+        f"len(list_filter(string_split(text, ' '), "
+        f"t -> list_contains([{lst}], t)))"
+    )
+
+
+@register(
+    "q_text_langid",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, lang,
+             {_sql_hits(LANG_MARKERS['en'])} AS h_en,
+             {_sql_hits(LANG_MARKERS['fr'])} AS h_fr,
+             {_sql_hits(LANG_MARKERS['es'])} AS h_es,
+             {_sql_hits(LANG_MARKERS['de'])} AS h_de,
+             {_sql_hits(LANG_MARKERS['zh'])} AS h_zh
+      FROM documents
+    )
+    SELECT doc_id,
+           CASE WHEN h_en >= greatest(h_fr, h_es, h_de, h_zh) THEN 'en'
+                WHEN h_fr >= greatest(h_es, h_de, h_zh) THEN 'fr'
+                WHEN h_es >= greatest(h_de, h_zh) THEN 'es'
+                WHEN h_de >= h_zh THEN 'de'
+                ELSE 'zh' END AS lang_guess,
+           CASE WHEN CASE WHEN h_en >= greatest(h_fr, h_es, h_de, h_zh) THEN 'en'
+                          WHEN h_fr >= greatest(h_es, h_de, h_zh) THEN 'fr'
+                          WHEN h_es >= greatest(h_de, h_zh) THEN 'es'
+                          WHEN h_de >= h_zh THEN 'de'
+                          ELSE 'zh' END = lang
+                THEN 1 ELSE 0 END AS agrees
+    FROM scored
+    """,
+    tier="P1",
+    doc="Language identification via stopword voting (argmax of marker-"
+    "token hit counts with a fixed preference order on ties) + "
+    "agreement flag against the labeled lang column. Single projection "
+    "— no shuffle.",
+)
+def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    tokens = F.split(F.col("text"), " ")
+    hits = {
+        lang: _hits(tokens, marks).alias(f"h_{lang}")
+        for lang, marks in LANG_MARKERS.items()
+    }
+    scored = d.select("doc_id", "lang", *hits.values())
+    h = {lang: F.col(f"h_{lang}") for lang in LANG_MARKERS}
+    guess = (
+        F.when(h["en"] >= F.greatest(h["fr"], h["es"], h["de"], h["zh"]), "en")
+        .when(h["fr"] >= F.greatest(h["es"], h["de"], h["zh"]), "fr")
+        .when(h["es"] >= F.greatest(h["de"], h["zh"]), "es")
+        .when(h["de"] >= h["zh"], "de")
+        .otherwise("zh")
+    )
+    return scored.select(
+        "doc_id",
+        guess.alias("lang_guess"),
+        F.when(guess == F.col("lang"), 1).otherwise(0).alias("agrees"),
+    )
+
+
+@register(
+    "q_text_quality_score",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+           {sql_r("CAST(n_chars AS DOUBLE) / len(string_split(text, ' '))")}
+             AS avg_token_len,
+           {sql_r(_sql_hits(QUALITY_STOPWORDS)
+                  + " * 1.0 / len(string_split(text, ' '))")} AS stopword_ratio,
+           CASE WHEN len(string_split(text, ' ')) BETWEEN 20 AND 80
+                THEN 1 ELSE 0 END AS len_ok
+    FROM documents
+    """,
+    tier="P1",
+    doc="Per-document quality features: token count, mean token length, "
+    "stopword ratio, length-window flag — the standard pre-training "
+    "quality-filter feature set (punctuation/casing features are "
+    "degenerate on the all-lowercase fixture vocabulary and omitted).",
+)
+def q_text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.helpers import r4
+
+    d = load_table(spark, sf_dir, "documents")
+    tokens = F.split(F.col("text"), " ")
+    n_tok = F.size(tokens)
+    return d.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        r4(F.col("n_chars").cast("double") / n_tok).alias("avg_token_len"),
+        r4(_hits(tokens, QUALITY_STOPWORDS) * F.lit(1.0) / n_tok).alias(
+            "stopword_ratio"
+        ),
+        F.when((n_tok >= 20) & (n_tok <= 80), 1).otherwise(0).alias("len_ok"),
+    )
+
+
+@register(
+    "q_text_token_bpe_counts",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS INTEGER) AS n_ws_tokens,
+           CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+')) AS INTEGER)
+             AS n_re_tokens,
+           {sql_r("len(regexp_extract_all(text, '[a-z]+|[0-9]+')) * 1.0"
+                  " / len(string_split(text, ' '))")} AS re_per_ws
+    FROM documents
+    """,
+    tier="P1",
+    doc="Token counting two ways: whitespace split vs a BPE-ish "
+    "pre-tokenizer regex ([a-z]+|[0-9]+ runs — the GPT-2-style "
+    "pretoken split restricted to the fixture alphabet) + their ratio.",
+)
+def q_text_token_bpe_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.helpers import r4
+
+    d = load_table(spark, sf_dir, "documents")
+    ws = F.size(F.split(F.col("text"), " "))
+    re_toks = F.size(F.regexp_extract_all(F.col("text"), F.lit("[a-z]+|[0-9]+"), 0))
+    return d.select(
+        "doc_id",
+        ws.alias("n_ws_tokens"),
+        re_toks.alias("n_re_tokens"),
+        r4(re_toks * F.lit(1.0) / ws).alias("re_per_ws"),
+    )
+
+
+@register(
+    "q_doc_fingerprint_shingle",
+    oracle="""
+    SELECT doc_id,
+           md5(text) AS fp,
+           list_aggregate(
+             list_transform(
+               generate_series(1, len(string_split(text, ' ')) - 2),
+               i -> md5(string_split(text, ' ')[i] || ' '
+                        || string_split(text, ' ')[i + 1] || ' '
+                        || string_split(text, ' ')[i + 2])
+             ), 'min') AS min_shingle_sig
+    FROM documents
+    """,
+    tier="P1",
+    doc="Content fingerprinting: whole-document md5 plus a k=1 MinHash "
+    "over 3-token shingles (min of shingle md5s — the rolling-window "
+    "signature primitive that MinHash signatures stack on). md5 is "
+    "identical across engines, so this hash-checks exactly.",
+)
+def q_doc_fingerprint_shingle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    shingles = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - 2),
+        lambda i: F.md5(
+            F.concat_ws(
+                " ",
+                F.element_at(toks, i),
+                F.element_at(toks, i + 1),
+                F.element_at(toks, i + 2),
+            )
+        ),
+    )
+    return d.select(
+        "doc_id",
+        F.md5(F.col("text")).alias("fp"),
+        F.array_min(shingles).alias("min_shingle_sig"),
+    )
+
+
+@register(
+    "q_dedup_simhash",
+    oracle="""
+    WITH bits AS (
+      SELECT doc_id, b.b AS b,
+             CASE WHEN sum(CASE WHEN ascii(substr(md5(t.token), b.b + 1, 1)) % 2
+                                = 1 THEN 1 ELSE -1 END) > 0
+                  THEN 1 ELSE 0 END AS bit
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+            FROM documents) t
+      CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS b) b
+      GROUP BY doc_id, b.b
+    )
+    SELECT doc_id,
+           CAST(sum(bit * (1 << b)) AS BIGINT) AS simhash16
+    FROM bits
+    GROUP BY doc_id
+    """,
+    tier="P1",
+    doc="SimHash(16-bit) near-dup signature: per token, bit b is the "
+    "parity of hex digit b of md5(token); per document each bit is the "
+    "sign of the token-vote sum — the standard SimHash construction "
+    "with md5-derived hyperplanes, fully deterministic cross-engine. "
+    "Signature collisions are the near-dup candidate buckets; at "
+    "100 TB the groupBy shuffles 2-byte signatures only.",
+)
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("token")
+    )
+    bits = tok.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(15))).alias("b"),
+        F.col("token"),
+    )
+    vote = F.when(
+        F.ascii(F.substring(F.md5(F.col("token")), F.col("b") + 1, 1)) % 2 == 1, 1
+    ).otherwise(-1)
+    per_bit = (
+        bits.select("doc_id", "b", vote.alias("v"))
+        .groupBy("doc_id", "b")
+        .agg(F.when(F.sum("v") > 0, 1).otherwise(0).alias("bit"))
+    )
+    return per_bit.groupBy("doc_id").agg(
+        F.sum(F.col("bit") * F.expr("shiftleft(1, b)")).alias("simhash16")
+    )

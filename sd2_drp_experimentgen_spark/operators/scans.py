@@ -48,3 +48,110 @@ def q_scan_prune_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("p_size") > 25)
         .select("p_partkey", "p_name", "p_size")
     )
+
+
+def _scratch(sf_dir: str, name: str) -> str:
+    """Per-sf scratch dir for sink round-trips (inside the repo, git-ignored)."""
+    import os
+
+    sf_tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "..", "..", ".scratch", sf_tag, name
+    )
+    return os.path.abspath(path)
+
+
+@register(
+    "q_source_csv_roundtrip",
+    oracle="""
+    SELECT r_regionkey, r_name, n_nations
+    FROM (
+      SELECT r_regionkey, r_name,
+             (SELECT count(*) FROM nation WHERE n_regionkey = r_regionkey)
+               AS n_nations
+      FROM region
+    )
+    """,
+    tier="P1",
+    doc="CSV sink + source round-trip: write region to CSV with header, "
+    "read back with an EXPLICIT schema (engine policy: never infer), "
+    "then join nation counts onto the re-read rows. The oracle sees "
+    "only the final relation — identical iff the round-trip is "
+    "lossless.",
+)
+def q_source_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .. import schemas
+
+    path = _scratch(sf_dir, "csv_region")
+    load_table(spark, sf_dir, "region").write.mode("overwrite").option(
+        "header", True
+    ).csv(path)
+    back = spark.read.schema(schemas.REGION).option("header", True).csv(path)
+    n = load_table(spark, sf_dir, "nation")
+    counts = n.groupBy("n_regionkey").agg(F.count(F.lit(1)).alias("n_nations"))
+    return back.join(
+        counts, back.r_regionkey == counts.n_regionkey, "left"
+    ).select(
+        "r_regionkey",
+        "r_name",
+        F.coalesce(F.col("n_nations"), F.lit(0)).alias("n_nations"),
+    )
+
+
+@register(
+    "q_sink_json_spec",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS n_specs
+    FROM orders
+    WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)
+    GROUP BY o_orderpriority
+    """,
+    tier="P1",
+    doc="Nested experiment-spec JSON export (the reference's spec "
+    "document sink): one document per order with an array of line "
+    "structs (struct + collect_list), written as JSON lines, read "
+    "back, then per-priority counts emitted. The aggregate after the "
+    "round-trip makes the nested sink hash-checkable.",
+)
+def q_sink_json_spec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _scratch(sf_dir, "json_specs")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    lines = li.select(
+        "l_orderkey",
+        F.struct("l_linenumber", "l_quantity", "l_extendedprice").alias("line"),
+    )
+    specs = (
+        o.join(lines, o.o_orderkey == lines.l_orderkey)
+        .groupBy("o_orderkey", "o_orderpriority", "o_totalprice")
+        .agg(F.sort_array(F.collect_list("line")).alias("lines"))
+        .select(
+            F.col("o_orderkey").alias("spec_id"),
+            "o_orderpriority",
+            F.struct("o_totalprice", "lines").alias("spec"),
+        )
+    )
+    specs.write.mode("overwrite").json(path)
+    back = spark.read.json(path)
+    return back.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("n_specs"))
+
+
+@register(
+    "q_sink_parquet_partitioned",
+    oracle="""
+    SELECT l_returnflag, count(*) AS n
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    tier="P1",
+    doc="Partitioned parquet sink (partitionBy l_returnflag) + re-read "
+    "+ per-partition counts. At 100 TB this hive-style layout is what "
+    "enables partition pruning on the read side (a filter on "
+    "l_returnflag scans one directory, not the table).",
+)
+def q_sink_parquet_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _scratch(sf_dir, "parquet_by_flag")
+    li = load_table(spark, sf_dir, "lineitem")
+    li.write.mode("overwrite").partitionBy("l_returnflag").parquet(path)
+    back = spark.read.parquet(path)
+    return back.groupBy("l_returnflag").agg(F.count(F.lit(1)).alias("n"))

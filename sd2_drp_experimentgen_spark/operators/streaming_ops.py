@@ -1,0 +1,118 @@
+"""Registered streaming-semantics operators — SURVEY §2.10 rows #70-71
+plus live streaming twins of the batch window queries. All rows-only:
+these run REAL Structured Streaming jobs (AvailableNow trigger, memory
+sink) inside the query callable and return the terminal result as a
+batch DataFrame; pytest self-tests assert their semantics against the
+batch constructions.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..plans.registry import register
+from ..streaming import jobs
+
+
+def _scratch(name: str) -> str:
+    path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "..", "..", ".scratch", name
+    )
+    path = os.path.abspath(path)
+    os.makedirs(path, exist_ok=True)
+    return path
+
+
+def _events_dir(sf_dir: str) -> str:
+    """FileStreamSource requires a DIRECTORY; stage the events parquet
+    into a per-sf scratch dir (copied once, reused)."""
+    import shutil
+
+    sf_tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    d = _scratch(f"stream_events_{sf_tag}")
+    src = f"{sf_dir}/events.parquet"
+    dst = os.path.join(d, "events.parquet")
+    if not os.path.exists(dst) or os.path.getsize(dst) != os.path.getsize(src):
+        shutil.copyfile(src, dst)
+    return d
+
+
+@register(
+    "q_stream_tumbling_watermarked",
+    oracle=None,
+    tier="P1",
+    doc="LIVE streaming twin of q_stream_tumbling_1h: readStream over "
+    "the events parquet, 2h watermark, 1h windows, AvailableNow to a "
+    "memory sink. Self-test asserts equality with the batch result.",
+)
+def q_stream_tumbling_watermarked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return jobs.tumbling_1h_watermarked(spark, _events_dir(sf_dir))
+
+
+@register(
+    "q_stream_session_window",
+    oracle=None,
+    tier="P1",
+    doc="LIVE streaming sessionization via F.session_window (30-min "
+    "gap). Self-test asserts per-user session counts equal the batch "
+    "lag+cumsum construction of q_stream_session_30m.",
+)
+def q_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return jobs.session_window_30m(spark, _events_dir(sf_dir))
+
+
+@register(
+    "q_stream_late_data",
+    oracle=None,
+    tier="P2",
+    doc="Watermark late-data semantics: a 2-file stream whose second "
+    "file repeats day-1 rows (new ids, far below the watermark after "
+    "file 1). Append mode + 2h watermark -> the late rows must be "
+    "dropped and closed windows keep their on-time counts. Returns "
+    "the appended (closed) windows; self-test asserts exclusion.",
+)
+def q_stream_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    base = _scratch("late_run")
+    src, out, ckpt = (os.path.join(base, d) for d in ("src", "out", "ckpt"))
+    for d in (src, out, ckpt):
+        shutil.rmtree(d, ignore_errors=True)
+        os.makedirs(d)
+
+    table = pq.read_table(f"{sf_dir}/events.parquet")
+    pq.write_table(table, os.path.join(src, "0_main.parquet"))
+    # Phase 1: main file only -> watermark advances to max(ts) - 2h and
+    # persists in the checkpoint.
+    jobs.late_data_phase(spark, src, out, ckpt)
+
+    # Phase 2: add a file that replays day-1 rows (new ids) — entirely
+    # below the persisted watermark, so it must be dropped.
+    late = table.slice(0, 50).to_pandas()
+    late["event_id"] = late["event_id"] + 10_000_000
+    pq.write_table(
+        pa.Table.from_pandas(late, schema=table.schema, preserve_index=False),
+        os.path.join(src, "1_late.parquet"),
+    )
+    jobs.late_data_phase(spark, src, out, ckpt)
+
+    emitted = spark.read.parquet(out)
+    return emitted.groupBy("window_start").agg(F.sum("n").alias("n"))
+
+
+@register(
+    "q_stream_stateful_counts",
+    oracle=None,
+    tier="P2",
+    doc="Arbitrary stateful streaming op: running per-user event counts "
+    "via applyInPandasWithState (GroupState). Returns the final count "
+    "per user; self-test asserts equality with batch groupBy counts.",
+)
+def q_stream_stateful_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return jobs.stateful_user_counts(spark, _events_dir(sf_dir))

@@ -32,9 +32,12 @@ _OPERATOR_MODULES = [
     "sorts",
     "setops",
     "text",
+    "llmtext",
     "vectors",
     "udfs",
     "events_windows",
+    "streaming_ops",
+    "multimodal",
     "ml",
 ]
 

@@ -1,0 +1,176 @@
+"""Structured Streaming twins of the batch event-window queries.
+
+Pattern: ``readStream`` over the events parquet (explicit raw schema —
+ts arrives as int64 nanoseconds exactly like batch), the SAME window
+expressions as the batch operators, a watermark for state eviction, and
+``Trigger.AvailableNow`` + a memory sink so each job is a terminating,
+testable run. On a cluster the only change is the source/sink (Kafka,
+files-in, Delta-out) — the transformation graph is identical to batch,
+which is the point of Structured Streaming.
+
+State-size posture at 100 TB: every stateful op here carries a
+watermark, so window/session/dedup state is evicted as event time
+advances; without it state grows unboundedly.
+"""
+
+from __future__ import annotations
+
+import itertools
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from ..session import configure_session
+
+RAW_EVENTS_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType(), True),
+        StructField("ts", LongType(), True),  # nanoseconds (nanosAsLong)
+        StructField("user_id", LongType(), True),
+        StructField("event_type", StringType(), True),
+        StructField("value", DoubleType(), True),
+        StructField("props", StringType(), True),
+    ]
+)
+
+_run_counter = itertools.count()
+
+
+def _unique_name(prefix: str) -> str:
+    return f"{prefix}_{next(_run_counter)}"
+
+
+def stream_events(spark: SparkSession, path: str) -> DataFrame:
+    """Streaming events source with the same ns->µs truncation as batch."""
+    configure_session(spark)
+    raw = (
+        spark.readStream.schema(RAW_EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def run_to_memory(stream_df: DataFrame, output_mode: str) -> DataFrame:
+    """Run a streaming frame to completion (AvailableNow) into a memory
+    sink and return the collected result as a batch DataFrame."""
+    name = _unique_name("sd2drp_stream")
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    spark = stream_df.sparkSession
+    return spark.table(name)
+
+
+def tumbling_1h_watermarked(spark: SparkSession, events_path: str) -> DataFrame:
+    """Streaming twin of q_stream_tumbling_1h: 2h watermark + 1h windows."""
+    ev = stream_events(spark, events_path)
+    agg = (
+        ev.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("sum_value"))
+        .select(
+            F.col("w.start").cast("long").alias("window_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+    return run_to_memory(agg, "complete")
+
+
+def session_window_30m(spark: SparkSession, events_path: str) -> DataFrame:
+    """Streaming session windows (30-min gap) per user — the native
+    F.session_window twin of the batch lag+cumsum construction."""
+    ev = stream_events(spark, events_path)
+    agg = (
+        ev.withWatermark("ts", "2 hours")
+        .groupBy(F.session_window("ts", "30 minutes").alias("sw"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("sw.start").cast("long").alias("sess_start"),
+            F.col("sw.end").cast("long").alias("sess_end"),
+            "n_events",
+        )
+    )
+    return run_to_memory(agg, "complete")
+
+
+def dedup_within_watermark(spark: SparkSession, events_path: str) -> DataFrame:
+    """Streaming duplicate drop by event_id within the watermark."""
+    ev = stream_events(spark, events_path)
+    deduped = (
+        ev.withWatermark("ts", "2 hours")
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return run_to_memory(deduped, "complete")
+
+
+def late_data_phase(
+    spark: SparkSession, src: str, out: str, ckpt: str
+) -> None:
+    """One AvailableNow phase of the late-data scenario: append-mode 1h
+    windows with a 2h watermark, written to a checkpointed parquet sink
+    so the NEXT phase resumes with the persisted watermark — files added
+    between phases that fall below it are late and must be dropped."""
+    ev = stream_events(spark, src)
+    agg = (
+        ev.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").cast("long").alias("window_start"), "n")
+    )
+    q = (
+        agg.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def stateful_user_counts(spark: SparkSession, events_path: str) -> DataFrame:
+    """Arbitrary stateful op: running per-user event count via
+    applyInPandasWithState (GroupState API, processing-time timeout).
+    Emits one row per user per micro-batch; the final batch per user is
+    the total count."""
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    ev = stream_events(spark, events_path)
+
+    def update(key, pdfs, state: GroupState):
+        count = state.get[0] if state.exists else 0
+        for pdf in pdfs:
+            count += len(pdf)
+        state.update((count,))
+        yield pd.DataFrame({"user_id": [key[0]], "n_events": [count]})
+
+    out = ev.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id long, n_events long",
+        stateStructType="n_events long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    result = run_to_memory(out, "update")
+    # keep only the final (max) count per user
+    return result.groupBy("user_id").agg(F.max("n_events").alias("n_events"))
