@@ -33,6 +33,10 @@ HEADLINE = [
     "q_sim_cosine_topk",
     "q_join_interval",
     "q_stream_session_30m",
+    "q_join_asof",
+    "q_train_features_wide",
+    "q_tfidf_top_terms",
+    "q_dedup_embedding_nn",
 ]
 
 

@@ -183,6 +183,69 @@ def q_emb_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q_dedup_embedding_nn",
+    oracle=f"""
+    SELECT vec_id, neighbor_id, sim
+    FROM (
+      SELECT vec_id, neighbor_id, sim,
+             row_number() OVER (
+               PARTITION BY vec_id ORDER BY sim DESC, neighbor_id
+             ) AS rn
+      FROM (
+        SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+               {sql_r('''list_cosine_similarity(
+                 list_transform(a.embedding, x -> CAST(x AS DOUBLE)),
+                 list_transform(b.embedding, x -> CAST(x AS DOUBLE)))''')} AS sim
+        FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+      )
+    )
+    WHERE rn = 1
+    """,
+    tier="P1",
+    doc="Embedding-cosine near-duplicate scan: each vector's single "
+    "nearest neighbor by cosine (round 4, neighbor-id tiebreak). A "
+    "dedup pass keeps pairs with sim above a threshold; this fixture "
+    "has no such pairs (max pairwise cosine 0.51 at sf0.01), so the "
+    "full NN list is emitted to keep the oracle check non-trivial. "
+    "Same numpy/mapInPandas doctrine as q_sim_cosine_topk: rounding "
+    "applied before ranking with the oracle's half-up formula so ties "
+    "resolve identically. At 100 TB the dense product is replaced by "
+    "the IVF probe (q_ann_ivf_topk) or LSH buckets, same NN-refine.",
+)
+def q_dedup_embedding_nn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    ids, mat = _embeddings_matrix(spark, sf_dir)
+    norms = np.sqrt((mat * mat).sum(axis=1))
+    bc = spark.sparkContext.broadcast((ids, mat, norms))
+
+    def nn_per_block(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        all_ids, all_mat, all_norms = bc.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            row_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            idx = np.searchsorted(all_ids, row_ids)
+            x = all_mat[idx]
+            sims = (x @ all_mat.T) / np.outer(all_norms[idx], all_norms)
+            sims_r = np.floor(sims * 1e4 + 0.5) / 1e4
+            out = []
+            for r, vid in enumerate(row_ids):
+                s = sims_r[r].copy()
+                s[all_ids == vid] = -np.inf
+                j = int(np.lexsort((all_ids, -s))[0])
+                out.append((int(vid), int(all_ids[j]), float(s[j])))
+            yield pd.DataFrame(
+                out, columns=["vec_id", "neighbor_id", "sim"]
+            )
+
+    src = load_table(spark, sf_dir, "embeddings").select("vec_id")
+    return src.mapInPandas(
+        nn_per_block, schema="vec_id long, neighbor_id long, sim double"
+    )
+
+
 def cosine_topk_for_queries(
     spark: SparkSession,
     sf_dir: str,

@@ -1,0 +1,83 @@
+"""Physical-plan assertions — the 100 TB posture checks (SURVEY §4).
+
+Correctness tests prove the operators compute the right answer; these
+prove they compute it with the plan that survives a 1000-executor,
+100 TB deployment: filters reach the parquet scan, projections prune
+the read schema, small dimensions broadcast instead of shuffling, and
+aggregates combine map-side before exchanging. A regression here is a
+performance bug even when every value still hash-matches.
+"""
+
+from __future__ import annotations
+
+import io
+from contextlib import redirect_stdout
+
+from conftest import SF_T2
+
+from sd2_drp_experimentgen_spark.plans import all_specs
+
+
+def plan(df, mode: str = "formatted") -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain(mode)
+    return buf.getvalue()
+
+
+def test_filter_pushed_to_parquet_scan(spark):
+    df = all_specs()["q_scan_prune_filter"].fn(spark, SF_T2)
+    p = plan(df)
+    assert "PushedFilters" in p
+    assert "GreaterThan(p_size,25)" in p, p
+    # column pruning: the scan must read ONLY the projected columns
+    read_schema = next(l for l in p.splitlines() if "ReadSchema" in l)
+    assert "p_partkey" in read_schema and "p_size" in read_schema
+    assert "p_retailprice" not in read_schema and "p_brand" not in read_schema
+
+
+def test_q6_range_predicates_pushed(spark):
+    p = plan(all_specs()["q_filter_pred_q6"].fn(spark, SF_T2))
+    assert "PushedFilters" in p
+    assert "GreaterThanOrEqual(l_discount" in p
+    assert "LessThan(l_quantity" in p
+
+
+def test_dimension_join_broadcasts(spark):
+    p = plan(all_specs()["q_join_broadcast"].fn(spark, SF_T2))
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_groupby_agg_is_partial_then_final(spark):
+    """Map-side combine: two HashAggregate nodes (partial + final)
+    around one Exchange — the shape that keeps the Q1 shuffle tiny."""
+    df = all_specs()["q_agg_groupby_q1"].fn(spark, SF_T2)
+    p = plan(df, "simple")
+    assert p.count("HashAggregate") >= 2
+    assert "partial_sum" in p  # map-side combine before the Exchange
+    assert p.index("partial_sum") > p.index("Exchange")  # partial below it
+
+
+def test_topk_uses_take_ordered(spark):
+    """Global top-25 must plan TakeOrderedAndProject (per-partition
+    heap + tiny driver merge), never a full global sort."""
+    p = plan(all_specs()["q_topk_orders"].fn(spark, SF_T2))
+    assert "TakeOrderedAndProject" in p
+    assert "Sort " not in p  # no full-sort operator node
+
+
+def test_semi_anti_joins_do_not_materialize_right_columns(spark):
+    """Semi/anti joins must keep only left-side output columns."""
+    specs = all_specs()
+    for name in ("q_join_semi", "q_join_anti"):
+        df = specs[name].fn(spark, SF_T2)
+        assert all(c.startswith("c_") or c.startswith("n_") for c in df.columns)
+
+
+def test_events_scan_prunes_unused_columns(spark):
+    """The tumbling-window query needs ts/event_type/value only — the
+    props JSON blob (the widest column) must not be read."""
+    p = plan(all_specs()["q_stream_tumbling_1h"].fn(spark, SF_T2))
+    read_schema = next(l for l in p.splitlines() if "ReadSchema" in l)
+    assert "props" not in read_schema
