@@ -171,6 +171,27 @@ def q_agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_agg_approx_percentile",
+    oracle=None,  # t-digest/GK sketches differ per engine; rows-only + self-test
+    tier="P2",
+    doc="approx_percentile (median + p90 of l_extendedprice per return "
+    "flag, accuracy 10000) next to the exact interpolated percentile. "
+    "No cross-engine oracle (sketch implementations differ); the "
+    "pytest self-check bounds the relative error vs exact at 1%. At "
+    "100 TB the sketch path replaces the full sort an exact "
+    "percentile needs: single pass, mergeable fixed-size state.",
+)
+def q_agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_percentile("l_extendedprice", 0.5, 10000).alias("approx_p50"),
+        F.approx_percentile("l_extendedprice", 0.9, 10000).alias("approx_p90"),
+        F.percentile("l_extendedprice", 0.5).alias("exact_p50"),
+        F.percentile("l_extendedprice", 0.9).alias("exact_p90"),
+    )
+
+
+@register(
     "q_agg_stats",
     oracle=f"""
     SELECT l_returnflag,

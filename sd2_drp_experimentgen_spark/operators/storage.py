@@ -1,0 +1,137 @@
+"""Physical-layout operators — bucketing for co-located joins and
+salting for skewed aggregation. These are the two layout levers that
+matter most at 100 TB (SURVEY §7.2 risk #6): a fact-to-fact join on a
+pre-bucketed key runs with ZERO join-side shuffle, and a salted
+two-stage aggregate spreads a hot key across tasks instead of melting
+one executor. Both are hash-checked — the layout changes the plan, not
+the answer — and `tests/test_plans.py` asserts the plan actually
+dropped the Exchange.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.helpers import _round_halfup, sql_r
+from ..plans.registry import register
+from ..sources.tables import load_table
+
+N_BUCKETS = 8
+N_SALTS = 16
+
+
+def _sf_tag(sf_dir: str) -> str:
+    return (os.path.basename(sf_dir.rstrip("/")) or "sf").replace(".", "_")
+
+
+def ensure_bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """Write lineitem + orders as bucketed/sorted tables (once per sf)
+    and return their table names. bucketBy(orderkey) + sortBy gives
+    both sides identical physical distribution, so the join needs no
+    Exchange and no Sort — at 100 TB this is the difference between a
+    full-table shuffle and a metadata-only co-located join."""
+    tag = _sf_tag(sf_dir)
+    li_tbl, o_tbl = f"lineitem_bkt_{tag}", f"orders_bkt_{tag}"
+    catalog = spark.catalog
+
+    def _clear_stale_location(tbl: str) -> None:
+        # The in-memory catalog dies with the process but the warehouse
+        # directory survives; saveAsTable refuses to reuse the orphaned
+        # location, so drop it before re-creating the table.
+        import shutil
+        from urllib.parse import urlparse
+
+        wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+        shutil.rmtree(os.path.join(wh, tbl.lower()), ignore_errors=True)
+
+    if not catalog.tableExists(li_tbl):
+        _clear_stale_location(li_tbl)
+        (
+            load_table(spark, sf_dir, "lineitem")
+            .select("l_orderkey", "l_extendedprice", "l_discount")
+            .write.bucketBy(N_BUCKETS, "l_orderkey")
+            .sortBy("l_orderkey")
+            .mode("overwrite")
+            .saveAsTable(li_tbl)
+        )
+    if not catalog.tableExists(o_tbl):
+        _clear_stale_location(o_tbl)
+        (
+            load_table(spark, sf_dir, "orders")
+            .select("o_orderkey", "o_orderpriority")
+            .write.bucketBy(N_BUCKETS, "o_orderkey")
+            .sortBy("o_orderkey")
+            .mode("overwrite")
+            .saveAsTable(o_tbl)
+        )
+    return li_tbl, o_tbl
+
+
+@register(
+    "q_join_bucketed",
+    oracle=f"""
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_items,
+           {sql_r("sum(l_extendedprice * (1 - l_discount))")} AS revenue
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    """,
+    tier="P1",
+    doc="Shuffle-free fact-to-fact join via bucketing: both tables "
+    "written bucketBy(8, orderkey)+sortBy, then sort-merge joined "
+    "bucket-to-bucket with no Exchange and no Sort on either input "
+    "(asserted in tests/test_plans.py). The MERGE hint pins the SMJ "
+    "path so the demonstration holds even when one side is broadcast-"
+    "sized at test scale. Same answer as a plain join — the oracle "
+    "is layout-agnostic.",
+)
+def q_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li_tbl, o_tbl = ensure_bucketed_tables(spark, sf_dir)
+    li = spark.table(li_tbl).hint("merge")
+    o = spark.table(o_tbl)
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            _round_halfup(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue"),
+        )
+    )
+
+
+@register(
+    "q_agg_skew_salted",
+    oracle=f"""
+    SELECT l_returnflag,
+           CAST(count(*) AS BIGINT) AS n,
+           {sql_r("sum(l_quantity)")} AS sum_qty
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    tier="P1",
+    doc="Skew-resistant two-stage aggregation: l_returnflag has only 3 "
+    "values, so a direct groupBy funnels the whole table into 3 reduce "
+    "tasks. Stage 1 groups by (key, salt) — 16 random salts spread "
+    "each hot key over 16 tasks; stage 2 merges the 48 partials. "
+    "count/sum re-aggregate losslessly, so the result hash-matches the "
+    "unsalted oracle. (Spark's AQE skew handling covers joins, not "
+    "hot-key aggregation — this is the manual pattern for that gap; "
+    "float sums are rounded only after the final merge.)",
+)
+def q_agg_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select("l_returnflag", "l_quantity")
+    salted = li.withColumn(
+        "salt", (F.rand(seed=7) * N_SALTS).cast("int")
+    )
+    partial = salted.groupBy("l_returnflag", "salt").agg(
+        F.count(F.lit(1)).alias("pn"), F.sum("l_quantity").alias("pq")
+    )
+    return partial.groupBy("l_returnflag").agg(
+        F.sum("pn").alias("n"),
+        _round_halfup(F.sum("pq"), 4).alias("sum_qty"),
+    )

@@ -26,6 +26,8 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 _OPERATOR_MODULES = [
     "scans",
     "scalars",
+    "experiment",
+    "storage",
     "joins",
     "aggregates",
     "windows",

@@ -75,6 +75,16 @@ def test_semi_anti_joins_do_not_materialize_right_columns(spark):
         assert all(c.startswith("c_") or c.startswith("n_") for c in df.columns)
 
 
+def test_bucketed_join_has_no_join_shuffle(spark):
+    """Both sides bucketed on the join key -> the sort-merge join must
+    read bucket-to-bucket with NO Exchange; the only shuffle left is
+    the tiny post-join aggregation."""
+    p = plan(all_specs()["q_join_bucketed"].fn(spark, SF_T2), "simple")
+    assert "SortMergeJoin" in p
+    assert p.count("Bucketed: true") == 2
+    assert p.count("Exchange") == 1, p  # the group-by only
+
+
 def test_events_scan_prunes_unused_columns(spark):
     """The tumbling-window query needs ts/event_type/value only — the
     props JSON blob (the widest column) must not be read."""

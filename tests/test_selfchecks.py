@@ -14,6 +14,14 @@ def test_approx_distinct_within_5pct(spark):
     assert abs(approx - exact) / exact < 0.05
 
 
+def test_approx_percentile_within_1pct(spark):
+    for row in all_specs()["q_agg_approx_percentile"].fn(spark, SF_T2).collect():
+        for p in ("p50", "p90"):
+            exact = row[f"exact_{p}"]
+            assert exact > 0
+            assert abs(row[f"approx_{p}"] - exact) / exact < 0.01
+
+
 def _rows_set(df, cols):
     return {tuple(r[c] for c in cols) for r in df.collect()}
 
