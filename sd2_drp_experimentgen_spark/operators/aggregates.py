@@ -476,3 +476,40 @@ def q_train_features_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
             *onehots,
         )
     )
+
+
+@register(
+    "q_agg_correlated_filter",
+    oracle=f"""
+    SELECT p.p_partkey, p.p_brand, {sql_r('p.p_retailprice')} AS price,
+           {sql_r('b.brand_avg')} AS brand_avg
+    FROM part p
+    JOIN (
+      SELECT p_brand, avg(p_retailprice) AS brand_avg
+      FROM part GROUP BY p_brand
+    ) b ON p.p_brand = b.p_brand
+    WHERE p.p_retailprice > 1.05 * b.brand_avg
+    """,
+    tier="P1",
+    doc="Correlated-subquery shape (parts priced > 1.05x their brand's "
+    "average) decorrelated to aggregate + re-join, which is exactly "
+    "what Catalyst (and every optimizer) rewrites the subquery to. "
+    "The brand-average side is tiny and broadcasts; the fact side "
+    "never shuffles. QC-threshold analog: flag outliers vs their "
+    "group baseline.",
+)
+def q_agg_correlated_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    brand_avg = p.groupBy("p_brand").agg(
+        F.avg("p_retailprice").alias("brand_avg")
+    )
+    return (
+        p.join(F.broadcast(brand_avg), "p_brand")
+        .where(F.col("p_retailprice") > 1.05 * F.col("brand_avg"))
+        .select(
+            "p_partkey",
+            "p_brand",
+            r4(F.col("p_retailprice")).alias("price"),
+            r4(F.col("brand_avg")).alias("brand_avg"),
+        )
+    )

@@ -1,0 +1,222 @@
+"""ETL-shape operators — unpivot, deterministic sampling, time-series
+gap-fill, and CDC-style upsert. These are the pipeline verbs around the
+relational core: the reference reshaped tables for robot export,
+sampled plates, and folded observed outcomes back into versioned
+datasets (SURVEY §1.1 steps 2/5/6); a 100 TB training pipeline does the
+same things to shards.
+
+Scale notes inline per operator; everything here is pure DataFrame
+algebra — no UDFs, no collects.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.helpers import _round_halfup, sql_r
+from ..plans.registry import register
+from ..sources.tables import load_events, load_table
+
+
+@register(
+    "q_unpivot_stack",
+    oracle=f"""
+    WITH wide AS (
+      SELECT l_returnflag,
+             sum(l_quantity) AS sum_qty,
+             sum(l_extendedprice) AS sum_price,
+             sum(l_discount) AS sum_disc
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, metric, {sql_r('value')} AS value FROM (
+      SELECT l_returnflag, 'sum_qty' AS metric, sum_qty AS value FROM wide
+      UNION ALL
+      SELECT l_returnflag, 'sum_price', sum_price FROM wide
+      UNION ALL
+      SELECT l_returnflag, 'sum_disc', sum_disc FROM wide
+    )
+    """,
+    tier="P1",
+    doc="Unpivot (wide -> long): per-flag aggregate columns stacked to "
+    "(flag, metric, value) rows via DataFrame.unpivot — the inverse of "
+    "the robot-file pivot, and the layout normalization step before a "
+    "long-format sink. Map-side only: unpivot multiplies rows without "
+    "any shuffle beyond the initial aggregate.",
+)
+def q_unpivot_stack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    wide = li.groupBy("l_returnflag").agg(
+        F.sum("l_quantity").alias("sum_qty"),
+        F.sum("l_extendedprice").alias("sum_price"),
+        F.sum("l_discount").alias("sum_disc"),
+    )
+    long = wide.unpivot(
+        ids=["l_returnflag"],
+        values=["sum_qty", "sum_price", "sum_disc"],
+        variableColumnName="metric",
+        valueColumnName="value",
+    )
+    return long.select(
+        "l_returnflag", "metric", _round_halfup(F.col("value"), 4).alias("value")
+    )
+
+
+@register(
+    "q_sample_hash_fraction",
+    oracle=f"""
+    SELECT l_returnflag,
+           CAST(count(*) AS BIGINT) AS n_sampled,
+           {sql_r('sum(l_extendedprice)')} AS sum_price
+    FROM lineitem
+    WHERE substring(md5(l_orderkey || '-' || l_linenumber), 1, 2) < '1a'
+    GROUP BY l_returnflag
+    """,
+    tier="P1",
+    doc="Deterministic ~10% hash sample: keep rows whose md5(key) "
+    "prefix falls below 0x1a/0x100 — reproducible on any engine and "
+    "any partitioning, unlike rand()-based sampling which needs a "
+    "seeded global row order. This is the plate-sampling primitive "
+    "(q_gen_experiment_pipeline) applied as a row filter, and the "
+    "standard held-out-shard selector at 100 TB: map-only, no "
+    "shuffle, stable under re-runs and repartitioning.",
+)
+def q_sample_hash_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    key_hash = F.md5(
+        F.concat_ws("-", F.col("l_orderkey"), F.col("l_linenumber"))
+    )
+    return (
+        li.where(F.substring(key_hash, 1, 2) < "1a")
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            _round_halfup(F.sum("l_extendedprice"), 4).alias("sum_price"),
+        )
+    )
+
+
+@register(
+    "q_resample_gapfill",
+    oracle="""
+    WITH hourly AS (
+      SELECT user_id, date_trunc('hour', ts) AS h,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events WHERE user_id < 30
+      GROUP BY user_id, date_trunc('hour', ts)
+    ),
+    spans AS (
+      SELECT user_id, min(h) AS h_min, max(h) AS h_max FROM hourly
+      GROUP BY user_id
+    ),
+    grid AS (
+      SELECT s.user_id, g.h
+      FROM spans s, LATERAL (
+        SELECT unnest(generate_series(s.h_min, s.h_max,
+                                      INTERVAL 1 HOUR)) AS h
+      ) g
+    )
+    SELECT grid.user_id,
+           CAST(epoch(grid.h) AS BIGINT) AS hour_epoch,
+           coalesce(hourly.n, 0) AS n
+    FROM grid LEFT JOIN hourly
+      ON hourly.user_id = grid.user_id AND hourly.h = grid.h
+    """,
+    tier="P1",
+    doc="Time-series resample with gap filling: hourly event counts per "
+    "user (users < 30), with missing hours inside each user's "
+    "[first, last] span densified to explicit zero rows via "
+    "sequence()+explode — the regularization step before any rolling "
+    "or ML consumption of irregular event data. The generated grid is "
+    "partitioned by the same user_id key as the counts, so the fill "
+    "join co-locates; emits epoch seconds, never raw timestamps.",
+)
+def q_resample_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_events(spark, sf_dir).where(F.col("user_id") < 30)
+    hourly = ev.groupBy(
+        "user_id", F.date_trunc("hour", "ts").alias("h")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    spans = hourly.groupBy("user_id").agg(
+        F.min("h").alias("h_min"), F.max("h").alias("h_max")
+    )
+    grid = spans.select(
+        "user_id",
+        F.explode(
+            F.sequence("h_min", "h_max", F.expr("INTERVAL 1 HOUR"))
+        ).alias("h"),
+    )
+    filled = grid.join(hourly, ["user_id", "h"], "left")
+    return filled.select(
+        "user_id",
+        F.col("h").cast("long").alias("hour_epoch"),
+        F.coalesce(F.col("n"), F.lit(0)).alias("n"),
+    )
+
+
+@register(
+    "q_merge_upsert",
+    oracle=f"""
+    WITH updates AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice * 1.1 AS o_totalprice
+      FROM orders WHERE o_orderkey % 10 = 0
+    ),
+    inserts AS (
+      SELECT o_orderkey + 100000000 AS o_orderkey,
+             'N' AS o_orderstatus,
+             o_totalprice
+      FROM orders WHERE o_orderkey % 97 = 0
+    ),
+    delta AS (SELECT * FROM updates UNION ALL SELECT * FROM inserts),
+    merged AS (
+      SELECT coalesce(d.o_orderkey, b.o_orderkey) AS o_orderkey,
+             coalesce(d.o_orderstatus, b.o_orderstatus) AS o_orderstatus,
+             coalesce(d.o_totalprice, b.o_totalprice) AS o_totalprice
+      FROM orders b FULL OUTER JOIN delta d ON b.o_orderkey = d.o_orderkey
+    )
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n,
+           {sql_r('sum(o_totalprice)')} AS total
+    FROM merged
+    GROUP BY o_orderstatus
+    """,
+    tier="P1",
+    doc="CDC-style upsert (MERGE emulation on plain parquet): a delta "
+    "of updates (matched rows take the delta's values) and inserts "
+    "(unmatched keys appended) merged into the base via full outer "
+    "join + coalesce — the close-the-loop step that folds observed "
+    "outcomes back into the versioned dataset. At 100 TB both sides "
+    "shuffle on the merge key once (or zero times if the base is "
+    "bucketed on it, q_join_bucketed); per-status aggregate emitted "
+    "so the check covers update, insert, and carry-over paths.",
+)
+def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    updates = base.where(F.col("o_orderkey") % 10 == 0).select(
+        "o_orderkey",
+        "o_orderstatus",
+        (F.col("o_totalprice") * 1.1).alias("o_totalprice"),
+    )
+    inserts = base.where(F.col("o_orderkey") % 97 == 0).select(
+        (F.col("o_orderkey") + 100_000_000).alias("o_orderkey"),
+        F.lit("N").alias("o_orderstatus"),
+        "o_totalprice",
+    )
+    delta = updates.unionAll(inserts)
+    b, d = base.alias("b"), delta.alias("d")
+    merged = b.join(
+        d, F.col("b.o_orderkey") == F.col("d.o_orderkey"), "full"
+    ).select(
+        F.coalesce(F.col("d.o_orderkey"), F.col("b.o_orderkey")).alias("k"),
+        F.coalesce(F.col("d.o_orderstatus"), F.col("b.o_orderstatus")).alias(
+            "o_orderstatus"
+        ),
+        F.coalesce(F.col("d.o_totalprice"), F.col("b.o_totalprice")).alias(
+            "price"
+        ),
+    )
+    return merged.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        _round_halfup(F.sum("price"), 4).alias("total"),
+    )

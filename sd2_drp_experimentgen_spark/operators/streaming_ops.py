@@ -116,3 +116,16 @@ def q_stream_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_stream_stateful_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jobs.stateful_user_counts(spark, _events_dir(sf_dir))
+
+
+@register(
+    "q_stream_stream_join",
+    oracle=None,
+    tier="P2",
+    doc="LIVE stream-stream inner join: clicks joined to the same "
+    "user's purchases within 30 minutes, watermarks on both sides "
+    "bounding the join state. Self-test asserts equality with the "
+    "batch interval-join construction.",
+)
+def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return jobs.stream_stream_click_purchase(spark, _events_dir(sf_dir))

@@ -149,3 +149,41 @@ def q_win_ntile_firstlast(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.first("o_orderkey").over(wfull).alias("first_k"),
         F.last("o_orderkey").over(wfull).alias("last_k"),
     )
+
+
+@register(
+    "q_win_range_frame",
+    oracle=f"""
+    SELECT o_orderkey,
+           o_custkey,
+           {sql_r('''sum(o_totalprice) OVER (
+             PARTITION BY o_custkey
+             ORDER BY date_diff('day', DATE '1990-01-01',
+                                CAST(o_orderdate AS DATE))
+             RANGE BETWEEN 30 PRECEDING AND CURRENT ROW)''')} AS spend_30d
+    FROM orders
+    """,
+    tier="P1",
+    doc="Value-based RANGE window frame: per customer, rolling 30-day "
+    "spend ordered by order date expressed as integer days. RANGE "
+    "frames bound by VALUE distance (all orders within 30 days), not "
+    "row count — the correct semantics for irregular time series, and "
+    "peers with equal dates aggregate together identically on both "
+    "engines (no tiebreaker needed, unlike ROWS frames). Partitioned "
+    "by customer so the window state stays per-key at scale.",
+)
+def q_win_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.helpers import _round_halfup
+
+    o = load_table(spark, sf_dir, "orders")
+    day = F.datediff(F.col("o_orderdate").cast("date"), F.lit("1990-01-01"))
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(day)
+        .rangeBetween(-30, Window.currentRow)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        _round_halfup(F.sum("o_totalprice").over(w), 4).alias("spend_30d"),
+    )

@@ -28,6 +28,7 @@ _OPERATOR_MODULES = [
     "scalars",
     "experiment",
     "storage",
+    "etl",
     "joins",
     "aggregates",
     "windows",

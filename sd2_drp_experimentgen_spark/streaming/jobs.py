@@ -174,3 +174,41 @@ def stateful_user_counts(spark: SparkSession, events_path: str) -> DataFrame:
     result = run_to_memory(out, "update")
     # keep only the final (max) count per user
     return result.groupBy("user_id").agg(F.max("n_events").alias("n_events"))
+
+
+def stream_stream_click_purchase(
+    spark: SparkSession, events_path: str
+) -> DataFrame:
+    """Stream-stream inner join: each click joined to the same user's
+    purchases within the following 30 minutes. Both sides carry
+    watermarks (required for state cleanup in stream-stream joins) and
+    the join has an explicit event-time range, so Spark can expire
+    buffered rows as the watermark advances — the only shape that
+    survives unbounded ingest. Emits per-user pair counts."""
+    ev = stream_events(spark, events_path)
+    clicks = (
+        ev.where(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "2 hours")
+    )
+    purchases = (
+        ev.where(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "2 hours")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("p_ts") > F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 30 MINUTES")),
+    ).select(F.col("c_user").alias("user_id"), "click_id", "purchase_id")
+    pairs = run_to_memory(joined, "append")
+    return pairs.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_pairs"))

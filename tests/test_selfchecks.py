@@ -169,3 +169,30 @@ def test_multimodal_deterministic(spark):
     }
     for doc_id, n_px, _, _ in ra:
         assert n_px == meta[doc_id]
+
+
+def test_stream_stream_join_equals_batch(spark):
+    from pyspark.sql import functions as F
+    from sd2_drp_experimentgen_spark.sources.tables import load_events
+
+    stream = all_specs()["q_stream_stream_join"].fn(spark, SF_T2)
+    ev = load_events(spark, SF_T2)
+    clicks = ev.where("event_type = 'click'").select(
+        F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts")
+    )
+    purchases = ev.where("event_type = 'purchase'").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
+    )
+    batch = (
+        clicks.join(
+            purchases,
+            (F.col("c_user") == F.col("p_user"))
+            & (F.col("p_ts") > F.col("c_ts"))
+            & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 30 MINUTES")),
+        )
+        .groupBy(F.col("c_user").alias("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+    assert _rows_set(stream, ["user_id", "n_pairs"]) == _rows_set(
+        batch, ["user_id", "n_pairs"]
+    )
