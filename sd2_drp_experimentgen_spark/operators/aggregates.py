@@ -513,3 +513,28 @@ def q_agg_correlated_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             r4(F.col("brand_avg")).alias("brand_avg"),
         )
     )
+
+
+@register(
+    "q_agg_collect_sets",
+    oracle="""
+    SELECT c_nationkey,
+           list_sort(list(DISTINCT c_mktsegment)) AS segments,
+           CAST(count(DISTINCT c_mktsegment) AS INTEGER) AS n_segments
+    FROM customer
+    GROUP BY c_nationkey
+    """,
+    tier="P1",
+    doc="Set-valued aggregation (array_agg DISTINCT): per nation, the "
+    "sorted set of customer market segments. Emitted sorted because "
+    "collect_set order is partition-dependent — the determinism rule "
+    "for every array-valued aggregate (SURVEY 5.3). Nested-spec "
+    "building block: the per-order line arrays of q_sink_json_spec "
+    "use the same collect+sort shape.",
+)
+def q_agg_collect_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    return c.groupBy("c_nationkey").agg(
+        F.sort_array(F.collect_set("c_mktsegment")).alias("segments"),
+        F.countDistinct("c_mktsegment").cast("int").alias("n_segments"),
+    )

@@ -1,0 +1,135 @@
+"""Graph operators — connected components over the near-duplicate pair
+graph, the survivor-grouping step of large-scale dedup: candidate pairs
+(from exact Jaccard, LSH, or SimHash buckets) form edges; each connected
+component is one duplicate group; the minimum doc_id is the canonical
+survivor.
+
+Algorithm: distributed min-label propagation with pointer jumping —
+each round every node takes the minimum label in its neighborhood
+(one join + groupBy), then labels shortcut through themselves
+(label(v) <- label(label(v))), giving O(log n) rounds instead of
+O(diameter). Each round is pure DataFrame algebra over (node, label)
+and (src, dst) relations; the driver only checks the convergence
+count, never touches row data. localCheckpoint truncates the iterative
+lineage so plans stay constant-size. This is the same round structure
+as the large-star/small-star CC algorithm used at web scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..plans.registry import register
+from ..sources.tables import load_table
+
+MAX_ROUNDS = 25
+
+# The same near-dup pair relation as q_neardup_jaccard's oracle,
+# reused as the edge list of the recursive-closure oracle below.
+_PAIRS_SQL = """
+    WITH dt AS (
+      SELECT DISTINCT doc_id, source, token
+      FROM (SELECT doc_id, source, unnest(string_split(text, ' ')) AS token
+            FROM documents)
+    ), sizes AS (
+      SELECT doc_id, count(*) AS n_tok FROM dt GROUP BY doc_id
+    ), inter AS (
+      SELECT a.doc_id AS id_lo, b.doc_id AS id_hi, count(*) AS n_inter
+      FROM dt a JOIN dt b
+        ON a.token = b.token AND a.source = b.source
+       AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT id_lo, id_hi
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_lo
+    JOIN sizes sb ON sb.doc_id = id_hi
+    WHERE CAST(n_inter AS DOUBLE) / (sa.n_tok + sb.n_tok - n_inter) >= 0.6
+"""
+
+
+@register(
+    "q_dedup_components",
+    oracle=f"""
+    WITH RECURSIVE pairs AS ({_PAIRS_SQL}),
+    edges AS (
+      SELECT id_lo AS src, id_hi AS dst FROM pairs
+      UNION ALL
+      SELECT id_hi, id_lo FROM pairs
+    ),
+    reach(src, dst) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+    )
+    SELECT src AS doc_id,
+           CAST(min(dst) AS BIGINT) AS component_id,
+           CASE WHEN min(dst) = src THEN 1 ELSE 0 END AS is_survivor
+    FROM reach
+    GROUP BY src
+    """,
+    tier="P1",
+    doc="Connected components over the J>=0.6 near-dup pair graph "
+    "(q_neardup_jaccard's edges): every document labeled with the "
+    "minimum doc_id reachable from it — its duplicate group — plus "
+    "the survivor flag. Distributed min-label propagation with "
+    "pointer jumping, O(log n) rounds of join+groupBy; the DuckDB "
+    "oracle computes the same closure with a recursive CTE. At "
+    "100 TB this grouping step is what turns pairwise candidates "
+    "into dedup decisions; labels (two longs) are all that shuffles.",
+)
+def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .text import q_neardup_jaccard
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    pairs = q_neardup_jaccard(spark, sf_dir).select("id_lo", "id_hi")
+    edges = (
+        pairs.select(F.col("id_lo").alias("src"), F.col("id_hi").alias("dst"))
+        .unionAll(
+            pairs.select(F.col("id_hi").alias("src"), F.col("id_lo").alias("dst"))
+        )
+        .localCheckpoint()
+    )
+
+    labels = docs.select(
+        F.col("doc_id").alias("node"), F.col("doc_id").alias("label")
+    ).localCheckpoint()
+
+    for _ in range(MAX_ROUNDS):
+        # propagate: min label over the closed neighborhood
+        neighbor = (
+            edges.join(labels, edges.dst == labels.node)
+            .select(F.col("src").alias("node"), "label")
+        )
+        propagated = (
+            labels.unionAll(neighbor)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+        )
+        # pointer jumping: label(v) <- label(label(v))
+        l2 = propagated.select(
+            F.col("node").alias("jnode"), F.col("label").alias("jlabel")
+        )
+        jumped = (
+            propagated.join(l2, propagated.label == l2.jnode)
+            .select("node", F.col("jlabel").alias("label"))
+            .localCheckpoint()
+        )
+        changed = (
+            jumped.alias("n")
+            .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
+            .where(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = jumped
+        if changed == 0:
+            break
+
+    return labels.select(
+        F.col("node").alias("doc_id"),
+        F.col("label").alias("component_id"),
+        F.when(F.col("node") == F.col("label"), 1).otherwise(0).alias(
+            "is_survivor"
+        ),
+    )

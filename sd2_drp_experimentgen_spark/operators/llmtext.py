@@ -258,3 +258,32 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_bit.groupBy("doc_id").agg(
         F.sum(F.col("bit") * F.expr("shiftleft(1, b)")).alias("simhash16")
     )
+
+
+@register(
+    "q_str_edit_distance",
+    oracle="""
+    SELECT s_suppkey,
+           levenshtein(s_name, replace(s_name, '#', '-')) AS d_punct,
+           levenshtein(lower(s_name), s_name) AS d_case,
+           CAST(length(s_name) AS INTEGER) AS name_len
+    FROM supplier
+    """,
+    tier="P1",
+    doc="Edit-distance string similarity (levenshtein, built into both "
+    "engines' expression layers): distance of each supplier name to "
+    "two deterministic perturbations. The fuzzy-matching primitive "
+    "for entity resolution of free-text chemical names; map-only, "
+    "JVM-side, no shuffle.",
+)
+def q_str_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = load_table(spark, sf_dir, "supplier")
+    name = F.col("s_name")
+    return s.select(
+        "s_suppkey",
+        F.levenshtein(name, F.replace(name, F.lit("#"), F.lit("-"))).alias(
+            "d_punct"
+        ),
+        F.levenshtein(F.lower(name), name).alias("d_case"),
+        F.length(name).cast("int").alias("name_len"),
+    )

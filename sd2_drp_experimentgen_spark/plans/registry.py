@@ -29,6 +29,7 @@ _OPERATOR_MODULES = [
     "experiment",
     "storage",
     "etl",
+    "graph",
     "joins",
     "aggregates",
     "windows",
