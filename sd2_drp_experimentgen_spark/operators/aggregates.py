@@ -538,3 +538,35 @@ def q_agg_collect_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sort_array(F.collect_set("c_mktsegment")).alias("segments"),
         F.countDistinct("c_mktsegment").cast("int").alias("n_segments"),
     )
+
+
+@register(
+    "q_agg_boolean",
+    oracle=f"""
+    SELECT c_nationkey,
+           CASE WHEN bool_or(c_acctbal < 0) THEN 1 ELSE 0 END AS any_negative,
+           CASE WHEN bool_and(c_acctbal > -1000) THEN 1 ELSE 0 END
+             AS all_above_floor,
+           CAST(count(*) FILTER (c_acctbal < 0) AS BIGINT) AS n_negative,
+           {sql_r('avg(CASE WHEN c_acctbal < 0 THEN 1.0 ELSE 0.0 END)')}
+             AS neg_share
+    FROM customer
+    GROUP BY c_nationkey
+    """,
+    tier="P1",
+    doc="Boolean aggregates per nation: any/every (bool_or/bool_and), "
+    "filtered count (count_if), and a share — the QC-flag rollup shape "
+    "(any well failed / all wells in range). Emitted as 0/1 ints so "
+    "the cross-engine hash is boolean-representation-agnostic.",
+)
+def q_agg_boolean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    neg = F.col("c_acctbal") < 0
+    return c.groupBy("c_nationkey").agg(
+        F.when(F.bool_or(neg), 1).otherwise(0).alias("any_negative"),
+        F.when(F.bool_and(F.col("c_acctbal") > -1000), 1)
+        .otherwise(0)
+        .alias("all_above_floor"),
+        F.count_if(neg).alias("n_negative"),
+        r4(F.avg(F.when(neg, 1.0).otherwise(0.0))).alias("neg_share"),
+    )

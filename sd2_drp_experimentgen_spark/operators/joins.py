@@ -379,3 +379,45 @@ def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("is_order") == 0)
         .select("event_id", "asof_orderkey", "asof_date")
     )
+
+
+@register(
+    "q_sql_q5_join_chain",
+    oracle=f"""
+    SELECT n_name,
+           {sql_r("sum(l_extendedprice * (1 - l_discount))")} AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+    GROUP BY n_name
+    """,
+    tier="P1",
+    doc="TPC-H Q5 shape through the spark.sql API surface: the 6-table "
+    "join chain (region->nation->supplier + customer->orders->lineitem "
+    "with the local-supplier constraint) written as SQL over registered "
+    "temp views — exercising the parser/analyzer path that DataFrame "
+    "queries bypass. Catalyst plans it identically: dimension sides "
+    "broadcast, fact side never shuffles twice.",
+)
+def q_sql_q5_join_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    for t in ("customer", "orders", "lineitem", "supplier", "nation", "region"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(f"v_{t}")
+    return spark.sql(
+        """
+        SELECT n_name,
+               floor(sum(l_extendedprice * (1 - l_discount)) * 10000 + 0.5)
+                 / 10000 AS revenue
+        FROM v_customer
+        JOIN v_orders   ON c_custkey = o_custkey
+        JOIN v_lineitem ON l_orderkey = o_orderkey
+        JOIN v_supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        JOIN v_nation   ON s_nationkey = n_nationkey
+        JOIN v_region   ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA'
+        GROUP BY n_name
+        """
+    )

@@ -405,3 +405,43 @@ def q_wellplate_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
         well_label(F.row_number().over(w) - 1).alias("well"),
     )
+
+
+@register(
+    "q_null_funcs",
+    oracle="""
+    SELECT c.c_custkey,
+           coalesce(e.n_events, 0) AS n_events,
+           CASE WHEN e.n_events IS NULL THEN 1 ELSE 0 END AS is_missing,
+           nullif(coalesce(e.n_events, 0), 0) AS n_or_null,
+           ifnull(e.n_events, -1) AS n_or_sentinel
+    FROM customer c
+    LEFT JOIN (SELECT user_id, CAST(count(*) AS BIGINT) AS n_events
+               FROM events GROUP BY user_id) e
+      ON e.user_id = c.c_custkey
+    """,
+    tier="P1",
+    doc="NULL-handling battery over real outer-join NULLs (90% of "
+    "customers have no events): coalesce, IS NULL flag, nullif, "
+    "ifnull — the unobserved-well handling of the reference's "
+    "spec-to-outcome join. The fixture has zero stored NULLs, so the "
+    "left join manufactures them (SURVEY §5.4).",
+)
+def q_null_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.tables import load_events
+
+    c = load_table(spark, sf_dir, "customer")
+    ev = (
+        load_events(spark, sf_dir)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    j = c.join(ev, c.c_custkey == ev.user_id, "left")
+    n = F.col("n_events")
+    return j.select(
+        "c_custkey",
+        F.coalesce(n, F.lit(0)).alias("n_events"),
+        F.when(n.isNull(), 1).otherwise(0).alias("is_missing"),
+        F.nullif(F.coalesce(n, F.lit(0)), F.lit(0)).alias("n_or_null"),
+        F.ifnull(n, F.lit(-1)).alias("n_or_sentinel"),
+    )

@@ -187,3 +187,34 @@ def q_win_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_custkey",
         _round_halfup(F.sum("o_totalprice").over(w), 4).alias("spend_30d"),
     )
+
+
+@register(
+    "q_win_percent_rank",
+    oracle=f"""
+    SELECT o_orderkey,
+           o_orderstatus,
+           {sql_r('percent_rank() OVER w', 6)} AS pct_rank,
+           {sql_r('cume_dist() OVER w', 6)} AS cume
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderstatus
+                 ORDER BY o_totalprice, o_orderkey)
+    """,
+    tier="P1",
+    doc="Relative-rank window functions: percent_rank and cume_dist "
+    "per order status with a total order (price, key) — the "
+    "score-normalization shape for cross-plate comparability.",
+)
+def q_win_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.helpers import _round_halfup
+
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        F.asc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return o.select(
+        "o_orderkey",
+        "o_orderstatus",
+        _round_halfup(F.percent_rank().over(w), 6).alias("pct_rank"),
+        _round_halfup(F.cume_dist().over(w), 6).alias("cume"),
+    )

@@ -85,6 +85,26 @@ def test_bucketed_join_has_no_join_shuffle(spark):
     assert p.count("Exchange") == 1, p  # the group-by only
 
 
+def test_partitioned_layout_prunes_partitions(spark):
+    """A filter on the partition column of the hive-style sink must
+    become a PartitionFilter (directory pruning), not a data filter —
+    at 100 TB this is the difference between scanning one directory
+    and the whole table."""
+    from pyspark.sql import functions as F
+
+    specs = all_specs()
+    specs["q_sink_parquet_partitioned"].fn(spark, SF_T2).collect()  # write
+    from sd2_drp_experimentgen_spark.operators.scans import _scratch
+
+    path = _scratch(SF_T2, "parquet_by_flag")
+    back = spark.read.parquet(path).where(F.col("l_returnflag") == "R")
+    p = plan(back)
+    part_line = next(l for l in p.splitlines() if "PartitionFilters" in l)
+    assert "l_returnflag" in part_line  # pruned at the directory level
+    # and no residual Filter node re-checks the partition column
+    assert "Filter (" not in p or "l_returnflag" not in p.split("Filter (")[1]
+
+
 def test_events_scan_prunes_unused_columns(spark):
     """The tumbling-window query needs ts/event_type/value only — the
     props JSON blob (the widest column) must not be read."""
