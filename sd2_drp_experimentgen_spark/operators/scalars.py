@@ -445,3 +445,35 @@ def q_null_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.nullif(F.coalesce(n, F.lit(0)), F.lit(0)).alias("n_or_null"),
         F.ifnull(n, F.lit(-1)).alias("n_or_sentinel"),
     )
+
+
+@register(
+    "q_decimal_exact_money",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(14,2))) AS VARCHAR)
+             AS total_dec,
+           CAST(CAST(avg(CAST(l_quantity AS DECIMAL(10,2)))
+                     AS DECIMAL(14,4)) AS VARCHAR) AS avg_dec
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    tier="P1",
+    doc="Exact decimal money arithmetic: prices cast to DECIMAL(14,2) "
+    "before summing, so the result is exact and identical under ANY "
+    "partitioning or reduction order — unlike float sums, which need "
+    "the rounding discipline. Emitted as strings to pin the scale "
+    "cross-engine. The fixed-point path a financial/inventory ledger "
+    "uses at 100 TB where float drift is unacceptable.",
+)
+def q_decimal_exact_money(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.sum(F.col("l_extendedprice").cast("decimal(14,2)"))
+        .cast("string")
+        .alias("total_dec"),
+        F.avg(F.col("l_quantity").cast("decimal(10,2)"))
+        .cast("decimal(14,4)")
+        .cast("string")
+        .alias("avg_dec"),
+    )

@@ -28,45 +28,45 @@ def _sf_tag(sf_dir: str) -> str:
 
 
 def ensure_bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
-    """Write lineitem + orders as bucketed/sorted tables (once per sf)
-    and return their table names. bucketBy(orderkey) + sortBy gives
-    both sides identical physical distribution, so the join needs no
-    Exchange and no Sort — at 100 TB this is the difference between a
-    full-table shuffle and a metadata-only co-located join."""
+    """Write lineitem + orders as bucketed/sorted EXTERNAL tables (once
+    per sf) and return their table names. bucketBy(orderkey) + sortBy
+    gives both sides identical physical distribution, so the join needs
+    no Exchange and no Sort — at 100 TB this is the difference between
+    a full-table shuffle and a metadata-only co-located join.
+
+    Explicit `path` makes the tables external under the repo's .scratch
+    dir: the layout never depends on the host session's warehouse dir
+    (which defaults to the caller's CWD), and a fresh in-memory catalog
+    can always re-register over a stale location."""
+    import shutil
+
     tag = _sf_tag(sf_dir)
     li_tbl, o_tbl = f"lineitem_bkt_{tag}", f"orders_bkt_{tag}"
     catalog = spark.catalog
+    scratch = os.path.abspath(
+        os.path.join(os.path.dirname(__file__), "..", "..", ".scratch", "bucketed")
+    )
 
-    def _clear_stale_location(tbl: str) -> None:
-        # The in-memory catalog dies with the process but the warehouse
-        # directory survives; saveAsTable refuses to reuse the orphaned
-        # location, so drop it before re-creating the table.
-        import shutil
-        from urllib.parse import urlparse
-
-        wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
-        shutil.rmtree(os.path.join(wh, tbl.lower()), ignore_errors=True)
+    def _write(tbl: str, table: str, cols: list[str], key: str) -> None:
+        path = os.path.join(scratch, tbl)
+        shutil.rmtree(path, ignore_errors=True)  # stale location from a prior process
+        (
+            load_table(spark, sf_dir, table)
+            .select(*cols)
+            .write.bucketBy(N_BUCKETS, key)
+            .sortBy(key)
+            .option("path", path)
+            .mode("overwrite")
+            .saveAsTable(tbl)
+        )
 
     if not catalog.tableExists(li_tbl):
-        _clear_stale_location(li_tbl)
-        (
-            load_table(spark, sf_dir, "lineitem")
-            .select("l_orderkey", "l_extendedprice", "l_discount")
-            .write.bucketBy(N_BUCKETS, "l_orderkey")
-            .sortBy("l_orderkey")
-            .mode("overwrite")
-            .saveAsTable(li_tbl)
+        _write(
+            li_tbl, "lineitem",
+            ["l_orderkey", "l_extendedprice", "l_discount"], "l_orderkey",
         )
     if not catalog.tableExists(o_tbl):
-        _clear_stale_location(o_tbl)
-        (
-            load_table(spark, sf_dir, "orders")
-            .select("o_orderkey", "o_orderpriority")
-            .write.bucketBy(N_BUCKETS, "o_orderkey")
-            .sortBy("o_orderkey")
-            .mode("overwrite")
-            .saveAsTable(o_tbl)
-        )
+        _write(o_tbl, "orders", ["o_orderkey", "o_orderpriority"], "o_orderkey")
     return li_tbl, o_tbl
 
 

@@ -129,3 +129,15 @@ def q_stream_stateful_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jobs.stream_stream_click_purchase(spark, _events_dir(sf_dir))
+
+
+@register(
+    "q_stream_sliding_watermarked",
+    oracle=None,
+    tier="P1",
+    doc="LIVE streaming twin of q_stream_sliding_1h_15m (1h windows, "
+    "15-min slide, 2h watermark). Self-test asserts equality with the "
+    "batch result.",
+)
+def q_stream_sliding_watermarked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return jobs.sliding_1h_15m_watermarked(spark, _events_dir(sf_dir))

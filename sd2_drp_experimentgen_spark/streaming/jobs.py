@@ -212,3 +212,26 @@ def stream_stream_click_purchase(
     ).select(F.col("c_user").alias("user_id"), "click_id", "purchase_id")
     pairs = run_to_memory(joined, "append")
     return pairs.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_pairs"))
+
+
+def sliding_1h_15m_watermarked(spark: SparkSession, events_path: str) -> DataFrame:
+    """Streaming twin of q_stream_sliding_1h_15m: 2h watermark, 1h
+    windows sliding every 15 min (each event lands in 4 windows)."""
+    ev = stream_events(spark, events_path)
+    agg = (
+        ev.withWatermark("ts", "2 hours")
+        .groupBy(
+            F.window("ts", "1 hour", "15 minutes").alias("w"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").cast("long").alias("window_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+    return run_to_memory(agg, "complete")

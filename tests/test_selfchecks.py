@@ -196,3 +196,11 @@ def test_stream_stream_join_equals_batch(spark):
     assert _rows_set(stream, ["user_id", "n_pairs"]) == _rows_set(
         batch, ["user_id", "n_pairs"]
     )
+
+
+def test_streaming_sliding_equals_batch(spark):
+    specs = all_specs()
+    batch = specs["q_stream_sliding_1h_15m"].fn(spark, SF_T2)
+    stream = specs["q_stream_sliding_watermarked"].fn(spark, SF_T2)
+    cols = ["window_start", "event_type", "n", "sum_value"]
+    assert _rows_set(batch, cols) == _rows_set(stream, cols)
