@@ -176,3 +176,97 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+@register(
+    "q_event_funnel",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id,
+             min(ts) FILTER (event_type = 'view') AS t_view,
+             min(ts) FILTER (event_type = 'click') AS t_click,
+             min(ts) FILTER (event_type = 'purchase') AS t_purchase
+      FROM events
+      GROUP BY user_id
+    )
+    SELECT
+      CAST(count(*) FILTER (t_view IS NOT NULL) AS BIGINT) AS step1_view,
+      CAST(count(*) FILTER (t_view IS NOT NULL AND t_click > t_view)
+           AS BIGINT) AS step2_click,
+      CAST(count(*) FILTER (t_view IS NOT NULL AND t_click > t_view
+                            AND t_purchase > t_click)
+           AS BIGINT) AS step3_purchase
+    FROM firsts
+    """,
+    tier="P1",
+    doc="Ordered event funnel: users counted at each step only if the "
+    "step's FIRST occurrence follows the previous step's first "
+    "occurrence (view -> click -> purchase). One groupBy computing "
+    "three conditional mins, then a single-row conditional count — "
+    "the canonical conversion-funnel shape; per-user state is three "
+    "timestamps regardless of event volume, so it scales to any "
+    "events-per-user skew.",
+)
+def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_events(spark, sf_dir)
+
+    def first_ts(t: str):
+        return F.min(F.when(F.col("event_type") == t, F.col("ts")))
+
+    firsts = ev.groupBy("user_id").agg(
+        first_ts("view").alias("t_view"),
+        first_ts("click").alias("t_click"),
+        first_ts("purchase").alias("t_purchase"),
+    )
+    s1 = F.col("t_view").isNotNull()
+    s2 = s1 & (F.col("t_click") > F.col("t_view"))
+    s3 = s2 & (F.col("t_purchase") > F.col("t_click"))
+    return firsts.agg(
+        F.count_if(s1).alias("step1_view"),
+        F.count_if(s2).alias("step2_click"),
+        F.count_if(s3).alias("step3_purchase"),
+    )
+
+
+@register(
+    "q_retention_cohort",
+    oracle="""
+    WITH activity AS (
+      SELECT user_id,
+             CAST(floor(date_diff('day', TIMESTAMP '2024-01-01', ts) / 7)
+                  AS INTEGER) AS week
+      FROM events
+      GROUP BY user_id, 2
+    ),
+    cohorts AS (
+      SELECT user_id, min(week) AS cohort_week FROM activity GROUP BY user_id
+    )
+    SELECT c.cohort_week,
+           a.week - c.cohort_week AS week_offset,
+           CAST(count(DISTINCT a.user_id) AS BIGINT) AS n_users
+    FROM activity a JOIN cohorts c ON a.user_id = c.user_id
+    GROUP BY c.cohort_week, week_offset
+    """,
+    tier="P1",
+    doc="Cohort retention matrix: users bucketed by first-activity "
+    "week (cohort), counted in each later week they return — the "
+    "(cohort_week, week_offset) -> users triangle. Two aggregations "
+    "plus one equi-join on user_id; at 100 TB the distinct-user "
+    "dedup happens inside the first groupBy so the join moves one "
+    "row per (user, week), not raw events.",
+)
+def q_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_events(spark, sf_dir)
+    week = F.floor(
+        F.datediff(F.col("ts"), F.lit("2024-01-01").cast("timestamp")) / 7
+    ).cast("int")
+    activity = ev.select("user_id", week.alias("week")).distinct()
+    cohorts = activity.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    return (
+        activity.join(cohorts, "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.col("week") - F.col("cohort_week")).alias("week_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
