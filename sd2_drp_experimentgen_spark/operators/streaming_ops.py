@@ -40,13 +40,29 @@ def _events_dir(sf_dir: str) -> str:
     return d
 
 
+def _oracle_of(name: str) -> str:
+    """Reuse a batch twin's oracle SQL for its LIVE streaming query —
+    the streaming run's terminal output is deterministic and identical
+    to batch, so the driver can hash an actual Structured Streaming
+    execution against plain SQL. Safe at import time: operator modules
+    load in registry order and events_windows precedes this module."""
+    from ..plans import registry
+
+    oracle = registry._REGISTRY[name].oracle
+    assert oracle is not None
+    return oracle
+
+
 @register(
     "q_stream_tumbling_watermarked",
-    oracle=None,
+    oracle=_oracle_of("q_stream_tumbling_1h"),
     tier="P1",
     doc="LIVE streaming twin of q_stream_tumbling_1h: readStream over "
     "the events parquet, 2h watermark, 1h windows, AvailableNow to a "
-    "memory sink. Self-test asserts equality with the batch result.",
+    "memory sink. Hash-checked against the SAME SQL oracle as the "
+    "batch query — the streaming run's terminal state must equal the "
+    "batch answer exactly; a pytest self-test additionally asserts "
+    "batch==stream inside Spark.",
 )
 def q_stream_tumbling_watermarked(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jobs.tumbling_1h_watermarked(spark, _events_dir(sf_dir))
@@ -54,11 +70,35 @@ def q_stream_tumbling_watermarked(spark: SparkSession, sf_dir: str) -> DataFrame
 
 @register(
     "q_stream_session_window",
-    oracle=None,
+    oracle="""
+    WITH gapped AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+      SELECT user_id, ts,
+             sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW) AS sid
+      FROM gapped
+    )
+    SELECT user_id,
+           CAST(floor(epoch(min(ts))) AS BIGINT) AS sess_start,
+           CAST(floor(epoch(max(ts) + INTERVAL 30 MINUTE)) AS BIGINT)
+             AS sess_end,
+           count(*) AS n_events
+    FROM sess
+    GROUP BY user_id, sid
+    """,
     tier="P1",
     doc="LIVE streaming sessionization via F.session_window (30-min "
-    "gap). Self-test asserts per-user session counts equal the batch "
-    "lag+cumsum construction of q_stream_session_30m.",
+    "gap), hash-checked against the lag+cumsum SQL construction: "
+    "session start = first event, end = last event + gap, one row per "
+    "(user, session) with event counts, epochs floor-truncated.",
 )
 def q_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jobs.session_window_30m(spark, _events_dir(sf_dir))
@@ -108,11 +148,16 @@ def q_stream_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_stream_stateful_counts",
-    oracle=None,
+    oracle="""
+    SELECT user_id, count(*) AS n_events
+    FROM events
+    GROUP BY user_id
+    """,
     tier="P2",
     doc="Arbitrary stateful streaming op: running per-user event counts "
-    "via applyInPandasWithState (GroupState). Returns the final count "
-    "per user; self-test asserts equality with batch groupBy counts.",
+    "via applyInPandasWithState (GroupState). The final per-user state "
+    "is deterministic, so the LIVE run hash-checks against the plain "
+    "groupBy-count oracle.",
 )
 def q_stream_stateful_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jobs.stateful_user_counts(spark, _events_dir(sf_dir))
@@ -120,12 +165,20 @@ def q_stream_stateful_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_stream_stream_join",
-    oracle=None,
+    oracle="""
+    SELECT c.user_id, count(*) AS n_pairs
+    FROM events c JOIN events p
+      ON c.user_id = p.user_id
+     AND c.event_type = 'click' AND p.event_type = 'purchase'
+     AND p.ts > c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+    GROUP BY c.user_id
+    """,
     tier="P2",
     doc="LIVE stream-stream inner join: clicks joined to the same "
     "user's purchases within 30 minutes, watermarks on both sides "
-    "bounding the join state. Self-test asserts equality with the "
-    "batch interval-join construction.",
+    "bounding the join state. Inner-join emissions are complete under "
+    "AvailableNow, so the LIVE run hash-checks against the batch "
+    "interval-join SQL; equality self-test in pytest too.",
 )
 def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jobs.stream_stream_click_purchase(spark, _events_dir(sf_dir))
@@ -133,11 +186,11 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_stream_sliding_watermarked",
-    oracle=None,
+    oracle=_oracle_of("q_stream_sliding_1h_15m"),
     tier="P1",
     doc="LIVE streaming twin of q_stream_sliding_1h_15m (1h windows, "
-    "15-min slide, 2h watermark). Self-test asserts equality with the "
-    "batch result.",
+    "15-min slide, 2h watermark), hash-checked against the SAME SQL "
+    "oracle as the batch query; equality self-test in pytest too.",
 )
 def q_stream_sliding_watermarked(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jobs.sliding_1h_15m_watermarked(spark, _events_dir(sf_dir))
