@@ -377,6 +377,11 @@ def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("asof_date"),
         )
         .where(F.col("is_order") == 0)
+        # Events with no order dated <= ts have no as-of match; the
+        # oracle's inner join drops them, so drop the NULL carry here
+        # too (the fixture happens to always match, but semantics must
+        # not depend on that invariant).
+        .where(F.col("asof_orderkey").isNotNull())
         .select("event_id", "asof_orderkey", "asof_date")
     )
 

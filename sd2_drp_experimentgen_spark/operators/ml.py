@@ -193,19 +193,29 @@ def q_mllib_train_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_ann_ivf_topk",
     oracle=None,
     tier="P2",
-    doc="IVF-style approximate nearest neighbors: KMeans coarse "
-    "quantizer (16 cells, fixed seed) partitions the vectors; each "
-    "query probes its 8 nearest cells and refines exactly (numpy) "
-    "inside the probed buckets only. Emits top-10 neighbors for the "
-    "first 20 vec_ids. Self-test: recall@10 >= 0.8 vs exact brute "
-    "force. At 100 TB the buckets become partition keys and the probe "
-    "is a partition-pruned scan instead of a full matrix product.",
+    doc="IVF-style approximate nearest neighbors, fully distributed: "
+    "KMeans coarse quantizer (16 cells, fixed seed) assigns every "
+    "vector a cell; each query probes its 8 nearest cells. Refinement "
+    "runs INSIDE mapInPandas over a cell-filtered scan — only the query "
+    "vectors (20 rows) and centroids (16x64) are ever driver-side / "
+    "broadcast; the vector table itself never leaves the executors. "
+    "Per-batch local top-k then an exact global top-k per query "
+    "(row_number window). Emits top-10 neighbors for the first 20 "
+    "vec_ids. Self-test: recall@10 >= 0.8 vs exact brute force. At "
+    "100 TB 'cell' is the table's partition key and the cell filter is "
+    "partition pruning, so each query touches n_probe/n_cells of the "
+    "data and no full matrix product ever forms.",
 )
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
 
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
+    from pyspark.sql import Window
+
+    from collections.abc import Iterator
+
+    import pandas as pd
 
     n_cells, n_probe, k, n_queries = 16, 8, 10, 20
 
@@ -220,29 +230,56 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     assigned = km.transform(e).select("vec_id", "cell", "embedding")
     centers = np.array(km.clusterCenters())
 
-    rows = assigned.collect()
-    ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
-    cells = np.array([r["cell"] for r in rows], dtype=np.int64)
-    mat = np.array([r["embedding"] for r in rows], dtype=np.float64)
-    norms = np.sqrt((mat * mat).sum(axis=1))
+    # The query set is tiny by definition (n_queries rows) — collecting
+    # it is broadcast of the SMALL side, not the table. Probe cells are
+    # computed driver-side over the (n_queries x n_cells) distance
+    # matrix.
+    q_rows = assigned.orderBy("vec_id").limit(n_queries).collect()
+    queries = []
+    for r in q_rows:
+        qv = np.asarray(r["embedding"], dtype=np.float64)
+        d2 = ((centers - qv) ** 2).sum(axis=1)
+        probe = frozenset(int(c) for c in np.argsort(d2)[:n_probe])
+        queries.append((int(r["vec_id"]), qv, float(np.sqrt(qv @ qv)), probe))
+    probed_cells = sorted({c for _, _, _, p in queries for c in p})
+    bc = spark.sparkContext.broadcast(queries)
 
-    out = []
-    query_ids = np.sort(ids)[:n_queries]
-    for qid in query_ids:
-        qi = int(np.where(ids == qid)[0][0])
-        q = mat[qi]
-        # probe the n_probe nearest coarse cells (euclidean to centroid)
-        d2 = ((centers - q) ** 2).sum(axis=1)
-        probe = np.argsort(d2)[:n_probe]
-        mask = np.isin(cells, probe) & (ids != qid)
-        cand_ids, cand = ids[mask], mat[mask]
-        sims = (cand @ q) / (np.sqrt((cand * cand).sum(axis=1)) * norms[qi])
-        sims_r = np.floor(sims * 1e4 + 0.5) / 1e4
-        order = np.lexsort((cand_ids, -sims_r))[:k]
-        for rank, j in enumerate(order):
-            out.append(
-                (int(qid), int(cand_ids[j]), float(sims_r[j]), rank + 1)
+    def refine(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        qs = bc.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            cells = pdf["cell"].to_numpy(dtype=np.int64)
+            mat = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+            norms = np.sqrt((mat * mat).sum(axis=1))
+            out_q, out_n, out_s = [], [], []
+            for qid, qv, qnorm, probe in qs:
+                mask = np.isin(cells, list(probe)) & (ids != qid)
+                if not mask.any():
+                    continue
+                cand_ids = ids[mask]
+                sims = (mat[mask] @ qv) / (norms[mask] * qnorm)
+                sims_r = np.floor(sims * 1e4 + 0.5) / 1e4
+                order = np.lexsort((cand_ids, -sims_r))[: min(k, cand_ids.size)]
+                out_q.extend([qid] * order.size)
+                out_n.extend(cand_ids[order])
+                out_s.extend(sims_r[order])
+            yield pd.DataFrame(
+                {"query_id": out_q, "neighbor_id": out_n, "sim": out_s}
             )
-    return spark.createDataFrame(
-        out, schema="query_id long, neighbor_id long, sim double, rank int"
+
+    # Cell filter = the partition-pruned probe scan; local top-k per
+    # Arrow batch, exact global top-k per query over the tiny candidate
+    # union (<= k * n_batches * n_queries rows).
+    cand = assigned.where(F.col("cell").isin(probed_cells)).mapInPandas(
+        refine, schema="query_id long, neighbor_id long, sim double"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("sim"), F.asc("neighbor_id")
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "sim", "rank")
     )

@@ -25,13 +25,38 @@ from ..sources.tables import load_table
 
 TOPK_PAIRS = 50
 
+# Broadcast-matrix gate (ADVICE r1): below this row count the full
+# embedding matrix is collected and broadcast (fastest exact path, one
+# scan, no shuffle); above it every pairwise op switches to the
+# block-partitioned plan below — a graceful degradation instead of a
+# driver-OOM cliff. Tests force the block path by monkeypatching to 0.
+BROADCAST_MAX_ROWS = 200_000
+
+# Block count for the partitioned pairwise plans. At 100 TB this tracks
+# sqrt(cluster parallelism): shuffle volume is n·B vectors (each block
+# replicated B times) while exact all-pairs compute is O(n²) regardless,
+# so B balances replication against per-task matrix size.
+N_BLOCKS = 8
+
+
+# Memoized embeddings row count per sf_dir — the broadcast-vs-blocked
+# gate needs cardinality, not data; parquet footer counts are stable for
+# the immutable fixture dirs, so pay the count job once per process.
+_EMB_COUNT_CACHE: dict[str, int] = {}
+
+
+def _embeddings_count(spark: SparkSession, sf_dir: str) -> int:
+    n = _EMB_COUNT_CACHE.get(sf_dir)
+    if n is None:
+        n = load_table(spark, sf_dir, "embeddings").count()
+        _EMB_COUNT_CACHE[sf_dir] = n
+    return n
+
 
 def _embeddings_matrix(spark: SparkSession, sf_dir: str):
-    """Collect (ids, float64 matrix) for broadcast. The embedding table
-    is the *small* side by design (at 100 TB you IVF/LSH-prune before
-    any dense product; q_sim_cosine_topk's contract is exact brute
-    force, which only exists at dimensional scales where the matrix
-    broadcast is feasible)."""
+    """Collect (ids, float64 matrix) for broadcast — the SMALL-side path
+    only; callers gate on BROADCAST_MAX_ROWS and fall back to the
+    block-partitioned plans beyond it."""
     import numpy as np
 
     rows = (
@@ -42,6 +67,49 @@ def _embeddings_matrix(spark: SparkSession, sf_dir: str):
     )
     ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
     mat = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    return ids, mat
+
+
+# Rows per block for the partitioned pairwise plans: bounds the per-task
+# sims matrix at ~TARGET² doubles (4096² ≈ 128 MB) regardless of n.
+TARGET_BLOCK_ROWS = 4096
+
+
+def _embedding_blocks(spark: SparkSession, sf_dir: str, n: int) -> DataFrame:
+    """embeddings -> B rows of (block, rows: array<struct<vec_id,embedding>>).
+
+    Deterministic hash blocking with B = max(N_BLOCKS, ⌈n/TARGET⌉) so a
+    block PAIR (two payloads) fits comfortably in one task at any n.
+    collect_list is the one shuffle — it moves each vector once; the
+    B× replication happens in the block crossJoin, giving total shuffle
+    volume O(n·B) vectors vs the O(n²) an all-pairs row join would move.
+    """
+    b = max(N_BLOCKS, -(-n // TARGET_BLOCK_ROWS))
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return (
+        e.withColumn("block", F.pmod(F.xxhash64("vec_id"), F.lit(b)))
+        .groupBy("block")
+        .agg(F.collect_list(F.struct("vec_id", "embedding")).alias("rows"))
+    )
+
+
+def _block_pair_frames(blocks: DataFrame):
+    """All B² ordered block pairs as (l_rows, r_rows) payload columns."""
+    left = blocks.select(
+        F.col("block").alias("l_block"), F.col("rows").alias("l_rows")
+    )
+    right = blocks.select(
+        F.col("block").alias("r_block"), F.col("rows").alias("r_rows")
+    )
+    return left.crossJoin(right)
+
+
+def _cell_to_mat(cell):
+    """One Arrow list<struct> cell -> (ids int64, matrix float64)."""
+    import numpy as np
+
+    ids = np.array([x["vec_id"] for x in cell], dtype=np.int64)
+    mat = np.array([list(x["embedding"]) for x in cell], dtype=np.float64)
     return ids, mat
 
 
@@ -69,11 +137,17 @@ def _embeddings_matrix(spark: SparkSession, sf_dir: str):
     "pair is necessarily within the local top-50 of its lower id), "
     "then a tiny global TakeOrdered merges candidates. Rounding "
     "applied inside numpy with the same floor(x*1e4+0.5)/1e4 formula "
-    "as the oracle so ranking ties resolve identically.",
+    "as the oracle so ranking ties resolve identically. Above "
+    "BROADCAST_MAX_ROWS the broadcast matrix is replaced by the "
+    "block-partitioned product (_topk_pairs_blocked, no driver "
+    "collect, bit-identical results — pytest-asserted).",
 )
 def q_sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
 
+    n = _embeddings_count(spark, sf_dir)
+    if n > BROADCAST_MAX_ROWS:
+        return _topk_pairs_blocked(spark, sf_dir)
     ids, mat = _embeddings_matrix(spark, sf_dir)
     norms = np.sqrt((mat * mat).sum(axis=1))
     bc = spark.sparkContext.broadcast((ids, mat, norms))
@@ -210,12 +284,17 @@ def q_emb_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "full NN list is emitted to keep the oracle check non-trivial. "
     "Same numpy/mapInPandas doctrine as q_sim_cosine_topk: rounding "
     "applied before ranking with the oracle's half-up formula so ties "
-    "resolve identically. At 100 TB the dense product is replaced by "
-    "the IVF probe (q_ann_ivf_topk) or LSH buckets, same NN-refine.",
+    "resolve identically. Above BROADCAST_MAX_ROWS the broadcast is "
+    "replaced by the block-partitioned plan (_nn_blocked, no driver "
+    "collect, bit-identical — pytest-asserted); approximate 100 TB "
+    "alternatives are the IVF probe (q_ann_ivf_topk) or LSH buckets.",
 )
 def q_dedup_embedding_nn(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
 
+    n = _embeddings_count(spark, sf_dir)
+    if n > BROADCAST_MAX_ROWS:
+        return _nn_blocked(spark, sf_dir)
     ids, mat = _embeddings_matrix(spark, sf_dir)
     norms = np.sqrt((mat * mat).sum(axis=1))
     bc = spark.sparkContext.broadcast((ids, mat, norms))
@@ -243,6 +322,101 @@ def q_dedup_embedding_nn(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = load_table(spark, sf_dir, "embeddings").select("vec_id")
     return src.mapInPandas(
         nn_per_block, schema="vec_id long, neighbor_id long, sim double"
+    )
+
+
+def _topk_pairs_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-k cosine pairs with NO driver collect: block-partitioned
+    matrix product. B² ordered block pairs, each task computes its
+    (n/B)×(n/B) sims, filters to id_lo < id_hi (each unordered pair
+    appears in exactly one ordered block pair under that filter), keeps
+    a local top-k, and a global TakeOrdered merges ≤ B²·k candidates.
+    Same rounding-before-ranking contract as the broadcast path, so the
+    two paths are bit-identical."""
+    import numpy as np
+
+    n = _embeddings_count(spark, sf_dir)
+    pairs = _block_pair_frames(_embedding_blocks(spark, sf_dir, n))
+
+    def topk_per_pair(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_lo: list = []
+            out_hi: list = []
+            out_sim: list = []
+            for l_cell, r_cell in zip(pdf["l_rows"], pdf["r_rows"]):
+                l_ids, l_mat = _cell_to_mat(l_cell)
+                r_ids, r_mat = _cell_to_mat(r_cell)
+                l_norms = np.sqrt((l_mat * l_mat).sum(axis=1))
+                r_norms = np.sqrt((r_mat * r_mat).sum(axis=1))
+                sims = (l_mat @ r_mat.T) / np.outer(l_norms, r_norms)
+                sims_r = (np.floor(sims * 1e4 + 0.5) / 1e4).ravel()
+                lo = np.repeat(l_ids, r_ids.size)
+                hi = np.tile(r_ids, l_ids.size)
+                mask = lo < hi
+                lo, hi, s = lo[mask], hi[mask], sims_r[mask]
+                if lo.size == 0:
+                    continue
+                order = np.lexsort((hi, lo, -s))[: min(TOPK_PAIRS, lo.size)]
+                out_lo.extend(lo[order])
+                out_hi.extend(hi[order])
+                out_sim.extend(s[order])
+            yield pd.DataFrame({"id_lo": out_lo, "id_hi": out_hi, "sim": out_sim})
+
+    cand = pairs.mapInPandas(
+        topk_per_pair, schema="id_lo long, id_hi long, sim double"
+    )
+    return cand.orderBy(F.desc("sim"), F.asc("id_lo"), F.asc("id_hi")).limit(
+        TOPK_PAIRS
+    )
+
+
+def _nn_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-vector nearest neighbor with NO driver collect: each of
+    the B² block pairs emits the best right-block candidate per left
+    vector (vectorized max + min-id tiebreak on the rounded sims), then
+    one row_number window over the n·B candidates picks the global NN.
+    Bit-identical to the broadcast path (same round-then-rank rule)."""
+    import numpy as np
+
+    from pyspark.sql import Window
+
+    n = _embeddings_count(spark, sf_dir)
+    pairs = _block_pair_frames(_embedding_blocks(spark, sf_dir, n))
+
+    def nn_per_pair(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_v: list = []
+            out_n: list = []
+            out_s: list = []
+            for l_cell, r_cell in zip(pdf["l_rows"], pdf["r_rows"]):
+                l_ids, l_mat = _cell_to_mat(l_cell)
+                r_ids, r_mat = _cell_to_mat(r_cell)
+                l_norms = np.sqrt((l_mat * l_mat).sum(axis=1))
+                r_norms = np.sqrt((r_mat * r_mat).sum(axis=1))
+                sims = (l_mat @ r_mat.T) / np.outer(l_norms, r_norms)
+                sims_r = np.floor(sims * 1e4 + 0.5) / 1e4
+                sims_r[l_ids[:, None] == r_ids[None, :]] = -np.inf
+                best = sims_r.max(axis=1)
+                ok = best > -np.inf  # drop rows whose only candidate was self
+                tie = sims_r == best[:, None]
+                neigh = np.where(tie, r_ids[None, :], np.iinfo(np.int64).max).min(
+                    axis=1
+                )
+                out_v.extend(l_ids[ok])
+                out_n.extend(neigh[ok])
+                out_s.extend(best[ok])
+            yield pd.DataFrame(
+                {"vec_id": out_v, "neighbor_id": out_n, "sim": out_s}
+            )
+
+    cand = pairs.mapInPandas(
+        nn_per_pair, schema="vec_id long, neighbor_id long, sim double"
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "neighbor_id", "sim")
     )
 
 

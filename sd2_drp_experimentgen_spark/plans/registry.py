@@ -80,9 +80,48 @@ def _load() -> None:
     _LOADED = True
 
 
+# Queries that already hold a green row in CORRECTNESS_r01.json (the
+# round-1 driver verified exactly the first 50 registry entries before
+# exhausting its budget). all_specs() yields not-yet-driver-verified
+# queries FIRST so a budget-bound verify spends its window on the
+# operators that still need a driver-proven row; hash-checkable ones
+# precede rows-only ones (a rows-only driver row is the weaker signal).
+# Registration order (module import order) is unchanged — only the
+# iteration order of the returned dict is prioritized.
+_R1_DRIVER_VERIFIED = frozenset(
+    {
+        "q_scan_project", "q_scan_prune_filter", "q_source_csv_roundtrip",
+        "q_sink_json_spec", "q_sink_parquet_partitioned", "q_filter_pred_q6",
+        "q_filter_in_like_null", "q_proj_arith_case", "q_gen_stateset_grid",
+        "q_str_funcs", "q_regexp_funcs", "q_date_funcs", "q_math_funcs",
+        "q_json_extract", "q_array_funcs", "q_map_funcs", "q_wellplate_labels",
+        "q_null_funcs", "q_decimal_exact_money", "q_gen_experiment_pipeline",
+        "q_join_bucketed", "q_agg_skew_salted", "q_unpivot_stack",
+        "q_sample_hash_fraction", "q_resample_gapfill", "q_merge_upsert",
+        "q_dedup_components", "q_join_inner_equi", "q_join_broadcast",
+        "q_join_multiway_topk", "q_join_left_outer", "q_join_semi",
+        "q_join_anti", "q_join_full_outer", "q_join_cross", "q_join_theta",
+        "q_join_interval", "q_join_asof", "q_sql_q5_join_chain",
+        "q_agg_global", "q_agg_groupby_q1", "q_agg_having", "q_agg_distinct",
+        "q_mix_weighted_avg", "q_agg_approx_distinct", "q_agg_approx_percentile",
+        "q_agg_stats", "q_agg_percentile", "q_agg_conditional_pivot",
+        "q_agg_rollup",
+    }
+)
+
+
+def _driver_priority(item: tuple[str, QuerySpec]) -> int:
+    name, spec = item
+    if name in _R1_DRIVER_VERIFIED:
+        return 2
+    return 0 if spec.oracle is not None else 1
+
+
 def all_specs() -> dict[str, QuerySpec]:
     _load()
-    return dict(_REGISTRY)
+    items = list(_REGISTRY.items())
+    items.sort(key=_driver_priority)  # stable: keeps registration order per tier
+    return dict(items)
 
 
 def get_spec(name: str) -> QuerySpec:

@@ -31,16 +31,43 @@ RUNTIME_CONFS = {
 }
 
 
+# Confs configure_session could not apply (conf key -> error message).
+# Inspected by require_conf() so the first query that depends on a
+# missing conf fails with an explanation instead of an opaque JVM error.
+CONF_SET_FAILURES: dict[str, str] = {}
+
+
 def configure_session(spark: SparkSession) -> SparkSession:
-    """Apply required runtime confs to an existing session (idempotent)."""
+    """Apply required runtime confs to an existing session (idempotent).
+
+    Failures are recorded (not raised): most confs are speed-only, and a
+    foreign session may legitimately refuse runtime sets. Paths that
+    *require* a conf call :func:`require_conf` to turn a silent gap into
+    an actionable error at first use.
+    """
     for k, v in RUNTIME_CONFS.items():
         try:
             spark.conf.set(k, v)
-        except Exception:
-            # Conf not settable at runtime on this build — queries that
-            # depend on it will surface a clear error instead.
-            pass
+            CONF_SET_FAILURES.pop(k, None)
+        except Exception as e:  # noqa: BLE001
+            CONF_SET_FAILURES[k] = f"{type(e).__name__}: {e}"
     return spark
+
+
+def require_conf(spark: SparkSession, key: str, expected: str, why: str) -> None:
+    """Raise a clear error if a correctness-required conf is not in effect."""
+    try:
+        actual = spark.conf.get(key, None)
+    except Exception:  # noqa: BLE001
+        actual = None
+    if actual == expected:
+        return
+    detail = CONF_SET_FAILURES.get(key, "conf not set and no set attempt recorded")
+    raise RuntimeError(
+        f"SparkSession is missing required conf {key}={expected} ({why}). "
+        f"configure_session could not apply it: {detail}. Set it at "
+        f"session build time (see sd2_drp_experimentgen_spark.session.get_spark)."
+    )
 
 
 def get_spark(

@@ -18,9 +18,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..session import configure_session
+from ..session import configure_session, require_conf
 
 RAW_TS_COL = "ts"
+
+_NANOS_CONF = "spark.sql.legacy.parquet.nanosAsLong"
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -37,6 +39,13 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact integer arithmetic, safe at any timestamp magnitude.
     """
     configure_session(spark)  # driver-provided sessions may lack the conf
+    require_conf(
+        spark,
+        _NANOS_CONF,
+        "true",
+        "events.parquet stores ts as TIMESTAMP(NANOS), which Spark 4.x "
+        "refuses to read without this conf",
+    )
     raw = spark.read.parquet(f"{sf_dir}/events.parquet")
     return raw.withColumn(
         RAW_TS_COL,
@@ -48,4 +57,11 @@ def load_events_raw_ns(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events with ``ts`` left as raw int64 nanoseconds (for operators
     that want exact ns arithmetic, e.g. interval-join blocking keys)."""
     configure_session(spark)
+    require_conf(
+        spark,
+        _NANOS_CONF,
+        "true",
+        "events.parquet stores ts as TIMESTAMP(NANOS); raw int64 ns read "
+        "requires this conf",
+    )
     return spark.read.parquet(f"{sf_dir}/events.parquet")

@@ -16,6 +16,7 @@ advances; without it state grows unboundedly.
 from __future__ import annotations
 
 import itertools
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -27,6 +28,7 @@ from pyspark.sql.types import (
     StructType,
 )
 
+from ..functions.helpers import r4
 from ..session import configure_session
 
 RAW_EVENTS_SCHEMA = StructType(
@@ -48,29 +50,51 @@ def _unique_name(prefix: str) -> str:
 
 
 def stream_events(spark: SparkSession, path: str) -> DataFrame:
-    """Streaming events source with the same ns->µs truncation as batch."""
+    """Streaming events source with the same ns->µs truncation as batch.
+
+    No ``maxFilesPerTrigger``: AvailableNow folds every pending file into
+    one micro-batch, so a terminating verify run pays one state round
+    instead of one per file. Results are identical either way (verified
+    by the batch-equality self-tests); production ingest would set a
+    trigger size matched to the arrival rate.
+    """
     configure_session(spark)
-    raw = (
-        spark.readStream.schema(RAW_EVENTS_SCHEMA)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(path)
-    )
+    raw = spark.readStream.schema(RAW_EVENTS_SCHEMA).parquet(path)
     return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+# State-store partition count for terminating verify runs. Each stateful
+# streaming partition pays a state-store provider setup per micro-batch;
+# 32 shuffle partitions × a few groups each is pure overhead at fixture
+# scale. On a cluster this tracks executor cores like any shuffle.
+_STREAM_SHUFFLE_PARTITIONS = 8
+
+
+@contextmanager
+def _stream_partitions(spark: SparkSession, n: int = _STREAM_SHUFFLE_PARTITIONS):
+    key = "spark.sql.shuffle.partitions"
+    old = spark.conf.get(key)
+    spark.conf.set(key, str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set(key, old)
 
 
 def run_to_memory(stream_df: DataFrame, output_mode: str) -> DataFrame:
     """Run a streaming frame to completion (AvailableNow) into a memory
     sink and return the collected result as a batch DataFrame."""
     name = _unique_name("sd2drp_stream")
-    q = (
-        stream_df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
     spark = stream_df.sparkSession
+    with _stream_partitions(spark):
+        q = (
+            stream_df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(name)
 
 
@@ -80,7 +104,7 @@ def tumbling_1h_watermarked(spark: SparkSession, events_path: str) -> DataFrame:
     agg = (
         ev.withWatermark("ts", "2 hours")
         .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
-        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("sum_value"))
+        .agg(F.count(F.lit(1)).alias("n"), r4(F.sum("value")).alias("sum_value"))
         .select(
             F.col("w.start").cast("long").alias("window_start"),
             "event_type",
@@ -135,15 +159,16 @@ def late_data_phase(
         .agg(F.count(F.lit(1)).alias("n"))
         .select(F.col("w.start").cast("long").alias("window_start"), "n")
     )
-    q = (
-        agg.writeStream.format("parquet")
-        .option("path", out)
-        .option("checkpointLocation", ckpt)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _stream_partitions(spark):
+        q = (
+            agg.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
 
 
 def stateful_user_counts(spark: SparkSession, events_path: str) -> DataFrame:
@@ -225,7 +250,7 @@ def sliding_1h_15m_watermarked(spark: SparkSession, events_path: str) -> DataFra
         )
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.sum("value"), 4).alias("sum_value"),
+            r4(F.sum("value")).alias("sum_value"),
         )
         .select(
             F.col("w.start").cast("long").alias("window_start"),
