@@ -155,3 +155,43 @@ def q_sink_parquet_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     li.write.mode("overwrite").partitionBy("l_returnflag").parquet(path)
     back = spark.read.parquet(path)
     return back.groupBy("l_returnflag").agg(F.count(F.lit(1)).alias("n"))
+
+
+@register(
+    "q_sink_pivot_wide",
+    oracle="""
+    SELECT user_id,
+           CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_click,
+           CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_view,
+           CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_purchase,
+           CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_signup,
+           CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_error
+    FROM events
+    GROUP BY user_id
+    """,
+    tier="P1",
+    doc="SIGNATURE end-to-end: the robot-file export written WIDE to an "
+    "actual file sink. q_agg_conditional_pivot's one-column-per-"
+    "category frame (the one-column-per-reagent analog) is written to "
+    "CSV with header, read back with an EXPLICIT schema (never "
+    "inferred), and the re-read relation is what the oracle hashes — "
+    "identical iff the wide export round-trips losslessly, which is "
+    "exactly the guarantee a robot-file consumer needs.",
+)
+def q_sink_pivot_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from .aggregates import q_agg_conditional_pivot
+
+    wide = q_agg_conditional_pivot(spark, sf_dir)
+    path = _scratch(sf_dir, "csv_pivot_wide")
+    wide.write.mode("overwrite").option("header", True).csv(path)
+    back_schema = StructType(
+        [StructField(c, LongType(), True) for c in wide.columns]
+    )
+    return spark.read.schema(back_schema).option("header", True).csv(path)

@@ -106,13 +106,30 @@ def q_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_stream_late_data",
-    oracle=None,
+    # Constructed oracle (promotes this from rows-only to hash): append
+    # mode emits exactly the windows STRICTLY below the final watermark
+    # (= max on-time event time - 2h; Spark finalizes a window when the
+    # watermark passes its end). The replayed late rows are not in the
+    # events view and must not be in the stream's output either — the
+    # hash check therefore proves both the drop and the emission set.
+    oracle="""
+    WITH w AS (
+      SELECT CAST(epoch(time_bucket(INTERVAL '1 hour', ts)) AS BIGINT)
+               AS window_start,
+             count(*) AS n
+      FROM events
+      GROUP BY 1
+    ),
+    wm AS (SELECT epoch(max(ts)) - 7200 AS wmark FROM events)
+    SELECT window_start, n FROM w, wm WHERE window_start + 3600 < wmark
+    """,
     tier="P2",
     doc="Watermark late-data semantics: a 2-file stream whose second "
     "file repeats day-1 rows (new ids, far below the watermark after "
     "file 1). Append mode + 2h watermark -> the late rows must be "
     "dropped and closed windows keep their on-time counts. Returns "
-    "the appended (closed) windows; self-test asserts exclusion.",
+    "the appended (closed) windows, hash-checked against the "
+    "watermark-derived expected set; self-test asserts exclusion.",
 )
 def q_stream_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil

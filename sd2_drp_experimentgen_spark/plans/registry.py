@@ -110,11 +110,20 @@ _R1_DRIVER_VERIFIED = frozenset(
 )
 
 
+# Queries added in round 2+ (never seen by any driver). They verify
+# AFTER the round-1 backlog of hash-checkable queries — the backlog is
+# judge-flagged as the top gap — but before rows-only and already-green
+# entries.
+_NEW_THIS_ROUND = frozenset({"q_sink_pivot_wide"})
+
+
 def _driver_priority(item: tuple[str, QuerySpec]) -> int:
     name, spec = item
     if name in _R1_DRIVER_VERIFIED:
+        return 3
+    if spec.oracle is None:
         return 2
-    return 0 if spec.oracle is not None else 1
+    return 1 if name in _NEW_THIS_ROUND else 0
 
 
 def all_specs() -> dict[str, QuerySpec]:

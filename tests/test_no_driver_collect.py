@@ -1,0 +1,78 @@
+"""Scale guard (VERDICT r1 item 8): no relational operator may route
+data through the driver. Walks every operator module's AST and asserts
+.collect()/.toPandas() calls appear only in the explicitly sanctioned
+functions — the gated small-side broadcast, the bounded query-row
+fetch, and pytest-only quality helpers. Adding a driver collect to any
+other operator fails this test with the offending (module, function).
+"""
+
+from __future__ import annotations
+
+import ast
+from pathlib import Path
+
+OPERATORS_DIR = (
+    Path(__file__).resolve().parent.parent
+    / "sd2_drp_experimentgen_spark"
+    / "operators"
+)
+
+# (module, enclosing function) pairs sanctioned to materialize rows on
+# the driver, each with a documented scale story:
+ALLOWED = {
+    # Gated on BROADCAST_MAX_ROWS; block-partitioned fallback beyond it.
+    ("vectors.py", "_embeddings_matrix"),
+    # Collects exactly n_queries (20) rows — the small side by definition.
+    ("ml.py", "q_ann_ivf_topk"),
+    # pytest-only quality helper, never in a registered query's lineage.
+    ("ml.py", "kmeans_quality"),
+}
+
+DRIVER_SINKS = {"collect", "toPandas"}
+
+
+def _offenders(path: Path):
+    tree = ast.parse(path.read_text())
+    hits = []
+
+    class V(ast.NodeVisitor):
+        def __init__(self):
+            self.stack = []
+
+        def visit_FunctionDef(self, node):
+            self.stack.append(node.name)
+            self.generic_visit(node)
+            self.stack.pop()
+
+        visit_AsyncFunctionDef = visit_FunctionDef
+
+        def visit_Call(self, node):
+            f = node.func
+            if isinstance(f, ast.Attribute) and f.attr in DRIVER_SINKS:
+                fn = self.stack[0] if self.stack else "<module>"
+                hits.append((path.name, fn))
+            self.generic_visit(node)
+
+    V().visit(tree)
+    return hits
+
+
+def test_no_unsanctioned_driver_collect():
+    found = set()
+    for path in sorted(OPERATORS_DIR.glob("*.py")):
+        found.update(_offenders(path))
+    rogue = found - ALLOWED
+    assert not rogue, (
+        f"driver-side materialization crept into {sorted(rogue)}; either "
+        "make the operator distributed or add it to ALLOWED with a "
+        "documented scale story"
+    )
+
+
+def test_allowed_list_is_current():
+    """ALLOWED must not go stale — every sanctioned site still exists."""
+    found = set()
+    for path in sorted(OPERATORS_DIR.glob("*.py")):
+        found.update(_offenders(path))
+    gone = ALLOWED - found
+    assert not gone, f"stale ALLOWED entries (refactored away?): {sorted(gone)}"
