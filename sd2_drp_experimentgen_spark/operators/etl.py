@@ -220,3 +220,57 @@ def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         _round_halfup(F.sum("price"), 4).alias("total"),
     )
+
+
+# Per-language sampling fractions for the stratified sampler, expressed
+# as md5-prefix ceilings (two hex chars = fraction*256, so '1a'/256 ≈
+# 10%, '4d'/256 ≈ 30%). Over-represented languages are downsampled
+# harder — the training-data rebalancing primitive.
+STRATA_CEILINGS: tuple[tuple[str, str], ...] = (
+    ("en", "1a"),  # ~10% of the dominant language
+    ("de", "4d"),  # ~30%
+    ("fr", "4d"),
+    ("es", "4d"),
+    ("zh", "4d"),
+)
+
+
+@register(
+    "q_sample_stratified",
+    oracle=f"""
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_sampled,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+           CAST(min(doc_id) AS BIGINT) AS first_doc
+    FROM documents
+    WHERE substring(md5('strat-' || CAST(doc_id AS VARCHAR)), 1, 2)
+          < CASE lang {' '.join(f"WHEN '{lang}' THEN '{ceil}'" for lang, ceil in STRATA_CEILINGS)} ELSE '00' END
+    GROUP BY lang
+    """,
+    tier="P1",
+    doc="Deterministic STRATIFIED sample: per-language md5-prefix "
+    "ceilings rebalance a skewed corpus (downsample the dominant "
+    "language to ~10%, keep ~30% of the rest) — the dataset-mixing "
+    "primitive of a pre-training pipeline. Same engine-and-partitioning "
+    "independent hash filter as q_sample_hash_fraction, lifted to "
+    "per-stratum fractions via a CASE ceiling; map-only, no shuffle "
+    "until the audit aggregate. Unlike sampleBy(), re-runs and engine "
+    "ports reproduce the exact same sample.",
+)
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    key_hash = F.substring(
+        F.md5(F.concat(F.lit("strat-"), F.col("doc_id").cast("string"))), 1, 2
+    )
+    ceiling = F.lit("00")
+    for lang, ceil in reversed(STRATA_CEILINGS):
+        ceiling = F.when(F.col("lang") == lang, F.lit(ceil)).otherwise(ceiling)
+    return (
+        d.where(key_hash < ceiling)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.sum("n_chars").cast("long").alias("sum_chars"),
+            F.min("doc_id").alias("first_doc"),
+        )
+    )

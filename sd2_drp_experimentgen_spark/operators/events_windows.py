@@ -270,3 +270,40 @@ def q_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.countDistinct("user_id").alias("n_users"))
     )
+
+
+@register(
+    "q_agg_window_distinct",
+    oracle="""
+    SELECT CAST(epoch(time_bucket(INTERVAL '1 hour', ts)) AS BIGINT)
+             AS window_start,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           count(*) AS n_events
+    FROM events
+    GROUP BY 1
+    """,
+    tier="P1",
+    doc="Exact distinct users per 1-hour tumbling window next to raw "
+    "event counts — the windowed-cardinality shape every ingest "
+    "dashboard needs. Spark plans countDistinct as a two-phase "
+    "aggregate (partial dedup on (window, user) before the final "
+    "count), so the shuffle carries one row per distinct pair, not "
+    "per event; the approximate twin at scale is approx_count_distinct "
+    "(q_agg_approx_distinct documents the HLL contract).",
+)
+def q_agg_window_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.tables import load_events
+
+    ev = load_events(spark, sf_dir)
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(
+            F.countDistinct("user_id").alias("n_users"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(
+            F.col("w.start").cast("long").alias("window_start"),
+            "n_users",
+            "n_events",
+        )
+    )

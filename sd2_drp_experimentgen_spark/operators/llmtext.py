@@ -287,3 +287,56 @@ def q_str_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.levenshtein(F.lower(name), name).alias("d_case"),
         F.length(name).cast("int").alias("name_len"),
     )
+
+
+@register(
+    "q_text_ngram_profile",
+    oracle="""
+    WITH grams AS (
+      SELECT lang,
+             unnest(list_transform(
+               generate_series(1, length(text) - 2),
+               i -> substring(text, i, 3)
+             )) AS gram
+      FROM documents
+      WHERE length(text) >= 3
+    ),
+    counted AS (
+      SELECT lang, gram, count(*) AS n
+      FROM grams GROUP BY lang, gram
+    )
+    SELECT lang, gram, n
+    FROM (
+      SELECT lang, gram, n,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY n DESC, gram) AS rn
+      FROM counted
+    )
+    WHERE rn <= 10
+    """,
+    tier="P1",
+    doc="Character-trigram profile: top-10 trigrams per language "
+    "(count desc, gram asc tiebreak) — the feature table an n-gram "
+    "language identifier trains on. Trigram generation is a pure "
+    "Column expression (transform over sequence + substring, JVM-side "
+    "codegen, no UDF); the explode fans out ~n_chars rows per doc but "
+    "the count aggregates map-side before shuffling (gram, partial) "
+    "pairs, and top-10 per lang is a bounded window.",
+)
+def q_text_ngram_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents").where(F.length("text") >= 3)
+    grams = d.select(
+        "lang",
+        F.explode(
+            F.expr("transform(sequence(1, length(text) - 2), i -> substring(text, i, 3))")
+        ).alias("gram"),
+    )
+    counted = grams.groupBy("lang", "gram").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("lang").orderBy(F.desc("n"), F.asc("gram"))
+    return (
+        counted.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 10)
+        .select("lang", "gram", "n")
+    )

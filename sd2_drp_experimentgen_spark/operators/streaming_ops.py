@@ -211,3 +211,41 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_stream_sliding_watermarked(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jobs.sliding_1h_15m_watermarked(spark, _events_dir(sf_dir))
+
+
+@register(
+    "q_stream_foreachbatch_upsert",
+    oracle="""
+    SELECT user_id,
+           count(*) AS n_events,
+           floor(sum(value) * 10000 + 0.5) / 10000 AS sum_value
+    FROM events
+    GROUP BY user_id
+    """,
+    tier="P1",
+    doc="LIVE durable upsert sink: events staged as TWO files and "
+    "streamed with maxFilesPerTrigger=1, so foreachBatch performs a "
+    "real incremental merge (full-outer coalesce into a parquet state "
+    "table, atomic tmp-dir swap) across multiple micro-batches — the "
+    "production exactly-once pattern for sinks without native "
+    "streaming support. The final state table hash-checks against the "
+    "plain batch aggregate: upsert(batch1) then upsert(batch2) must "
+    "equal aggregating everything at once.",
+)
+def q_stream_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    base = _scratch("febatch_upsert")
+    src, state, ckpt = (os.path.join(base, d) for d in ("src", "state", "ckpt"))
+    for d in (src, state, ckpt):
+        shutil.rmtree(d, ignore_errors=True)
+    os.makedirs(src)
+
+    table = pq.read_table(f"{sf_dir}/events.parquet")
+    half = table.num_rows // 2
+    pq.write_table(table.slice(0, half), os.path.join(src, "0_first.parquet"))
+    pq.write_table(table.slice(half), os.path.join(src, "1_second.parquet"))
+
+    return jobs.foreachbatch_upsert_counts(spark, src, state, ckpt)

@@ -114,7 +114,15 @@ _R1_DRIVER_VERIFIED = frozenset(
 # AFTER the round-1 backlog of hash-checkable queries — the backlog is
 # judge-flagged as the top gap — but before rows-only and already-green
 # entries.
-_NEW_THIS_ROUND = frozenset({"q_sink_pivot_wide"})
+_NEW_THIS_ROUND = frozenset(
+    {
+        "q_sink_pivot_wide",
+        "q_agg_window_distinct",
+        "q_sample_stratified",
+        "q_text_ngram_profile",
+        "q_stream_foreachbatch_upsert",
+    }
+)
 
 
 def _driver_priority(item: tuple[str, QuerySpec]) -> int:

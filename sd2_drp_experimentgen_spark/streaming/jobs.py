@@ -260,3 +260,69 @@ def sliding_1h_15m_watermarked(spark: SparkSession, events_path: str) -> DataFra
         )
     )
     return run_to_memory(agg, "complete")
+
+
+def foreachbatch_upsert_counts(
+    spark: SparkSession, events_path: str, state_dir: str, ckpt_dir: str
+) -> DataFrame:
+    """Durable upsert sink via foreachBatch: per-user running aggregates
+    merged into a parquet state table, one merge per micro-batch
+    (maxFilesPerTrigger=1 forces a real multi-batch run so the merge
+    path is exercised, not just the first-write path).
+
+    This is the production exactly-once shape for sinks without native
+    streaming support: update-mode aggregation emits each batch's NEW
+    cumulative totals for the touched keys; foreachBatch folds them
+    into the table with a full-outer coalesce (newest wins), writes to
+    a temp dir and atomically renames. The checkpoint makes replays
+    idempotent — a re-delivered batch rewrites the same totals.
+    """
+    import os
+    import shutil
+
+    configure_session(spark)
+    raw = (
+        spark.readStream.schema(RAW_EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(events_path)
+    )
+    ev = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    agg = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("value").alias("sum_value"),
+    )
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        bspark = batch_df.sparkSession
+        if os.path.exists(os.path.join(state_dir, "_SUCCESS")):
+            cur = bspark.read.parquet(state_dir)
+            merged = cur.alias("c").join(
+                batch_df.alias("n"), "user_id", "full_outer"
+            ).select(
+                "user_id",
+                F.coalesce(F.col("n.n_events"), F.col("c.n_events")).alias(
+                    "n_events"
+                ),
+                F.coalesce(F.col("n.sum_value"), F.col("c.sum_value")).alias(
+                    "sum_value"
+                ),
+            )
+        else:
+            merged = batch_df
+        tmp = state_dir.rstrip("/") + "_tmp"
+        merged.write.mode("overwrite").parquet(tmp)
+        shutil.rmtree(state_dir, ignore_errors=True)
+        os.rename(tmp, state_dir)
+
+    with _stream_partitions(spark):
+        q = (
+            agg.writeStream.foreachBatch(merge)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.read.parquet(state_dir).select(
+        "user_id", "n_events", r4(F.col("sum_value")).alias("sum_value")
+    )

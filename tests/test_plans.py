@@ -111,3 +111,26 @@ def test_events_scan_prunes_unused_columns(spark):
     p = plan(all_specs()["q_stream_tumbling_1h"].fn(spark, SF_T2))
     read_schema = next(l for l in p.splitlines() if "ReadSchema" in l)
     assert "props" not in read_schema
+
+
+def test_window_distinct_is_two_phase(spark):
+    """countDistinct per window must plan as the two-phase distinct:
+    partial dedup on (window, user) before the final count, so the
+    second Exchange moves one row per distinct pair, never per event."""
+    df = all_specs()["q_agg_window_distinct"].fn(spark, SF_T2)
+    p = plan(df, "simple")
+    assert "partial_count(distinct" in p, p
+    # the pre-dedup aggregate on (window, user_id) exists below it
+    assert "user_id" in p[p.index("partial_count(1)"):], p
+
+
+def test_ngram_topk_limit_pushed_below_shuffle(spark):
+    """Top-10-per-lang must apply WindowGroupLimit PARTIALLY before the
+    Exchange — each task forwards at most 10 rows per lang instead of
+    its whole gram histogram."""
+    df = all_specs()["q_text_ngram_profile"].fn(spark, SF_T2)
+    p = plan(df, "simple")
+    assert "WindowGroupLimit" in p, p
+    assert "Partial" in p.split("Exchange hashpartitioning(lang")[1], p
+    # counts combine map-side before the first shuffle too
+    assert "partial_count(1)" in p
