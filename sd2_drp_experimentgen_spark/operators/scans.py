@@ -195,3 +195,31 @@ def q_sink_pivot_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
         [StructField(c, LongType(), True) for c in wide.columns]
     )
     return spark.read.schema(back_schema).option("header", True).csv(path)
+
+
+@register(
+    "q_source_orc_roundtrip",
+    oracle="""
+    SELECT n_regionkey,
+           CAST(count(*) AS BIGINT) AS n_nations,
+           min(n_name) AS first_nation
+    FROM nation
+    GROUP BY n_regionkey
+    """,
+    tier="P1",
+    doc="ORC sink + source round-trip (columnar format #2 beside "
+    "parquet): write nation to ORC, read back with an explicit schema, "
+    "aggregate per region. ORC shares parquet's pushdown/pruning in "
+    "Spark's DSv2 reader; the oracle hashes the post-roundtrip "
+    "relation, so lossless round-tripping is what passes.",
+)
+def q_source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .. import schemas
+
+    path = _scratch(sf_dir, "orc_nation")
+    load_table(spark, sf_dir, "nation").write.mode("overwrite").orc(path)
+    back = spark.read.schema(schemas.NATION).orc(path)
+    return back.groupBy("n_regionkey").agg(
+        F.count(F.lit(1)).alias("n_nations"),
+        F.min("n_name").alias("first_nation"),
+    )

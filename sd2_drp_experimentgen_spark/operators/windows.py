@@ -218,3 +218,71 @@ def q_win_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         _round_halfup(F.percent_rank().over(w), 6).alias("pct_rank"),
         _round_halfup(F.cume_dist().over(w), 6).alias("cume"),
     )
+
+
+@register(
+    "q_win_moving_median",
+    oracle=f"""
+    SELECT user_id, event_id,
+           {sql_r("median(value) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)")}
+             AS med5
+    FROM events
+    """,
+    tier="P1",
+    doc="Moving median of value over each user's last 5 events (rows "
+    "frame, unique (ts, event_id) ordering) — the robust rolling "
+    "baseline of sensor QC. percentile() as a window aggregate shares "
+    "DuckDB median's linear-interpolation semantics; one shuffle on "
+    "user_id, frame evaluation is per-partition.",
+)
+def q_win_moving_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.helpers import r4
+    from ..sources.tables import load_events
+
+    ev = load_events(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.asc("ts"), F.asc("event_id"))
+        .rowsBetween(-4, 0)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        r4(F.expr("percentile(value, 0.5)").over(w)).alias("med5"),
+    )
+
+
+@register(
+    "q_agg_mode_deterministic",
+    oracle="""
+    SELECT user_id, event_type AS top_event, n
+    FROM (
+      SELECT user_id, event_type, count(*) AS n,
+             row_number() OVER (
+               PARTITION BY user_id ORDER BY count(*) DESC, event_type
+             ) AS rn
+      FROM events
+      GROUP BY user_id, event_type
+    )
+    WHERE rn = 1
+    """,
+    tier="P1",
+    doc="Deterministic per-group mode: each user's most frequent event "
+    "type with a lexicographic tiebreak — never the engine's mode() "
+    "whose tie behavior is unspecified. groupBy count aggregates "
+    "map-side first; the window then ranks at most |event_types| rows "
+    "per user, so the second shuffle is tiny.",
+)
+def q_agg_mode_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.tables import load_events
+
+    ev = load_events(spark, sf_dir)
+    counts = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.partitionBy("user_id").orderBy(F.desc("n"), F.asc("event_type"))
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("user_id", F.col("event_type").alias("top_event"), "n")
+    )

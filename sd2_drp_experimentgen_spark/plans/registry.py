@@ -121,6 +121,9 @@ _NEW_THIS_ROUND = frozenset(
         "q_sample_stratified",
         "q_text_ngram_profile",
         "q_stream_foreachbatch_upsert",
+        "q_win_moving_median",
+        "q_agg_mode_deterministic",
+        "q_source_orc_roundtrip",
     }
 )
 
