@@ -133,3 +133,116 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
             "is_survivor"
         ),
     )
+
+
+# PageRank in integer micro-units. Float PageRank cannot hash-check
+# across engines (per-node neighbor sums are order-dependent float
+# adds that drift over iterations); keeping all mass in BIGINT
+# micro-units makes every step exact: integer SUM is associative-
+# commutative-exact, and x DIV y is identical on both engines for
+# non-negative operands. The cost is deliberate mass leakage (floor at
+# each division), which is fine — PageRank consumers use the ranking,
+# and the leakage is deterministic.
+PR_SCALE = 1_000_000_000_000  # total rank mass in micro-units
+PR_SUPP_OFFSET = 1_000_000_000  # supplier node-id namespace offset
+PR_ITERS = 3
+
+_PR_EDGES_SQL = f"""
+    pairs AS (
+      SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+      FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    ),
+    edges AS (
+      SELECT c AS src, s + {PR_SUPP_OFFSET} AS dst FROM pairs
+      UNION ALL
+      SELECT s + {PR_SUPP_OFFSET}, c FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT src AS node FROM edges),
+    deg AS (SELECT src AS node, count(*) AS outdeg FROM edges GROUP BY src),
+    nn AS (SELECT count(*) AS n FROM nodes)
+"""
+
+
+def _pr_iter_sql(prev: str, out: str) -> str:
+    """One unrolled PageRank round: pr'(v) = 15%*base + 85%*incoming,
+    all in integer micro-units (DuckDB // = floor division)."""
+    return f"""
+    {out} AS (
+      SELECT nd.node,
+             (15 * ({PR_SCALE} // mx.n)) // 100
+               + (85 * COALESCE(inc.s, 0)) // 100 AS pr
+      FROM nodes nd CROSS JOIN nn mx
+      LEFT JOIN (
+        SELECT e.dst AS node, SUM(p.pr // dg.outdeg) AS s
+        FROM edges e
+        JOIN {prev} p ON p.node = e.src
+        JOIN deg dg ON dg.node = e.src
+        GROUP BY e.dst
+      ) inc ON inc.node = nd.node
+    )"""
+
+
+@register(
+    "q_graph_pagerank",
+    oracle=f"""
+    WITH {_PR_EDGES_SQL},
+    pr0 AS (SELECT node, {PR_SCALE} // n AS pr FROM nodes CROSS JOIN nn),
+    {_pr_iter_sql('pr0', 'pr1')},
+    {_pr_iter_sql('pr1', 'pr2')},
+    {_pr_iter_sql('pr2', 'pr3')}
+    SELECT node, pr FROM pr3
+    """,
+    tier="P1",
+    doc="Iterative distributed PageRank (3 rounds, damping 0.85) over "
+    "the bipartite customer<->supplier graph induced by lineitems, "
+    "hash-checked: all rank mass lives in BIGINT micro-units so every "
+    "sum is order-independent and the DuckDB oracle (iterations "
+    "unrolled as CTEs) reproduces it bit-for-bit — the pattern that "
+    "makes iterative algorithms oracle-verifiable at all. Each round "
+    "is one join (ranks to edges, shuffled on src) + one groupBy(dst) "
+    "+ one left join back to nodes: shuffles move (node, rank) pairs, "
+    "never adjacency lists. At 100 TB: pre-partition edges by src once "
+    "(localCheckpoint here) so the per-round join co-locates, exactly "
+    "like q_dedup_components' label propagation.",
+)
+def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    pairs = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+        .distinct()
+    )
+    edges = (
+        pairs.select(
+            F.col("c").alias("src"), (F.col("s") + PR_SUPP_OFFSET).alias("dst")
+        )
+        .unionAll(
+            pairs.select(
+                (F.col("s") + PR_SUPP_OFFSET).alias("src"),
+                F.col("c").alias("dst"),
+            )
+        )
+        .localCheckpoint()
+    )
+    nodes = edges.select(F.col("src").alias("node")).distinct()
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    ed = edges.join(deg, "src")  # (src, dst, outdeg)
+
+    n = nodes.count()  # scalar only, like the CC convergence check
+    init = PR_SCALE // n
+    base = (15 * init) // 100
+
+    pr = nodes.select("node", F.lit(init).alias("pr"))
+    for _ in range(PR_ITERS):
+        contrib = ed.join(
+            pr.withColumnRenamed("node", "src"), "src"
+        ).select("dst", F.expr("pr div outdeg").alias("contrib"))
+        incoming = contrib.groupBy("dst").agg(F.sum("contrib").alias("inc"))
+        pr = nodes.join(incoming, nodes.node == incoming.dst, "left").select(
+            "node",
+            (
+                F.lit(base) + F.expr("(85 * coalesce(inc, CAST(0 AS BIGINT))) div 100")
+            ).alias("pr"),
+        )
+    return pr

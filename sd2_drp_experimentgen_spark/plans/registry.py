@@ -124,6 +124,7 @@ _NEW_THIS_ROUND = frozenset(
         "q_win_moving_median",
         "q_agg_mode_deterministic",
         "q_source_orc_roundtrip",
+        "q_graph_pagerank",
     }
 )
 
