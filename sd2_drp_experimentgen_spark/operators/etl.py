@@ -274,3 +274,43 @@ def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("doc_id").alias("first_doc"),
         )
     )
+
+
+@register(
+    "q_profile_table",
+    oracle=f"""
+    SELECT count(*) AS n_rows,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(count(DISTINCT event_type) AS BIGINT) AS n_types,
+           CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS null_values,
+           {sql_r('min(value)')} AS min_value,
+           {sql_r('max(value)')} AS max_value,
+           CAST(floor(epoch(min(ts))) AS BIGINT) AS min_ts,
+           CAST(floor(epoch(max(ts))) AS BIGINT) AS max_ts
+    FROM events
+    """,
+    tier="P1",
+    doc="One-pass table profile of events: row count, exact distinct "
+    "cardinalities, null count, value extrema, time span — the "
+    "data-quality summary every ingestion job emits. A single global "
+    "aggregate; distinct counts plan as two-phase (partial dedup "
+    "map-side); at 100 TB the distincts swap to approx_count_distinct "
+    "(q_agg_approx_distinct documents that contract).",
+)
+def q_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.tables import load_events
+
+    ev = load_events(spark, sf_dir)
+    return ev.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.countDistinct("event_type").alias("n_types"),
+        F.sum(F.when(F.col("value").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("null_values"),
+        _round_halfup(F.min("value"), 4).alias("min_value"),
+        _round_halfup(F.max("value"), 4).alias("max_value"),
+        F.floor(F.min("ts").cast("double")).cast("long").alias("min_ts"),
+        F.floor(F.max("ts").cast("double")).cast("long").alias("max_ts"),
+    )

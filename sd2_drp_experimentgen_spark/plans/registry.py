@@ -125,6 +125,8 @@ _NEW_THIS_ROUND = frozenset(
         "q_agg_mode_deterministic",
         "q_source_orc_roundtrip",
         "q_graph_pagerank",
+        "q_event_transitions",
+        "q_profile_table",
     }
 )
 
