@@ -1,20 +1,25 @@
-"""Multimodal-column operators — opaque binary payloads with typed
+"""Multimodal-column operators — binary image payloads with typed
 metadata, processed by Arrow-batched Pandas UDFs over mapInPandas.
 
-The container has no image/audio codecs, so the DECODE step is a
-clearly-marked deterministic stub (``_decode_stub``) — but everything
-Spark-side is real and tested: the binary column type, the typed
-metadata struct, the mapInPandas batch iteration, the UDF signature,
-and the partitioning. Swapping ``_decode_stub`` for Pillow/ffmpeg is a
-one-function change; the plan shape (scan -> mapInPandas -> agg) and
-the shuffle behavior are exactly what a production media pipeline runs.
+The payloads are REAL images in a real format: PPM (P6), the
+plain-raster format every imaging stack understands, chosen because it
+decodes with pure numpy — no codec libraries needed. The engine
+synthesizes each document's image entirely in JVM-side Column
+expressions (header string + md5-derived raster bytes, so the content
+is deterministic), and ``_decode_ppm`` is a genuine format parser:
+magic-number check, header tokenization, dimension validation against
+the metadata struct, ``np.frombuffer`` raster decode. Feature
+extraction is real image math (per-channel means, luminance max,
+strided 2x downsample) on the decoded (h, w, 3) array.
 
-The synthetic payload is derived in-engine: payload = md5 digest bytes
-of the document text repeated to a deterministic length, with
-"metadata" (width/height/frames) derived from doc features. Because the
-derivation is deterministic, the feature-extraction output is
-hash-checkable in self-tests (run twice -> identical), while the
-queries are registered rows-only (no SQL oracle can run a Pandas UDF).
+Swapping PPM for JPEG means replacing one parser function with
+``PIL.Image.open``; the convention (binary payload + typed prunable
+metadata struct travelling together), the plan shape
+(scan -> mapInPandas -> agg) and the shuffle behavior (payload bytes
+never shuffle; only per-doc features do) are exactly what a production
+media pipeline runs. Queries stay rows-only (no SQL oracle can run a
+Pandas UDF); self-tests assert determinism, exact pixel counts, and
+header/metadata agreement.
 """
 
 from __future__ import annotations
@@ -31,77 +36,130 @@ from ..sources.tables import load_table
 
 
 def media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """documents -> synthetic media table: (doc_id, payload binary,
+    """documents -> media table: (doc_id, payload binary PPM image,
     media struct<width int, height int, n_frames int>).
 
-    ``unhex(md5(text))`` gives a deterministic 16-byte binary payload;
-    metadata derives from document stats. This is the engine's
-    multimodal column CONVENTION: binary payload + typed metadata
-    struct travel together; metadata is columnar and prunable, the
-    payload is only deserialized inside Pandas UDF stages.
+    The payload is a complete, valid P6 PPM file built from Column
+    expressions: ``"P6\\n{w} {h}\\n255\\n"`` header + a raster of
+    exactly w*h*3 bytes (md5(text) digest repeated then truncated —
+    deterministic, engine-independent content). Metadata travels as a
+    typed struct: columnar, prunable, filterable without touching a
+    single payload byte — the core convention for multimodal columns
+    at 100 TB.
     """
     d = load_table(spark, sf_dir, "documents")
+    w = (F.col("n_chars") % 64 + 16).cast("int")
+    h = (F.col("doc_id") % 48 + 16).cast("int")
+    # md5 hex is 32 chars = 16 bytes; repeat enough times, truncate to
+    # exactly w*h*3 bytes (substring works on binary).
+    raster = F.expr(
+        "substring(unhex(repeat(md5(text), "
+        "cast(ceil((((n_chars % 64 + 16) * (doc_id % 48 + 16)) * 3) / 16) as int)"
+        ")), 1, ((n_chars % 64 + 16) * (doc_id % 48 + 16)) * 3)"
+    )
+    header = F.concat(
+        F.lit("P6\n"), w.cast("string"), F.lit(" "), h.cast("string"),
+        F.lit("\n255\n"),
+    ).cast("binary")
     return d.select(
         "doc_id",
-        F.unhex(F.md5(F.col("text"))).alias("payload"),
+        F.concat(header, raster).alias("payload"),
         F.struct(
-            (F.col("n_chars") % 64 + 16).cast("int").alias("width"),
-            (F.col("doc_id") % 48 + 16).cast("int").alias("height"),
+            w.alias("width"),
+            h.alias("height"),
             (F.col("n_chars") % 7 + 1).cast("int").alias("n_frames"),
         ).alias("media"),
     )
 
 
-def _decode_stub(payload: bytes, width: int, height: int) -> list[int]:
-    """STUB for the real image decode (no codec libs in this
-    container). Deterministically expands the payload to width*height
-    'pixels' by repetition. Replace with e.g. PIL.Image.open in a real
-    deployment; the calling plumbing does not change."""
-    n = width * height
-    reps = (n // len(payload)) + 1
-    return list((payload * reps)[:n])
+def _decode_ppm(payload: bytes):
+    """Pure-numpy decoder for binary P6 PPM images: parses the magic
+    number, dimensions, and max-value header tokens, then decodes the
+    raster into an (h, w, 3) uint8 array. Raises on malformed input —
+    a real parser, not a stub."""
+    import numpy as np
+
+    if not payload.startswith(b"P6\n"):
+        raise ValueError("not a P6 PPM payload")
+    _, dims, maxval, raster = payload.split(b"\n", 3)
+    w, h = (int(t) for t in dims.split())
+    if maxval != b"255":
+        raise ValueError(f"unsupported maxval {maxval!r}")
+    if len(raster) < w * h * 3:
+        raise ValueError("truncated raster")
+    return np.frombuffer(raster[: w * h * 3], dtype=np.uint8).reshape(h, w, 3)
 
 
 @register(
     "q_mm_image_features",
     oracle=None,
     tier="P2",
-    doc="Multimodal feature extraction: mapInPandas over (payload, "
-    "metadata) batches -> per-doc 'pixel' statistics (mean/max byte, "
-    "px count) via the decode stub. Rows-only (Pandas UDFs have no SQL "
-    "oracle); self-test asserts determinism across runs and exact px "
-    "counts. Partitioning note: payloads stay inside their partition — "
-    "no shuffle until the final small aggregate.",
+    doc="Multimodal feature extraction with a REAL decode: mapInPandas "
+    "over (payload, metadata) batches -> per-doc image statistics via "
+    "the pure-numpy PPM parser (_decode_ppm): per-channel means, max "
+    "luminance (ITU-R 601 integer weights), and a strided 2x-downsample "
+    "checksum (the resize step). Dimensions parsed from the file header "
+    "are validated against the metadata struct. Rows-only (Pandas UDFs "
+    "have no SQL oracle); self-tests assert determinism + exact pixel "
+    "counts. Payloads never shuffle — only per-doc feature rows do.",
 )
 def q_mm_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = media_table(spark, sf_dir)
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
         for pdf in batches:
             if pdf.empty:
                 continue
             rows = []
             for _, r in pdf.iterrows():
-                px = _decode_stub(
-                    bytes(r["payload"]), r["media"]["width"], r["media"]["height"]
-                )
+                img = _decode_ppm(bytes(r["payload"]))
+                h, w, _ = img.shape
+                if (w, h) != (r["media"]["width"], r["media"]["height"]):
+                    raise ValueError(
+                        f"header {w}x{h} != metadata for doc {r['doc_id']}"
+                    )
+                means = img.reshape(-1, 3).mean(axis=0)
+                # integer luminance (exact): (299 R + 587 G + 114 B)/1000
+                lum = (
+                    299 * img[:, :, 0].astype(np.int64)
+                    + 587 * img[:, :, 1].astype(np.int64)
+                    + 114 * img[:, :, 2].astype(np.int64)
+                ) // 1000
+                small = img[::2, ::2]  # strided 2x downsample (resize)
                 rows.append(
                     (
                         int(r["doc_id"]),
-                        len(px),
-                        float(sum(px)) / len(px),
-                        max(px),
+                        int(h * w),
+                        float(means[0]),
+                        float(means[1]),
+                        float(means[2]),
+                        int(lum.max()),
+                        int(small.astype(np.int64).sum()),
                     )
                 )
             yield pd.DataFrame(
-                rows, columns=["doc_id", "n_px", "mean_byte", "max_byte"]
+                rows,
+                columns=[
+                    "doc_id", "n_px", "mean_r", "mean_g", "mean_b",
+                    "max_lum", "thumb_sum",
+                ],
             )
 
     out = src.mapInPandas(
-        extract, schema="doc_id long, n_px int, mean_byte double, max_byte int"
+        extract,
+        schema="doc_id long, n_px int, mean_r double, mean_g double, "
+        "mean_b double, max_lum int, thumb_sum long",
     )
     return out.select(
-        "doc_id", "n_px", F.round("mean_byte", 4).alias("mean_byte"), "max_byte"
+        "doc_id",
+        "n_px",
+        F.round("mean_r", 4).alias("mean_r"),
+        F.round("mean_g", 4).alias("mean_g"),
+        F.round("mean_b", 4).alias("mean_b"),
+        "max_lum",
+        "thumb_sum",
     )
 
 
@@ -109,25 +167,30 @@ def q_mm_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_mm_frame_sample",
     oracle=None,
     tier="P2",
-    doc="Frame sampling plumbing for 'video' payloads: every payload "
-    "yields n_frames rows (one per sampled frame) with a per-frame "
-    "checksum — the explode-shaped mapInPandas pattern a real "
-    "frame-sampler uses. Returns per-doc frame counts + checksum sum.",
+    doc="Frame sampling over decoded images: the raster is split into "
+    "n_frames horizontal bands (the video-frame analog), each band "
+    "checksummed from the DECODED array — the explode-shaped "
+    "mapInPandas pattern a real frame-sampler uses (one input row -> "
+    "n_frames output rows, then a per-doc aggregate).",
 )
 def q_mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = media_table(spark, sf_dir)
 
     def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
         for pdf in batches:
             if pdf.empty:
                 continue
             doc_ids, frame_idx, checksums = [], [], []
             for _, r in pdf.iterrows():
-                payload = bytes(r["payload"])
-                for k in range(int(r["media"]["n_frames"])):
+                img = _decode_ppm(bytes(r["payload"])).astype(np.int64)
+                n_frames = int(r["media"]["n_frames"])
+                bands = np.array_split(img, n_frames, axis=0)
+                for k, band in enumerate(bands):
                     doc_ids.append(int(r["doc_id"]))
                     frame_idx.append(k)
-                    checksums.append(sum(payload[k::7]))
+                    checksums.append(int(band.sum()))
             yield pd.DataFrame(
                 {"doc_id": doc_ids, "frame_idx": frame_idx, "checksum": checksums}
             )

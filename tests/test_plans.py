@@ -134,3 +134,18 @@ def test_ngram_topk_limit_pushed_below_shuffle(spark):
     assert "Partial" in p.split("Exchange hashpartitioning(lang")[1], p
     # counts combine map-side before the first shuffle too
     assert "partial_count(1)" in p
+
+
+def test_blocked_nn_plan_shape(spark):
+    """The >BROADCAST_MAX_ROWS fallback must plan as: two collect_list
+    block aggregates (partial+final), a broadcast nested-loop cross of
+    the tiny block frames (B rows - never a shuffle of n x B rows), and
+    a partial WindowGroupLimit before the single per-vector Exchange."""
+    from sd2_drp_experimentgen_spark.operators import vectors
+
+    p = plan(vectors._nn_blocked(spark, SF_T2), "simple")
+    assert "BroadcastNestedLoopJoin" in p, p
+    assert "partial_collect_list" in p, p
+    assert "MapInPandas" in p, p
+    assert "WindowGroupLimit" in p, p
+    assert "CartesianProduct" not in p, p

@@ -157,18 +157,40 @@ def test_multimodal_deterministic(spark):
     specs = all_specs()
     a = specs["q_mm_image_features"].fn(spark, SF_T2)
     b = specs["q_mm_image_features"].fn(spark, SF_T2)
-    cols = ["doc_id", "n_px", "mean_byte", "max_byte"]
+    cols = ["doc_id", "n_px", "mean_r", "mean_g", "mean_b", "max_lum", "thumb_sum"]
     ra, rb = _rows_set(a, cols), _rows_set(b, cols)
     assert ra == rb and len(ra) == 500
     # px count must equal width*height from the metadata convention
+    # (the extractor itself validates header-vs-metadata and raises)
     from sd2_drp_experimentgen_spark.operators.multimodal import media_table
 
     meta = {
         r["doc_id"]: r["media"]["width"] * r["media"]["height"]
         for r in media_table(spark, SF_T2).collect()
     }
-    for doc_id, n_px, _, _ in ra:
-        assert n_px == meta[doc_id]
+    for row in ra:
+        assert row[1] == meta[row[0]]
+
+
+def test_ppm_decoder_is_a_real_parser(spark):
+    """_decode_ppm must behave like a format parser: decode a valid
+    hand-built P6 file exactly, and reject malformed input."""
+    import numpy as np
+    import pytest
+
+    from sd2_drp_experimentgen_spark.operators.multimodal import _decode_ppm
+
+    raw = bytes(range(2 * 3 * 3))  # 3x2 RGB raster, bytes 0..17
+    img = _decode_ppm(b"P6\n3 2\n255\n" + raw)
+    assert img.shape == (2, 3, 3)
+    assert img.dtype == np.uint8
+    assert img.tobytes() == raw
+    with pytest.raises(ValueError, match="not a P6"):
+        _decode_ppm(b"P5\n3 2\n255\n" + raw)
+    with pytest.raises(ValueError, match="truncated"):
+        _decode_ppm(b"P6\n3 2\n255\n" + raw[:-1])
+    with pytest.raises(ValueError, match="maxval"):
+        _decode_ppm(b"P6\n3 2\n65535\n" + raw)
 
 
 def test_stream_stream_join_equals_batch(spark):
