@@ -226,3 +226,26 @@ def test_streaming_sliding_equals_batch(spark):
     stream = specs["q_stream_sliding_watermarked"].fn(spark, SF_T2)
     cols = ["window_start", "event_type", "n", "sum_value"]
     assert _rows_set(batch, cols) == _rows_set(stream, cols)
+
+
+def test_partitioning_independence_of_new_ops(spark):
+    """SURVEY §5.3: answers must not depend on partitioning. Run the
+    round-2 flagship ops under different shuffle-partition counts and
+    assert identical results (integer PageRank, hash sampling, and a
+    rows-frame window are the shapes most tempted to differ)."""
+    specs = all_specs()
+    names = ["q_graph_pagerank", "q_sample_stratified", "q_win_moving_median"]
+    key = "spark.sql.shuffle.partitions"
+    old = spark.conf.get(key)
+    try:
+        results = {}
+        for n in ("3", "8"):
+            spark.conf.set(key, n)
+            results[n] = {
+                name: sorted(tuple(r) for r in specs[name].fn(spark, SF_T2).collect())
+                for name in names
+            }
+    finally:
+        spark.conf.set(key, old)
+    for name in names:
+        assert results["3"][name] == results["8"][name], name
