@@ -223,3 +223,51 @@ def q_source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_nations"),
         F.min("n_name").alias("first_nation"),
     )
+
+
+@register(
+    "q_source_python_ds",
+    oracle="""
+    WITH readings AS (
+      SELECT g AS reading_id,
+             g % 37 AS sensor_id,
+             g % 24 AS ts_hour,
+             273150000 + (g * g * 2654435761) % 50000000 AS micro_kelvin
+      FROM generate_series(0, 4999) AS t(g)
+    )
+    SELECT sensor_id,
+           count(*) AS n_readings,
+           CAST(min(micro_kelvin) AS BIGINT) AS min_mk,
+           CAST(max(micro_kelvin) AS BIGINT) AS max_mk,
+           CAST(sum(micro_kelvin) AS BIGINT) AS sum_mk
+    FROM readings
+    GROUP BY sensor_id
+    """,
+    tier="P1",
+    doc="Custom connector through the Spark 4 Python Data Source API "
+    "(sources/pyds.py): spark.read.format('sd2drp_sensors') with "
+    "partition-parallel generation (8 InputPartitions -> 8 tasks), "
+    "aggregated per sensor. The generator is pure integer arithmetic, "
+    "so the SQL oracle over generate_series reproduces the connector's "
+    "output exactly — the full custom-source path (registration, "
+    "options, partition planning, executor-side read) is hash-checked.",
+)
+def q_source_python_ds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.pyds import SyntheticSensorDataSource
+
+    try:
+        spark.dataSource.register(SyntheticSensorDataSource)
+    except Exception:
+        pass  # already registered in this session
+    df = (
+        spark.read.format("sd2drp_sensors")
+        .option("rows", 5000)
+        .option("partitions", 8)
+        .load()
+    )
+    return df.groupBy("sensor_id").agg(
+        F.count(F.lit(1)).alias("n_readings"),
+        F.min("micro_kelvin").alias("min_mk"),
+        F.max("micro_kelvin").alias("max_mk"),
+        F.sum("micro_kelvin").alias("sum_mk"),
+    )

@@ -127,6 +127,7 @@ _NEW_THIS_ROUND = frozenset(
         "q_graph_pagerank",
         "q_event_transitions",
         "q_profile_table",
+        "q_source_python_ds",
     }
 )
 
