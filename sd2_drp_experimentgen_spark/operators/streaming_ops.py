@@ -249,3 +249,48 @@ def q_stream_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     pq.write_table(table.slice(half), os.path.join(src, "1_second.parquet"))
 
     return jobs.foreachbatch_upsert_counts(spark, src, state, ckpt)
+
+
+@register(
+    "q_stream_python_source",
+    oracle="""
+    WITH readings AS (
+      SELECT g AS reading_id,
+             g % 37 AS sensor_id,
+             g % 24 AS ts_hour,
+             273150000 + (g * g * 2654435761) % 50000000 AS micro_kelvin
+      FROM generate_series(0, 4999) AS t(g)
+    )
+    SELECT sensor_id,
+           count(*) AS n_readings,
+           CAST(sum(micro_kelvin) AS BIGINT) AS sum_mk
+    FROM readings
+    GROUP BY sensor_id
+    """,
+    tier="P2",
+    doc="LIVE custom STREAMING connector via the Spark 4 Python "
+    "SimpleDataSourceStreamReader (sources/pyds.py): dict offsets, "
+    "readBetweenOffsets replay, executor-side generation. AvailableNow "
+    "single-batches Python simple readers, so the verify run covers "
+    "all rows in one micro-batch; the incremental multi-batch path is "
+    "pinned by test_pyds_stream_multibatch. Terminal per-sensor "
+    "aggregates hash-check against the generate_series oracle.",
+)
+def q_stream_python_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.pyds import SensorStreamDataSource
+    from ..streaming.jobs import run_to_memory
+
+    try:
+        spark.dataSource.register(SensorStreamDataSource)
+    except Exception:
+        pass  # already registered in this session
+    stream = (
+        spark.readStream.format("sd2drp_sensor_stream")
+        .option("rows", 5000)
+        .load()
+    )
+    agg = stream.groupBy("sensor_id").agg(
+        F.count(F.lit(1)).alias("n_readings"),
+        F.sum("micro_kelvin").alias("sum_mk"),
+    )
+    return run_to_memory(agg, "complete")

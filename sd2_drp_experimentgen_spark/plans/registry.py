@@ -128,6 +128,7 @@ _NEW_THIS_ROUND = frozenset(
         "q_event_transitions",
         "q_profile_table",
         "q_source_python_ds",
+        "q_stream_python_source",
     }
 )
 

@@ -13,7 +13,12 @@ generation (`read()` runs on executors), and option handling
 
 from __future__ import annotations
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 # Integer generation constants (Knuth multiplicative hash for spread);
 # all arithmetic stays far below int64 range for cross-engine parity.
@@ -65,3 +70,45 @@ class SyntheticSensorReader(DataSourceReader):
         hi = (i + 1) * self.n // self.parts
         for rid in range(lo, hi):
             yield reading_row(rid)
+
+
+class SensorStreamDataSource(DataSource):
+    """Streaming twin of the connector via SimpleDataSourceStreamReader:
+    `spark.readStream.format("sd2drp_sensor_stream")` — options: rows
+    (total), batch (micro-batch size). Offsets are dict checkpoints;
+    `readBetweenOffsets` is the exactly-once replay path Spark calls on
+    recovery. NOTE: Spark's Trigger.AvailableNow falls back to
+    single-batch execution for Python simple stream readers (no
+    prepareForTriggerAvailableNow hook), so terminating verify runs set
+    batch >= rows; the multi-batch incremental path is exercised by
+    pytest with a processing-time trigger (test_pyds_stream_multibatch).
+    """
+
+    @classmethod
+    def name(cls) -> str:
+        return "sd2drp_sensor_stream"
+
+    def schema(self) -> str:
+        return (
+            "reading_id bigint, sensor_id int, ts_hour int, micro_kelvin bigint"
+        )
+
+    def simpleStreamReader(self, schema) -> "SensorStreamReader":
+        return SensorStreamReader(self.options)
+
+
+class SensorStreamReader(SimpleDataSourceStreamReader):
+    def __init__(self, options) -> None:
+        self.total = int(options.get("rows", 1000))
+        self.batch = int(options.get("batch", self.total))
+
+    def initialOffset(self) -> dict:
+        return {"offset": 0}
+
+    def read(self, start: dict):
+        s = start["offset"]
+        e = min(s + self.batch, self.total)
+        return ([reading_row(r) for r in range(s, e)], {"offset": e})
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return [reading_row(r) for r in range(start["offset"], end["offset"])]

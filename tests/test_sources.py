@@ -57,3 +57,50 @@ def test_events_values_sane(spark):
     ).collect()[0]
     assert row["lo"] >= datetime.datetime(2024, 1, 1)
     assert row["hi"] < datetime.datetime(2024, 1, 31)
+
+
+def test_pyds_stream_multibatch(spark):
+    """The Python streaming connector's incremental path: with
+    batch < rows and a processing-time trigger, the reader advances
+    through dict offsets across multiple micro-batches; the terminal
+    complete-mode aggregate must equal the single-batch answer."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from sd2_drp_experimentgen_spark.sources.pyds import SensorStreamDataSource
+
+    try:
+        spark.dataSource.register(SensorStreamDataSource)
+    except Exception:
+        pass
+    stream = (
+        spark.readStream.format("sd2drp_sensor_stream")
+        .option("rows", 3000)
+        .option("batch", 700)  # forces 5 micro-batches
+        .load()
+    )
+    agg = stream.groupBy("sensor_id").agg(F.count(F.lit(1)).alias("n"))
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("pyds_stream_mb")
+        .outputMode("complete")
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 60
+        total = 0
+        while time.time() < deadline:
+            total = sum(r["n"] for r in spark.table("pyds_stream_mb").collect())
+            if total == 3000:
+                break
+            time.sleep(0.5)
+        assert total == 3000, f"stream never reached 3000 rows (got {total})"
+    finally:
+        q.stop()
+    rows = {
+        (r["sensor_id"], r["n"]) for r in spark.table("pyds_stream_mb").collect()
+    }
+    expected = {(s, len([r for r in range(3000) if r % 37 == s])) for s in range(37)}
+    assert rows == expected
