@@ -161,3 +161,68 @@ def q_udtf_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY t.token
         """
     )
+
+
+@register(
+    "q_udf_cogrouped",
+    oracle="""
+    WITH lo AS (
+      SELECT o_custkey AS user_id,
+             max(CAST(o_orderdate AS TIMESTAMP)) AS last_dt,
+             count(*) AS n_orders
+      FROM orders GROUP BY 1
+    )
+    SELECT e.user_id,
+           count(*) AS n_events,
+           CAST(coalesce(any_value(lo.n_orders), 0) AS BIGINT) AS n_orders,
+           CAST(sum(CASE WHEN lo.last_dt IS NULL OR e.ts > lo.last_dt
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_after_last
+    FROM events e LEFT JOIN lo ON lo.user_id = e.user_id
+    GROUP BY e.user_id
+    """,
+    tier="P2",
+    doc="Cogrouped-map pandas API (groupBy.cogroup.applyInPandas) — the "
+    "custom-join escape hatch: each user's events AND orders arrive as "
+    "two aligned pandas frames in one function call, which computes "
+    "events after the user's last order (a merge needing both sides in "
+    "hand). Hash-checked against the equivalent join+agg SQL. Scale "
+    "shape: one co-partitioned shuffle on the key for both inputs, "
+    "Arrow-batched transfer, per-key python work.",
+)
+def q_udf_cogrouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.tables import load_events
+
+    ev = load_events(spark, sf_dir).select("user_id", "ts")
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("user_id"), "o_orderdate"
+    )
+
+    def merge(ev_pdf: pd.DataFrame, ord_pdf: pd.DataFrame) -> pd.DataFrame:
+        if ev_pdf.empty:  # emit only users that have events (oracle twin)
+            return pd.DataFrame(
+                columns=["user_id", "n_events", "n_orders", "n_after_last"]
+            )
+        n_events = len(ev_pdf)
+        n_orders = len(ord_pdf)
+        if n_orders:
+            last = ord_pdf["o_orderdate"].max()
+            n_after = int((ev_pdf["ts"] > last).sum())
+        else:
+            n_after = n_events
+        return pd.DataFrame(
+            {
+                "user_id": [int(ev_pdf["user_id"].iloc[0])],
+                "n_events": [n_events],
+                "n_orders": [n_orders],
+                "n_after_last": [n_after],
+            }
+        )
+
+    return (
+        ev.groupBy("user_id")
+        .cogroup(orders.groupBy("user_id"))
+        .applyInPandas(
+            merge,
+            schema="user_id long, n_events long, n_orders long, n_after_last long",
+        )
+    )

@@ -129,6 +129,7 @@ _NEW_THIS_ROUND = frozenset(
         "q_profile_table",
         "q_source_python_ds",
         "q_stream_python_source",
+        "q_udf_cogrouped",
     }
 )
 
