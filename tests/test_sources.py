@@ -104,3 +104,26 @@ def test_pyds_stream_multibatch(spark):
     }
     expected = {(s, len([r for r in range(3000) if r % 37 == s])) for s in range(37)}
     assert rows == expected
+
+
+def test_pyds_batch_partition_parallelism(spark):
+    """The batch connector must plan one task per InputPartition —
+    partition-parallel executor-side generation, not a driver loop."""
+    from sd2_drp_experimentgen_spark.sources.pyds import (
+        SyntheticSensorDataSource,
+        reading_row,
+    )
+
+    try:
+        spark.dataSource.register(SyntheticSensorDataSource)
+    except Exception:
+        pass
+    df = (
+        spark.read.format("sd2drp_sensors")
+        .option("rows", 1000)
+        .option("partitions", 5)
+        .load()
+    )
+    assert df.rdd.getNumPartitions() == 5
+    rows = sorted(tuple(r) for r in df.collect())
+    assert rows == sorted(reading_row(i) for i in range(1000))
