@@ -346,3 +346,124 @@ def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type", "next_type")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+@register(
+    "q_time_downsample_ohlc",
+    oracle=f"""
+    WITH r AS (
+      SELECT user_id, date_trunc('hour', ts) AS hour, value,
+             row_number() OVER (PARTITION BY user_id, date_trunc('hour', ts)
+                                ORDER BY ts, event_id) AS rn_a,
+             row_number() OVER (PARTITION BY user_id, date_trunc('hour', ts)
+                                ORDER BY ts DESC, event_id DESC) AS rn_d
+      FROM events
+    )
+    SELECT user_id,
+           CAST(epoch(hour) AS BIGINT) AS hour_start,
+           {sql_r("max(CASE WHEN rn_a = 1 THEN value END)")} AS open,
+           {sql_r("max(value)")} AS high,
+           {sql_r("min(value)")} AS low,
+           {sql_r("max(CASE WHEN rn_d = 1 THEN value END)")} AS close,
+           count(*) AS n_events
+    FROM r GROUP BY user_id, hour
+    """,
+    tier="P1",
+    doc="OHLC time-series downsample: per (user, hour) bar of open/"
+    "high/low/close/count — the hypertable-rollup shape for metric "
+    "telemetry. First/last are tiebroken by (ts, event_id) so the bar "
+    "is deterministic under any partitioning; every output float is a "
+    "SELECTED row value or min/max (exact selection, never a float "
+    "accumulation). One window pass + one groupBy on the same keys — "
+    "a single shuffle; at 100 TB the hour bucket bounds state and the "
+    "per-key window sort is the per-partition sort Spark already does.",
+)
+def q_time_downsample_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_events(spark, sf_dir)
+    r = ev.select(
+        "user_id",
+        F.date_trunc("hour", F.col("ts")).alias("hour"),
+        "ts",
+        "event_id",
+        "value",
+    )
+    w_a = Window.partitionBy("user_id", "hour").orderBy(
+        F.asc("ts"), F.asc("event_id")
+    )
+    w_d = Window.partitionBy("user_id", "hour").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    r = r.withColumn("rn_a", F.row_number().over(w_a)).withColumn(
+        "rn_d", F.row_number().over(w_d)
+    )
+    return (
+        r.groupBy("user_id", "hour")
+        .agg(
+            r4(F.max(F.when(F.col("rn_a") == 1, F.col("value")))).alias("open"),
+            r4(F.max("value")).alias("high"),
+            r4(F.min("value")).alias("low"),
+            r4(F.max(F.when(F.col("rn_d") == 1, F.col("value")))).alias("close"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(
+            "user_id",
+            epoch_seconds(F.col("hour")).alias("hour_start"),
+            "open", "high", "low", "close", "n_events",
+        )
+    )
+
+
+@register(
+    "q_win_gap_islands",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type, ts,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn,
+             row_number() OVER (PARTITION BY user_id, event_type
+                                ORDER BY ts, event_id) AS rnt
+      FROM events
+    )
+    SELECT user_id, event_type,
+           CAST(floor(epoch(min(ts))) AS BIGINT) AS island_start,
+           CAST(floor(epoch(max(ts))) AS BIGINT) AS island_end,
+           count(*) AS n_events
+    FROM seq
+    GROUP BY user_id, event_type, rn - rnt
+    """,
+    tier="P1",
+    doc="Gaps-and-islands: maximal runs of consecutive same-type "
+    "events per user via the classic difference-of-row_numbers "
+    "grouping key (rn over user minus rn over (user, type) is "
+    "constant exactly within a run). Pure integer/timestamp op — "
+    "hash-exact. Both windows partition by user_id, so one shuffle "
+    "colocates everything and the second window reuses the sort; the "
+    "per-user sequence-analysis shape for session/burst mining.",
+)
+def q_win_gap_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_events(spark, sf_dir)
+    w_u = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    w_ut = Window.partitionBy("user_id", "event_type").orderBy(
+        F.asc("ts"), F.asc("event_id")
+    )
+    seq = ev.select(
+        "user_id",
+        "event_type",
+        "ts",
+        (F.row_number().over(w_u) - F.row_number().over(w_ut)).alias("island"),
+    )
+    return (
+        seq.groupBy("user_id", "event_type", "island")
+        .agg(
+            epoch_seconds(F.min("ts")).alias("island_start"),
+            epoch_seconds(F.max("ts")).alias("island_end"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(
+            "user_id", "event_type", "island_start", "island_end", "n_events"
+        )
+    )

@@ -387,6 +387,50 @@ def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_sql_q3_shipping",
+    oracle=f"""
+    SELECT l_orderkey,
+           {sql_r("sum(l_extendedprice * (1 - l_discount))")} AS revenue,
+           o_orderdate, o_orderpriority
+    FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE o_orderpriority = '1-URGENT'
+      AND o_orderdate < TIMESTAMP '1998-07-01'
+      AND l_shipdate  > TIMESTAMP '1998-07-01'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+    tier="P1",
+    doc="TPC-H Q3 shape (shipping-priority top-10) through the "
+    "spark.sql API: urgent orders placed before a cutoff whose items "
+    "ship after it, ranked by open revenue. Adapted to the fixture "
+    "schema (o_orderpriority stands in for c_mktsegment). Both date "
+    "predicates push into the parquet scans BEFORE the join, and the "
+    "top-10 runs as TakeOrderedAndProject — no global sort. Ordering "
+    "ranks the ROUNDED revenue with l_orderkey tiebreak so the "
+    "LIMIT boundary is engine-independent.",
+)
+def q_sql_q3_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    for t in ("orders", "lineitem"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(f"v_{t}")
+    return spark.sql(
+        """
+        SELECT l_orderkey,
+               floor(sum(l_extendedprice * (1 - l_discount)) * 10000 + 0.5)
+                 / 10000 AS revenue,
+               o_orderdate, o_orderpriority
+        FROM v_orders JOIN v_lineitem ON l_orderkey = o_orderkey
+        WHERE o_orderpriority = '1-URGENT'
+          AND o_orderdate < TIMESTAMP '1998-07-01'
+          AND l_shipdate  > TIMESTAMP '1998-07-01'
+        GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        ORDER BY revenue DESC, l_orderkey
+        LIMIT 10
+        """
+    )
+
+
+@register(
     "q_sql_q5_join_chain",
     oracle=f"""
     SELECT n_name,

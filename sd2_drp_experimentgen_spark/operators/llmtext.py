@@ -260,6 +260,100 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+N_MINHASH = 16
+BAND_SIZE = 4  # 4 bands x 4 rows — the banding that targets J ≈ 0.8
+
+
+def _sql_minhash_bands() -> str:
+    """DuckDB twin of the banded-MinHash construction below."""
+    split = "string_split(text, ' ')"
+    shingle = (
+        f"{split}[i] || ' ' || {split}[i + 1] || ' ' || {split}[i + 2]"
+    )
+    mh_cols = ",\n             ".join(
+        f"list_aggregate(list_transform("
+        f"generate_series(1, len({split}) - 2), "
+        f"i -> md5('{h}|' || {shingle})), 'min') AS m{h}"
+        for h in range(N_MINHASH)
+    )
+    band_selects = []
+    for b in range(N_MINHASH // BAND_SIZE):
+        cat = " || '|' || ".join(f"m{b * BAND_SIZE + j}" for j in range(BAND_SIZE))
+        band_selects.append(
+            f"SELECT doc_id, {b} AS band_idx, md5({cat}) AS band_sig FROM mh"
+        )
+    bands = "\n      UNION ALL\n      ".join(band_selects)
+    return f"""
+    WITH mh AS (
+      SELECT doc_id,
+             {mh_cols}
+      FROM documents
+      WHERE len({split}) >= 3
+    ),
+    bands AS (
+      {bands}
+    )
+    SELECT band_idx, band_sig,
+           count(*) AS n_docs,
+           min(doc_id) AS min_doc_id
+    FROM bands
+    GROUP BY band_idx, band_sig
+    HAVING count(*) >= 2
+    """
+
+
+@register(
+    "q_dedup_minhash_bands",
+    oracle=_sql_minhash_bands(),
+    tier="P1",
+    doc="Banded MinHash LSH, hash-checkable end-to-end (unlike the "
+    "MLlib twin q_dedup_minhash_lsh, whose hash family is opaque): 16 "
+    "md5-salted minhashes over 3-token shingles, banded 4x4; docs "
+    "sharing a band signature are near-dup candidates (4 bands of 4 "
+    "targets Jaccard ≈ 0.8). Emits the non-singleton candidate "
+    "buckets. This IS the 100 TB dedup shuffle shape: per-doc "
+    "signatures are map-only over the corpus, and the single groupBy "
+    "moves 16-byte band signatures — never shingle sets or text.",
+)
+def q_dedup_minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    d = d.where(F.size(toks) >= 3)
+    shingle = lambda i: F.concat_ws(  # noqa: E731
+        " ",
+        F.element_at(toks, i),
+        F.element_at(toks, i + 1),
+        F.element_at(toks, i + 2),
+    )
+    idx = F.sequence(F.lit(1), F.size(toks) - 2)
+    mh = [
+        F.array_min(
+            F.transform(idx, lambda i: F.md5(F.concat(F.lit(f"{h}|"), shingle(i))))
+        ).alias(f"m{h}")
+        for h in range(N_MINHASH)
+    ]
+    sigs = d.select("doc_id", *mh)
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band_idx"),
+            F.md5(
+                F.concat_ws(
+                    "|", *[F.col(f"m{b * BAND_SIZE + j}") for j in range(BAND_SIZE)]
+                )
+            ).alias("band_sig"),
+        )
+        for b in range(N_MINHASH // BAND_SIZE)
+    ]
+    bands = sigs.select(
+        "doc_id", F.explode(F.array(*band_structs)).alias("band")
+    ).select("doc_id", "band.band_idx", "band.band_sig")
+    return (
+        bands.groupBy("band_idx", "band_sig")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("min_doc_id"))
+        .where(F.col("n_docs") >= 2)
+    )
+
+
 @register(
     "q_str_edit_distance",
     oracle="""
@@ -286,6 +380,52 @@ def q_str_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.levenshtein(F.lower(name), name).alias("d_case"),
         F.length(name).cast("int").alias("name_len"),
+    )
+
+
+@register(
+    "q_text_repetition",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS token
+      FROM documents
+    ),
+    per AS (
+      SELECT doc_id, token, count(*) AS n
+      FROM tok GROUP BY doc_id, token
+    )
+    SELECT doc_id,
+           CAST(sum(n) AS BIGINT) AS n_tokens,
+           CAST(count(*) AS BIGINT) AS n_distinct,
+           CAST(max(n) AS BIGINT) AS top_token_n,
+           {sql_r("1.0 - count(*) * 1.0 / sum(n)")} AS dup_ratio,
+           {sql_r("max(n) * 1.0 / sum(n)")} AS top_token_ratio
+    FROM per GROUP BY doc_id
+    """,
+    tier="P1",
+    doc="Repetition-detection quality features (the Gopher-style "
+    "repetition filters): per-document distinct-token ratio and "
+    "most-frequent-token mass. Everything is integer counts plus one "
+    "float divide, so it hash-checks exactly. Plan: explode + "
+    "two-phase groupBy — the (doc_id, token) partial aggregates "
+    "combine map-side before the shuffle, and the second groupBy "
+    "re-aggregates counts, never token strings; a 100 TB corpus "
+    "shuffles (doc_id, token-hash, count) triples only.",
+)
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.helpers import r4
+
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("token"))
+    per = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("n"))
+    return per.groupBy("doc_id").agg(
+        F.sum("n").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.max("n").alias("top_token_n"),
+        r4(F.lit(1.0) - F.count(F.lit(1)) * F.lit(1.0) / F.sum("n")).alias(
+            "dup_ratio"
+        ),
+        r4(F.max("n") * F.lit(1.0) / F.sum("n")).alias("top_token_ratio"),
     )
 
 

@@ -90,6 +90,80 @@ def _decode_ppm(payload: bytes):
     return np.frombuffer(raster[: w * h * 3], dtype=np.uint8).reshape(h, w, 3)
 
 
+N_BINARY_FILES = 12
+
+
+def _ppm_file_payload(i: int) -> tuple[str, bytes]:
+    """Deterministic standalone PPM file #i: (filename, bytes). Pure
+    Python (hashlib md5 raster), so the SQL oracle can embed the exact
+    expected (name, length, md5) rows as literals."""
+    import hashlib
+
+    w, h = 16 + i % 5, 16 + (i * 3) % 7
+    header = f"P6\n{w} {h}\n255\n".encode()
+    need = w * h * 3
+    buf = b""
+    k = 0
+    while len(buf) < need:
+        buf += hashlib.md5(f"ppmfile_{i}_{k}".encode()).digest()
+        k += 1
+    return f"img_{i:03d}.ppm", header + buf[:need]
+
+
+def _binaryfile_oracle() -> str:
+    import hashlib
+
+    rows = []
+    for i in range(N_BINARY_FILES):
+        name, payload = _ppm_file_payload(i)
+        md5 = hashlib.md5(payload).hexdigest()
+        rows.append(f"('{name}', {len(payload)}, '{md5}')")
+    values = ",\n           ".join(rows)
+    return f"""
+    SELECT file_name, CAST(length AS BIGINT) AS length, content_md5
+    FROM (VALUES {values}) AS t(file_name, length, content_md5)
+    """
+
+
+@register(
+    "q_source_binaryfile",
+    oracle=_binaryfile_oracle(),
+    tier="P1",
+    doc="Raw media-file ingest via Spark's built-in binaryFile source — "
+    "the entry point of every multimodal pipeline (a lake directory of "
+    "image files -> a DataFrame of payload bytes + file metadata). The "
+    "operator writes deterministic standalone PPM files, reads the "
+    "directory back with format('binaryFile'), and emits per-file "
+    "(name, length, md5) — hash-checked against oracle literals "
+    "computed from the same pure-Python generator. At 100 TB the "
+    "source parallelizes per-file (each task reads whole files; "
+    "pathGlobFilter prunes by extension without opening payloads) and "
+    "feeds the mapInPandas decode stage (q_mm_image_features) without "
+    "the payload bytes ever shuffling.",
+)
+def q_source_binaryfile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from .scans import _scratch
+
+    path = _scratch(sf_dir, "binary_ppm")
+    os.makedirs(path, exist_ok=True)
+    for i in range(N_BINARY_FILES):
+        name, payload = _ppm_file_payload(i)
+        with open(os.path.join(path, name), "wb") as fh:
+            fh.write(payload)
+    files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.ppm")
+        .load(path)
+    )
+    return files.select(
+        F.element_at(F.split(F.col("path"), "/"), -1).alias("file_name"),
+        F.col("length"),
+        F.md5(F.col("content")).alias("content_md5"),
+    )
+
+
 @register(
     "q_mm_image_features",
     oracle=None,

@@ -420,6 +420,156 @@ def _nn_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+EMB_DIM = 64
+SRP_BITS = 8
+
+
+def _srp_signs() -> list[list[int]]:
+    """Deterministic ±1 hyperplanes for signed-random-projection LSH:
+    sign(j, d) = parity of the first hex digit of md5(f"{j}_{d}").
+    Pure-Python constants baked into BOTH the Spark plan and the SQL
+    oracle as literals, so no RNG state is involved anywhere."""
+    import hashlib
+
+    return [
+        [
+            1 if int(hashlib.md5(f"{j}_{d}".encode()).hexdigest()[0], 16) % 2
+            else -1
+            for d in range(EMB_DIM)
+        ]
+        for j in range(SRP_BITS)
+    ]
+
+
+def _sql_q_vec(scale: str = "scale") -> str:
+    """DuckDB expression: int8-quantized embedding as BIGINT list.
+    Parenthesization matches the Spark side exactly — identical IEEE
+    evaluation order, so the floor() results are bit-identical."""
+    return (
+        "list_transform(embedding, x -> CAST(floor("
+        f"(CAST(x AS DOUBLE) / {scale}) * 127 + 0.5) AS BIGINT))"
+    )
+
+
+def _quant_cols():
+    """Spark columns (scale, q) for int8 max-abs quantization."""
+    emb = F.col("embedding")
+    scale = F.array_max(F.transform(emb, lambda x: F.abs(x.cast("double"))))
+    q = F.transform(
+        emb, lambda x: F.floor((x.cast("double") / scale) * 127 + F.lit(0.5))
+    )
+    return scale, q
+
+
+@register(
+    "q_emb_quantize_int8",
+    oracle=f"""
+    SELECT vec_id,
+           {sql_r('scale')} AS scale,
+           CAST(list_sum(q) AS BIGINT) AS sum_q,
+           CAST(list_sum(list_transform(q, v -> abs(v))) AS BIGINT) AS sum_abs_q,
+           CAST(list_max(q) AS BIGINT) AS max_q,
+           CAST(list_min(q) AS BIGINT) AS min_q
+    FROM (
+      SELECT vec_id, scale, {_sql_q_vec()} AS q
+      FROM (
+        SELECT vec_id, embedding,
+               list_max(list_transform(embedding,
+                 x -> abs(CAST(x AS DOUBLE)))) AS scale
+        FROM embeddings
+      )
+    )
+    """,
+    tier="P1",
+    doc="Int8 max-abs embedding quantization (the storage/ANN "
+    "compression step): per-vector scale = max|x|, q_i = "
+    "floor(x_i/scale*127 + 0.5). Emits integer checksums of the "
+    "quantized vector (sum, L1 mass, extrema) so the hash check is "
+    "exact — scale is the single float column. Map-only projection, "
+    "no shuffle; at 100 TB this is the embarrassingly-parallel "
+    "compaction pass before ANN index build, cutting vector bytes 4x.",
+)
+def q_emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    scale, q = _quant_cols()
+    zero = F.lit(0).cast("long")
+    return e.select(
+        "vec_id",
+        r4(scale).alias("scale"),
+        F.aggregate(q, zero, lambda a, v: a + v).alias("sum_q"),
+        F.aggregate(q, zero, lambda a, v: a + F.abs(v)).alias("sum_abs_q"),
+        F.array_max(q).alias("max_q"),
+        F.array_min(q).alias("min_q"),
+    )
+
+
+def _sql_srp_bucket() -> str:
+    """DuckDB expression summing bit j = (q · h_j > 0) << j with the
+    md5-derived ±1 hyperplanes embedded as BIGINT list literals."""
+    terms = []
+    for j, signs in enumerate(_srp_signs()):
+        lits = ", ".join(str(s) for s in signs)
+        terms.append(
+            f"(CASE WHEN list_sum(list_transform("
+            f"generate_series(1, {EMB_DIM}), "
+            f"i -> q[i] * ([{lits}]::BIGINT[])[i])) > 0 "
+            f"THEN {1 << j} ELSE 0 END)"
+        )
+    return " + ".join(terms)
+
+
+@register(
+    "q_ann_srp_buckets",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id, {_sql_q_vec()} AS q
+      FROM (
+        SELECT vec_id, embedding,
+               list_max(list_transform(embedding,
+                 x -> abs(CAST(x AS DOUBLE)))) AS scale
+        FROM embeddings
+      )
+    ),
+    proj AS (
+      SELECT vec_id, {_sql_srp_bucket()} AS bucket
+      FROM q
+    )
+    SELECT CAST(bucket AS INTEGER) AS srp_bucket,
+           count(*) AS n_vecs,
+           min(vec_id) AS min_vec_id
+    FROM proj GROUP BY bucket
+    """,
+    tier="P1",
+    doc="Cosine LSH bucketing via signed random projections over the "
+    "int8-quantized vectors: bit j of the 8-bit bucket is the sign of "
+    "q·h_j for a fixed md5-derived ±1 hyperplane h_j. Quantizing "
+    "first makes every projection integer arithmetic — exact across "
+    "engines, no float-accumulation-order hazard. This is the "
+    "distributed ANN candidate-bucketing path: per-row signatures "
+    "(map-only), then near-dup candidates come from equal-bucket "
+    "pairs — the shuffle moves 1-byte signatures, never vectors. "
+    "Complements q_ann_ivf_topk (learned cells) with a data-"
+    "independent scheme that needs no training pass.",
+)
+def q_ann_srp_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    _, q = _quant_cols()
+    zero = F.lit(0).cast("long")
+    bucket = None
+    for j, signs in enumerate(_srp_signs()):
+        signs_lit = F.array(*[F.lit(s).cast("long") for s in signs])
+        proj = F.aggregate(
+            F.zip_with(q, signs_lit, lambda a, b: a * b), zero, lambda a, v: a + v
+        )
+        bit = F.when(proj > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        bucket = bit if bucket is None else bucket + bit
+    return (
+        e.select("vec_id", bucket.cast("int").alias("srp_bucket"))
+        .groupBy("srp_bucket")
+        .agg(F.count(F.lit(1)).alias("n_vecs"), F.min("vec_id").alias("min_vec_id"))
+    )
+
+
 def cosine_topk_for_queries(
     spark: SparkSession,
     sf_dir: str,

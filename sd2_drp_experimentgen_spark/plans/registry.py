@@ -130,6 +130,14 @@ _NEW_THIS_ROUND = frozenset(
         "q_source_python_ds",
         "q_stream_python_source",
         "q_udf_cogrouped",
+        "q_text_repetition",
+        "q_emb_quantize_int8",
+        "q_ann_srp_buckets",
+        "q_sql_q3_shipping",
+        "q_source_binaryfile",
+        "q_dedup_minhash_bands",
+        "q_time_downsample_ohlc",
+        "q_win_gap_islands",
     }
 )
 

@@ -1,0 +1,118 @@
+"""Self-checks for the round-2b operator batch: repetition features,
+int8 quantization, SRP-LSH bucketing, binaryFile ingest. (Oracle parity
+for all of these is covered by tools/verify_local.py / the driver; these
+tests pin semantic invariants the hash check can't express.)"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from sd2_drp_experimentgen_spark.plans import all_specs
+from tests.conftest import SF_T1
+
+
+def test_repetition_feature_bounds(spark):
+    rows = all_specs()["q_text_repetition"].fn(spark, SF_T1).collect()
+    assert rows
+    for r in rows:
+        assert 1 <= r["n_distinct"] <= r["n_tokens"]
+        assert 0.0 <= r["dup_ratio"] < 1.0
+        # the most frequent token carries at least a 1/n_distinct share
+        assert r["top_token_n"] * r["n_distinct"] >= r["n_tokens"]
+        assert 0.0 < r["top_token_ratio"] <= 1.0
+
+
+def test_quantize_matches_numpy(spark):
+    """The Spark-side quantization must equal the numpy reference
+    (same floor(x/scale*127 + 0.5) recipe) row for row."""
+    emb = {
+        r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64)
+        for r in spark.read.parquet(f"{SF_T1}/embeddings.parquet").collect()
+    }
+    out = all_specs()["q_emb_quantize_int8"].fn(spark, SF_T1).collect()
+    assert len(out) == len(emb)
+    for r in out:
+        x = emb[r["vec_id"]]
+        scale = np.abs(x).max()
+        q = np.floor(x / scale * 127 + 0.5).astype(np.int64)
+        assert r["sum_q"] == int(q.sum())
+        assert r["sum_abs_q"] == int(np.abs(q).sum())
+        assert r["max_q"] == int(q.max())
+        assert r["min_q"] == int(q.min())
+        assert -127 <= r["min_q"] <= r["max_q"] <= 127
+
+
+def test_srp_buckets_partition_vectors(spark):
+    """Every vector lands in exactly one bucket; bucket ids fit in the
+    8-bit signature space; buckets are non-degenerate (the md5
+    hyperplanes actually split the fixture)."""
+    n_vecs = spark.read.parquet(f"{SF_T1}/embeddings.parquet").count()
+    rows = all_specs()["q_ann_srp_buckets"].fn(spark, SF_T1).collect()
+    assert sum(r["n_vecs"] for r in rows) == n_vecs
+    assert all(0 <= r["srp_bucket"] < 256 for r in rows)
+    assert len(rows) > 8
+
+
+def test_binaryfile_roundtrip_deterministic(spark):
+    fn = all_specs()["q_source_binaryfile"].fn
+    a = sorted(tuple(r) for r in fn(spark, SF_T1).collect())
+    b = sorted(tuple(r) for r in fn(spark, SF_T1).collect())
+    assert a == b
+    assert len(a) == 12
+    names = [t[0] for t in a]
+    assert names == sorted(names) and len(set(names)) == 12
+    # length column must match the actual payload bytes md5-checked
+    for _, length, md5 in a:
+        assert length > 0 and len(md5) == 32
+
+
+def test_ohlc_bar_invariants(spark):
+    from pyspark.sql import functions as F
+
+    df = all_specs()["q_time_downsample_ohlc"].fn(spark, SF_T1)
+    rows = df.collect()
+    assert rows
+    for r in rows:
+        assert r["low"] <= min(r["open"], r["close"])
+        assert r["high"] >= max(r["open"], r["close"])
+        assert r["n_events"] >= 1
+    # one bar per (user, hour) with at least one event
+    from sd2_drp_experimentgen_spark.sources.tables import load_events
+
+    n_bars = (
+        load_events(spark, SF_T1)
+        .select("user_id", F.date_trunc("hour", "ts").alias("h"))
+        .distinct()
+        .count()
+    )
+    assert len(rows) == n_bars
+
+
+def test_gap_islands_partition_events(spark):
+    from sd2_drp_experimentgen_spark.sources.tables import load_events
+
+    rows = all_specs()["q_win_gap_islands"].fn(spark, SF_T1).collect()
+    total = load_events(spark, SF_T1).count()
+    assert sum(r["n_events"] for r in rows) == total
+    assert all(r["island_start"] <= r["island_end"] for r in rows)
+
+
+def test_minhash_bands_catch_exact_dupes(spark):
+    """Exact-duplicate texts have identical minhash signatures, so every
+    exact-dup group must surface as (or inside) a candidate bucket in
+    every band."""
+    from pyspark.sql import functions as F
+
+    from sd2_drp_experimentgen_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF_T1, "documents")
+    dup_groups = (
+        docs.groupBy("text")
+        .agg(F.count(F.lit(1)).alias("n"), F.min("doc_id").alias("lo"))
+        .where(F.col("n") >= 2)
+        .collect()
+    )
+    buckets = all_specs()["q_dedup_minhash_bands"].fn(spark, SF_T1).collect()
+    assert all(r["n_docs"] >= 2 for r in buckets)
+    if dup_groups:  # fixture has exact dupes at every sf so far
+        assert len(buckets) >= 4  # each dup group collides in all 4 bands
