@@ -314,3 +314,117 @@ def q_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.min("ts").cast("double")).cast("long").alias("min_ts"),
         F.floor(F.max("ts").cast("double")).cast("long").alias("max_ts"),
     )
+
+
+@register(
+    "q_scd2_dimension",
+    oracle="""
+    WITH seq AS (
+      SELECT o_custkey, o_orderpriority, o_orderdate, o_orderkey,
+             lag(o_orderpriority) OVER (PARTITION BY o_custkey
+                                        ORDER BY o_orderdate, o_orderkey)
+               AS prev_prio
+      FROM orders
+    ),
+    changes AS (
+      SELECT o_custkey, o_orderpriority, o_orderdate, o_orderkey
+      FROM seq
+      WHERE prev_prio IS NULL OR prev_prio <> o_orderpriority
+    )
+    SELECT o_custkey AS custkey,
+           o_orderpriority AS prio,
+           CAST(floor(epoch(o_orderdate)) AS BIGINT) AS valid_from,
+           CAST(floor(epoch(lead(o_orderdate) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+           ))) AS BIGINT) AS valid_to,
+           CASE WHEN lead(o_orderdate) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+           ) IS NULL THEN 1 ELSE 0 END AS is_current,
+           o_orderkey AS first_orderkey
+    FROM changes
+    """,
+    tier="P1",
+    doc="Slowly-changing-dimension type 2 build: each customer's order-"
+    "priority history collapsed to change intervals — lag() drops "
+    "unchanged rows, lead() closes each version's valid_to, the open "
+    "interval is flagged current. The standard warehouse dimension-"
+    "versioning op (the reference pipeline's mutable inventory sheets "
+    "would version exactly like this). Both windows partition on "
+    "custkey: one shuffle, sorts reused; dimension rows out ≪ fact "
+    "rows in, so at 100 TB this is a single-pass history compaction.",
+)
+def q_scd2_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    seq = o.select(
+        "o_custkey", "o_orderpriority", "o_orderdate", "o_orderkey",
+        F.lag("o_orderpriority").over(w).alias("prev_prio"),
+    )
+    changes = seq.where(
+        F.col("prev_prio").isNull()
+        | (F.col("prev_prio") != F.col("o_orderpriority"))
+    )
+    w2 = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    nxt = F.lead("o_orderdate").over(w2)
+    return changes.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderpriority").alias("prio"),
+        F.col("o_orderdate").cast("timestamp_ltz").cast("long").alias("valid_from"),
+        nxt.cast("timestamp_ltz").cast("long").alias("valid_to"),
+        F.when(nxt.isNull(), 1).otherwise(0).alias("is_current"),
+        F.col("o_orderkey").alias("first_orderkey"),
+    )
+
+
+HIST_BINS = 20
+
+
+@register(
+    "q_histogram_fixed_bins",
+    oracle=f"""
+    WITH ext AS (
+      SELECT min(l_extendedprice) AS lo, max(l_extendedprice) AS hi
+      FROM lineitem
+    )
+    SELECT CAST(least(floor((l_extendedprice - lo)
+                            / ((hi - lo) / {HIST_BINS})),
+                      {HIST_BINS - 1}) AS INTEGER) AS bin,
+           count(*) AS n,
+           {sql_r('min(l_extendedprice)')} AS bin_min,
+           {sql_r('max(l_extendedprice)')} AS bin_max
+    FROM lineitem, ext
+    GROUP BY 1
+    """,
+    tier="P1",
+    doc="Equal-width histogram over a measure: pass 1 computes global "
+    "[min, max] (a 1-row aggregate, broadcast to pass 2 as a scalar "
+    "cross join — never a driver round-trip), pass 2 bins every row "
+    "with the shared edges. Bin arithmetic is the identical IEEE "
+    "expression in both engines, so assignment is exact; the top edge "
+    "clamps into the last bin. The profile/EDA primitive at any "
+    "scale: two scans, one tiny broadcast, one groupBy on a "
+    "{HIST_BINS}-value key.",
+)
+def q_histogram_fixed_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.helpers import r4
+
+    li = load_table(spark, sf_dir, "lineitem")
+    ext = li.agg(
+        F.min("l_extendedprice").alias("lo"), F.max("l_extendedprice").alias("hi")
+    )
+    x = F.col("l_extendedprice")
+    width = (F.col("hi") - F.col("lo")) / F.lit(HIST_BINS)
+    bin_col = F.least(
+        F.floor((x - F.col("lo")) / width), F.lit(HIST_BINS - 1)
+    ).cast("int")
+    return (
+        li.crossJoin(F.broadcast(ext))
+        .groupBy(bin_col.alias("bin"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            r4(F.min(x)).alias("bin_min"),
+            r4(F.max(x)).alias("bin_max"),
+        )
+    )

@@ -135,3 +135,52 @@ def q_agg_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("pn").alias("n"),
         _round_halfup(F.sum("pq"), 4).alias("sum_qty"),
     )
+
+
+COMPACT_SMALL_FILES = 48
+COMPACT_TARGET_FILES = 4
+
+
+def compact_parquet_dir(spark: SparkSession, src: str, dst: str, target: int) -> None:
+    """Maintenance primitive: rewrite a parquet directory into ``target``
+    files. Distributed rewrite (scan -> repartition -> write) — the
+    driver never touches row data; at 100 TB this is the nightly
+    small-file compaction that keeps scan task counts sane (each
+    streaming micro-batch or per-partition append leaves files far
+    below maxPartitionBytes; compaction restores full-size splits)."""
+    spark.read.parquet(src).repartition(target).write.mode("overwrite").parquet(dst)
+
+
+@register(
+    "q_maint_compact_files",
+    oracle=f"""
+    SELECT o_orderpriority,
+           count(*) AS n,
+           {sql_r('sum(o_totalprice)')} AS sum_price
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+    tier="P1",
+    doc="Small-file compaction end-to-end: orders is first written as "
+    f"{COMPACT_SMALL_FILES} fragment files (the many-small-appends "
+    "state a streaming sink leaves behind), then compacted to "
+    f"{COMPACT_TARGET_FILES} full-size files by a distributed "
+    "scan->repartition->write rewrite, and the compacted copy is read "
+    "back and aggregated. The oracle sees the original table — "
+    "identical output proves the rewrite is lossless. Pytest asserts "
+    "the physical file counts before/after.",
+)
+def q_maint_compact_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .scans import _scratch
+
+    frag = _scratch(sf_dir, "compact_frag")
+    compact = _scratch(sf_dir, "compact_out")
+    load_table(spark, sf_dir, "orders").repartition(
+        COMPACT_SMALL_FILES
+    ).write.mode("overwrite").parquet(frag)
+    compact_parquet_dir(spark, frag, compact, COMPACT_TARGET_FILES)
+    back = spark.read.parquet(compact)
+    return back.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        _round_halfup(F.sum("o_totalprice"), 4).alias("sum_price"),
+    )

@@ -138,6 +138,9 @@ _NEW_THIS_ROUND = frozenset(
         "q_dedup_minhash_bands",
         "q_time_downsample_ohlc",
         "q_win_gap_islands",
+        "q_scd2_dimension",
+        "q_histogram_fixed_bins",
+        "q_maint_compact_files",
     }
 )
 

@@ -116,3 +116,48 @@ def test_minhash_bands_catch_exact_dupes(spark):
     assert all(r["n_docs"] >= 2 for r in buckets)
     if dup_groups:  # fixture has exact dupes at every sf so far
         assert len(buckets) >= 4  # each dup group collides in all 4 bands
+
+
+def test_scd2_intervals_tile_history(spark):
+    """SCD2 versions per customer: contiguous, ordered, exactly one
+    current row, and the version count equals the number of priority
+    changes in the raw history."""
+    rows = all_specs()["q_scd2_dimension"].fn(spark, SF_T1).collect()
+    by_cust: dict = {}
+    for r in rows:
+        by_cust.setdefault(r["custkey"], []).append(r)
+    assert by_cust
+    for versions in by_cust.values():
+        versions.sort(key=lambda r: r["valid_from"])
+        assert sum(v["is_current"] for v in versions) == 1
+        assert versions[-1]["is_current"] == 1 and versions[-1]["valid_to"] is None
+        for a, b in zip(versions, versions[1:]):
+            assert a["valid_to"] == b["valid_from"]
+            assert a["prio"] != b["prio"]
+
+
+def test_histogram_bins_cover_all_rows(spark):
+    from sd2_drp_experimentgen_spark.sources.tables import load_table
+
+    rows = all_specs()["q_histogram_fixed_bins"].fn(spark, SF_T1).collect()
+    total = load_table(spark, SF_T1, "lineitem").count()
+    assert sum(r["n"] for r in rows) == total
+    assert all(0 <= r["bin"] < 20 for r in rows)
+    for r in rows:
+        assert r["bin_min"] <= r["bin_max"]
+
+
+def test_compaction_reduces_file_count(spark):
+    import glob
+
+    from sd2_drp_experimentgen_spark.operators.scans import _scratch
+    from sd2_drp_experimentgen_spark.operators.storage import (
+        COMPACT_SMALL_FILES,
+        COMPACT_TARGET_FILES,
+    )
+
+    all_specs()["q_maint_compact_files"].fn(spark, SF_T1).collect()
+    frag = glob.glob(_scratch(SF_T1, "compact_frag") + "/part-*.parquet")
+    comp = glob.glob(_scratch(SF_T1, "compact_out") + "/part-*.parquet")
+    assert len(frag) == COMPACT_SMALL_FILES
+    assert 0 < len(comp) <= COMPACT_TARGET_FILES
