@@ -470,3 +470,101 @@ def q_sql_q5_join_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY n_name
         """
     )
+
+
+@register(
+    "q_sql_recursive_cte",
+    oracle=f"""
+    WITH RECURSIVE months(m) AS (
+      SELECT date_trunc('month', (SELECT min(o_orderdate) FROM orders))
+      UNION ALL
+      SELECT m + INTERVAL '1 month' FROM months
+      WHERE m + INTERVAL '1 month'
+            <= date_trunc('month', (SELECT max(o_orderdate) FROM orders))
+    )
+    SELECT CAST(floor(epoch(m)) AS BIGINT) AS month_start,
+           (SELECT count(*) FROM orders
+            WHERE date_trunc('month', o_orderdate) = m) AS n_orders,
+           {sql_r('''coalesce((SELECT sum(o_totalprice) FROM orders
+                     WHERE date_trunc('month', o_orderdate) = m), 0)''')}
+             AS sum_price
+    FROM months
+    """,
+    tier="P1",
+    doc="Recursive CTE (Spark 4 WITH RECURSIVE) generating the "
+    "contiguous month calendar spanning the order history, left-joined "
+    "with per-month order rollups — the calendar-dimension pattern "
+    "that reports zero-months a plain GROUP BY would drop. Recursion "
+    "depth = #months (bounded by data span, not data volume), so the "
+    "recursive leg is driver-negligible at any scale; the rollup is "
+    "one ordinary shuffled aggregate joined broadcast onto the "
+    "calendar.",
+)
+def q_sql_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("v_orders")
+    return spark.sql(
+        """
+        WITH RECURSIVE bounds AS (
+          SELECT date_trunc('month', min(o_orderdate)) AS lo,
+                 date_trunc('month', max(o_orderdate)) AS hi
+          FROM v_orders
+        ),
+        months(m, hi) AS (
+          SELECT lo, hi FROM bounds
+          UNION ALL
+          SELECT m + INTERVAL '1' MONTH, hi FROM months
+          WHERE m + INTERVAL '1' MONTH <= hi
+        ),
+        rollup AS (
+          SELECT date_trunc('month', o_orderdate) AS m,
+                 count(*) AS n_orders,
+                 sum(o_totalprice) AS sum_price
+          FROM v_orders GROUP BY 1
+        )
+        SELECT CAST(cast(m AS TIMESTAMP_LTZ) AS BIGINT) AS month_start,
+               coalesce(n_orders, 0) AS n_orders,
+               floor(coalesce(sum_price, 0) * 10000 + 0.5) / 10000 AS sum_price
+        FROM months LEFT JOIN rollup USING (m)
+        """
+    )
+
+
+@register(
+    "q_sql_pivot_clause",
+    oracle=f"""
+    SELECT o_orderpriority,
+           {sql_r("sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END)")}
+             AS open_total,
+           {sql_r("sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END)")}
+             AS filled_total,
+           {sql_r("sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END)")}
+             AS pending_total
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+    tier="P2",
+    doc="SQL PIVOT clause (parser surface distinct from DataFrame "
+    ".pivot() and from the CASE-WHEN pivot in "
+    "q_agg_conditional_pivot): order totals per priority pivoted to "
+    "one column per order status, explicit IN list so the output "
+    "schema is static. Plans identically to the conditional "
+    "aggregate — one partial+final HashAggregate pair.",
+)
+def q_sql_pivot_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("v_orders")
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               floor(open_total * 10000 + 0.5) / 10000 AS open_total,
+               floor(filled_total * 10000 + 0.5) / 10000 AS filled_total,
+               floor(pending_total * 10000 + 0.5) / 10000 AS pending_total
+        FROM (
+          SELECT o_orderpriority, o_orderstatus, o_totalprice FROM v_orders
+        )
+        PIVOT (
+          sum(o_totalprice)
+          FOR o_orderstatus IN ('O' AS open_total, 'F' AS filled_total,
+                                'P' AS pending_total)
+        )
+        """
+    )

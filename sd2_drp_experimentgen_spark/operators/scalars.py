@@ -477,3 +477,42 @@ def q_decimal_exact_money(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("string")
         .alias("avg_dec"),
     )
+
+
+@register(
+    "q_variant_json",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                AS BIGINT) AS sum_k,
+           CAST(sum(CASE WHEN CAST(json_extract_string(props, '$.k')
+                              AS BIGINT) >= 50 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_high,
+           CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                AS BIGINT) AS max_k
+    FROM events
+    GROUP BY event_type
+    """,
+    tier="P1",
+    doc="Spark 4 VARIANT semi-structured path: parse_json(props) to a "
+    "VARIANT column once, then typed variant_get extraction — the "
+    "shredded-JSON storage model (parse once, extract many, no "
+    "re-tokenizing per field the way repeated get_json_object does). "
+    "Twin of q_json_extract on the legacy string-path API; all "
+    "emitted aggregates are integers, so the hash check is exact.",
+)
+def q_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.tables import load_events
+
+    ev = load_events(spark, sf_dir)
+    v = ev.select(
+        "event_type", F.parse_json(F.col("props")).alias("vprops")
+    )
+    k = F.try_variant_get(F.col("vprops"), "$.k", "bigint")
+    return v.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(k).alias("sum_k"),
+        F.sum(F.when(k >= 50, 1).otherwise(0)).alias("n_high"),
+        F.max(k).alias("max_k"),
+    )

@@ -141,6 +141,9 @@ _NEW_THIS_ROUND = frozenset(
         "q_scd2_dimension",
         "q_histogram_fixed_bins",
         "q_maint_compact_files",
+        "q_sql_recursive_cte",
+        "q_sql_pivot_clause",
+        "q_variant_json",
     }
 )
 

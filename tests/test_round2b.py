@@ -161,3 +161,35 @@ def test_compaction_reduces_file_count(spark):
     comp = glob.glob(_scratch(SF_T1, "compact_out") + "/part-*.parquet")
     assert len(frag) == COMPACT_SMALL_FILES
     assert 0 < len(comp) <= COMPACT_TARGET_FILES
+
+
+def test_recursive_cte_calendar_contiguous(spark):
+    """Months are contiguous (no gaps even for zero-order months) and
+    the per-month counts total the table row count."""
+    from sd2_drp_experimentgen_spark.sources.tables import load_table
+
+    rows = sorted(
+        all_specs()["q_sql_recursive_cte"].fn(spark, SF_T1).collect(),
+        key=lambda r: r["month_start"],
+    )
+    assert len(rows) >= 2
+    total = load_table(spark, SF_T1, "orders").count()
+    assert sum(r["n_orders"] for r in rows) == total
+    for a, b in zip(rows, rows[1:]):
+        # consecutive month starts are 28-31 days apart
+        delta = b["month_start"] - a["month_start"]
+        assert 28 * 86400 <= delta <= 31 * 86400
+
+
+def test_variant_matches_string_json_path(spark):
+    """The VARIANT path must agree with the legacy get_json_object path
+    on the shared aggregates."""
+    variant = {
+        (r["event_type"], r["n"], r["sum_k"])
+        for r in all_specs()["q_variant_json"].fn(spark, SF_T1).collect()
+    }
+    legacy = {
+        (r["event_type"], r["n"], r["sum_k"])
+        for r in all_specs()["q_json_extract"].fn(spark, SF_T1).collect()
+    }
+    assert variant == legacy
