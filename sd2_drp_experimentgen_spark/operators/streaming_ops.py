@@ -13,6 +13,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.helpers import sql_r
 from ..plans.registry import register
 from ..streaming import jobs
 
@@ -237,7 +238,11 @@ def q_stream_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     import pyarrow.parquet as pq
 
-    base = _scratch("febatch_upsert")
+    # sf-tagged so concurrent runs at different scale factors (e.g. the
+    # driver verify at sf0.01 while pytest runs t1) never share a
+    # checkpoint or state dir.
+    sf_tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    base = _scratch(f"febatch_upsert_{sf_tag}")
     src, state, ckpt = (os.path.join(base, d) for d in ("src", "state", "ckpt"))
     for d in (src, state, ckpt):
         shutil.rmtree(d, ignore_errors=True)
@@ -294,3 +299,24 @@ def q_stream_python_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("micro_kelvin").alias("sum_mk"),
     )
     return run_to_memory(agg, "complete")
+
+
+@register(
+    "q_stream_static_join",
+    oracle=f"""
+    SELECT c_mktsegment,
+           count(*) AS n,
+           {sql_r("sum(value)")} AS sum_value
+    FROM events JOIN customer ON user_id = c_custkey
+    GROUP BY c_mktsegment
+    """,
+    tier="P1",
+    doc="LIVE stream-static join: the events stream enriched with the "
+    "broadcast customer dimension inside a real Structured Streaming "
+    "run (AvailableNow), per-segment totals hash-checked against the "
+    "batch join SQL. Stream-static is stateless on the join — the "
+    "static side reloads per micro-batch, no watermark needed — so "
+    "this is the always-safe streaming enrichment pattern.",
+)
+def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return jobs.stream_static_enrich(spark, _events_dir(sf_dir), sf_dir)

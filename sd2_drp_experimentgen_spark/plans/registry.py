@@ -144,6 +144,7 @@ _NEW_THIS_ROUND = frozenset(
         "q_sql_recursive_cte",
         "q_sql_pivot_clause",
         "q_variant_json",
+        "q_stream_static_join",
     }
 )
 

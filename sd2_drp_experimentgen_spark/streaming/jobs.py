@@ -326,3 +326,26 @@ def foreachbatch_upsert_counts(
     return spark.read.parquet(state_dir).select(
         "user_id", "n_events", r4(F.col("sum_value")).alias("sum_value")
     )
+
+
+def stream_static_enrich(
+    spark: SparkSession, events_path: str, sf_dir: str
+) -> DataFrame:
+    """Stream-static join: the events stream enriched with the static
+    customer dimension (broadcast — the static side is re-resolvable
+    per micro-batch, needs no watermark and holds no join state), then
+    a per-segment aggregate. The canonical streaming-enrichment shape:
+    at 100 TB/day of events the dimension stays a broadcast hash table
+    and the stream side never shuffles for the join."""
+    from ..sources.tables import load_table
+
+    ev = stream_events(spark, events_path)
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    joined = ev.join(F.broadcast(cust), ev.user_id == cust.c_custkey)
+    agg = joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n"),
+        r4(F.sum("value")).alias("sum_value"),
+    )
+    return run_to_memory(agg, "complete")

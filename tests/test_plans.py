@@ -149,3 +149,45 @@ def test_blocked_nn_plan_shape(spark):
     assert "MapInPandas" in p, p
     assert "WindowGroupLimit" in p, p
     assert "CartesianProduct" not in p, p
+
+
+def test_q3_sql_pushes_both_date_predicates(spark):
+    """The SQL-surface Q3 must push the order-date and ship-date
+    predicates into their respective parquet scans and plan the top-10
+    as TakeOrderedAndProject."""
+    p = plan(all_specs()["q_sql_q3_shipping"].fn(spark, SF_T2))
+    assert "TakeOrderedAndProject" in p
+    assert "LessThan(o_orderdate" in p, p
+    assert "GreaterThan(l_shipdate" in p, p
+
+
+def test_histogram_extent_is_broadcast_not_collected(spark):
+    """The global [min,max] extent must reach the binning scan as a
+    broadcast of the 1-row aggregate — never via a driver collect."""
+    p = plan(all_specs()["q_histogram_fixed_bins"].fn(spark, SF_T2), "simple")
+    assert "BroadcastNestedLoopJoin" in p, p
+    assert "BroadcastExchange" in p, p
+    # single-column read on both scans of lineitem
+    assert p.count("ReadSchema: struct<l_extendedprice:double>") == 2, p
+
+
+def test_minhash_bands_shuffles_signatures_only(spark):
+    """The LSH groupBy must exchange only (band_idx, band_sig) plus
+    partial aggregates — the partial HashAggregate sits below the
+    Exchange (map-side combine) and its keys are the band signature,
+    so shuffled rows carry 16-byte sigs, never text or shingles."""
+    df = all_specs()["q_dedup_minhash_bands"].fn(spark, SF_T2)
+    p = plan(df, "simple")
+    assert "Exchange hashpartitioning(band_idx" in p, p
+    partial_line = next(l for l in p.splitlines() if "partial_count(1)" in l)
+    assert "band_sig" in partial_line, p
+    assert p.index("partial_count(1)") > p.index("Exchange hashpartitioning"), p
+
+
+def test_scd2_windows_share_one_sort(spark):
+    """lag and lead both partition by custkey — the plan must contain
+    exactly one Exchange (the custkey shuffle), with both Window nodes
+    above it."""
+    p = plan(all_specs()["q_scd2_dimension"].fn(spark, SF_T2), "simple")
+    assert p.count("Exchange") == 1, p
+    assert p.count("Window") >= 2, p

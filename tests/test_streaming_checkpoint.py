@@ -61,3 +61,68 @@ def test_checkpoint_restart_resume(spark, tmp_path):
     assert not dupes, f"windows emitted twice after restart: {dupes[:3]}"
 
     shutil.rmtree(str(tmp_path), ignore_errors=True)
+
+
+def test_rocksdb_state_store_backend(spark):
+    """The 100 TB state backend: the same stateful streaming twin must
+    produce identical results with RocksDBStateStoreProvider (state
+    spills to disk instead of living on the JVM heap — the provider a
+    large-state deployment runs). Conf is session-wide, so restore it
+    after the run."""
+    from pyspark.sql import functions as F
+
+    from sd2_drp_experimentgen_spark.plans import all_specs
+
+    all_specs()  # load operator modules in registry order first
+    from sd2_drp_experimentgen_spark.operators.streaming_ops import _events_dir
+    from sd2_drp_experimentgen_spark.streaming import jobs
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    rocks = (
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider"
+    )
+    old = spark.conf.get(key, None)
+    spark.conf.set(key, rocks)
+    try:
+        live = jobs.tumbling_1h_watermarked(spark, _events_dir(SF_T2))
+        got = {
+            (r["window_start"], r["event_type"], r["n"])
+            for r in live.collect()
+        }
+    finally:
+        if old is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, old)
+    batch = all_specs()["q_stream_tumbling_1h"].fn(spark, SF_T2)
+    want = {
+        (r["window_start"], r["event_type"], r["n"]) for r in batch.collect()
+    }
+    assert got == want
+
+
+def test_stream_static_join_equals_batch(spark):
+    """The LIVE stream-static enrichment must equal the batch join."""
+    from sd2_drp_experimentgen_spark.plans import all_specs
+
+    all_specs()  # load operator modules in registry order first
+    from sd2_drp_experimentgen_spark.operators.streaming_ops import _events_dir
+    from sd2_drp_experimentgen_spark.streaming import jobs
+
+    live = jobs.stream_static_enrich(spark, _events_dir(SF_T2), SF_T2)
+    got = {(r["c_mktsegment"], r["n"]) for r in live.collect()}
+    import duckdb
+
+    con = duckdb.connect()
+    want = {
+        (seg, n)
+        for seg, n in con.execute(
+            f"""SELECT c_mktsegment, count(*)
+                FROM read_parquet('{SF_T2}/events.parquet') e
+                JOIN read_parquet('{SF_T2}/customer.parquet') c
+                  ON e.user_id = c.c_custkey
+                GROUP BY c_mktsegment"""
+        ).fetchall()
+    }
+    assert got == want
