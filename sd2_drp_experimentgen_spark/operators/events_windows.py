@@ -467,3 +467,52 @@ def q_win_gap_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
             "user_id", "event_type", "island_start", "island_end", "n_events"
         )
     )
+
+
+@register(
+    "q_interval_sweepline",
+    oracle="""
+    WITH pts AS (
+      SELECT user_id, ts AS t, 1 AS delta, event_id FROM events
+      UNION ALL
+      SELECT user_id, ts + INTERVAL 30 MINUTE, -1, event_id FROM events
+    ),
+    swept AS (
+      SELECT user_id,
+             sum(delta) OVER (PARTITION BY user_id
+                              ORDER BY t, delta, event_id) AS live
+      FROM pts
+    )
+    SELECT user_id,
+           CAST(max(live) AS BIGINT) AS max_concurrent
+    FROM swept GROUP BY user_id
+    """,
+    tier="P1",
+    doc="Sweep-line interval concurrency: each event opens a 30-minute "
+    "activity interval; the classic +1/-1 boundary-point trick with a "
+    "per-user running sum yields the maximum number of simultaneously "
+    "open intervals. Boundary ties close-before-open (delta ascending) "
+    "with event_id tiebreak, so the result is partitioning-"
+    "independent. The overlap-analytics primitive (concurrent "
+    "sessions, instrument occupancy); per-user partitioning keeps the "
+    "sweep distributed — one shuffle, no global order.",
+)
+def q_interval_sweepline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_events(spark, sf_dir)
+    opens = ev.select(
+        "user_id", F.col("ts").alias("t"), F.lit(1).alias("delta"), "event_id"
+    )
+    closes = ev.select(
+        "user_id",
+        (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("t"),
+        F.lit(-1).alias("delta"),
+        "event_id",
+    )
+    pts = opens.unionAll(closes)
+    w = Window.partitionBy("user_id").orderBy("t", "delta", "event_id")
+    swept = pts.select("user_id", F.sum("delta").over(w).alias("live"))
+    return swept.groupBy("user_id").agg(
+        F.max("live").cast("long").alias("max_concurrent")
+    )

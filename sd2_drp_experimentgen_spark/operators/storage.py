@@ -184,3 +184,83 @@ def q_maint_compact_files(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         _round_halfup(F.sum("o_totalprice"), 4).alias("sum_price"),
     )
+
+
+ZORDER_BITS = 10
+
+
+def _z_terms_sql(a: str, b: str) -> str:
+    """DuckDB expression interleaving the low ZORDER_BITS bits of two
+    BIGINT expressions (a -> even bit positions, b -> odd)."""
+    terms = []
+    for i in range(ZORDER_BITS):
+        terms.append(f"((({a} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({b} >> {i}) & 1) << {2 * i + 1})")
+    return " + ".join(terms)
+
+
+def _z_col(a, b):
+    """Spark Column twin of _z_terms_sql."""
+    z = F.lit(0).cast("long")
+    for i in range(ZORDER_BITS):
+        z = z + F.shiftleft(F.shiftright(a, i).bitwiseAND(F.lit(1)), 2 * i)
+        z = z + F.shiftleft(F.shiftright(b, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+    return z
+
+
+@register(
+    "q_layout_zorder",
+    oracle=f"""
+    WITH z AS (
+      SELECT CAST({_z_terms_sql("o_custkey % 1024",
+                                "CAST(floor(o_totalprice / 1000) AS BIGINT) % 1024")}
+                  AS BIGINT) AS zval,
+             o_custkey, o_totalprice
+      FROM orders
+    )
+    SELECT CAST(zval >> 14 AS BIGINT) AS tile,
+           count(*) AS n,
+           CAST(min(o_custkey) AS BIGINT) AS min_cust,
+           CAST(max(o_custkey) AS BIGINT) AS max_cust,
+           {sql_r('min(o_totalprice)')} AS min_price,
+           {sql_r('max(o_totalprice)')} AS max_price
+    FROM z GROUP BY 1
+    """,
+    tier="P1",
+    doc="Z-order (Morton) data layout: bit-interleave of the two "
+    "cluster keys (custkey, price bucket) -> one sort key that keeps "
+    "BOTH dimensions locally clustered, then a range-partitioned, "
+    "z-sorted parquet rewrite (the OPTIMIZE ZORDER BY analog) and a "
+    "per-tile min/max profile read back from the new layout — exactly "
+    "the file-level statistics multi-dimensional pruning feeds on: a "
+    "predicate on EITHER key now skips most tiles. Pure integer bit "
+    "arithmetic, so the hash check is exact; the rewrite is "
+    "distributed (repartitionByRange + sortWithinPartitions, no "
+    "driver materialization).",
+)
+def q_layout_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .scans import _scratch
+
+    o = load_table(spark, sf_dir, "orders")
+    a = F.col("o_custkey") % 1024
+    b = F.floor(F.col("o_totalprice") / 1000).cast("long") % 1024
+    z = o.select(
+        _z_col(a, b).alias("zval"), "o_custkey", "o_totalprice"
+    )
+    path = _scratch(sf_dir, "zorder_orders")
+    (
+        z.repartitionByRange(8, "zval")
+        .sortWithinPartitions("zval")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    back = spark.read.parquet(path)
+    return back.groupBy(
+        F.shiftright(F.col("zval"), 14).alias("tile")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("o_custkey").alias("min_cust"),
+        F.max("o_custkey").alias("max_cust"),
+        _round_halfup(F.min("o_totalprice"), 4).alias("min_price"),
+        _round_halfup(F.max("o_totalprice"), 4).alias("max_price"),
+    )

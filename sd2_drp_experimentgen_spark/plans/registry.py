@@ -145,6 +145,8 @@ _NEW_THIS_ROUND = frozenset(
         "q_sql_pivot_clause",
         "q_variant_json",
         "q_stream_static_join",
+        "q_interval_sweepline",
+        "q_layout_zorder",
     }
 )
 

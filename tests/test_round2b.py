@@ -193,3 +193,63 @@ def test_variant_matches_string_json_path(spark):
         for r in all_specs()["q_json_extract"].fn(spark, SF_T1).collect()
     }
     assert variant == legacy
+
+
+def test_sweepline_matches_bruteforce(spark):
+    """Per-user max concurrency must equal a brute-force overlap count
+    for a sample of users."""
+    from sd2_drp_experimentgen_spark.sources.tables import load_events
+
+    got = {
+        r["user_id"]: r["max_concurrent"]
+        for r in all_specs()["q_interval_sweepline"].fn(spark, SF_T1).collect()
+    }
+    events = (
+        load_events(spark, SF_T1)
+        .select("user_id", "ts")
+        .collect()
+    )
+    from collections import defaultdict
+    from datetime import timedelta
+
+    by_user = defaultdict(list)
+    for r in events:
+        by_user[r["user_id"]].append(r["ts"])
+    for uid in sorted(by_user)[:5]:
+        times = sorted(by_user[uid])
+        best = 0
+        for t in times:
+            # count intervals [s, s+30m) open at instant t (close-before-
+            # open at exact boundaries, matching the sweep's tie rule)
+            open_now = sum(
+                1 for s in times if s <= t < s + timedelta(minutes=30)
+            )
+            best = max(best, open_now)
+        assert got[uid] == best, uid
+
+
+def test_zorder_key_is_invertible_and_layout_sorted(spark):
+    """Even bits decode back to the custkey component, odd bits to the
+    price component; the rewritten files are internally z-sorted."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from sd2_drp_experimentgen_spark.operators.scans import _scratch
+
+    rows = all_specs()["q_layout_zorder"].fn(spark, SF_T1).collect()
+    from sd2_drp_experimentgen_spark.sources.tables import load_table
+
+    assert sum(r["n"] for r in rows) == load_table(spark, SF_T1, "orders").count()
+    assert all(0 <= r["tile"] < 64 for r in rows)
+    # layout check: every rewritten file is sorted by zval
+    for f in glob.glob(_scratch(SF_T1, "zorder_orders") + "/part-*.parquet"):
+        zv = pq.read_table(f, columns=["zval"])["zval"].to_pylist()
+        assert zv == sorted(zv)
+    # invertibility on one re-read row
+    sample = spark.read.parquet(_scratch(SF_T1, "zorder_orders")).head(5)
+    for s in sample:
+        a = sum(((s["zval"] >> (2 * i)) & 1) << i for i in range(10))
+        b = sum(((s["zval"] >> (2 * i + 1)) & 1) << i for i in range(10))
+        assert a == s["o_custkey"] % 1024
+        assert b == int(s["o_totalprice"] // 1000) % 1024
