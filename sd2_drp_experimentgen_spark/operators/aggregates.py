@@ -570,3 +570,39 @@ def q_agg_boolean(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_if(neg).alias("n_negative"),
         r4(F.avg(F.when(neg, 1.0).otherwise(0.0))).alias("neg_share"),
     )
+
+
+@register(
+    "q_agg_hll_sketch_merge",
+    oracle=None,  # Datasketches binary sketches have no cross-engine twin
+    tier="P2",
+    doc="Re-aggregatable HLL sketches (Spark 3.5+ Datasketches "
+    "functions): per-(day, event_type) user sketches built with "
+    "hll_sketch_agg, then MERGED across days with hll_union_agg — the "
+    "two-level rollup a 100 TB pipeline stores (daily sketch tables "
+    "are tiny and re-mergeable to any coarser grain without rescanning "
+    "raw events; plain approx_count_distinct cannot re-aggregate). "
+    "Emits the merged estimate next to the exact distinct; pytest "
+    "bounds the relative error < 5% and checks estimate monotonicity "
+    "vs the per-day maxima.",
+)
+def q_agg_hll_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.tables import load_events
+
+    ev = load_events(spark, sf_dir)
+    day_sketch = ev.groupBy(
+        F.date_trunc("DAY", F.col("ts")).alias("day"), "event_type"
+    ).agg(
+        F.hll_sketch_agg("user_id").alias("sk"),
+        F.countDistinct("user_id").alias("day_exact"),
+    )
+    merged = day_sketch.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_union_agg(F.col("sk"))).alias("est_users"),
+        F.max("day_exact").alias("max_day_exact"),
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_users")
+    )
+    return merged.join(exact, "event_type").select(
+        "event_type", "est_users", "exact_users", "max_day_exact"
+    )

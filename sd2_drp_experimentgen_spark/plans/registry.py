@@ -147,6 +147,7 @@ _NEW_THIS_ROUND = frozenset(
         "q_stream_static_join",
         "q_interval_sweepline",
         "q_layout_zorder",
+        "q_agg_hll_sketch_merge",
     }
 )
 

@@ -253,3 +253,14 @@ def test_zorder_key_is_invertible_and_layout_sorted(spark):
         b = sum(((s["zval"] >> (2 * i + 1)) & 1) << i for i in range(10))
         assert a == s["o_custkey"] % 1024
         assert b == int(s["o_totalprice"] // 1000) % 1024
+
+
+def test_hll_sketch_merge_error_bound(spark):
+    rows = all_specs()["q_agg_hll_sketch_merge"].fn(spark, SF_T1).collect()
+    assert rows
+    for r in rows:
+        assert r["exact_users"] > 0
+        # merged estimate within 5% of exact, and never below the
+        # largest single-day exact count (union can only grow)
+        assert abs(r["est_users"] - r["exact_users"]) / r["exact_users"] < 0.05
+        assert r["est_users"] >= r["max_day_exact"] * 0.95
