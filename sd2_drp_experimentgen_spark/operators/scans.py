@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.helpers import _round_halfup, sql_r
 from ..plans.registry import register
 from ..sources.tables import load_table
 
@@ -270,4 +271,138 @@ def q_source_python_ds(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("micro_kelvin").alias("min_mk"),
         F.max("micro_kelvin").alias("max_mk"),
         F.sum("micro_kelvin").alias("sum_mk"),
+    )
+
+
+MALFORMED_GOOD = [
+    (1, "alpha", 10.5),
+    (2, "beta", 20.25),
+    (3, "gamma", 30.75),
+    (4, "delta", 40.0),
+]
+MALFORMED_BAD = [
+    "5,epsilon",          # missing column
+    "six,zeta,60.5",      # non-integer id
+    "7,eta,not_a_number", # non-numeric measure
+]
+
+
+def _malformed_oracle() -> str:
+    rows = ",\n           ".join(
+        f"({i}, '{s}', {v})" for i, s, v in MALFORMED_GOOD
+    )
+    return f"""
+    SELECT kind, n, ids
+    FROM (VALUES ('good', {len(MALFORMED_GOOD)},
+                  '{",".join(str(i) for i, _, _ in MALFORMED_GOOD)}'),
+                 ('corrupt', {len(MALFORMED_BAD)}, NULL))
+         AS t(kind, n, ids)
+    """
+
+
+@register(
+    "q_source_csv_malformed",
+    oracle=_malformed_oracle(),
+    tier="P1",
+    doc="Malformed-row ingest policy: a CSV containing rows that "
+    "violate the explicit schema is read in PERMISSIVE mode with "
+    "columnNameOfCorruptRecord, so bad rows land in a quarantine "
+    "column instead of killing the job or silently vanishing — the "
+    "data-quality triage shape for 100 TB ingest (count and route "
+    "rejects, never drop them blind). Emits good/corrupt counts plus "
+    "the surviving ids; oracle is literal truth from the same "
+    "generator. DROPMALFORMED/FAILFAST are one option away.",
+)
+def q_source_csv_malformed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from pyspark.sql.types import (
+        DoubleType,
+        IntegerType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    path = _scratch(sf_dir, "csv_malformed")
+    os.makedirs(path, exist_ok=True)
+    lines = [f"{i},{s},{v}" for i, s, v in MALFORMED_GOOD]
+    lines += MALFORMED_BAD
+    with open(os.path.join(path, "data.csv"), "w") as fh:
+        fh.write("\n".join(lines) + "\n")
+    schema = StructType(
+        [
+            StructField("id", IntegerType(), True),
+            StructField("name", StringType(), True),
+            StructField("measure", DoubleType(), True),
+            StructField("_corrupt", StringType(), True),
+        ]
+    )
+    df = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .csv(path)
+    ).cache()  # one pass feeds both branches; PERMISSIVE requires the
+    # cache anyway (corrupt-column queries need the full row context)
+    good = df.where(F.col("_corrupt").isNull()).agg(
+        F.lit("good").alias("kind"),
+        F.count(F.lit(1)).cast("int").alias("n"),
+        F.concat_ws(",", F.sort_array(F.collect_list("id"))).alias("ids"),
+    )
+    bad = df.where(F.col("_corrupt").isNotNull()).agg(
+        F.lit("corrupt").alias("kind"),
+        F.count(F.lit(1)).cast("int").alias("n"),
+        F.lit(None).cast("string").alias("ids"),
+    )
+    return good.unionAll(bad)
+
+
+@register(
+    "q_source_schema_evolution",
+    oracle=f"""
+    WITH v1 AS (
+      SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 2 = 0
+    ),
+    v2 AS (
+      SELECT o_orderkey, o_totalprice, o_orderpriority
+      FROM orders WHERE o_orderkey % 2 = 1
+    )
+    SELECT coalesce(o_orderpriority, 'MISSING') AS prio,
+           count(*) AS n,
+           {sql_r('sum(o_totalprice)')} AS sum_price
+    FROM (
+      SELECT o_orderkey, o_totalprice, NULL AS o_orderpriority FROM v1
+      UNION ALL
+      SELECT * FROM v2
+    )
+    GROUP BY 1
+    """,
+    tier="P1",
+    doc="Parquet schema evolution: generation-1 files written WITHOUT "
+    "the priority column, generation-2 files WITH it, read as one "
+    "table via mergeSchema=true — old rows surface NULL for the added "
+    "column (quarantined under 'MISSING'). The additive-column "
+    "migration every long-lived lake table goes through; merge "
+    "happens at footer level, no data rewrite.",
+)
+def q_source_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    path = _scratch(sf_dir, "schema_evo")
+    v1 = o.where(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", "o_totalprice"
+    )
+    v2 = o.where(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    v1.write.mode("overwrite").parquet(path + "/gen=1")
+    v2.write.mode("overwrite").parquet(path + "/gen=2")
+    back = spark.read.option("mergeSchema", True).parquet(
+        path + "/gen=1", path + "/gen=2"
+    )
+    return back.groupBy(
+        F.coalesce(F.col("o_orderpriority"), F.lit("MISSING")).alias("prio")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        _round_halfup(F.sum("o_totalprice"), 4).alias("sum_price"),
     )

@@ -148,6 +148,8 @@ _NEW_THIS_ROUND = frozenset(
         "q_interval_sweepline",
         "q_layout_zorder",
         "q_agg_hll_sketch_merge",
+        "q_source_csv_malformed",
+        "q_source_schema_evolution",
     }
 )
 

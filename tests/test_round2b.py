@@ -264,3 +264,52 @@ def test_hll_sketch_merge_error_bound(spark):
         # largest single-day exact count (union can only grow)
         assert abs(r["est_users"] - r["exact_users"]) / r["exact_users"] < 0.05
         assert r["est_users"] >= r["max_day_exact"] * 0.95
+
+
+def test_malformed_csv_quarantine(spark):
+    rows = {
+        r["kind"]: r
+        for r in all_specs()["q_source_csv_malformed"].fn(spark, SF_T1).collect()
+    }
+    assert rows["good"]["n"] == 4 and rows["good"]["ids"] == "1,2,3,4"
+    assert rows["corrupt"]["n"] == 3 and rows["corrupt"]["ids"] is None
+
+
+def test_schema_evolution_partitions_rows(spark):
+    from sd2_drp_experimentgen_spark.sources.tables import load_table
+
+    rows = all_specs()["q_source_schema_evolution"].fn(spark, SF_T1).collect()
+    o = load_table(spark, SF_T1, "orders")
+    assert sum(r["n"] for r in rows) == o.count()
+    missing = [r for r in rows if r["prio"] == "MISSING"]
+    assert len(missing) == 1
+    # gen-1 (even orderkeys) rows surface as MISSING
+    from pyspark.sql import functions as F
+
+    n_even = o.where(F.col("o_orderkey") % 2 == 0).count()
+    assert missing[0]["n"] == n_even
+
+
+def test_observe_metrics_on_pipeline(spark):
+    """df.observe() attaches streaming-safe metrics to a plan without a
+    second scan — the production monitoring hook. The observed counts
+    must match the action's actual row flow."""
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    from sd2_drp_experimentgen_spark.sources.tables import load_table
+
+    obs = Observation("ingest_qc")
+    o = load_table(spark, SF_T1, "orders")
+    observed = o.observe(
+        obs,
+        F.count(F.lit(1)).alias("rows_seen"),
+        F.sum(F.when(F.col("o_totalprice") <= 0, 1).otherwise(0)).alias(
+            "nonpositive_price"
+        ),
+    )
+    kept = observed.where(F.col("o_totalprice") > 100).count()
+    metrics = obs.get
+    assert metrics["rows_seen"] == o.count()
+    assert metrics["nonpositive_price"] == 0
+    assert kept <= metrics["rows_seen"]
