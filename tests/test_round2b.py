@@ -299,6 +299,12 @@ def test_observe_metrics_on_pipeline(spark):
 
     from sd2_drp_experimentgen_spark.sources.tables import load_table
 
+    # A registered Observation lives in session state and breaks closure
+    # serialization for LATER RDD-based jobs on the same session (e.g.
+    # BinaryClassificationEvaluator: "Task not serializable:
+    # ObservationManager"). Run on a sibling session sharing the
+    # SparkContext so the shared fixture session stays clean.
+    spark = spark.newSession()
     obs = Observation("ingest_qc")
     o = load_table(spark, SF_T1, "orders")
     observed = o.observe(
