@@ -406,3 +406,68 @@ def q_source_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         _round_halfup(F.sum("o_totalprice"), 4).alias("sum_price"),
     )
+
+
+@register(
+    "q_sink_python_ds",
+    oracle="""
+    SELECT n_nationkey, n_name, r_name
+    FROM nation JOIN region ON n_regionkey = r_regionkey
+    """,
+    tier="P1",
+    doc="Writer half of the Spark 4 Python Data Source API: the "
+    "nation-region join written through the custom "
+    "sd2drp_file_sink format — per-TASK partition-parallel write() on "
+    "executors, driver-side commit() publishing a _SUCCESS manifest, "
+    "abort() sweep (the two-phase commit contract under task "
+    "retries) — then read back with an explicit schema and "
+    "hash-checked against the original relation. Completes the "
+    "connector story: batch read, streaming read, and now write all "
+    "go through the same Python API.",
+)
+def q_sink_python_ds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+
+    from ..sources.pyds import SensorFileSinkDataSource
+
+    try:
+        spark.dataSource.register(SensorFileSinkDataSource)
+    except Exception:
+        pass  # already registered in this session
+
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    rel = n.join(r, n.n_regionkey == r.r_regionkey).select(
+        "n_nationkey", "n_name", "r_name"
+    )
+    path = _scratch(sf_dir, "pyds_sink")
+    shutil.rmtree(path, ignore_errors=True)
+    (
+        rel.repartition(3)
+        .write.format("sd2drp_file_sink")
+        .option("path", path)
+        .mode("append")
+        .save()
+    )
+    assert os.path.exists(os.path.join(path, "_SUCCESS"))
+    from pyspark.sql.types import (
+        IntegerType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    schema = StructType(
+        [
+            StructField("n_nationkey", IntegerType(), True),
+            StructField("n_name", StringType(), True),
+            StructField("r_name", StringType(), True),
+        ]
+    )
+    return (
+        spark.read.schema(schema)
+        .option("sep", "|")
+        .option("pathGlobFilter", "part-*.psv")
+        .csv(path)
+    )

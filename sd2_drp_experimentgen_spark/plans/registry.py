@@ -150,6 +150,7 @@ _NEW_THIS_ROUND = frozenset(
         "q_agg_hll_sketch_merge",
         "q_source_csv_malformed",
         "q_source_schema_evolution",
+        "q_sink_python_ds",
     }
 )
 

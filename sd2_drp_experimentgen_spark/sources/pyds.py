@@ -16,8 +16,10 @@ from __future__ import annotations
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceWriter,
     InputPartition,
     SimpleDataSourceStreamReader,
+    WriterCommitMessage,
 )
 
 # Integer generation constants (Knuth multiplicative hash for spread);
@@ -112,3 +114,75 @@ class SensorStreamReader(SimpleDataSourceStreamReader):
 
     def readBetweenOffsets(self, start: dict, end: dict):
         return [reading_row(r) for r in range(start["offset"], end["offset"])]
+
+
+class FileCommitMessage(WriterCommitMessage):
+    """Per-task commit message: which file the task wrote, how many rows."""
+
+    def __init__(self, path: str, n_rows: int) -> None:
+        self.path = path
+        self.n_rows = n_rows
+
+
+class SensorFileSinkDataSource(DataSource):
+    """Writer half of the Python Data Source API:
+    `df.write.format("sd2drp_file_sink").option("path", ...)`. Each
+    TASK serializes its partition to one pipe-delimited file (executor-
+    side, partition-parallel — the write() method never sees another
+    partition's rows); the DRIVER's commit() publishes a _SUCCESS
+    manifest naming every committed file, and abort() removes orphans —
+    the standard two-phase commit contract that makes the sink
+    all-or-nothing under task retries."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "sd2drp_file_sink"
+
+    def writer(self, schema, overwrite: bool) -> "SensorFileWriter":
+        return SensorFileWriter(self.options, overwrite)
+
+
+class SensorFileWriter(DataSourceWriter):
+    def __init__(self, options, overwrite: bool) -> None:
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("sd2drp_file_sink requires .option('path', ...)")
+        self.overwrite = overwrite
+
+    def write(self, iterator) -> FileCommitMessage:
+        import os
+        import uuid
+
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        os.makedirs(self.path, exist_ok=True)
+        # unique name per attempt: a retried task never clobbers a
+        # committed file; losers are swept by commit()/abort()
+        fname = f"part-{pid:05d}-{uuid.uuid4().hex}.psv"
+        full = os.path.join(self.path, fname)
+        n = 0
+        with open(full, "w") as fh:
+            for row in iterator:
+                fh.write("|".join("" if v is None else str(v) for v in row))
+                fh.write("\n")
+                n += 1
+        return FileCommitMessage(fname, n)
+
+    def commit(self, messages) -> None:
+        import os
+
+        committed = {m.path for m in messages}
+        # publish the manifest, then sweep uncommitted attempt files
+        with open(os.path.join(self.path, "_SUCCESS"), "w") as fh:
+            for m in sorted(committed):
+                fh.write(m + "\n")
+        for f in os.listdir(self.path):
+            if f.startswith("part-") and f not in committed:
+                os.remove(os.path.join(self.path, f))
+
+    def abort(self, messages) -> None:
+        import os
+        import shutil
+
+        shutil.rmtree(self.path, ignore_errors=True)

@@ -127,3 +127,30 @@ def test_pyds_batch_partition_parallelism(spark):
     assert df.rdd.getNumPartitions() == 5
     rows = sorted(tuple(r) for r in df.collect())
     assert rows == sorted(reading_row(i) for i in range(1000))
+
+
+def test_pyds_sink_manifest_and_commit_sweep(spark):
+    """The custom sink's commit must publish a _SUCCESS manifest naming
+    exactly the committed files, and every listed file must exist with
+    the expected total row count."""
+    import os
+
+    from sd2_drp_experimentgen_spark.plans import all_specs
+    from tests.conftest import SF_T1
+
+    all_specs()  # ensure registry-order module load
+    from sd2_drp_experimentgen_spark.operators.scans import _scratch
+
+    df = all_specs()["q_sink_python_ds"].fn(spark, SF_T1)
+    assert df.count() == 25
+    path = _scratch(SF_T1, "pyds_sink")
+    manifest = open(os.path.join(path, "_SUCCESS")).read().split()
+    on_disk = sorted(
+        f for f in os.listdir(path) if f.startswith("part-")
+    )
+    assert sorted(manifest) == on_disk
+    assert len(on_disk) == 3  # one file per write task
+    total = sum(
+        len(open(os.path.join(path, f)).read().splitlines()) for f in on_disk
+    )
+    assert total == 25
