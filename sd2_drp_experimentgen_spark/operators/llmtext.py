@@ -264,31 +264,51 @@ N_MINHASH = 16
 BAND_SIZE = 4  # 4 bands x 4 rows — the banding that targets J ≈ 0.8
 
 
+MINHASH_P = 1_000_000_007  # compacting modulus for the derived family
+
+
 def _sql_minhash_bands() -> str:
-    """DuckDB twin of the banded-MinHash construction below."""
+    """DuckDB twin of the banded-MinHash construction below: ONE md5
+    per shingle, 16 minhashes derived as (h1 + i*h2) mod P."""
     split = "string_split(text, ' ')"
     shingle = (
         f"{split}[i] || ' ' || {split}[i + 1] || ' ' || {split}[i + 2]"
     )
+    p = MINHASH_P
     mh_cols = ",\n             ".join(
-        f"list_aggregate(list_transform("
-        f"generate_series(1, len({split}) - 2), "
-        f"i -> md5('{h}|' || {shingle})), 'min') AS m{h}"
+        f"list_aggregate(list_transform(generate_series(1, len(h1)), "
+        f"j -> (h1[j] + {h} * h2[j]) % {p}), 'min') AS m{h}"
         for h in range(N_MINHASH)
     )
     band_selects = []
     for b in range(N_MINHASH // BAND_SIZE):
-        cat = " || '|' || ".join(f"m{b * BAND_SIZE + j}" for j in range(BAND_SIZE))
+        cat = " || '|' || ".join(
+            f"CAST(m{b * BAND_SIZE + j} AS VARCHAR)" for j in range(BAND_SIZE)
+        )
         band_selects.append(
             f"SELECT doc_id, {b} AS band_idx, md5({cat}) AS band_sig FROM mh"
         )
     bands = "\n      UNION ALL\n      ".join(band_selects)
     return f"""
-    WITH mh AS (
+    WITH sh AS (
       SELECT doc_id,
-             {mh_cols}
+             list_transform(generate_series(1, len({split}) - 2),
+                            i -> md5({shingle})) AS mds
       FROM documents
       WHERE len({split}) >= 3
+    ),
+    hh AS (
+      SELECT doc_id,
+             list_transform(mds,
+               m -> CAST('0x' || substr(m, 1, 12) AS BIGINT) % {p}) AS h1,
+             list_transform(mds,
+               m -> CAST('0x' || substr(m, 13, 12) AS BIGINT) % {p}) AS h2
+      FROM sh
+    ),
+    mh AS (
+      SELECT doc_id,
+             {mh_cols}
+      FROM hh
     ),
     bands AS (
       {bands}
@@ -307,15 +327,19 @@ def _sql_minhash_bands() -> str:
     oracle=_sql_minhash_bands(),
     tier="P1",
     doc="Banded MinHash LSH, hash-checkable end-to-end (unlike the "
-    "MLlib twin q_dedup_minhash_lsh, whose hash family is opaque): 16 "
-    "md5-salted minhashes over 3-token shingles, banded 4x4; docs "
-    "sharing a band signature are near-dup candidates (4 bands of 4 "
-    "targets Jaccard ≈ 0.8). Emits the non-singleton candidate "
-    "buckets. This IS the 100 TB dedup shuffle shape: per-doc "
-    "signatures are map-only over the corpus, and the single groupBy "
-    "moves 16-byte band signatures — never shingle sets or text.",
+    "MLlib twin q_dedup_minhash_lsh, whose hash family is opaque): "
+    "ONE md5 per 3-token shingle, split into two 48-bit integers, "
+    "and the 16-member hash family derived as (h1 + i*h2) mod P — "
+    "the Carter-Wegman construction every production MinHash uses, "
+    "because hashing each shingle k times (the naive form) multiplies "
+    "the dominant cost k-fold. Banded 4x4 (targets Jaccard ≈ 0.8); "
+    "docs sharing a band signature are near-dup candidates. Emits "
+    "the non-singleton candidate buckets. This IS the 100 TB dedup "
+    "shuffle shape: per-doc signatures are map-only, and the single "
+    "groupBy moves 16-byte band signatures — never shingles or text.",
 )
 def q_dedup_minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = MINHASH_P
     d = load_table(spark, sf_dir, "documents")
     toks = F.split(F.col("text"), " ")
     d = d.where(F.size(toks) >= 3)
@@ -326,19 +350,37 @@ def q_dedup_minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at(toks, i + 2),
     )
     idx = F.sequence(F.lit(1), F.size(toks) - 2)
+    # one md5 per shingle, then two 48-bit halves as the hash-family seed
+    mds = d.select(
+        "doc_id", F.transform(idx, lambda i: F.md5(shingle(i))).alias("mds")
+    )
+    hx = lambda m, start: (  # noqa: E731
+        F.conv(F.substring(m, start, 12), 16, 10).cast("long") % p
+    )
+    hh = mds.select(
+        "doc_id",
+        F.transform(F.col("mds"), lambda m: hx(m, 1)).alias("h1"),
+        F.transform(F.col("mds"), lambda m: hx(m, 13)).alias("h2"),
+    )
     mh = [
         F.array_min(
-            F.transform(idx, lambda i: F.md5(F.concat(F.lit(f"{h}|"), shingle(i))))
+            F.zip_with(
+                F.col("h1"), F.col("h2"), lambda a, b: (a + F.lit(h) * b) % p
+            )
         ).alias(f"m{h}")
         for h in range(N_MINHASH)
     ]
-    sigs = d.select("doc_id", *mh)
+    sigs = hh.select("doc_id", *mh)
     band_structs = [
         F.struct(
             F.lit(b).alias("band_idx"),
             F.md5(
                 F.concat_ws(
-                    "|", *[F.col(f"m{b * BAND_SIZE + j}") for j in range(BAND_SIZE)]
+                    "|",
+                    *[
+                        F.col(f"m{b * BAND_SIZE + j}").cast("string")
+                        for j in range(BAND_SIZE)
+                    ],
                 )
             ).alias("band_sig"),
         )
