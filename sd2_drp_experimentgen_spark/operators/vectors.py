@@ -552,21 +552,36 @@ def _sql_srp_bucket() -> str:
     "independent scheme that needs no training pass.",
 )
 def q_ann_srp_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load_table(spark, sf_dir, "embeddings")
-    _, q = _quant_cols()
-    zero = F.lit(0).cast("long")
-    bucket = None
-    for j, signs in enumerate(_srp_signs()):
-        signs_lit = F.array(*[F.lit(s).cast("long") for s in signs])
-        proj = F.aggregate(
-            F.zip_with(q, signs_lit, lambda a, b: a * b), zero, lambda a, v: a + v
-        )
-        bit = F.when(proj > 0, F.lit(1 << j)).otherwise(F.lit(0))
-        bucket = bit if bucket is None else bucket + bit
-    return (
-        e.select("vec_id", bucket.cast("int").alias("srp_bucket"))
-        .groupBy("srp_bucket")
-        .agg(F.count(F.lit(1)).alias("n_vecs"), F.min("vec_id").alias("min_vec_id"))
+    import numpy as np
+
+    # Arrow-batched numpy path per the module doctrine (interpreted
+    # per-element HOFs cost ~10x here): float64 quantization uses the
+    # exact IEEE expression the oracle evaluates — (x/scale)*127 + 0.5
+    # elementwise, floor — so the int64 matmul against the ±1
+    # hyperplanes is bit-identical to the SQL construction.
+    signs = np.array(_srp_signs(), dtype=np.int64)  # (SRP_BITS, EMB_DIM)
+    weights = 1 << np.arange(SRP_BITS, dtype=np.int64)
+
+    def bucketize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            mat = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+            scale = np.abs(mat).max(axis=1)
+            q = np.floor((mat / scale[:, None]) * 127 + 0.5).astype(np.int64)
+            bits = (q @ signs.T) > 0
+            bucket = (bits.astype(np.int64) * weights).sum(axis=1)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "srp_bucket": bucket.astype(np.int32),
+                }
+            )
+
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    per = e.mapInPandas(bucketize, schema="vec_id long, srp_bucket int")
+    return per.groupBy("srp_bucket").agg(
+        F.count(F.lit(1)).alias("n_vecs"), F.min("vec_id").alias("min_vec_id")
     )
 
 
