@@ -522,3 +522,153 @@ def q_text_ngram_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") <= 10)
         .select("lang", "gram", "n")
     )
+
+
+@register(
+    "q_dedup_lsh_refine",
+    oracle=f"""
+    WITH sh AS (
+      SELECT doc_id,
+             list_transform(generate_series(1, len(string_split(text, ' ')) - 2),
+                            i -> md5(string_split(text, ' ')[i] || ' '
+                                     || string_split(text, ' ')[i + 1] || ' '
+                                     || string_split(text, ' ')[i + 2])) AS mds
+      FROM documents
+      WHERE len(string_split(text, ' ')) >= 3
+    ),
+    hh AS (
+      SELECT doc_id,
+             list_transform(mds,
+               m -> CAST('0x' || substr(m, 1, 12) AS BIGINT) % {MINHASH_P}) AS h1,
+             list_transform(mds,
+               m -> CAST('0x' || substr(m, 13, 12) AS BIGINT) % {MINHASH_P}) AS h2
+      FROM sh
+    ),
+    mh AS (
+      SELECT doc_id,
+             {", ".join(
+                 f"list_aggregate(list_transform(generate_series(1, len(h1)), "
+                 f"j -> (h1[j] + {h} * h2[j]) % {MINHASH_P}), 'min') AS m{h}"
+                 for h in range(N_MINHASH))}
+      FROM hh
+    ),
+    bands AS (
+      {" UNION ALL ".join(
+          "SELECT doc_id, md5(" + " || '|' || ".join(
+              f"CAST(m{b * BAND_SIZE + j} AS VARCHAR)" for j in range(BAND_SIZE)
+          ) + f") AS band_sig, {b} AS band_idx FROM mh"
+          for b in range(N_MINHASH // BAND_SIZE))}
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_lo, b.doc_id AS doc_hi
+      FROM bands a JOIN bands b
+        ON a.band_idx = b.band_idx AND a.band_sig = b.band_sig
+       AND a.doc_id < b.doc_id
+    ),
+    toks AS (
+      SELECT doc_id, list_distinct(string_split(text, ' ')) AS t
+      FROM documents
+    )
+    SELECT doc_lo, doc_hi,
+           {sql_r('''len(list_filter(ta.t, x -> list_contains(tb.t, x))) * 1.0
+             / (len(ta.t) + len(tb.t)
+                - len(list_filter(ta.t, x -> list_contains(tb.t, x))))''')}
+             AS jaccard
+    FROM cand
+    JOIN toks ta ON ta.doc_id = doc_lo
+    JOIN toks tb ON tb.doc_id = doc_hi
+    WHERE len(list_filter(ta.t, x -> list_contains(tb.t, x))) * 3
+          >= len(ta.t) + len(tb.t)
+    """,
+    tier="P1",
+    doc="The complete LSH dedup pipeline composed end-to-end: banded-"
+    "MinHash candidate buckets -> distinct candidate pairs (equal-"
+    "band self-join — the only join, on 16-byte signatures) -> exact "
+    "Jaccard refine computed ONLY for candidates -> near-dup pairs at "
+    "J >= 0.5. This is the production shape: the quadratic all-pairs "
+    "comparison never happens; exact similarity is paid solely inside "
+    "LSH buckets. Integer set sizes + one float divide — hash-exact.",
+)
+def q_dedup_lsh_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.helpers import r4
+
+    p = MINHASH_P
+    d = load_table(spark, sf_dir, "documents")
+    toks_all = F.split(F.col("text"), " ")
+    dd = d.where(F.size(toks_all) >= 3)
+    shingle = lambda i: F.concat_ws(  # noqa: E731
+        " ",
+        F.element_at(toks_all, i),
+        F.element_at(toks_all, i + 1),
+        F.element_at(toks_all, i + 2),
+    )
+    idx = F.sequence(F.lit(1), F.size(toks_all) - 2)
+    mds = dd.select(
+        "doc_id", F.transform(idx, lambda i: F.md5(shingle(i))).alias("mds")
+    )
+    hx = lambda m, start: (  # noqa: E731
+        F.conv(F.substring(m, start, 12), 16, 10).cast("long") % p
+    )
+    hh = mds.select(
+        "doc_id",
+        F.transform(F.col("mds"), lambda m: hx(m, 1)).alias("h1"),
+        F.transform(F.col("mds"), lambda m: hx(m, 13)).alias("h2"),
+    )
+    mh = [
+        F.array_min(
+            F.zip_with(
+                F.col("h1"), F.col("h2"), lambda a, b: (a + F.lit(h) * b) % p
+            )
+        ).alias(f"m{h}")
+        for h in range(N_MINHASH)
+    ]
+    sigs = hh.select("doc_id", *mh)
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band_idx"),
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    *[
+                        F.col(f"m{b * BAND_SIZE + j}").cast("string")
+                        for j in range(BAND_SIZE)
+                    ],
+                )
+            ).alias("band_sig"),
+        )
+        for b in range(N_MINHASH // BAND_SIZE)
+    ]
+    bands = sigs.select(
+        "doc_id", F.explode(F.array(*band_structs)).alias("band")
+    ).select("doc_id", "band.band_idx", "band.band_sig")
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_sig") == F.col("b.band_sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_lo"), F.col("b.doc_id").alias("doc_hi")
+        )
+        .distinct()
+    )
+    toks = d.select(
+        "doc_id", F.array_distinct(F.split(F.col("text"), " ")).alias("t")
+    )
+    ta = toks.alias("ta")
+    tb = toks.alias("tb")
+    joined = cand.join(ta, F.col("ta.doc_id") == F.col("doc_lo")).join(
+        tb, F.col("tb.doc_id") == F.col("doc_hi")
+    )
+    inter = F.size(F.array_intersect(F.col("ta.t"), F.col("tb.t")))
+    union = F.size(F.col("ta.t")) + F.size(F.col("tb.t")) - inter
+    return joined.where(
+        inter * 3 >= F.size(F.col("ta.t")) + F.size(F.col("tb.t"))
+    ).select(
+        "doc_lo",
+        "doc_hi",
+        r4(inter * F.lit(1.0) / union).alias("jaccard"),
+    )

