@@ -471,3 +471,60 @@ def q_sink_python_ds(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "part-*.psv")
         .csv(path)
     )
+
+
+@register(
+    "q_source_xml_roundtrip",
+    oracle="""
+    SELECT s_nationkey,
+           CAST(count(*) AS BIGINT) AS n_suppliers,
+           min(s_name) AS first_supplier
+    FROM supplier
+    GROUP BY s_nationkey
+    """,
+    tier="P1",
+    doc="XML sink + source round-trip (Spark 4 ships the XML connector "
+    "built-in): write supplier to XML with explicit row/root tags, "
+    "read back with an EXPLICIT schema (engine policy: never infer), "
+    "aggregate per nation. Covers the remaining instrument/LIMS "
+    "interchange format next to CSV/JSON/parquet/ORC/binary — robot "
+    "and instrument vendors still speak XML. The oracle hashes the "
+    "post-roundtrip relation, so lossless round-tripping is what "
+    "passes.",
+)
+def q_source_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    path = _scratch(sf_dir, "xml_supplier")
+    s = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey"
+    )
+    (
+        s.write.mode("overwrite")
+        .format("xml")
+        .option("rootTag", "suppliers")
+        .option("rowTag", "supplier")
+        .save(path)
+    )
+    schema = StructType(
+        [
+            StructField("s_suppkey", LongType(), True),
+            StructField("s_name", StringType(), True),
+            StructField("s_nationkey", LongType(), True),
+        ]
+    )
+    back = (
+        spark.read.schema(schema)
+        .format("xml")
+        .option("rowTag", "supplier")
+        .load(path)
+    )
+    return back.groupBy("s_nationkey").agg(
+        F.count(F.lit(1)).alias("n_suppliers"),
+        F.min("s_name").alias("first_supplier"),
+    )

@@ -152,6 +152,7 @@ _NEW_THIS_ROUND = frozenset(
         "q_source_schema_evolution",
         "q_sink_python_ds",
         "q_dedup_lsh_refine",
+        "q_source_xml_roundtrip",
     }
 )
 
