@@ -428,3 +428,81 @@ def q_histogram_fixed_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
             r4(F.max(x)).alias("bin_max"),
         )
     )
+
+
+@register(
+    "q_split_train_val_test",
+    oracle=f"""
+    SELECT CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cc'
+                THEN 'train'
+                WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6'
+                THEN 'val' ELSE 'test' END AS split,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+           CAST(min(doc_id) AS BIGINT) AS min_doc,
+           CAST(max(doc_id) AS BIGINT) AS max_doc
+    FROM documents
+    GROUP BY 1
+    """,
+    tier="P1",
+    doc="Deterministic train/val/test corpus split (~80/10/10) by md5 "
+    "prefix of the stable document id — the canonical ML dataset "
+    "split: reproducible on any engine, any partitioning, any re-run, "
+    "and stable under corpus growth (a document never changes split "
+    "when new data arrives — rand() splits reshuffle everything). "
+    "Map-only; emits per-split integrity counts/checksums.",
+)
+def q_split_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    prefix = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    split = (
+        F.when(prefix < "cc", "train").when(prefix < "e6", "val").otherwise("test")
+    )
+    return d.groupBy(split.alias("split")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.min("doc_id").alias("min_doc"),
+        F.max("doc_id").alias("max_doc"),
+    )
+
+
+SAMPLE_W_MAX = 600000.0  # fixture o_totalprice upper bound
+TWO_POW_48 = 281474976710656.0
+
+
+@register(
+    "q_sample_weighted",
+    oracle=f"""
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_sampled,
+           {sql_r('sum(o_totalprice)')} AS sum_price
+    FROM orders
+    WHERE CAST('0x' || substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 12)
+               AS BIGINT)
+          < (o_totalprice / {SAMPLE_W_MAX}) * {TWO_POW_48}
+    GROUP BY o_orderpriority
+    """,
+    tier="P1",
+    doc="Weight-proportional Bernoulli sampling: row i is kept with "
+    "probability w_i/w_max by comparing a 48-bit md5-derived uniform "
+    "against the scaled weight — the quality-weighted corpus-mixing "
+    "primitive (upsample high-value rows) in fully deterministic "
+    "form: the uniform comes from the row's stable key, so the "
+    "sample is reproducible across engines, partitionings, and "
+    "re-runs. The two float ops are evaluated in the same IEEE order "
+    "in both engines, so the comparison is bit-identical. Map-only.",
+)
+def q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    u48 = F.conv(
+        F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 12), 16, 10
+    ).cast("long")
+    thresh = (F.col("o_totalprice") / F.lit(SAMPLE_W_MAX)) * F.lit(TWO_POW_48)
+    return (
+        o.where(u48 < thresh)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            _round_halfup(F.sum("o_totalprice"), 4).alias("sum_price"),
+        )
+    )

@@ -153,6 +153,8 @@ _NEW_THIS_ROUND = frozenset(
         "q_sink_python_ds",
         "q_dedup_lsh_refine",
         "q_source_xml_roundtrip",
+        "q_split_train_val_test",
+        "q_sample_weighted",
     }
 )
 

@@ -357,3 +357,44 @@ def test_lsh_refine_pairs_match_python_jaccard(spark):
             # identical SETS always refine to J=1; they must be present
             # unless banding missed them — impossible for identical sets
             assert pairs.get((lo, hi), 1.0) == 1.0
+
+
+def test_split_ratios_and_stability(spark):
+    """Split fractions land near 80/10/10, partition the corpus, and a
+    document's split assignment is a pure function of doc_id (re-run
+    identical)."""
+    fn = all_specs()["q_split_train_val_test"].fn
+    a = {r["split"]: r for r in fn(spark, SF_T1).collect()}
+    b = {r["split"]: r for r in fn(spark, SF_T1).collect()}
+    assert {k: tuple(v) for k, v in a.items()} == {
+        k: tuple(v) for k, v in b.items()
+    }
+    total = sum(r["n_docs"] for r in a.values())
+    assert set(a) == {"train", "val", "test"}
+    assert 0.70 <= a["train"]["n_docs"] / total <= 0.90
+    assert 0.04 <= a["val"]["n_docs"] / total <= 0.16
+    assert 0.04 <= a["test"]["n_docs"] / total <= 0.16
+
+
+def test_weighted_sample_prefers_heavy_rows(spark):
+    """Weight-proportional sampling must keep expensive orders at a
+    visibly higher rate than cheap ones."""
+    from pyspark.sql import functions as F
+
+    from sd2_drp_experimentgen_spark.sources.tables import load_table
+
+    o = load_table(spark, SF_T1, "orders")
+    sampled = sum(
+        r["n_sampled"]
+        for r in all_specs()["q_sample_weighted"].fn(spark, SF_T1).collect()
+    )
+    total = o.count()
+    mean_w = o.agg(F.avg("o_totalprice")).collect()[0][0]
+    expect = total * mean_w / 600000.0
+    assert 0.7 * expect <= sampled <= 1.3 * expect
+    # sampled mean price must exceed the population mean (heavy bias)
+    sum_price = sum(
+        r["sum_price"]
+        for r in all_specs()["q_sample_weighted"].fn(spark, SF_T1).collect()
+    )
+    assert sum_price / sampled > mean_w
