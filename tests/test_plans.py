@@ -191,3 +191,40 @@ def test_scd2_windows_share_one_sort(spark):
     p = plan(all_specs()["q_scd2_dimension"].fn(spark, SF_T2), "simple")
     assert p.count("Exchange") == 1, p
     assert p.count("Window") >= 2, p
+
+
+def test_runtime_bloom_filter_injects_on_selective_join(spark):
+    """Spark's runtime row-level bloom filter: a selective dimension
+    filter spawns a bloom_filter_agg on the creation side and a
+    might_contain probe pushed into the big side's scan — the runtime
+    semi-join reduction that saves most of the fact-table shuffle at
+    100 TB. Locally the 10 GB application-side threshold can't be met,
+    so the test lowers it to prove the optimizer path end-to-end; on a
+    real deployment the defaults fire exactly here."""
+    from pyspark.sql import functions as F
+
+    from conftest import SF_T2
+
+    s = spark.newSession()
+    for k, v in {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter."
+        "applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }.items():
+        s.conf.set(k, v)
+    o = s.read.parquet(f"{SF_T2}/orders.parquet").where(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    li = s.read.parquet(f"{SF_T2}/lineitem.parquet")
+    j = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderpriority")
+        .count()
+    )
+    p = plan(j, "simple")
+    assert "bloom_filter_agg" in p, p
+    assert "might_contain" in p, p
+    # and the result is still correct
+    rows = j.collect()
+    assert len(rows) == 1 and rows[0]["o_orderpriority"] == "1-URGENT"
