@@ -672,3 +672,63 @@ def q_dedup_lsh_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_hi",
         r4(inter * F.lit(1.0) / union).alias("jaccard"),
     )
+
+
+PACK_BUDGET = 2048  # tokens per packed training sequence
+
+
+@register(
+    "q_pack_sequences",
+    oracle=f"""
+    WITH sized AS (
+      SELECT doc_id, lang,
+             len(string_split(text, ' ')) AS n_tokens,
+             sum(len(string_split(text, ' '))) OVER (
+               PARTITION BY lang ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS cum
+      FROM documents
+    )
+    SELECT lang,
+           CAST((cum - n_tokens) // {PACK_BUDGET} AS BIGINT) AS seq_id,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+           CAST(min(doc_id) AS BIGINT) AS first_doc
+    FROM sized
+    GROUP BY lang, (cum - n_tokens) // {PACK_BUDGET}
+    """,
+    tier="P1",
+    doc="Training-sequence packing: documents are packed into fixed "
+    f"{PACK_BUDGET}-token sequences by contiguous fill — each doc's "
+    "sequence is the running token offset (window cumsum over the "
+    "stable doc_id order, per language) divided by the budget. The "
+    "batch-construction step between a cleaned corpus and the "
+    "trainer: pure integer arithmetic, one window + one groupBy on "
+    "the same partition key (a single shuffle), deterministic on any "
+    "engine. Greedy bin-packing variants change only the ordering "
+    "column; the offset-division shape is what scales.",
+)
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    n_tok = F.size(F.split(F.col("text"), " "))
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    sized = d.select(
+        "doc_id",
+        "lang",
+        n_tok.alias("n_tokens"),
+        F.sum(n_tok).over(w).alias("cum"),
+    )
+    seq = ((F.col("cum") - F.col("n_tokens")) / F.lit(PACK_BUDGET)).cast(
+        "long"
+    )
+    return sized.groupBy("lang", seq.alias("seq_id")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("sum_tokens"),
+        F.min("doc_id").alias("first_doc"),
+    )

@@ -155,6 +155,7 @@ _NEW_THIS_ROUND = frozenset(
         "q_source_xml_roundtrip",
         "q_split_train_val_test",
         "q_sample_weighted",
+        "q_pack_sequences",
     }
 )
 

@@ -398,3 +398,34 @@ def test_weighted_sample_prefers_heavy_rows(spark):
         for r in all_specs()["q_sample_weighted"].fn(spark, SF_T1).collect()
     )
     assert sum_price / sampled > mean_w
+
+
+def test_pack_sequences_conserves_tokens_and_fills(spark):
+    """Packing must conserve the total token count, keep every
+    non-final sequence at or above the budget boundary semantics
+    (a sequence closes only once the running offset crosses the
+    budget), and assign contiguous seq_ids per language."""
+    from pyspark.sql import functions as F
+
+    from sd2_drp_experimentgen_spark.operators.llmtext import PACK_BUDGET
+    from sd2_drp_experimentgen_spark.sources.tables import load_table
+
+    rows = all_specs()["q_pack_sequences"].fn(spark, SF_T1).collect()
+    d = load_table(spark, SF_T1, "documents")
+    total = d.select(F.sum(F.size(F.split("text", " "))).alias("t")).collect()[
+        0
+    ]["t"]
+    assert sum(r["sum_tokens"] for r in rows) == total
+    by_lang: dict = {}
+    for r in rows:
+        by_lang.setdefault(r["lang"], []).append(r)
+    for lang, seqs in by_lang.items():
+        ids = sorted(r["seq_id"] for r in seqs)
+        assert ids == list(range(len(ids))), lang  # contiguous from 0
+        # every sequence except the last carries the packing boundary:
+        # its docs span at least to the next budget multiple
+        seqs.sort(key=lambda r: r["seq_id"])
+        running = 0
+        for r in seqs[:-1]:
+            running += r["sum_tokens"]
+            assert running >= (r["seq_id"] + 1) * PACK_BUDGET
