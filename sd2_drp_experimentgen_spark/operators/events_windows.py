@@ -516,3 +516,57 @@ def q_interval_sweepline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return swept.groupBy("user_id").agg(
         F.max("live").cast("long").alias("max_concurrent")
     )
+
+
+@register(
+    "q_event_attribution",
+    oracle=f"""
+    WITH tagged AS (
+      SELECT user_id, event_type, value, ts, event_id,
+             last_value(CASE WHEN event_type <> 'purchase'
+                             THEN event_type END IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ) AS touch
+      FROM events
+    )
+    SELECT coalesce(touch, 'none') AS touch,
+           CAST(count(*) AS BIGINT) AS n_purchases,
+           {sql_r('sum(value)')} AS attributed_value
+    FROM tagged
+    WHERE event_type = 'purchase'
+    GROUP BY 1
+    """,
+    tier="P1",
+    doc="Last-touch attribution: each purchase credits the user's most "
+    "recent PRECEDING non-purchase event (ignore-nulls last_value over "
+    "a trailing frame — the single-table carry-forward shape, same "
+    "machinery as the as-of join but without a second relation). "
+    "Purchases with no prior touch fall to 'none'. One per-user "
+    "window then a tiny groupBy — a single shuffle; the "
+    "marketing/conversion-credit primitive.",
+)
+def q_event_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_events(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touch = F.last(
+        F.when(F.col("event_type") != "purchase", F.col("event_type")),
+        ignorenulls=True,
+    ).over(w)
+    tagged = ev.select(
+        "user_id", "event_type", "value", touch.alias("touch")
+    )
+    return (
+        tagged.where(F.col("event_type") == "purchase")
+        .groupBy(F.coalesce(F.col("touch"), F.lit("none")).alias("touch"))
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            r4(F.sum("value")).alias("attributed_value"),
+        )
+    )

@@ -156,6 +156,7 @@ _NEW_THIS_ROUND = frozenset(
         "q_split_train_val_test",
         "q_sample_weighted",
         "q_pack_sequences",
+        "q_event_attribution",
     }
 )
 

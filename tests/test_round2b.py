@@ -429,3 +429,16 @@ def test_pack_sequences_conserves_tokens_and_fills(spark):
         for r in seqs[:-1]:
             running += r["sum_tokens"]
             assert running >= (r["seq_id"] + 1) * PACK_BUDGET
+
+
+def test_attribution_totals_match_purchases(spark):
+    from pyspark.sql import functions as F
+
+    from sd2_drp_experimentgen_spark.sources.tables import load_events
+
+    rows = all_specs()["q_event_attribution"].fn(spark, SF_T1).collect()
+    ev = load_events(spark, SF_T1)
+    n_purch = ev.where(F.col("event_type") == "purchase").count()
+    assert sum(r["n_purchases"] for r in rows) == n_purch
+    touches = {r["touch"] for r in rows}
+    assert "purchase" not in touches  # purchases never credit purchases
