@@ -442,3 +442,25 @@ def test_attribution_totals_match_purchases(spark):
     assert sum(r["n_purchases"] for r in rows) == n_purch
     touches = {r["touch"] for r in rows}
     assert "purchase" not in touches  # purchases never credit purchases
+
+
+def test_sink_operators_are_idempotent(spark):
+    """Every file-sink round-trip operator must yield identical results
+    when run twice — overwrite semantics, no leftover-state leakage
+    between runs (the re-run safety a scheduled pipeline needs)."""
+    sink_ops = [
+        "q_source_csv_roundtrip",
+        "q_source_orc_roundtrip",
+        "q_source_xml_roundtrip",
+        "q_sink_pivot_wide",
+        "q_sink_python_ds",
+        "q_maint_compact_files",
+        "q_layout_zorder",
+        "q_source_binaryfile",
+    ]
+    specs = all_specs()
+    for name in sink_ops:
+        a = sorted(tuple(r) for r in specs[name].fn(spark, SF_T1).collect())
+        b = sorted(tuple(r) for r in specs[name].fn(spark, SF_T1).collect())
+        assert a == b, name
+        assert a, name
