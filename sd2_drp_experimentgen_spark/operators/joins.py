@@ -568,3 +568,54 @@ def q_sql_pivot_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         """
     )
+
+
+@register(
+    "q_join_null_safe",
+    oracle="""
+    WITH keyed AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 7 = 0 THEN NULL
+                  ELSE o_custkey % 100 END AS bucket
+      FROM orders
+    ),
+    dim AS (
+      SELECT CASE WHEN g = 100 THEN NULL ELSE g END AS bucket,
+             CASE WHEN g = 100 THEN 'unknown'
+                  ELSE 'b' || CAST(g AS VARCHAR) END AS label
+      FROM (SELECT unnest(generate_series(0, 100)) AS g)
+    )
+    SELECT label,
+           CAST(count(*) AS BIGINT) AS n_orders
+    FROM keyed JOIN dim ON keyed.bucket IS NOT DISTINCT FROM dim.bucket
+    GROUP BY label
+    """,
+    tier="P1",
+    doc="Null-safe equality join (<=> / IS NOT DISTINCT FROM): NULL "
+    "bucket keys — the 'uncategorized' rows every dimensional model "
+    "accumulates — match the dimension's NULL row instead of silently "
+    "dropping out of an inner join. Spark plans eqNullSafe as an "
+    "ordinary hash join (NULL hashes like any value under null-safe "
+    "semantics), so there is no outer-join-plus-coalesce detour and "
+    "the dimension side still broadcasts.",
+)
+def q_join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    keyed = o.select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 7 == 0, None)
+        .otherwise(F.col("o_custkey") % 100)
+        .alias("bucket"),
+    )
+    g = spark.range(0, 101).toDF("g")
+    dim = g.select(
+        F.when(F.col("g") == 100, None).otherwise(F.col("g")).alias("bucket"),
+        F.when(F.col("g") == 100, "unknown")
+        .otherwise(F.concat(F.lit("b"), F.col("g").cast("string")))
+        .alias("label"),
+    )
+    return (
+        keyed.join(F.broadcast(dim), keyed.bucket.eqNullSafe(dim.bucket))
+        .groupBy("label")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )

@@ -157,6 +157,7 @@ _NEW_THIS_ROUND = frozenset(
         "q_sample_weighted",
         "q_pack_sequences",
         "q_event_attribution",
+        "q_join_null_safe",
     }
 )
 
