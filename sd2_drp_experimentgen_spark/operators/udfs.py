@@ -226,3 +226,30 @@ def q_udf_cogrouped(spark: SparkSession, sf_dir: str) -> DataFrame:
             schema="user_id long, n_events long, n_orders long, n_after_last long",
         )
     )
+
+
+@register(
+    "q_udf_arrow_scalar",
+    oracle=f"""
+    SELECT l_orderkey,
+           l_linenumber,
+           {sql_r('ln(1 + l_extendedprice) * (1 - l_discount)', 6)} AS score
+    FROM lineitem
+    """,
+    tier="P1",
+    doc="Arrow-optimized Python UDF (Spark 4 useArrow=True): the same "
+    "per-row function as q_udf_python_scalar but with Arrow batch "
+    "serialization across the Python-worker boundary instead of "
+    "pickled rows — the drop-in acceleration for existing row UDFs "
+    "that can't be rewritten as pandas_udfs. Completes the UDF "
+    "execution matrix: row-pickled, row-Arrow, pandas-vectorized, "
+    "pandas grouped-agg, UDTF, cogrouped-map.",
+)
+def q_udf_arrow_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    score_udf = F.udf(_score, DoubleType(), useArrow=True)
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        score_udf(F.col("l_extendedprice"), F.col("l_discount")).alias("score"),
+    )

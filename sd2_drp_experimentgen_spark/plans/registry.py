@@ -158,6 +158,7 @@ _NEW_THIS_ROUND = frozenset(
         "q_pack_sequences",
         "q_event_attribution",
         "q_join_null_safe",
+        "q_udf_arrow_scalar",
     }
 )
 
