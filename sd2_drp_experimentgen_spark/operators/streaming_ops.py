@@ -320,3 +320,19 @@ def q_stream_python_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jobs.stream_static_enrich(spark, _events_dir(sf_dir), sf_dir)
+
+
+@register(
+    "q_stream_ohlc_watermarked",
+    oracle=_oracle_of("q_time_downsample_ohlc"),
+    tier="P1",
+    doc="LIVE streaming twin of the OHLC downsample: per-(user, hour) "
+    "bars from a real watermarked Structured Streaming run, open/"
+    "close selected with min_by/max_by over the (ts, event_id) "
+    "tiebreak — the streaming-legal equivalent of the batch "
+    "row_number construction (rank windows don't exist under "
+    "streaming; argmin/argmax aggregates hold one value of state per "
+    "key). Hash-checked against the same batch oracle.",
+)
+def q_stream_ohlc_watermarked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return jobs.ohlc_1h_watermarked(spark, _events_dir(sf_dir))

@@ -159,6 +159,7 @@ _NEW_THIS_ROUND = frozenset(
         "q_event_attribution",
         "q_join_null_safe",
         "q_udf_arrow_scalar",
+        "q_stream_ohlc_watermarked",
     }
 )
 

@@ -349,3 +349,34 @@ def stream_static_enrich(
         r4(F.sum("value")).alias("sum_value"),
     )
     return run_to_memory(agg, "complete")
+
+
+def ohlc_1h_watermarked(spark: SparkSession, events_path: str) -> DataFrame:
+    """Streaming twin of q_time_downsample_ohlc: per-(user, hour) OHLC
+    bars as a watermarked streaming aggregate. Open/close use
+    min_by/max_by with the (ts, event_id) tiebreak struct — the
+    streaming-legal deterministic-selection form of the batch
+    row_number construction (rank windows don't exist in streaming;
+    argmin/argmax aggregates do, and they carry the same one-value
+    state per key)."""
+    ev = stream_events(spark, events_path)
+    key = F.struct(F.col("ts"), F.col("event_id"))
+    agg = (
+        ev.withWatermark("ts", "2 hours")
+        .groupBy(
+            F.window("ts", "1 hour").alias("w"), "user_id"
+        )
+        .agg(
+            r4(F.min_by("value", key)).alias("open"),
+            r4(F.max("value")).alias("high"),
+            r4(F.min("value")).alias("low"),
+            r4(F.max_by("value", key)).alias("close"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").cast("long").alias("hour_start"),
+            "open", "high", "low", "close", "n_events",
+        )
+    )
+    return run_to_memory(agg, "complete")
