@@ -90,3 +90,63 @@ def q_set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _order_keys(spark, sf_dir).subtract(_event_keys(spark, sf_dir))
+
+
+@register(
+    "q_set_intersect_all",
+    oracle="""
+    SELECT key, CAST(count(*) AS BIGINT) AS n
+    FROM (
+      SELECT o_custkey AS key FROM orders
+      INTERSECT ALL
+      SELECT user_id AS key FROM events
+    )
+    GROUP BY key
+    """,
+    tier="P1",
+    doc="INTERSECT ALL (multiset semantics — each key survives "
+    "min(count_left, count_right) times, unlike the distinct "
+    "INTERSECT): Spark's intersectAll maps directly onto the SQL "
+    "standard. Multiplicity is made visible by re-counting the "
+    "surviving rows. One shuffle on the key, count-pair state per "
+    "key — no row explosion.",
+)
+def q_set_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("key")
+    )
+    ev = load_events(spark, sf_dir).select(F.col("user_id").alias("key"))
+    return (
+        o.intersectAll(ev)
+        .groupBy("key")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
+    "q_set_except_all",
+    oracle="""
+    SELECT key, CAST(count(*) AS BIGINT) AS n
+    FROM (
+      SELECT o_custkey AS key FROM orders
+      EXCEPT ALL
+      SELECT user_id AS key FROM events
+    )
+    GROUP BY key
+    """,
+    tier="P1",
+    doc="EXCEPT ALL (multiset semantics — each key survives "
+    "max(0, count_left - count_right) times): Spark's exceptAll. "
+    "The bag-difference reconciliation shape (generated minus "
+    "executed runs, counting repeats).",
+)
+def q_set_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("key")
+    )
+    ev = load_events(spark, sf_dir).select(F.col("user_id").alias("key"))
+    return (
+        o.exceptAll(ev)
+        .groupBy("key")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

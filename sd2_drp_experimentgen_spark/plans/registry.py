@@ -160,6 +160,8 @@ _NEW_THIS_ROUND = frozenset(
         "q_join_null_safe",
         "q_udf_arrow_scalar",
         "q_stream_ohlc_watermarked",
+        "q_set_intersect_all",
+        "q_set_except_all",
     }
 )
 
