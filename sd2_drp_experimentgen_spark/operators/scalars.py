@@ -516,3 +516,52 @@ def q_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(k >= 50, 1).otherwise(0)).alias("n_high"),
         F.max(k).alias("max_k"),
     )
+
+
+@register(
+    "q_gen_date_dim",
+    oracle="""
+    SELECT CAST(d AS DATE) AS d,
+           CAST(year(d) AS INTEGER) AS year,
+           CAST(month(d) AS INTEGER) AS month,
+           CAST(dayofmonth(d) AS INTEGER) AS day,
+           CAST(quarter(d) AS INTEGER) AS quarter,
+           CAST(isodow(d) AS INTEGER) AS iso_dow,
+           CASE WHEN isodow(d) >= 6 THEN 1 ELSE 0 END AS is_weekend,
+           CAST(weekofyear(d) AS INTEGER) AS iso_week
+    FROM (
+      SELECT unnest(generate_series(DATE '1995-01-01', DATE '2001-12-31',
+                                    INTERVAL '1 day')) AS d
+    )
+    """,
+    tier="P1",
+    doc="Calendar/date-dimension generation: the span of the orders "
+    "history densified to one row per day with the standard "
+    "attributes (year/month/day/quarter, ISO weekday and week, "
+    "weekend flag) — the dimension every time-grouped report joins "
+    "against. Generated from sequence()+explode, all derivations are "
+    "JVM date functions; broadcast-sized at any fact scale (a century "
+    "is 36k rows).",
+)
+def q_gen_date_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    days = spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.lit("1995-01-01").cast("date"),
+                F.lit("2001-12-31").cast("date"),
+                F.expr("INTERVAL 1 DAY"),
+            )
+        ).alias("d")
+    )
+    dow = F.dayofweek(F.col("d"))  # Sun=1..Sat=7
+    iso_dow = F.when(dow == 1, 7).otherwise(dow - 1)
+    return days.select(
+        "d",
+        F.year("d").cast("int").alias("year"),
+        F.month("d").cast("int").alias("month"),
+        F.dayofmonth("d").cast("int").alias("day"),
+        F.quarter("d").cast("int").alias("quarter"),
+        iso_dow.cast("int").alias("iso_dow"),
+        F.when(iso_dow >= 6, 1).otherwise(0).alias("is_weekend"),
+        F.weekofyear("d").cast("int").alias("iso_week"),
+    )

@@ -162,6 +162,7 @@ _NEW_THIS_ROUND = frozenset(
         "q_stream_ohlc_watermarked",
         "q_set_intersect_all",
         "q_set_except_all",
+        "q_gen_date_dim",
     }
 )
 
