@@ -619,3 +619,42 @@ def q_join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("label")
         .agg(F.count(F.lit(1)).alias("n_orders"))
     )
+
+
+@register(
+    "q_sql_lateral_topk",
+    oracle=f"""
+    SELECT c_custkey, t.o_orderkey,
+           {sql_r('t.o_totalprice')} AS price
+    FROM customer, LATERAL (
+      SELECT o_orderkey, o_totalprice FROM orders
+      WHERE o_custkey = c_custkey
+      ORDER BY o_totalprice DESC, o_orderkey
+      LIMIT 2
+    ) t
+    WHERE c_mktsegment = 'BUILDING'
+    """,
+    tier="P1",
+    doc="LATERAL correlated derived table (Spark 4 SQL): each BUILDING "
+    "customer joined to its own top-2 orders by price — the per-row "
+    "dependent subquery the optimizer decorrelates into a ranked "
+    "window join (DecorrelateInnerQuery), exercising a planner path "
+    "the equivalent row_number() formulation bypasses. Same result, "
+    "same plan family, different SQL surface.",
+)
+def q_sql_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("v_customer")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("v_orders")
+    return spark.sql(
+        """
+        SELECT c_custkey, t.o_orderkey,
+               floor(t.o_totalprice * 10000 + 0.5) / 10000 AS price
+        FROM v_customer, LATERAL (
+          SELECT o_orderkey, o_totalprice FROM v_orders
+          WHERE o_custkey = c_custkey
+          ORDER BY o_totalprice DESC, o_orderkey
+          LIMIT 2
+        ) t
+        WHERE c_mktsegment = 'BUILDING'
+        """
+    )

@@ -163,6 +163,7 @@ _NEW_THIS_ROUND = frozenset(
         "q_set_intersect_all",
         "q_set_except_all",
         "q_gen_date_dim",
+        "q_sql_lateral_topk",
     }
 )
 
