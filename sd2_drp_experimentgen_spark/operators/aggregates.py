@@ -606,3 +606,35 @@ def q_agg_hll_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merged.join(exact, "event_type").select(
         "event_type", "est_users", "exact_users", "max_day_exact"
     )
+
+
+@register(
+    "q_agg_listagg",
+    oracle="""
+    SELECT r_name,
+           string_agg(n_name, ',' ORDER BY n_name) AS nations
+    FROM nation JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name
+    """,
+    tier="P1",
+    doc="Ordered string aggregation (Spark 4 listagg WITHIN GROUP "
+    "(ORDER BY ...) — the SQL:2016 surface; DuckDB twin is "
+    "string_agg with ORDER BY): nation names per region as one "
+    "deterministic comma string. The explicit WITHIN GROUP order is "
+    "what makes concatenation partitioning-independent — unordered "
+    "listagg/string_agg output is engine- and shuffle-dependent.",
+)
+def q_agg_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey).createOrReplaceTempView(
+        "v_nation_region"
+    )
+    return spark.sql(
+        """
+        SELECT r_name,
+               listagg(n_name, ',') WITHIN GROUP (ORDER BY n_name) AS nations
+        FROM v_nation_region
+        GROUP BY r_name
+        """
+    )

@@ -565,3 +565,42 @@ def q_gen_date_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(iso_dow >= 6, 1).otherwise(0).alias("is_weekend"),
         F.weekofyear("d").cast("int").alias("iso_week"),
     )
+
+
+@register(
+    "q_explode_outer_nulls",
+    oracle="""
+    WITH marked AS (
+      SELECT doc_id,
+             list_filter(string_split(text, ' '),
+                         t -> t IN ('error', 'warn', 'fatal')) AS hits
+      FROM documents
+    )
+    SELECT doc_id, token, CAST(n_hits AS INTEGER) AS n_hits
+    FROM (
+      SELECT doc_id,
+             unnest(CASE WHEN len(hits) = 0 THEN [NULL] ELSE hits END)
+               AS token,
+             len(hits) AS n_hits
+      FROM marked
+    )
+    """,
+    tier="P1",
+    doc="explode_outer semantics: documents with NO marker tokens "
+    "survive as a single NULL row instead of vanishing — the "
+    "LEFT-JOIN-shaped explode every per-document fan-out needs when "
+    "downstream counts must cover the whole corpus (plain explode "
+    "silently drops empty arrays and corrupts denominators).",
+)
+def q_explode_outer_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    markers = F.array(F.lit("error"), F.lit("warn"), F.lit("fatal"))
+    hits = F.filter(
+        F.split(F.col("text"), " "), lambda t: F.array_contains(markers, t)
+    )
+    marked = d.select("doc_id", hits.alias("hits"))
+    return marked.select(
+        "doc_id",
+        F.explode_outer(F.col("hits")).alias("token"),
+        F.size("hits").cast("int").alias("n_hits"),
+    )

@@ -164,6 +164,8 @@ _NEW_THIS_ROUND = frozenset(
         "q_set_except_all",
         "q_gen_date_dim",
         "q_sql_lateral_topk",
+        "q_agg_listagg",
+        "q_explode_outer_nulls",
     }
 )
 
