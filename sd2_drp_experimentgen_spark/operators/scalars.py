@@ -604,3 +604,78 @@ def q_explode_outer_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode_outer(F.col("hits")).alias("token"),
         F.size("hits").cast("int").alias("n_hits"),
     )
+
+
+@register(
+    "q_try_functions",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_orderkey % 5 = 0 THEN NULL
+                ELSE CAST(floor(o_totalprice / (o_orderkey % 5)) AS BIGINT)
+           END AS safe_div,
+           TRY_CAST(substr(o_orderpriority, 1, 1) AS BIGINT) AS prio_num,
+           TRY_CAST(o_orderpriority AS BIGINT) AS bad_cast
+    FROM orders
+    """,
+    tier="P1",
+    doc="Error-safe ANSI arithmetic: try_divide returns NULL on "
+    "division by zero and try_cast returns NULL on malformed input "
+    "instead of failing the job — the poison-row tolerance a 100 TB "
+    "batch needs (one bad row must not kill a 6-hour job; NULLs are "
+    "countable and quarantineable downstream). Map-only projection.",
+)
+def q_try_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    denom = F.col("o_orderkey") % 5
+    return o.select(
+        "o_orderkey",
+        F.floor(F.try_divide(F.col("o_totalprice"), denom)).cast("long").alias(
+            "safe_div"
+        ),
+        F.substring("o_orderpriority", 1, 1).try_cast("bigint").alias(
+            "prio_num"
+        ),
+        F.col("o_orderpriority").try_cast("bigint").alias("bad_cast"),
+    )
+
+
+@register(
+    "q_union_by_name",
+    oracle="""
+    SELECT source, o_orderkey, total, coalesce(prio, 'n/a') AS prio
+    FROM (
+      SELECT 'open' AS source, o_orderkey, o_totalprice AS total,
+             o_orderpriority AS prio
+      FROM orders WHERE o_orderstatus = 'O'
+      UNION ALL BY NAME
+      SELECT 'done' AS source, o_totalprice AS total, o_orderkey
+      FROM orders WHERE o_orderstatus = 'F'
+    )
+    """,
+    tier="P1",
+    doc="Schema-drift union: unionByName(allowMissingColumns=True) "
+    "aligns by COLUMN NAME, not position, and NULL-fills columns one "
+    "side lacks — how feeds with evolving or reordered schemas merge "
+    "safely (positional unionAll silently mis-binds reordered "
+    "columns). DuckDB twin is UNION ALL BY NAME.",
+)
+def q_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    open_side = o.where(F.col("o_orderstatus") == "O").select(
+        F.lit("open").alias("source"),
+        "o_orderkey",
+        F.col("o_totalprice").alias("total"),
+        F.col("o_orderpriority").alias("prio"),
+    )
+    done_side = o.where(F.col("o_orderstatus") == "F").select(
+        F.lit("done").alias("source"),
+        F.col("o_totalprice").alias("total"),
+        "o_orderkey",
+    )
+    merged = open_side.unionByName(done_side, allowMissingColumns=True)
+    return merged.select(
+        "source",
+        "o_orderkey",
+        "total",
+        F.coalesce(F.col("prio"), F.lit("n/a")).alias("prio"),
+    )

@@ -166,6 +166,8 @@ _NEW_THIS_ROUND = frozenset(
         "q_sql_lateral_topk",
         "q_agg_listagg",
         "q_explode_outer_nulls",
+        "q_try_functions",
+        "q_union_by_name",
     }
 )
 
