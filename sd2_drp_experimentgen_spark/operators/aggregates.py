@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.helpers import r4, sql_r
+from ..functions.helpers import _round_halfup, r4, sql_r
 from ..plans.registry import register
 from ..sources.tables import load_table
 
@@ -637,4 +637,53 @@ def q_agg_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM v_nation_region
         GROUP BY r_name
         """
+    )
+
+
+@register(
+    "q_agg_grouping_id",
+    oracle=f"""
+    SELECT coalesce(status, '(null)') AS status,
+           coalesce(o_orderpriority, '(all)') AS prio,
+           CAST(GROUPING(status) AS INTEGER) AS g_status,
+           CAST(GROUPING(o_orderpriority) AS INTEGER) AS g_prio,
+           count(*) AS n,
+           {sql_r('sum(o_totalprice)')} AS sum_price
+    FROM (
+      SELECT NULLIF(o_orderstatus, 'P') AS status, o_orderpriority,
+             o_totalprice
+      FROM orders
+    )
+    GROUP BY ROLLUP(status, o_orderpriority)
+    """,
+    tier="P1",
+    doc="GROUPING() disambiguation over a rollup whose DATA also "
+    "contains NULL key values (status 'P' is nullified to manufacture "
+    "the collision): without the grouping flags, a data-NULL group "
+    "and a subtotal row are indistinguishable after the usual "
+    "coalesce — the classic rollup-report bug. g_status/g_prio "
+    "separate them exactly.",
+)
+def q_agg_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select(
+        F.nullif(F.col("o_orderstatus"), F.lit("P")).alias("status"),
+        "o_orderpriority",
+        "o_totalprice",
+    )
+    return (
+        o.rollup("status", "o_orderpriority")
+        .agg(
+            F.grouping("status").cast("int").alias("g_status"),
+            F.grouping("o_orderpriority").cast("int").alias("g_prio"),
+            F.count(F.lit(1)).alias("n"),
+            _round_halfup(F.sum("o_totalprice"), 4).alias("sum_price"),
+        )
+        .select(
+            F.coalesce(F.col("status"), F.lit("(null)")).alias("status"),
+            F.coalesce(F.col("o_orderpriority"), F.lit("(all)")).alias("prio"),
+            "g_status",
+            "g_prio",
+            "n",
+            "sum_price",
+        )
     )

@@ -168,6 +168,7 @@ _NEW_THIS_ROUND = frozenset(
         "q_explode_outer_nulls",
         "q_try_functions",
         "q_union_by_name",
+        "q_agg_grouping_id",
     }
 )
 
