@@ -679,3 +679,36 @@ def q_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
         "total",
         F.coalesce(F.col("prio"), F.lit("n/a")).alias("prio"),
     )
+
+
+@register(
+    "q_json_to_struct",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+           CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT)
+                     IS NULL THEN 1 ELSE 0 END AS parse_failed
+    FROM events
+    """,
+    tier="P1",
+    doc="Schema-full JSON parse (from_json with an explicit schema -> "
+    "typed struct, then star-expansion) — the third JSON path beside "
+    "per-field get_json_object (q_json_extract) and VARIANT "
+    "(q_variant_json). Parsing once into a typed struct is the "
+    "columnar-friendly form: downstream projections prune struct "
+    "fields, and malformed documents surface as NULL structs "
+    "(counted here) instead of job failures.",
+)
+def q_json_to_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.tables import load_events
+
+    ev = load_events(spark, sf_dir)
+    parsed = ev.select(
+        "event_id",
+        F.from_json(F.col("props"), "k BIGINT").alias("p"),
+    )
+    return parsed.select(
+        "event_id",
+        F.col("p.k").alias("k"),
+        F.when(F.col("p.k").isNull(), 1).otherwise(0).alias("parse_failed"),
+    )

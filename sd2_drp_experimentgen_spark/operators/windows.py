@@ -286,3 +286,42 @@ def q_agg_mode_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") == 1)
         .select("user_id", F.col("event_type").alias("top_event"), "n")
     )
+
+
+@register(
+    "q_win_rolling_distinct",
+    oracle="""
+    SELECT event_id,
+           CAST(len(list_distinct(types_win)) AS INTEGER) AS distinct_types
+    FROM (
+      SELECT event_id,
+             list(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 5 PRECEDING AND CURRENT ROW
+             ) AS types_win
+      FROM events
+    )
+    """,
+    tier="P1",
+    doc="Rolling distinct count over a window: distinct event types "
+    "within each user's trailing 6 events, via size(collect_set) "
+    "over a rows frame (COUNT(DISTINCT) OVER is unsupported in both "
+    "engines; the set-collect form is the standard workaround and "
+    "bounds per-row state to the frame). The burst-diversity / "
+    "variety-monitoring shape.",
+)
+def q_win_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.tables import load_events
+
+    ev = load_events(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-5, 0)
+    )
+    return ev.select(
+        "event_id",
+        F.size(F.collect_set("event_type").over(w)).cast("int").alias(
+            "distinct_types"
+        ),
+    )

@@ -169,6 +169,8 @@ _NEW_THIS_ROUND = frozenset(
         "q_try_functions",
         "q_union_by_name",
         "q_agg_grouping_id",
+        "q_json_to_struct",
+        "q_win_rolling_distinct",
     }
 )
 
