@@ -732,3 +732,102 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_tokens").alias("sum_tokens"),
         F.min("doc_id").alias("first_doc"),
     )
+
+
+def _sql_split_expr() -> str:
+    return (
+        "CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cc' "
+        "THEN 'train' WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) "
+        "< 'e6' THEN 'val' ELSE 'test' END"
+    )
+
+
+@register(
+    "q_decontaminate_ngrams",
+    oracle=f"""
+    WITH split AS (
+      SELECT doc_id, text, {_sql_split_expr()} AS split
+      FROM documents
+      WHERE len(string_split(text, ' ')) >= 3
+    ),
+    shingled AS (
+      SELECT doc_id, split,
+             unnest(list_distinct(list_transform(
+               generate_series(1, len(string_split(text, ' ')) - 2),
+               i -> md5(string_split(text, ' ')[i] || ' '
+                        || string_split(text, ' ')[i + 1] || ' '
+                        || string_split(text, ' ')[i + 2])))) AS sh
+      FROM split
+    ),
+    train_sh AS (
+      SELECT DISTINCT sh FROM shingled WHERE split = 'train'
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_shingles,
+           CAST(sum(CASE WHEN sh IN (SELECT sh FROM train_sh)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated,
+           {sql_r('''sum(CASE WHEN sh IN (SELECT sh FROM train_sh)
+                         THEN 1 ELSE 0 END) * 1.0 / count(*)''')}
+             AS contamination
+    FROM shingled
+    WHERE split = 'test'
+    GROUP BY doc_id
+    """,
+    tier="P1",
+    doc="Benchmark decontamination: for every TEST document, the "
+    "fraction of its distinct 3-token shingles that also occur "
+    "anywhere in the TRAIN split — the n-gram-overlap pass run before "
+    "any evaluation set is trusted (a test doc whose shingles live in "
+    "the training corpus is leaked). Composes the deterministic md5 "
+    "split with md5 shingle fingerprints: the join is a semi-join on "
+    "16-byte shingle hashes (left_semi marks, never widens), so at "
+    "100 TB the shuffle moves hashes, not text, and the train side "
+    "dedupes to distinct shingles before joining.",
+)
+def q_decontaminate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.helpers import r4
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    d = d.where(F.size(toks) >= 3)
+    prefix = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    split = (
+        F.when(prefix < "cc", "train").when(prefix < "e6", "val").otherwise("test")
+    )
+    shingle = lambda i: F.concat_ws(  # noqa: E731
+        " ",
+        F.element_at(toks, i),
+        F.element_at(toks, i + 1),
+        F.element_at(toks, i + 2),
+    )
+    idx = F.sequence(F.lit(1), F.size(toks) - 2)
+    shingled = d.select(
+        "doc_id",
+        split.alias("split"),
+        F.explode(
+            F.array_distinct(F.transform(idx, lambda i: F.md5(shingle(i))))
+        ).alias("sh"),
+    )
+    train_sh = shingled.where(F.col("split") == "train").select("sh").distinct()
+    test_sh = shingled.where(F.col("split") == "test").select("doc_id", "sh")
+    hit = test_sh.join(train_sh, "sh", "left_semi").groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_contaminated")
+    )
+    per_doc = test_sh.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_shingles")
+    )
+    return (
+        per_doc.join(hit, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_shingles",
+            F.coalesce(F.col("n_contaminated"), F.lit(0)).alias(
+                "n_contaminated"
+            ),
+            r4(
+                F.coalesce(F.col("n_contaminated"), F.lit(0))
+                * F.lit(1.0)
+                / F.col("n_shingles")
+            ).alias("contamination"),
+        )
+    )

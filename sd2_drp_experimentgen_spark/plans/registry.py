@@ -171,6 +171,7 @@ _NEW_THIS_ROUND = frozenset(
         "q_agg_grouping_id",
         "q_json_to_struct",
         "q_win_rolling_distinct",
+        "q_decontaminate_ngrams",
     }
 )
 

