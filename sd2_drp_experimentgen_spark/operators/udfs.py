@@ -253,3 +253,54 @@ def q_udf_arrow_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_linenumber",
         score_udf(F.col("l_extendedprice"), F.col("l_discount")).alias("score"),
     )
+
+
+@register(
+    "q_udf_map_in_arrow",
+    oracle=f"""
+    SELECT vec_id,
+           CAST(len(embedding) AS INTEGER) AS dim,
+           {sql_r('''sqrt(list_sum(list_transform(embedding,
+             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))''')} AS l2_norm
+    FROM embeddings
+    """,
+    tier="P1",
+    doc="mapInArrow — the RecordBatch-level Python API one rung below "
+    "mapInPandas (no pandas conversion at all; the UDF sees raw "
+    "pyarrow batches): per-vector L2 norms computed with numpy over "
+    "the Arrow buffers. Rounds with the oracle's half-up formula; "
+    "the per-row sequential fold matches the SQL list_sum order so "
+    "doubles are bit-identical. Completes the Python execution "
+    "matrix's lowest level.",
+)
+def q_udf_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pyarrow as pa
+
+    def norms(batches):
+        import numpy as np
+
+        for batch in batches:
+            vec_ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
+            embs = batch.column("embedding").to_pylist()
+            out_norm = []
+            out_dim = []
+            for e in embs:
+                arr = np.asarray(e, dtype=np.float64)
+                # sequential left-fold like list_sum/F.aggregate
+                acc = 0.0
+                for v in arr:
+                    acc += v * v
+                s = math.sqrt(acc)
+                out_norm.append(math.floor(s * 1e4 + 0.5) / 1e4)
+                out_dim.append(len(arr))
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(vec_ids, type=pa.int64()),
+                    pa.array(out_dim, type=pa.int32()),
+                    pa.array(out_norm, type=pa.float64()),
+                ],
+                names=["vec_id", "dim", "l2_norm"],
+            )
+
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return e.mapInArrow(norms, schema="vec_id long, dim int, l2_norm double")

@@ -172,6 +172,7 @@ _NEW_THIS_ROUND = frozenset(
         "q_json_to_struct",
         "q_win_rolling_distinct",
         "q_decontaminate_ngrams",
+        "q_udf_map_in_arrow",
     }
 )
 
