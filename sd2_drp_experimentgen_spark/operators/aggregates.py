@@ -687,3 +687,38 @@ def q_agg_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_price",
         )
     )
+
+
+@register(
+    "q_agg_bitmap_distinct",
+    oracle="""
+    SELECT event_type,
+           count(DISTINCT user_id) AS n_users
+    FROM events
+    GROUP BY event_type
+    """,
+    tier="P1",
+    doc="EXACT re-aggregatable distinct via bitmaps (Spark 3.5 bitmap "
+    "functions — the roaring-bitmap warehouse pattern): user ids are "
+    "bucketed with bitmap_bucket_number, each (type, bucket) builds a "
+    "bitmap with bitmap_construct_agg, and per-type totals are "
+    "sum(bitmap_count(bitmap)). Unlike approx sketches the counts are "
+    "exact, and unlike COUNT(DISTINCT) the per-bucket bitmaps are "
+    "storable and re-mergeable (bitmap_or_agg) across days without "
+    "rescanning — the exact complement to q_agg_hll_sketch_merge. "
+    "Hash-checked against plain COUNT(DISTINCT).",
+)
+def q_agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.tables import load_events
+
+    ev = load_events(spark, sf_dir)
+    per_bucket = ev.select(
+        "event_type",
+        F.expr("bitmap_bucket_number(user_id)").alias("bucket"),
+        F.expr("bitmap_bit_position(user_id)").alias("pos"),
+    ).groupBy("event_type", "bucket").agg(
+        F.expr("bitmap_construct_agg(pos)").alias("bm")
+    )
+    return per_bucket.groupBy("event_type").agg(
+        F.sum(F.expr("bitmap_count(bm)")).alias("n_users")
+    )

@@ -173,6 +173,7 @@ _NEW_THIS_ROUND = frozenset(
         "q_win_rolling_distinct",
         "q_decontaminate_ngrams",
         "q_udf_map_in_arrow",
+        "q_agg_bitmap_distinct",
     }
 )
 
