@@ -722,3 +722,37 @@ def q_agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_bucket.groupBy("event_type").agg(
         F.sum(F.expr("bitmap_count(bm)")).alias("n_users")
     )
+
+
+@register(
+    "q_agg_percentile_disc",
+    oracle=f"""
+    SELECT o_orderpriority,
+           {sql_r("quantile_disc(o_totalprice, 0.5)")} AS p50_disc,
+           {sql_r("quantile_disc(o_totalprice, 0.9)")} AS p90_disc,
+           count(*) AS n
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+    tier="P1",
+    doc="percentile_disc WITHIN GROUP — the DISCRETE percentile "
+    "(returns an actual data value by rank selection) next to the "
+    "continuous interpolating percentile already covered "
+    "(q_agg_percentile). Selection never interpolates, so the result "
+    "is a row value and hash-checks exactly even where interpolation "
+    "arithmetic could drift; the SQL:2008 WITHIN GROUP surface.",
+)
+def q_agg_percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("v_orders_pd")
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               floor(percentile_disc(0.5) WITHIN GROUP (ORDER BY o_totalprice)
+                     * 10000 + 0.5) / 10000 AS p50_disc,
+               floor(percentile_disc(0.9) WITHIN GROUP (ORDER BY o_totalprice)
+                     * 10000 + 0.5) / 10000 AS p90_disc,
+               count(*) AS n
+        FROM v_orders_pd
+        GROUP BY o_orderpriority
+        """
+    )

@@ -174,6 +174,7 @@ _NEW_THIS_ROUND = frozenset(
         "q_decontaminate_ngrams",
         "q_udf_map_in_arrow",
         "q_agg_bitmap_distinct",
+        "q_agg_percentile_disc",
     }
 )
 
