@@ -325,3 +325,38 @@ def q_win_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             "distinct_types"
         ),
     )
+
+
+@register(
+    "q_win_range_interval",
+    oracle="""
+    SELECT event_id,
+           CAST(count(*) OVER (
+             PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS n_last_hour
+    FROM events
+    """,
+    tier="P1",
+    doc="Event-time RANGE frame with a calendar interval: each event's "
+    "count of same-user events in the trailing hour — frame membership "
+    "is decided by TIMESTAMP DISTANCE, not row position (a burst of "
+    "100 events in a minute all share ~the same frame; a quiet user's "
+    "frame may hold one row). The rate-limiting / burst-detection "
+    "window shape; rows-frames cannot express it.",
+)
+def q_win_range_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.tables import load_events
+
+    ev = load_events(spark, sf_dir)
+    ev.createOrReplaceTempView("v_events_ri")
+    return spark.sql(
+        """
+        SELECT event_id,
+               count(*) OVER (
+                 PARTITION BY user_id ORDER BY ts
+                 RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW
+               ) AS n_last_hour
+        FROM v_events_ri
+        """
+    )

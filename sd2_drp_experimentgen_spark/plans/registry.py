@@ -175,6 +175,7 @@ _NEW_THIS_ROUND = frozenset(
         "q_udf_map_in_arrow",
         "q_agg_bitmap_distinct",
         "q_agg_percentile_disc",
+        "q_win_range_interval",
     }
 )
 
