@@ -506,3 +506,69 @@ def q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
             _round_halfup(F.sum("o_totalprice"), 4).alias("sum_price"),
         )
     )
+
+
+@register(
+    "q_gen_surrogate_keys",
+    oracle="""
+    SELECT o_orderkey,
+           substr(md5('ord|' || CAST(o_orderkey AS VARCHAR)), 1, 8) || '-'
+           || substr(md5('ord|' || CAST(o_orderkey AS VARCHAR)), 9, 4) || '-'
+           || substr(md5('ord|' || CAST(o_orderkey AS VARCHAR)), 13, 4) || '-'
+           || substr(md5('ord|' || CAST(o_orderkey AS VARCHAR)), 17, 4) || '-'
+           || substr(md5('ord|' || CAST(o_orderkey AS VARCHAR)), 21, 12)
+             AS surrogate_uuid
+    FROM orders
+    """,
+    tier="P2",
+    doc="Deterministic surrogate-key minting: UUID-formatted ids "
+    "derived from md5 of a namespaced natural key (the UUIDv3/v5 "
+    "name-based construction) — unlike monotonically_increasing_id "
+    "or uuid(), the same row always mints the same key on any "
+    "engine, partitioning, or re-run, so incremental loads never "
+    "fork identities. Map-only.",
+)
+def q_gen_surrogate_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    h = F.md5(F.concat(F.lit("ord|"), F.col("o_orderkey").cast("string")))
+    uuid = F.concat_ws(
+        "-",
+        F.substring(h, 1, 8),
+        F.substring(h, 9, 4),
+        F.substring(h, 13, 4),
+        F.substring(h, 17, 4),
+        F.substring(h, 21, 12),
+    )
+    return o.select("o_orderkey", uuid.alias("surrogate_uuid"))
+
+
+@register(
+    "q_agg_regression",
+    oracle=f"""
+    SELECT o_orderpriority,
+           {sql_r('regr_slope(o_totalprice, o_orderkey % 1000)')} AS slope,
+           {sql_r('regr_intercept(o_totalprice, o_orderkey % 1000)')}
+             AS intercept,
+           CAST(regr_count(o_totalprice, o_orderkey % 1000) AS BIGINT)
+             AS n
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+    tier="P2",
+    doc="SQL:2003 regression aggregates (regr_slope/intercept/count): "
+    "per-group least-squares fit computed in one distributed pass "
+    "from the co-moment sums — the trend-extraction aggregate "
+    "(dose-response slope analog) without collecting anything. "
+    "Rounded 4dp on both engines.",
+)
+def q_agg_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.helpers import r4
+
+    o = load_table(spark, sf_dir, "orders")
+    x = (F.col("o_orderkey") % 1000).cast("double")
+    y = F.col("o_totalprice")
+    return o.groupBy("o_orderpriority").agg(
+        r4(F.regr_slope(y, x)).alias("slope"),
+        r4(F.regr_intercept(y, x)).alias("intercept"),
+        F.regr_count(y, x).cast("long").alias("n"),
+    )

@@ -176,6 +176,8 @@ _NEW_THIS_ROUND = frozenset(
         "q_agg_bitmap_distinct",
         "q_agg_percentile_disc",
         "q_win_range_interval",
+        "q_gen_surrogate_keys",
+        "q_agg_regression",
     }
 )
 
