@@ -756,3 +756,69 @@ def q_agg_percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY o_orderpriority
         """
     )
+
+
+@register(
+    "q_agg_count_min_sketch",
+    oracle=None,  # binary sketches have no cross-engine twin; rows-only
+    tier="P2",
+    doc="Count-min sketch heavy-hitter estimation (Spark's built-in "
+    "count_min_sketch aggregate): one CMS per event_type over user_id "
+    "occurrences, built distributed in a single pass; the driver "
+    "collects only the FIVE serialized sketches (the whole point of a "
+    "sketch — per-group state is a few KB regardless of row count) "
+    "and probes them for the three hottest users via the JVM "
+    "CountMinSketch reader. Emits estimate next to exact; CMS "
+    "guarantees estimate >= exact with bounded overshoot — "
+    "pytest-checked. Completes the sketch family: HLL (approx "
+    "distinct, mergeable), bitmap (exact distinct, mergeable), CMS "
+    "(frequency, mergeable).",
+)
+def q_agg_count_min_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.tables import load_events
+
+    ev = load_events(spark, sf_dir)
+    # three hottest users overall (exact, distributed)
+    hot = [
+        r["user_id"]
+        for r in ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("user_id"))
+        .limit(3)
+        .collect()
+    ]
+    sketches = (
+        ev.groupBy("event_type")
+        .agg(
+            F.expr(
+                "count_min_sketch(user_id, 0.001d, 0.99d, 42)"
+            ).alias("cms")
+        )
+        .collect()
+    )
+    exact = {
+        (r["event_type"], r["user_id"]): r["n"]
+        for r in ev.where(F.col("user_id").isin(hot))
+        .groupBy("event_type", "user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    jvm = spark.sparkContext._jvm
+    rows = []
+    for r in sketches:
+        sk = jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(
+            bytes(r["cms"])
+        )
+        for uid in hot:
+            est = sk.estimateCount(int(uid))
+            rows.append(
+                (
+                    r["event_type"],
+                    int(uid),
+                    int(est),
+                    int(exact.get((r["event_type"], uid), 0)),
+                )
+            )
+    return spark.createDataFrame(
+        rows, schema="event_type string, user_id long, est long, exact long"
+    )

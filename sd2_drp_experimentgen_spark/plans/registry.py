@@ -178,6 +178,7 @@ _NEW_THIS_ROUND = frozenset(
         "q_win_range_interval",
         "q_gen_surrogate_keys",
         "q_agg_regression",
+        "q_agg_count_min_sketch",
     }
 )
 

@@ -26,6 +26,9 @@ ALLOWED = {
     ("ml.py", "q_ann_ivf_topk"),
     # pytest-only quality helper, never in a registered query's lineage.
     ("ml.py", "kmeans_quality"),
+    # Collects 5 serialized sketches + 3 hot-user rows — sketches exist
+    # precisely so the driver-side state is KBs regardless of scale.
+    ("aggregates.py", "q_agg_count_min_sketch"),
 }
 
 DRIVER_SINKS = {"collect", "toPandas"}

@@ -504,3 +504,13 @@ def test_decontamination_flags_planted_leak(spark):
         expect = len(sh & train_sh)
         assert rows[did]["n_shingles"] == len(sh)
         assert rows[did]["n_contaminated"] == expect, did
+
+
+def test_count_min_sketch_bounds(spark):
+    """CMS never underestimates, and at eps=0.001 over this fixture the
+    overshoot is tiny."""
+    rows = all_specs()["q_agg_count_min_sketch"].fn(spark, SF_T1).collect()
+    assert rows
+    for r in rows:
+        assert r["est"] >= r["exact"]
+        assert r["est"] <= r["exact"] + 50  # eps * n_events bound
