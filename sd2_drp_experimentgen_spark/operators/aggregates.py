@@ -822,3 +822,30 @@ def q_agg_count_min_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, schema="event_type string, user_id long, est long, exact long"
     )
+
+
+@register(
+    "q_agg_bitwise",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(bit_and(o_orderkey % 4096) AS BIGINT) AS key_and,
+           CAST(bit_or(o_orderkey % 4096) AS BIGINT) AS key_or,
+           CAST(bit_xor(o_orderkey % 4096) AS BIGINT) AS key_xor
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+    tier="P2",
+    doc="Bitwise aggregates (bit_and/bit_or/bit_xor): flag-mask "
+    "rollups — which capability bits are shared by ALL rows of a "
+    "group (and), present in ANY (or), and the xor parity checksum. "
+    "Commutative+associative, so they combine map-side like any sum; "
+    "the permission/feature-flag aggregation shape.",
+)
+def q_agg_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    k = F.col("o_orderkey") % 4096
+    return o.groupBy("o_orderpriority").agg(
+        F.bit_and(k).alias("key_and"),
+        F.bit_or(k).alias("key_or"),
+        F.bit_xor(k).alias("key_xor"),
+    )

@@ -179,6 +179,7 @@ _NEW_THIS_ROUND = frozenset(
         "q_gen_surrogate_keys",
         "q_agg_regression",
         "q_agg_count_min_sketch",
+        "q_agg_bitwise",
     }
 )
 
