@@ -304,3 +304,41 @@ def q_udf_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     return e.mapInArrow(norms, schema="vec_id long, dim int, l2_norm double")
+
+
+@register(
+    "q_pandas_api_groupby",
+    oracle=f"""
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n,
+           {sql_r('sum(o_totalprice)')} AS total,
+           {sql_r('max(o_totalprice)')} AS max_price
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+    tier="P2",
+    doc="Pandas API on Spark (pyspark.pandas): the pandas-syntax "
+    "groupby-agg executed as a distributed Spark plan — the migration "
+    "path for pandas codebases (same idioms, Catalyst underneath, no "
+    "driver materialization; to_spark() hands the lazy frame back to "
+    "the native API). Hash-checked against plain SQL, proving the "
+    "pandas layer computes exactly what the DataFrame API would.",
+)
+def q_pandas_api_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pyspark.pandas as ps
+
+    from ..functions.helpers import _round_halfup
+
+    psdf = ps.read_parquet(f"{sf_dir}/orders.parquet")
+    agg = psdf.groupby("o_orderpriority").agg(
+        n=("o_orderkey", "count"),
+        total=("o_totalprice", "sum"),
+        max_price=("o_totalprice", "max"),
+    )
+    sdf = agg.reset_index().to_spark()
+    return sdf.select(
+        "o_orderpriority",
+        F.col("n").cast("long").alias("n"),
+        _round_halfup(F.col("total"), 4).alias("total"),
+        _round_halfup(F.col("max_price"), 4).alias("max_price"),
+    )
