@@ -228,3 +228,34 @@ def test_runtime_bloom_filter_injects_on_selective_join(spark):
     # and the result is still correct
     rows = j.collect()
     assert len(rows) == 1 and rows[0]["o_orderpriority"] == "1-URGENT"
+
+
+def test_file_metadata_columns_accessible(spark):
+    """The hidden _metadata struct on file sources (file-level lineage:
+    which physical file each row came from) — per-file row counts must
+    sum to the table total, and the column stays hidden from SELECT *."""
+    from pyspark.sql import functions as F
+
+    df = spark.read.parquet(f"{SF_T2}/orders.parquet")
+    assert "_metadata" not in df.columns
+    per_file = (
+        df.select(F.col("_metadata.file_name").alias("f"))
+        .groupBy("f")
+        .count()
+        .collect()
+    )
+    assert per_file and all(r["f"].endswith(".parquet") for r in per_file)
+    assert sum(r["count"] for r in per_file) == df.count()
+
+
+def test_rebalance_hint_plans_aqe_shuffle(spark):
+    """The REBALANCE hint must inject an AQE-rebalanced exchange
+    (RebalancePartitions) — the skew-smoothing pre-write shuffle."""
+    spark.read.parquet(f"{SF_T2}/orders.parquet").createOrReplaceTempView(
+        "v_orders_rb"
+    )
+    df = spark.sql(
+        "SELECT /*+ REBALANCE(o_orderpriority) */ * FROM v_orders_rb"
+    )
+    p = plan(df, "extended")
+    assert "rebalance" in p.lower(), p
