@@ -849,3 +849,25 @@ def q_agg_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.bit_or(k).alias("key_or"),
         F.bit_xor(k).alias("key_xor"),
     )
+
+
+@register(
+    "q_agg_histogram_numeric",
+    oracle=None,  # adaptive bin placement is implementation-defined
+    tier="P2",
+    doc="Adaptive histogram sketch (histogram_numeric): 20 "
+    "variable-width bins whose centroids adapt to the data "
+    "distribution — the one-pass approximate complement to the exact "
+    "fixed-bin q_histogram_fixed_bins (which needs the global extent "
+    "first). Bin placement is implementation-defined, so rows-only; "
+    "pytest asserts mass conservation, centroid ordering, and range "
+    "containment against the exact scan.",
+)
+def q_agg_histogram_numeric(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    binned = li.select(
+        F.expr("histogram_numeric(l_extendedprice, 20)").alias("bins")
+    )
+    return binned.select(F.explode("bins").alias("b")).select(
+        F.col("b.x").alias("centroid"), F.col("b.y").cast("long").alias("mass")
+    )

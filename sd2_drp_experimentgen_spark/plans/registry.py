@@ -181,6 +181,7 @@ _NEW_THIS_ROUND = frozenset(
         "q_agg_count_min_sketch",
         "q_agg_bitwise",
         "q_pandas_api_groupby",
+        "q_agg_histogram_numeric",
     }
 )
 

@@ -514,3 +514,24 @@ def test_count_min_sketch_bounds(spark):
     for r in rows:
         assert r["est"] >= r["exact"]
         assert r["est"] <= r["exact"] + 50  # eps * n_events bound
+
+
+def test_histogram_numeric_mass_and_range(spark):
+    from pyspark.sql import functions as F
+
+    from sd2_drp_experimentgen_spark.sources.tables import load_table
+
+    rows = sorted(
+        all_specs()["q_agg_histogram_numeric"].fn(spark, SF_T1).collect(),
+        key=lambda r: r["centroid"],
+    )
+    li = load_table(spark, SF_T1, "lineitem")
+    total = li.count()
+    lo, hi = li.agg(
+        F.min("l_extendedprice"), F.max("l_extendedprice")
+    ).collect()[0]
+    assert sum(r["mass"] for r in rows) == total  # mass conserved
+    assert len(rows) <= 20
+    assert all(lo <= r["centroid"] <= hi for r in rows)
+    cents = [r["centroid"] for r in rows]
+    assert cents == sorted(cents)
