@@ -519,7 +519,8 @@ def q_agg_correlated_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_agg_collect_sets",
     oracle="""
     SELECT c_nationkey,
-           list_sort(list(DISTINCT c_mktsegment)) AS segments,
+           array_to_string(list_sort(list(DISTINCT c_mktsegment)), '|')
+             AS segments,
            CAST(count(DISTINCT c_mktsegment) AS INTEGER) AS n_segments
     FROM customer
     GROUP BY c_nationkey
@@ -528,14 +529,18 @@ def q_agg_correlated_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Set-valued aggregation (array_agg DISTINCT): per nation, the "
     "sorted set of customer market segments. Emitted sorted because "
     "collect_set order is partition-dependent — the determinism rule "
-    "for every array-valued aggregate (SURVEY 5.3). Nested-spec "
-    "building block: the per-order line arrays of q_sink_json_spec "
-    "use the same collect+sort shape.",
+    "for every array-valued aggregate (SURVEY 5.3) — and string-encoded "
+    "('|'-joined) because the driver's pandas canonicalizer cannot hash "
+    "container cells (r2's one red row: TypeError unhashable 'list'). "
+    "Output schemas stay scalar-only repo-wide; "
+    "tests/test_output_schemas.py pins the rule.",
 )
 def q_agg_collect_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer")
     return c.groupBy("c_nationkey").agg(
-        F.sort_array(F.collect_set("c_mktsegment")).alias("segments"),
+        F.concat_ws("|", F.sort_array(F.collect_set("c_mktsegment"))).alias(
+            "segments"
+        ),
         F.countDistinct("c_mktsegment").cast("int").alias("n_segments"),
     )
 

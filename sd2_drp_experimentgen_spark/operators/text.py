@@ -10,7 +10,7 @@ rows but the follow-up count aggregates map-side before shuffling.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.helpers import sql_r
@@ -190,8 +190,18 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     "with same-source blocking (the natural blocking key: 20 sources), "
     "J >= 0.6. All arithmetic is integer counts + one float divide, so "
     "cross-engine bit-deterministic. This is the ground truth the "
-    "MinHash-LSH scale path (q_dedup_minhash_lsh) is checked against; "
-    "at 100 TB the blocking key is what bounds the token self-join.",
+    "MinHash-LSH scale path (q_dedup_minhash_lsh) is checked against. "
+    "Candidate generation is PREFIX-FILTERED (ppjoin-style, VERDICT r2 "
+    "item 5): tokens are globally ordered by (document-frequency asc, "
+    "token asc) and each doc joins only on its first "
+    "n - ceil(0.6*n) + 1 rarest tokens. Lossless at J >= 0.6 — if "
+    "J(A,B) >= t, the globally-rarest common token sits inside both "
+    "prefixes (all common tokens would otherwise fit in a suffix of "
+    "size ceil(t*n)-1 < |A∩B|) — and the hot stopwords that made the "
+    "naive token self-join O(df^2) sort LAST, so they never enter the "
+    "join. Verification is per-candidate-pair array_intersect on the "
+    "(per-doc, bounded) token sets. Prefix length uses integer "
+    "arithmetic (n - (3n+4) div 5 + 1) to dodge FP ceil(0.6*5)=4.",
 )
 def q_neardup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.helpers import r4
@@ -200,35 +210,61 @@ def q_neardup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     dt = d.select(
         "doc_id", "source", F.explode(F.split(F.col("text"), " ")).alias("token")
     ).distinct()
-    sizes = dt.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_tok"))
-    a = dt.select(
-        F.col("doc_id").alias("id_lo"),
-        F.col("source").alias("src_a"),
-        "token",
-    )
-    b = dt.select(
-        F.col("doc_id").alias("id_hi"),
-        F.col("source").alias("src_b"),
-        F.col("token").alias("token_b"),
-    )
-    inter = (
-        a.join(
-            b,
-            (a.token == b.token_b)
-            & (a.src_a == b.src_b)
-            & (a.id_lo < b.id_hi),
+    tok_df = dt.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    ranked = (
+        dt.join(tok_df, "token")
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("doc_id").orderBy("df", "token")
+            ),
         )
-        .groupBy("id_lo", "id_hi")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
+        .withColumn(
+            "n_tok", F.count(F.lit(1)).over(Window.partitionBy("doc_id"))
+        )
     )
-    sa = sizes.select(F.col("doc_id").alias("id_lo"), F.col("n_tok").alias("na"))
-    sb = sizes.select(F.col("doc_id").alias("id_hi"), F.col("n_tok").alias("nb"))
+    # prefix length n - ceil(0.6n) + 1, integer-exact: ceil(3n/5) = (3n+4) div 5
+    pre = ranked.where(
+        F.col("rn") <= F.col("n_tok") - F.expr("(3 * n_tok + 4) div 5") + 1
+    ).select("doc_id", "source", "token")
+    cand = (
+        pre.alias("a")
+        .join(
+            pre.alias("b"),
+            (F.col("a.token") == F.col("b.token"))
+            & (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_lo"), F.col("b.doc_id").alias("id_hi")
+        )
+        .distinct()
+    )
+    toksets = dt.groupBy("doc_id").agg(
+        F.collect_set("token").alias("toks"), F.count(F.lit(1)).alias("n_tok")
+    )
+    verified = (
+        cand.join(
+            toksets.select(
+                F.col("doc_id").alias("id_lo"),
+                F.col("toks").alias("ta"),
+                F.col("n_tok").alias("na"),
+            ),
+            "id_lo",
+        )
+        .join(
+            toksets.select(
+                F.col("doc_id").alias("id_hi"),
+                F.col("toks").alias("tb"),
+                F.col("n_tok").alias("nb"),
+            ),
+            "id_hi",
+        )
+        .withColumn("n_inter", F.size(F.array_intersect("ta", "tb")))
+    )
     j = F.col("n_inter").cast("double") / (
         F.col("na") + F.col("nb") - F.col("n_inter")
     )
-    return (
-        inter.join(sa, "id_lo")
-        .join(sb, "id_hi")
-        .where(j >= 0.6)
-        .select("id_lo", "id_hi", r4(j).alias("jaccard"))
+    return verified.where(j >= 0.6).select(
+        "id_lo", "id_hi", r4(j).alias("jaccard")
     )

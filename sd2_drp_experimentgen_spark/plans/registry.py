@@ -80,16 +80,41 @@ def _load() -> None:
     _LOADED = True
 
 
-# Queries that already hold a green row in CORRECTNESS_r01.json (the
-# round-1 driver verified exactly the first 50 registry entries before
-# exhausting its budget). all_specs() yields not-yet-driver-verified
-# queries FIRST so a budget-bound verify spends its window on the
-# operators that still need a driver-proven row; hash-checkable ones
-# precede rows-only ones (a rows-only driver row is the weaker signal).
+# Queries that already hold a green (hash-pass or declared-rows-only)
+# row in CORRECTNESS_r01.json or CORRECTNESS_r02.json (the driver
+# verifies a 50-query sample per round; r1 and r2 samples were
+# disjoint). all_specs() yields not-yet-driver-verified queries FIRST
+# so a budget-bound verify spends its window on the operators that
+# still need a driver-proven row; hash-checkable ones precede
+# rows-only ones (a rows-only driver row is the weaker signal).
 # Registration order (module import order) is unchanged — only the
 # iteration order of the returned dict is prioritized.
-_R1_DRIVER_VERIFIED = frozenset(
+# NOTE q_agg_collect_sets is deliberately ABSENT: its r2 row was the
+# one error (array output crashed the driver canonicalizer); fixed to
+# string-encode in round 3, it must be re-sampled, so it sits in
+# _PRIORITY_BOOST instead.
+_DRIVER_VERIFIED = frozenset(
     {
+        # --- round 2 (CORRECTNESS_r02.json, 49 green rows) ---
+        "q_agg_cube", "q_agg_grouping_sets", "q_train_features_wide",
+        "q_agg_correlated_filter", "q_agg_boolean", "q_win_rank_topn",
+        "q_win_running", "q_win_lag_lead", "q_win_ntile_firstlast",
+        "q_win_range_frame", "q_win_percent_rank", "q_topk_orders",
+        "q_sort_multikey_nulls", "q_set_union_all", "q_set_union_distinct",
+        "q_set_intersect", "q_set_except", "q_dedup_exact_docs",
+        "q_text_tokenize_counts", "q_text_stats_by_lang", "q_tfidf_top_terms",
+        "q_neardup_jaccard", "q_text_langid", "q_text_quality_score",
+        "q_text_token_bpe_counts", "q_doc_fingerprint_shingle",
+        "q_dedup_simhash", "q_str_edit_distance", "q_sim_cosine_topk",
+        "q_emb_centroid_by_label", "q_emb_norm_stats", "q_dedup_embedding_nn",
+        "q_udf_python_scalar", "q_udf_pandas_vectorized",
+        "q_udaf_pandas_grouped", "q_udtf_split", "q_stream_tumbling_1h",
+        "q_stream_sliding_1h_15m", "q_stream_session_30m", "q_stream_dedup",
+        "q_event_funnel", "q_retention_cohort", "q_stream_tumbling_watermarked",
+        "q_stream_session_window", "q_stream_late_data",
+        "q_stream_stateful_counts", "q_stream_stream_join",
+        "q_stream_sliding_watermarked", "q_sink_pivot_wide",
+        # --- round 1 (CORRECTNESS_r01.json, first 50 registry entries) ---
         "q_scan_project", "q_scan_prune_filter", "q_source_csv_roundtrip",
         "q_sink_json_spec", "q_sink_parquet_partitioned", "q_filter_pred_q6",
         "q_filter_in_like_null", "q_proj_arith_case", "q_gen_stateset_grid",
@@ -110,89 +135,42 @@ _R1_DRIVER_VERIFIED = frozenset(
 )
 
 
-# Queries added in round 2+ (never seen by any driver). They verify
-# AFTER the round-1 backlog of hash-checkable queries — the backlog is
-# judge-flagged as the top gap — but before rows-only and already-green
-# entries.
-_NEW_THIS_ROUND = frozenset(
-    {
-        "q_sink_pivot_wide",
-        "q_agg_window_distinct",
-        "q_sample_stratified",
-        "q_text_ngram_profile",
-        "q_stream_foreachbatch_upsert",
-        "q_win_moving_median",
-        "q_agg_mode_deterministic",
-        "q_source_orc_roundtrip",
-        "q_graph_pagerank",
-        "q_event_transitions",
-        "q_profile_table",
-        "q_source_python_ds",
-        "q_stream_python_source",
-        "q_udf_cogrouped",
-        "q_text_repetition",
-        "q_emb_quantize_int8",
-        "q_ann_srp_buckets",
-        "q_sql_q3_shipping",
-        "q_source_binaryfile",
-        "q_dedup_minhash_bands",
-        "q_time_downsample_ohlc",
-        "q_win_gap_islands",
-        "q_scd2_dimension",
-        "q_histogram_fixed_bins",
-        "q_maint_compact_files",
-        "q_sql_recursive_cte",
-        "q_sql_pivot_clause",
-        "q_variant_json",
-        "q_stream_static_join",
-        "q_interval_sweepline",
-        "q_layout_zorder",
-        "q_agg_hll_sketch_merge",
-        "q_source_csv_malformed",
-        "q_source_schema_evolution",
-        "q_sink_python_ds",
-        "q_dedup_lsh_refine",
-        "q_source_xml_roundtrip",
-        "q_split_train_val_test",
-        "q_sample_weighted",
-        "q_pack_sequences",
-        "q_event_attribution",
-        "q_join_null_safe",
-        "q_udf_arrow_scalar",
-        "q_stream_ohlc_watermarked",
-        "q_set_intersect_all",
-        "q_set_except_all",
-        "q_gen_date_dim",
-        "q_sql_lateral_topk",
-        "q_agg_listagg",
-        "q_explode_outer_nulls",
-        "q_try_functions",
-        "q_union_by_name",
-        "q_agg_grouping_id",
-        "q_json_to_struct",
-        "q_win_rolling_distinct",
-        "q_decontaminate_ngrams",
-        "q_udf_map_in_arrow",
-        "q_agg_bitmap_distinct",
-        "q_agg_percentile_disc",
-        "q_win_range_interval",
-        "q_gen_surrogate_keys",
-        "q_agg_regression",
-        "q_agg_count_min_sketch",
-        "q_agg_bitwise",
-        "q_pandas_api_groupby",
-        "q_agg_histogram_numeric",
-    }
+# Must-sample-first queries for the next driver round, in order:
+# the fixed q_agg_collect_sets (r2's one red row — needs a green
+# re-sample) and the judge-named LLM-pipeline ladder (VERDICT r2 item
+# 6) — the north-star extensions with no driver row yet. Everything
+# here is hash-oracled.
+_PRIORITY_BOOST = (
+    "q_agg_collect_sets",
+    "q_dedup_minhash_bands",
+    "q_dedup_lsh_refine",
+    "q_decontaminate_ngrams",
+    "q_split_train_val_test",
+    "q_sample_weighted",
+    "q_sample_stratified",
+    "q_pack_sequences",
+    "q_ann_srp_buckets",
+    "q_emb_quantize_int8",
 )
+_BOOST_RANK = {n: i for i, n in enumerate(_PRIORITY_BOOST)}
+
+# Queries added in round 3 (never seen by any driver). They verify
+# AFTER the rounds-1/2 backlog of hash-checkable queries — at
+# 50/round that backlog won't fully drain until round 4, so genuinely
+# new queries queue behind it — but before rows-only and already-green
+# entries.
+_NEW_THIS_ROUND: frozenset[str] = frozenset()
 
 
-def _driver_priority(item: tuple[str, QuerySpec]) -> int:
+def _driver_priority(item: tuple[str, QuerySpec]) -> tuple[int, int]:
     name, spec = item
-    if name in _R1_DRIVER_VERIFIED:
-        return 3
+    if name in _BOOST_RANK:
+        return (0, _BOOST_RANK[name])
+    if name in _DRIVER_VERIFIED:
+        return (4, 0)
     if spec.oracle is None:
-        return 2
-    return 1 if name in _NEW_THIS_ROUND else 0
+        return (3, 0)
+    return (2, 0) if name in _NEW_THIS_ROUND else (1, 0)
 
 
 def all_specs() -> dict[str, QuerySpec]:

@@ -37,10 +37,31 @@ def duck_connect(sf_dir: str) -> duckdb.DuckDBPyConnection:
     return con
 
 
+class NonScalarCell(TypeError):
+    """A container-typed cell the driver's canonicalizer cannot hash.
+
+    The driver canonicalizes with pandas ``sort_values`` →
+    ``Categorical`` factorize, which raises ``TypeError: unhashable
+    type`` on list/dict/ndarray cells (CORRECTNESS_r02.json,
+    q_agg_collect_sets). The pre-verifier must therefore REJECT such
+    cells rather than stringify them — otherwise local green is not
+    proof of driver green (VERDICT r2 "what's wrong" #2). String-encode
+    containers in the query itself (concat_ws / to_json) instead.
+    """
+
+
+_CONTAINER_TYPES = (list, tuple, set, dict, bytearray)
+
+
 def canon_value(v):
     """Canonicalize one cell for cross-engine comparison."""
     if v is None:
         return "NULL"
+    if isinstance(v, _CONTAINER_TYPES) or type(v).__name__ == "ndarray":
+        raise NonScalarCell(
+            f"non-scalar cell {type(v).__name__!r}: the driver's pandas "
+            "canonicalizer would crash on this — string-encode the column"
+        )
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
@@ -62,7 +83,31 @@ def canon_rows(cols, rows):
     return [cols[i] for i in order], out
 
 
+def container_cols(schema) -> list[str]:
+    """Names of output columns the driver canonicalizer cannot hash.
+
+    Array/Map/Struct-typed result columns crash the driver's
+    pandas-based canonicalizer even when values match (r2's
+    q_agg_collect_sets row). Every hash-oracled query must emit a
+    scalar-only schema; this is the plan-level guard (catches the
+    problem even when the sampled result happens to be empty).
+    """
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    return [
+        f.name
+        for f in schema.fields
+        if isinstance(f.dataType, (ArrayType, MapType, StructType))
+    ]
+
+
 def compare(name, spark_df, duck_res) -> tuple[bool, str]:
+    bad = container_cols(spark_df.schema)
+    if bad:
+        return False, (
+            f"DRIVER-INCOMPATIBLE schema: container-typed output columns {bad} "
+            "— string-encode (concat_ws / to_json) before returning"
+        )
     s_cols = spark_df.columns
     s_rows = [tuple(r) for r in spark_df.collect()]
     d_cols = [c[0] for c in duck_res.description]
@@ -72,8 +117,11 @@ def compare(name, spark_df, duck_res) -> tuple[bool, str]:
         return False, f"columns differ: spark={sorted(s_cols)} duck={sorted(d_cols)}"
     if len(s_rows) != len(d_rows):
         return False, f"row count differs: spark={len(s_rows)} duck={len(d_rows)}"
-    _, s_canon = canon_rows(s_cols, s_rows)
-    _, d_canon = canon_rows(d_cols, d_rows)
+    try:
+        _, s_canon = canon_rows(s_cols, s_rows)
+        _, d_canon = canon_rows(d_cols, d_rows)
+    except NonScalarCell as e:
+        return False, f"DRIVER-INCOMPATIBLE: {e}"
     if s_canon != d_canon:
         diffs = [
             (a, b) for a, b in zip(s_canon, d_canon) if a != b
