@@ -343,19 +343,34 @@ def q_source_csv_malformed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("mode", "PERMISSIVE")
         .option("columnNameOfCorruptRecord", "_corrupt")
         .csv(path)
-    ).cache()  # one pass feeds both branches; PERMISSIVE requires the
-    # cache anyway (corrupt-column queries need the full row context)
-    good = df.where(F.col("_corrupt").isNull()).agg(
-        F.lit("good").alias("kind"),
-        F.count(F.lit(1)).cast("int").alias("n"),
-        F.concat_ws(",", F.sort_array(F.collect_list("id"))).alias("ids"),
     )
-    bad = df.where(F.col("_corrupt").isNotNull()).agg(
-        F.lit("corrupt").alias("kind"),
-        F.count(F.lit(1)).cast("int").alias("n"),
-        F.lit(None).cast("string").alias("ids"),
+    # single aggregate grouped on corruptness: one scan feeds both
+    # output rows, so no cache is needed (the old two-branch union
+    # cached the scan and leaked a pinned plan per invocation into the
+    # shared session's storage memory — ADVICE r2, scans.py:346).
+    # The collect guard references EVERY data column: CSV column
+    # pruning only parses referenced columns, and an unparsed column's
+    # errors never set _corrupt — an id-only aggregate would silently
+    # pass rows whose measure is garbage.
+    all_parsed = F.col("name").isNotNull() & F.col("measure").isNotNull()
+    return (
+        df.groupBy(
+            F.when(F.col("_corrupt").isNull(), "good")
+            .otherwise("corrupt")
+            .alias("kind")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n"),
+            F.concat_ws(
+                ",", F.sort_array(F.collect_list(F.when(all_parsed, F.col("id"))))
+            ).alias("ids_raw"),
+        )
+        .select(
+            "kind",
+            "n",
+            F.when(F.col("kind") == "good", F.col("ids_raw")).alias("ids"),
+        )
     )
-    return good.unionAll(bad)
 
 
 @register(

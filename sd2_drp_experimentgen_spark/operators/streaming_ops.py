@@ -283,8 +283,9 @@ def q_stream_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_stream_python_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources.pyds import SensorStreamDataSource
-    from ..streaming.jobs import run_to_memory
+    from ..streaming.jobs import _stream_session, run_to_memory
 
+    spark = _stream_session(spark)  # state tuning stays session-local
     try:
         spark.dataSource.register(SensorStreamDataSource)
     except Exception:

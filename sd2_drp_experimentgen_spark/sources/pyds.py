@@ -144,10 +144,17 @@ class SensorFileSinkDataSource(DataSource):
 
 class SensorFileWriter(DataSourceWriter):
     def __init__(self, options, overwrite: bool) -> None:
+        import uuid
+
         self.path = options.get("path")
         if not self.path:
             raise ValueError("sd2drp_file_sink requires .option('path', ...)")
         self.overwrite = overwrite
+        # per-JOB prefix (driver-side, serialized to every task): commit
+        # and abort must only ever touch THIS job's attempt files, so an
+        # append to a non-empty sink never deletes previously committed
+        # data and abort() never destroys another job's output.
+        self.job_id = uuid.uuid4().hex[:12]
 
     def write(self, iterator) -> FileCommitMessage:
         import os
@@ -159,7 +166,7 @@ class SensorFileWriter(DataSourceWriter):
         os.makedirs(self.path, exist_ok=True)
         # unique name per attempt: a retried task never clobbers a
         # committed file; losers are swept by commit()/abort()
-        fname = f"part-{pid:05d}-{uuid.uuid4().hex}.psv"
+        fname = f"part-{self.job_id}-{pid:05d}-{uuid.uuid4().hex}.psv"
         full = os.path.join(self.path, fname)
         n = 0
         with open(full, "w") as fh:
@@ -173,16 +180,28 @@ class SensorFileWriter(DataSourceWriter):
         import os
 
         committed = {m.path for m in messages}
-        # publish the manifest, then sweep uncommitted attempt files
-        with open(os.path.join(self.path, "_SUCCESS"), "w") as fh:
-            for m in sorted(committed):
+        # publish the manifest (appending to any prior jobs' entries),
+        # then sweep loser-attempt files — ONLY this job's (job_id
+        # prefix); files committed by earlier jobs are untouchable.
+        manifest = os.path.join(self.path, "_SUCCESS")
+        prior = []
+        if os.path.exists(manifest):
+            with open(manifest) as fh:
+                prior = [l.strip() for l in fh if l.strip()]
+        with open(manifest, "w") as fh:
+            for m in sorted(set(prior) | committed):
                 fh.write(m + "\n")
         for f in os.listdir(self.path):
-            if f.startswith("part-") and f not in committed:
+            if f.startswith(f"part-{self.job_id}-") and f not in committed:
                 os.remove(os.path.join(self.path, f))
 
     def abort(self, messages) -> None:
         import os
-        import shutil
 
-        shutil.rmtree(self.path, ignore_errors=True)
+        # roll back THIS job only: every file bearing our job_id prefix
+        # is an uncommitted attempt; other jobs' committed data stays.
+        if not os.path.isdir(self.path):
+            return
+        for f in os.listdir(self.path):
+            if f.startswith(f"part-{self.job_id}-"):
+                os.remove(os.path.join(self.path, f))

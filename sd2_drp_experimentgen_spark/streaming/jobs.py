@@ -16,7 +16,6 @@ advances; without it state grows unboundedly.
 from __future__ import annotations
 
 import itertools
-from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -49,6 +48,20 @@ def _unique_name(prefix: str) -> str:
     return f"{prefix}_{next(_run_counter)}"
 
 
+def _stream_session(spark: SparkSession) -> SparkSession:
+    """Dedicated session for a streaming run (shared SparkContext, own
+    runtime conf): shuffle-partition tuning for state stores must not
+    leak into concurrent batch queries on the caller's session —
+    runtime confs are session-scoped, so newSession() isolates them
+    without set/restore races (ADVICE r2, jobs.py:74)."""
+    s = spark.newSession()
+    configure_session(s)
+    s.conf.set(
+        "spark.sql.shuffle.partitions", str(_STREAM_SHUFFLE_PARTITIONS)
+    )
+    return s
+
+
 def stream_events(spark: SparkSession, path: str) -> DataFrame:
     """Streaming events source with the same ns->µs truncation as batch.
 
@@ -58,7 +71,7 @@ def stream_events(spark: SparkSession, path: str) -> DataFrame:
     by the batch-equality self-tests); production ingest would set a
     trigger size matched to the arrival rate.
     """
-    configure_session(spark)
+    spark = _stream_session(spark)
     raw = spark.readStream.schema(RAW_EVENTS_SCHEMA).parquet(path)
     return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
@@ -70,31 +83,22 @@ def stream_events(spark: SparkSession, path: str) -> DataFrame:
 _STREAM_SHUFFLE_PARTITIONS = 8
 
 
-@contextmanager
-def _stream_partitions(spark: SparkSession, n: int = _STREAM_SHUFFLE_PARTITIONS):
-    key = "spark.sql.shuffle.partitions"
-    old = spark.conf.get(key)
-    spark.conf.set(key, str(n))
-    try:
-        yield
-    finally:
-        spark.conf.set(key, old)
-
-
 def run_to_memory(stream_df: DataFrame, output_mode: str) -> DataFrame:
     """Run a streaming frame to completion (AvailableNow) into a memory
-    sink and return the collected result as a batch DataFrame."""
+    sink and return the collected result as a batch DataFrame. The
+    stream must have been built on a dedicated _stream_session (as
+    stream_events does) so its state-store partition tuning is already
+    session-local."""
     name = _unique_name("sd2drp_stream")
     spark = stream_df.sparkSession
-    with _stream_partitions(spark):
-        q = (
-            stream_df.writeStream.format("memory")
-            .queryName(name)
-            .outputMode(output_mode)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
     return spark.table(name)
 
 
@@ -159,16 +163,15 @@ def late_data_phase(
         .agg(F.count(F.lit(1)).alias("n"))
         .select(F.col("w.start").cast("long").alias("window_start"), "n")
     )
-    with _stream_partitions(spark):
-        q = (
-            agg.writeStream.format("parquet")
-            .option("path", out)
-            .option("checkpointLocation", ckpt)
-            .outputMode("append")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+    q = (
+        agg.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
 
 
 def stateful_user_counts(spark: SparkSession, events_path: str) -> DataFrame:
@@ -280,7 +283,7 @@ def foreachbatch_upsert_counts(
     import os
     import shutil
 
-    configure_session(spark)
+    spark = _stream_session(spark)
     raw = (
         spark.readStream.schema(RAW_EVENTS_SCHEMA)
         .option("maxFilesPerTrigger", 1)
@@ -292,8 +295,18 @@ def foreachbatch_upsert_counts(
         F.sum("value").alias("sum_value"),
     )
 
+    old_dir = state_dir.rstrip("/") + "_old"
+
     def merge(batch_df: DataFrame, batch_id: int) -> None:
         bspark = batch_df.sparkSession
+        # crash recovery: a failure between the two renames below leaves
+        # the committed state in _old — restore it before merging, so
+        # earlier users' totals survive (the exactly-once claim).
+        if not os.path.exists(
+            os.path.join(state_dir, "_SUCCESS")
+        ) and os.path.exists(os.path.join(old_dir, "_SUCCESS")):
+            shutil.rmtree(state_dir, ignore_errors=True)
+            os.rename(old_dir, state_dir)
         if os.path.exists(os.path.join(state_dir, "_SUCCESS")):
             cur = bspark.read.parquet(state_dir)
             merged = cur.alias("c").join(
@@ -311,18 +324,24 @@ def foreachbatch_upsert_counts(
             merged = batch_df
         tmp = state_dir.rstrip("/") + "_tmp"
         merged.write.mode("overwrite").parquet(tmp)
-        shutil.rmtree(state_dir, ignore_errors=True)
+        # swap via rename-aside, never rmtree-then-rename: at every
+        # instant exactly one of state_dir/_old holds a committed
+        # (_SUCCESS) table, so a crash at any point is recoverable by
+        # the restore step above.
+        shutil.rmtree(old_dir, ignore_errors=True)
+        if os.path.exists(state_dir):
+            os.rename(state_dir, old_dir)
         os.rename(tmp, state_dir)
+        shutil.rmtree(old_dir, ignore_errors=True)
 
-    with _stream_partitions(spark):
-        q = (
-            agg.writeStream.foreachBatch(merge)
-            .outputMode("update")
-            .option("checkpointLocation", ckpt_dir)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+    q = (
+        agg.writeStream.foreachBatch(merge)
+        .outputMode("update")
+        .option("checkpointLocation", ckpt_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
     return spark.read.parquet(state_dir).select(
         "user_id", "n_events", r4(F.col("sum_value")).alias("sum_value")
     )
@@ -340,7 +359,7 @@ def stream_static_enrich(
     from ..sources.tables import load_table
 
     ev = stream_events(spark, events_path)
-    cust = load_table(spark, sf_dir, "customer").select(
+    cust = load_table(ev.sparkSession, sf_dir, "customer").select(
         "c_custkey", "c_mktsegment"
     )
     joined = ev.join(F.broadcast(cust), ev.user_id == cust.c_custkey)
