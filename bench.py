@@ -46,6 +46,16 @@ HEADLINE = [
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+
+    # Fixture-drift tripwire (VERDICT r3): fail with ONE clear message
+    # if the driver regenerated the parquet with an unexpected schema,
+    # instead of crashing mid-bench with an opaque analysis error.
+    from sd2_drp_experimentgen_spark.sources.preflight import (
+        assert_fixture_schemas,
+    )
+
+    assert_fixture_schemas(sf_dir)
+
     spark = get_spark(app_name="sd2drp-bench", shuffle_partitions=32)
 
     specs = all_specs()

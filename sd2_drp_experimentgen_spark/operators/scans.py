@@ -352,6 +352,21 @@ def q_source_csv_malformed(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pruning only parses referenced columns, and an unparsed column's
     # errors never set _corrupt — an id-only aggregate would silently
     # pass rows whose measure is garbage.
+    #
+    # The no-op filter below pins the data columns into the scan's
+    # referenced set. Without it, a downstream df.count() lets Catalyst
+    # prune every aggregate input except the grouping key, leaving a
+    # scan that references ONLY the corrupt-record column — which Spark
+    # rejects outright (QUERY_ONLY_CORRUPT_RECORD_COLUMN). Every CSV
+    # row sets at least one of these fields (corrupt rows set _corrupt),
+    # so the filter keeps all rows; Catalyst cannot fold it because
+    # null-ness is data-dependent.
+    df = df.filter(
+        F.col("_corrupt").isNotNull()
+        | F.col("id").isNotNull()
+        | F.col("name").isNotNull()
+        | F.col("measure").isNotNull()
+    )
     all_parsed = F.col("name").isNotNull() & F.col("measure").isNotNull()
     return (
         df.groupBy(

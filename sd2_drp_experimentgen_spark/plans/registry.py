@@ -81,20 +81,35 @@ def _load() -> None:
 
 
 # Queries that already hold a green (hash-pass or declared-rows-only)
-# row in CORRECTNESS_r01.json or CORRECTNESS_r02.json (the driver
-# verifies a 50-query sample per round; r1 and r2 samples were
-# disjoint). all_specs() yields not-yet-driver-verified queries FIRST
-# so a budget-bound verify spends its window on the operators that
-# still need a driver-proven row; hash-checkable ones precede
-# rows-only ones (a rows-only driver row is the weaker signal).
-# Registration order (module import order) is unchanged — only the
-# iteration order of the returned dict is prioritized.
-# NOTE q_agg_collect_sets is deliberately ABSENT: its r2 row was the
-# one error (array output crashed the driver canonicalizer); fixed to
-# string-encode in round 3, it must be re-sampled, so it sits in
-# _PRIORITY_BOOST instead.
+# row in CORRECTNESS_r01/r02/r03.json (the driver verifies a 50-query
+# sample per round; the r1/r2/r3 samples were disjoint). all_specs()
+# yields not-yet-driver-verified queries FIRST so a budget-bound verify
+# spends its window on the operators that still need a driver-proven
+# row; hash-checkable ones precede rows-only ones (a rows-only driver
+# row is the weaker signal). Registration order (module import order)
+# is unchanged — only the iteration order of the returned dict is
+# prioritized.
+# CAVEAT (VERDICT r3 item 4): membership here records driver HISTORY,
+# not current validity — the r3 fixture regeneration invalidated every
+# events-dependent green, so those names ALSO appear in _PRIORITY_BOOST
+# below, which takes precedence and forces a fresh sample.
 _DRIVER_VERIFIED = frozenset(
     {
+        # --- round 3 (CORRECTNESS_r03.json, 38 green rows) ---
+        "q_agg_collect_sets", "q_dedup_minhash_bands", "q_dedup_lsh_refine",
+        "q_decontaminate_ngrams", "q_split_train_val_test",
+        "q_sample_weighted", "q_sample_stratified", "q_pack_sequences",
+        "q_ann_srp_buckets", "q_emb_quantize_int8", "q_source_orc_roundtrip",
+        "q_source_python_ds", "q_source_csv_malformed",
+        "q_source_schema_evolution", "q_sink_python_ds",
+        "q_source_xml_roundtrip", "q_gen_date_dim", "q_explode_outer_nulls",
+        "q_try_functions", "q_union_by_name", "q_maint_compact_files",
+        "q_layout_zorder", "q_scd2_dimension", "q_histogram_fixed_bins",
+        "q_gen_surrogate_keys", "q_agg_regression", "q_sql_q3_shipping",
+        "q_sql_recursive_cte", "q_sql_pivot_clause", "q_join_null_safe",
+        "q_sql_lateral_topk", "q_agg_listagg", "q_agg_grouping_id",
+        "q_agg_percentile_disc", "q_agg_bitwise", "q_text_repetition",
+        "q_text_ngram_profile", "q_udf_arrow_scalar",
         # --- round 2 (CORRECTNESS_r02.json, 49 green rows) ---
         "q_agg_cube", "q_agg_grouping_sets", "q_train_features_wide",
         "q_agg_correlated_filter", "q_agg_boolean", "q_win_rank_topn",
@@ -135,22 +150,78 @@ _DRIVER_VERIFIED = frozenset(
 )
 
 
-# Must-sample-first queries for the next driver round, in order:
-# the fixed q_agg_collect_sets (r2's one red row — needs a green
-# re-sample) and the judge-named LLM-pipeline ladder (VERDICT r2 item
-# 6) — the north-star extensions with no driver row yet. Everything
-# here is hash-oracled.
+# Must-sample-first queries for the round-4 driver window, in order
+# (VERDICT r3 item 4). The r3 fixture regeneration (events.ts NANOS ->
+# MICROS) invalidated every events-dependent green; the loaders are now
+# schema-adaptive (sources/tables.py), so these must be RE-proven:
+#   tier 1 — the 11 queries that errored in r3 (regression-risk rows);
+#   tier 2 — q_graph_pagerank (r3 hash-fail, passes the local verifier
+#            on current fixtures — likely a mixed-generation driver
+#            read) and q_neardup_jaccard (r2 green predates its r3
+#            ppjoin rewrite);
+#   tier 3 — the 29 events-dependent r1/r2 greens now stale;
+#   tier 4 — never-sampled hash-oracled queries (first driver rows).
+# 55 entries vs a 50-query window: the tier-4 tail rolls to round 5.
 _PRIORITY_BOOST = (
-    "q_agg_collect_sets",
-    "q_dedup_minhash_bands",
-    "q_dedup_lsh_refine",
-    "q_decontaminate_ngrams",
-    "q_split_train_val_test",
-    "q_sample_weighted",
-    "q_sample_stratified",
-    "q_pack_sequences",
-    "q_ann_srp_buckets",
-    "q_emb_quantize_int8",
+    # tier 1: r3 errors
+    "q_variant_json",
+    "q_json_to_struct",
+    "q_profile_table",
+    "q_agg_bitmap_distinct",
+    "q_win_moving_median",
+    "q_agg_mode_deterministic",
+    "q_win_rolling_distinct",
+    "q_win_range_interval",
+    "q_set_intersect_all",
+    "q_set_except_all",
+    "q_udf_cogrouped",
+    # tier 2: suspect greens
+    "q_graph_pagerank",
+    "q_neardup_jaccard",
+    # tier 3: stale events-dependent r1/r2 greens
+    "q_json_extract",
+    "q_map_funcs",
+    "q_null_funcs",
+    "q_join_left_outer",
+    "q_join_semi",
+    "q_join_anti",
+    "q_join_interval",
+    "q_join_asof",
+    "q_agg_conditional_pivot",
+    "q_win_running",
+    "q_win_lag_lead",
+    "q_set_union_all",
+    "q_set_union_distinct",
+    "q_set_intersect",
+    "q_set_except",
+    "q_resample_gapfill",
+    "q_event_funnel",
+    "q_retention_cohort",
+    "q_sink_pivot_wide",
+    "q_stream_tumbling_1h",
+    "q_stream_sliding_1h_15m",
+    "q_stream_session_30m",
+    "q_stream_dedup",
+    "q_stream_late_data",
+    "q_stream_stateful_counts",
+    "q_stream_tumbling_watermarked",
+    "q_stream_session_window",
+    "q_stream_stream_join",
+    "q_stream_sliding_watermarked",
+    # tier 4: never-sampled, hash-oracled
+    "q_time_downsample_ohlc",
+    "q_win_gap_islands",
+    "q_event_attribution",
+    "q_event_transitions",
+    "q_interval_sweepline",
+    "q_agg_window_distinct",
+    "q_source_binaryfile",
+    "q_udf_map_in_arrow",
+    "q_pandas_api_groupby",
+    "q_stream_ohlc_watermarked",
+    "q_stream_static_join",
+    "q_stream_python_source",
+    "q_stream_foreachbatch_upsert",
 )
 _BOOST_RANK = {n: i for i, n in enumerate(_PRIORITY_BOOST)}
 

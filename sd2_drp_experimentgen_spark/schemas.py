@@ -81,8 +81,11 @@ LINEITEM = _s(
     ("l_shipdate", TimestampNTZType()),
 )
 
-# Post-ingest schema (raw parquet carries ts as INT64 TIMESTAMP(NANOS);
-# timestamp_micros() yields a session-TZ TimestampType, session TZ is UTC).
+# Post-ingest schema. The raw file's ts encoding has varied across
+# fixture generations (TIMESTAMP(NANOS) read as int64 under nanosAsLong
+# in r1-r3; TIMESTAMP(MICROS)/ntz since the r3 regeneration);
+# sources.tables.normalize_events_ts adapts either to a session-TZ
+# TimestampType (session TZ pinned UTC).
 EVENTS = _s(
     ("event_id", LongType()),
     ("ts", TimestampType()),

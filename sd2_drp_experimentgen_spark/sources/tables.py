@@ -5,12 +5,22 @@ Catalyst can push filters/projections into the scan (the 100 TB lever:
 column pruning + row-group predicate pushdown happen for free as long as
 we never materialize eagerly here).
 
-``events`` needs special handling: the file stores ``ts`` as parquet
-TIMESTAMP(NANOS), which Spark 4.x cannot read natively. With
-``spark.sql.legacy.parquet.nanosAsLong=true`` it arrives as int64
-nanoseconds; we convert to a microsecond timestamp with *integer*
-truncation (``div 1000``) — float division rounds and diverges from
-DuckDB's truncating read by 1µs on ~half of all rows.
+``events`` needs special handling because the fixture generator has
+shipped ``ts`` in two different physical encodings across generations:
+
+- parquet TIMESTAMP(NANOS): Spark 4.x cannot read it natively; with
+  ``spark.sql.legacy.parquet.nanosAsLong=true`` it arrives as int64
+  nanoseconds, which we truncate (``div 1000`` — *integer* truncation;
+  float division rounds and diverges from DuckDB's truncating read by
+  1µs on ~half of all rows) into a microsecond timestamp.
+- parquet TIMESTAMP(MICROS, isAdjustedToUTC=false): Spark reads it as
+  ``timestamp_ntz``; the session time zone is pinned UTC, so a plain
+  cast to TimestampType is value-identical to DuckDB's naive read.
+
+``load_events`` sniffs the file footer (driver-side, one pyarrow
+metadata read — no data IO) and picks the right normalization, so a
+driver-side fixture regeneration can never again invalidate every
+events-dependent operator (VERDICT r3 P0).
 """
 
 from __future__ import annotations
@@ -32,36 +42,66 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
-def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events with ``ts`` as TimestampType (µs, truncated from ns).
+def events_ts_unit(path: str) -> str:
+    """Physical unit of the ``ts`` column in an events parquet file.
 
-    Truncation (not rounding) matches DuckDB's nanos->micros read and is
-    exact integer arithmetic, safe at any timestamp magnitude.
+    Returns ``"ns"`` / ``"us"`` / ``"ms"`` / ``"s"`` for timestamp
+    encodings, or ``"int64"`` if the column is a plain integer. Footer
+    metadata only — cheap enough to call per query.
     """
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    t = pq.read_schema(path).field(RAW_TS_COL).type
+    if pa.types.is_timestamp(t):
+        return t.unit
+    if pa.types.is_integer(t):
+        return "int64"
+    raise TypeError(
+        f"events ts column has unsupported parquet type {t!r} in {path}"
+    )
+
+
+def normalize_events_ts(df: DataFrame) -> DataFrame:
+    """Normalize an events frame's ``ts`` to session-TZ TimestampType.
+
+    Branches on the *Spark-side* dtype, so it works for any file
+    generation and for streaming frames built on an inferred schema:
+
+    - LongType       -> int64 nanoseconds (TIMESTAMP(NANOS) read under
+                        ``nanosAsLong``): integer-truncate to µs.
+    - TimestampNTZType -> TIMESTAMP(MICROS) naive read: cast. Session
+                        tz is pinned UTC so NTZ≡LTZ, and DuckDB reads
+                        the same file as naive TIMESTAMP — parity holds.
+    - TimestampType  -> already normalized.
+    """
+    from pyspark.sql.types import LongType, TimestampNTZType, TimestampType
+
+    dt = df.schema[RAW_TS_COL].dataType
+    if isinstance(dt, LongType):
+        return df.withColumn(
+            RAW_TS_COL, F.timestamp_micros(F.expr(f"{RAW_TS_COL} div 1000"))
+        )
+    if isinstance(dt, TimestampNTZType):
+        return df.withColumn(RAW_TS_COL, F.col(RAW_TS_COL).cast("timestamp"))
+    if isinstance(dt, TimestampType):
+        return df
+    raise TypeError(f"events ts column has unsupported Spark type {dt!r}")
+
+
+def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events with ``ts`` as TimestampType (µs), whatever the file's
+    physical encoding (see module docstring)."""
     configure_session(spark)  # driver-provided sessions may lack the conf
-    require_conf(
-        spark,
-        _NANOS_CONF,
-        "true",
-        "events.parquet stores ts as TIMESTAMP(NANOS), which Spark 4.x "
-        "refuses to read without this conf",
-    )
-    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
-    return raw.withColumn(
-        RAW_TS_COL,
-        F.timestamp_micros(F.expr(f"{RAW_TS_COL} div 1000")),
-    )
-
-
-def load_events_raw_ns(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events with ``ts`` left as raw int64 nanoseconds (for operators
-    that want exact ns arithmetic, e.g. interval-join blocking keys)."""
-    configure_session(spark)
-    require_conf(
-        spark,
-        _NANOS_CONF,
-        "true",
-        "events.parquet stores ts as TIMESTAMP(NANOS); raw int64 ns read "
-        "requires this conf",
-    )
-    return spark.read.parquet(f"{sf_dir}/events.parquet")
+    path = f"{sf_dir}/events.parquet"
+    if events_ts_unit(path) == "ns":
+        # Only the NANOS generation needs the legacy conf; fail with an
+        # actionable message if a frozen foreign session lacks it.
+        require_conf(
+            spark,
+            _NANOS_CONF,
+            "true",
+            "events.parquet stores ts as TIMESTAMP(NANOS), which Spark "
+            "4.x refuses to read without this conf",
+        )
+    return normalize_events_ts(spark.read.parquet(path))

@@ -1,7 +1,9 @@
 """Structured Streaming twins of the batch event-window queries.
 
-Pattern: ``readStream`` over the events parquet (explicit raw schema —
-ts arrives as int64 nanoseconds exactly like batch), the SAME window
+Pattern: ``readStream`` over the events parquet (schema inferred from
+the source files' footers, so either fixture generation — TIMESTAMP
+(NANOS)-as-int64 or TIMESTAMP(MICROS)/ntz — streams correctly; the
+batch normalizer handles the ts cast), the SAME window
 expressions as the batch operators, a watermark for state eviction, and
 ``Trigger.AvailableNow`` + a memory sink so each job is a terminating,
 testable run. On a cluster the only change is the source/sink (Kafka,
@@ -19,27 +21,20 @@ import itertools
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import (
-    DoubleType,
-    LongType,
-    StringType,
-    StructField,
-    StructType,
-)
+from pyspark.sql.types import StructType
 
 from ..functions.helpers import r4
 from ..session import configure_session
+from ..sources.tables import normalize_events_ts
 
-RAW_EVENTS_SCHEMA = StructType(
-    [
-        StructField("event_id", LongType(), True),
-        StructField("ts", LongType(), True),  # nanoseconds (nanosAsLong)
-        StructField("user_id", LongType(), True),
-        StructField("event_type", StringType(), True),
-        StructField("value", DoubleType(), True),
-        StructField("props", StringType(), True),
-    ]
-)
+
+def _events_file_schema(spark: SparkSession, path: str) -> StructType:
+    """Raw schema of the events files at ``path``, read from parquet
+    footers via a batch scan (metadata-only — no data IO). readStream
+    needs an explicit schema; deriving it from the files themselves
+    keeps streaming correct across fixture regenerations that change
+    the physical ts encoding (VERDICT r3 P0)."""
+    return spark.read.parquet(path).schema
 
 _run_counter = itertools.count()
 
@@ -63,7 +58,7 @@ def _stream_session(spark: SparkSession) -> SparkSession:
 
 
 def stream_events(spark: SparkSession, path: str) -> DataFrame:
-    """Streaming events source with the same ns->µs truncation as batch.
+    """Streaming events source with the same ts normalization as batch.
 
     No ``maxFilesPerTrigger``: AvailableNow folds every pending file into
     one micro-batch, so a terminating verify run pays one state round
@@ -72,8 +67,9 @@ def stream_events(spark: SparkSession, path: str) -> DataFrame:
     trigger size matched to the arrival rate.
     """
     spark = _stream_session(spark)
-    raw = spark.readStream.schema(RAW_EVENTS_SCHEMA).parquet(path)
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    schema = _events_file_schema(spark, path)
+    raw = spark.readStream.schema(schema).parquet(path)
+    return normalize_events_ts(raw)
 
 
 # State-store partition count for terminating verify runs. Each stateful
@@ -285,11 +281,11 @@ def foreachbatch_upsert_counts(
 
     spark = _stream_session(spark)
     raw = (
-        spark.readStream.schema(RAW_EVENTS_SCHEMA)
+        spark.readStream.schema(_events_file_schema(spark, events_path))
         .option("maxFilesPerTrigger", 1)
         .parquet(events_path)
     )
-    ev = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    ev = normalize_events_ts(raw)
     agg = ev.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("n_events"),
         F.sum("value").alias("sum_value"),

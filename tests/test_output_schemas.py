@@ -89,8 +89,15 @@ def test_priority_sets_subset_of_registry():
     names = set(all_specs())
     stray = (_DRIVER_VERIFIED | _NEW_THIS_ROUND | set(_PRIORITY_BOOST)) - names
     assert not stray, f"priority-set names not in registry: {stray}"
-    # boosted queries must actually need a driver row: none already verified
-    assert not (set(_PRIORITY_BOOST) & _DRIVER_VERIFIED)
+    # Overlap between boost and verified is now LEGAL and intentional:
+    # _DRIVER_VERIFIED records driver history, while the r4 boost list
+    # re-proves events-dependent greens invalidated by the r3 fixture
+    # regeneration. Boost must win the priority comparison for those.
+    from sd2_drp_experimentgen_spark.plans.registry import _driver_priority
+
+    for name in set(_PRIORITY_BOOST) & _DRIVER_VERIFIED:
+        tier, _ = _driver_priority((name, all_specs()[name]))
+        assert tier == 0, f"{name}: boost must outrank verified"
 
 
 def test_boost_queries_sort_first():

@@ -7,9 +7,30 @@ from __future__ import annotations
 import pytest
 
 
-def test_frozen_conf_surfaces_clear_error(spark, monkeypatch):
+def test_frozen_conf_surfaces_clear_error(spark, tmp_path):
+    """The nanos conf is only *required* for the TIMESTAMP(NANOS) fixture
+    generation, so the test synthesizes one (the shipped fixtures are
+    currently TIMESTAMP(MICROS))."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
     from sd2_drp_experimentgen_spark import session as sess
     from sd2_drp_experimentgen_spark.sources import tables
+
+    sf_dir = tmp_path / "nanos_gen"
+    sf_dir.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array([1, 2], pa.int64()),
+                "ts": pa.array([1_700_000_000_000_000_001] * 2,
+                               pa.timestamp("ns")),
+            }
+        ),
+        sf_dir / "events.parquet",
+        version="2.6",  # keep ns precision (2.4 coerces to µs)
+    )
+    assert tables.events_ts_unit(str(sf_dir / "events.parquet")) == "ns"
 
     class FrozenConf:
         """Simulates a session whose runtime conf refuses sets and holds
@@ -31,11 +52,43 @@ def test_frozen_conf_surfaces_clear_error(spark, monkeypatch):
     assert tables._NANOS_CONF in sess.CONF_SET_FAILURES
 
     with pytest.raises(RuntimeError, match="nanosAsLong.*TIMESTAMP.NANOS"):
-        tables.load_events(frozen, "/root/testdata/sf0.001")
+        tables.load_events(frozen, str(sf_dir))
 
     # Restore: a working session clears the recorded failure.
     sess.configure_session(spark)
     assert tables._NANOS_CONF not in sess.CONF_SET_FAILURES
+
+
+def test_nanos_generation_still_loads(spark, tmp_path):
+    """Backward compatibility: a TIMESTAMP(NANOS) events file (the r1-r3
+    fixture generation) must load through the same adaptive path with
+    integer ns->µs truncation."""
+    import datetime
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from sd2_drp_experimentgen_spark.sources.tables import load_events
+
+    sf_dir = tmp_path / "nanos_gen"
+    sf_dir.mkdir()
+    # 1_700_000_000s + 1234567ns: truncates to .001234µs
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array([1], pa.int64()),
+                "ts": pa.array([1_700_000_000_001_234_567],
+                               pa.timestamp("ns")),
+            }
+        ),
+        sf_dir / "events.parquet",
+        version="2.6",
+    )
+    ev = load_events(spark, str(sf_dir))
+    assert dict(ev.dtypes)["ts"] == "timestamp"
+    got = ev.collect()[0]["ts"].replace(tzinfo=None)
+    want = datetime.datetime(2023, 11, 14, 22, 13, 20, 1234)
+    assert got == want
 
 
 def test_require_conf_passes_on_configured_session(spark):

@@ -137,6 +137,18 @@ def main() -> int:
     ap.add_argument("names", nargs="*")
     args = ap.parse_args()
 
+    from sd2_drp_experimentgen_spark.sources.preflight import (
+        assert_fixture_schemas,
+        fixture_fingerprint,
+    )
+
+    # Drift tripwire: one clear message instead of 47 opaque crashes
+    # (VERDICT r3). The fingerprint guards against a MID-RUN fixture
+    # regeneration silently making Spark and DuckDB read different file
+    # generations (the likely cause of r3's spurious pagerank hash-fail).
+    assert_fixture_schemas(args.sf_dir)
+    fp0 = fixture_fingerprint(args.sf_dir)
+
     specs = all_specs()
     names = args.names or sorted(specs)
     spark = get_spark(shuffle_partitions=8)
@@ -163,6 +175,12 @@ def main() -> int:
         else:
             n_fail += 1
             print(f"FAIL {name}: {msg} ({dt:.2f}s)")
+    if fixture_fingerprint(args.sf_dir) != fp0:
+        print(
+            "\nWARNING: fixture files CHANGED during this verify run — "
+            "Spark and DuckDB may have read different file generations; "
+            "re-run before trusting any FAIL above."
+        )
     print(f"\n{n_pass} pass, {n_fail} fail, {n_rows_only} rows-only")
     return 1 if n_fail else 0
 
