@@ -154,40 +154,79 @@ def q_mix_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_agg_approx_distinct",
-    oracle=None,  # HLL sketches differ per engine; rows-only + self-test
+    oracle="""
+    SELECT count(DISTINCT l_orderkey) AS exact_orders,
+           true AS approx_ok
+    FROM lineitem
+    """,
     tier="P2",
     doc="approx_count_distinct (HyperLogLog++) next to the exact count. "
-    "No cross-engine oracle exists (different HLL implementations); the "
-    "pytest self-check asserts |approx-exact|/exact < 5%. At 100 TB the "
-    "approx path is the only affordable one — a single pass, fixed "
-    "memory, no distinct shuffle.",
+    "HLL sketch values differ per engine, so the sketch itself cannot "
+    "be oracled; instead the query emits the exact count (hash-checked "
+    "bit-exact) plus approx_ok = |approx-exact|/exact < 5% — Spark's "
+    "HLL++ is deterministic for fixed data+rsd, so the boolean is a "
+    "stable, driver-hashable witness that the sketch ran and landed "
+    "in-bound (upgrades r1's no_oracle row; VERDICT r3 item 7). At "
+    "100 TB the approx path is the only affordable one — a single "
+    "pass, fixed memory, no distinct shuffle.",
 )
 def q_agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     return li.agg(
         F.approx_count_distinct("l_orderkey").alias("approx_orders"),
         F.countDistinct("l_orderkey").alias("exact_orders"),
+    ).select(
+        "exact_orders",
+        (
+            F.abs(F.col("approx_orders") - F.col("exact_orders"))
+            / F.col("exact_orders")
+            < 0.05
+        ).alias("approx_ok"),
     )
 
 
 @register(
     "q_agg_approx_percentile",
-    oracle=None,  # t-digest/GK sketches differ per engine; rows-only + self-test
+    oracle=f"""
+    SELECT l_returnflag,
+           {sql_r('quantile_cont(l_extendedprice, 0.5)')} AS exact_p50,
+           {sql_r('quantile_cont(l_extendedprice, 0.9)')} AS exact_p90,
+           true AS p50_ok,
+           true AS p90_ok
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
     tier="P2",
     doc="approx_percentile (median + p90 of l_extendedprice per return "
     "flag, accuracy 10000) next to the exact interpolated percentile. "
-    "No cross-engine oracle (sketch implementations differ); the "
-    "pytest self-check bounds the relative error vs exact at 1%. At "
-    "100 TB the sketch path replaces the full sort an exact "
-    "percentile needs: single pass, mergeable fixed-size state.",
+    "GK sketch values differ per engine, so the query emits the exact "
+    "percentiles (hash-checked vs DuckDB quantile_cont, shared "
+    "linear-interpolation semantics) plus pXX_ok booleans bounding "
+    "the sketch's relative error at 1% — deterministic for fixed "
+    "data+accuracy, so driver-hashable (upgrades r1's no_oracle row; "
+    "VERDICT r3 item 7). At 100 TB the sketch path replaces the full "
+    "sort an exact percentile needs: single pass, mergeable "
+    "fixed-size state.",
 )
 def q_agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
+    agg = li.groupBy("l_returnflag").agg(
         F.approx_percentile("l_extendedprice", 0.5, 10000).alias("approx_p50"),
         F.approx_percentile("l_extendedprice", 0.9, 10000).alias("approx_p90"),
         F.percentile("l_extendedprice", 0.5).alias("exact_p50"),
         F.percentile("l_extendedprice", 0.9).alias("exact_p90"),
+    )
+    within = lambda p: (  # noqa: E731
+        F.abs(F.col(f"approx_{p}") - F.col(f"exact_{p}"))
+        / F.col(f"exact_{p}")
+        < 0.01
+    ).alias(f"{p}_ok")
+    return agg.select(
+        "l_returnflag",
+        r4(F.col("exact_p50")).alias("exact_p50"),
+        r4(F.col("exact_p90")).alias("exact_p90"),
+        within("p50"),
+        within("p90"),
     )
 
 

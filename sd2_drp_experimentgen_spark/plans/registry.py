@@ -175,9 +175,11 @@ _PRIORITY_BOOST = (
     "q_set_intersect_all",
     "q_set_except_all",
     "q_udf_cogrouped",
-    # tier 2: suspect greens
+    # tier 2: suspect or rewritten-since-green
     "q_graph_pagerank",
     "q_neardup_jaccard",
+    "q_agg_approx_distinct",   # upgraded no_oracle -> hash (r4)
+    "q_agg_approx_percentile",  # upgraded no_oracle -> hash (r4)
     # tier 3: stale events-dependent r1/r2 greens
     "q_json_extract",
     "q_map_funcs",
