@@ -28,13 +28,22 @@ from ..session import configure_session
 from ..sources.tables import normalize_events_ts
 
 
+_SCHEMA_CACHE: dict[str, StructType] = {}
+
+
 def _events_file_schema(spark: SparkSession, path: str) -> StructType:
     """Raw schema of the events files at ``path``, read from parquet
     footers via a batch scan (metadata-only — no data IO). readStream
     needs an explicit schema; deriving it from the files themselves
     keeps streaming correct across fixture regenerations that change
-    the physical ts encoding (VERDICT r3 P0)."""
-    return spark.read.parquet(path).schema
+    the physical ts encoding (VERDICT r3 P0).
+
+    Cached per path: multi-phase jobs (late-data, foreachBatch) re-read
+    the same directory as files are appended, and appended files share
+    the first file's generation within a process."""
+    if path not in _SCHEMA_CACHE:
+        _SCHEMA_CACHE[path] = spark.read.parquet(path).schema
+    return _SCHEMA_CACHE[path]
 
 _run_counter = itertools.count()
 
