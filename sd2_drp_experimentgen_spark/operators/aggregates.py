@@ -618,7 +618,26 @@ def q_agg_boolean(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_agg_hll_sketch_merge",
-    oracle=None,  # Datasketches binary sketches have no cross-engine twin
+    oracle="""
+    WITH e AS (
+      SELECT date_trunc('day', ts) AS day, event_type, user_id FROM events
+    ),
+    d AS (
+      SELECT day, event_type, count(DISTINCT user_id) AS day_exact
+      FROM e GROUP BY day, event_type
+    ),
+    m AS (
+      SELECT event_type, max(day_exact) AS max_day_exact
+      FROM d GROUP BY event_type
+    ),
+    x AS (
+      SELECT event_type, count(DISTINCT user_id) AS exact_users
+      FROM e GROUP BY event_type
+    )
+    SELECT x.event_type, x.exact_users, m.max_day_exact,
+           true AS est_ok, true AS ge_day_ok
+    FROM x JOIN m USING (event_type)
+    """,
     tier="P2",
     doc="Re-aggregatable HLL sketches (Spark 3.5+ Datasketches "
     "functions): per-(day, event_type) user sketches built with "
@@ -626,9 +645,11 @@ def q_agg_boolean(spark: SparkSession, sf_dir: str) -> DataFrame:
     "two-level rollup a 100 TB pipeline stores (daily sketch tables "
     "are tiny and re-mergeable to any coarser grain without rescanning "
     "raw events; plain approx_count_distinct cannot re-aggregate). "
-    "Emits the merged estimate next to the exact distinct; pytest "
-    "bounds the relative error < 5% and checks estimate monotonicity "
-    "vs the per-day maxima.",
+    "Binary sketches have no cross-engine twin, so the hash check uses "
+    "exact companions + deterministic witnesses: exact_users and "
+    "max_day_exact are bit-exact vs SQL, est_ok bounds the merged "
+    "estimate's relative error at 5%, ge_day_ok pins union "
+    "monotonicity (merged >= 0.95x the largest single day).",
 )
 def q_agg_hll_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources.tables import load_events
@@ -648,7 +669,17 @@ def q_agg_hll_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("user_id").alias("exact_users")
     )
     return merged.join(exact, "event_type").select(
-        "event_type", "est_users", "exact_users", "max_day_exact"
+        "event_type",
+        "exact_users",
+        "max_day_exact",
+        (
+            F.abs(F.col("est_users") - F.col("exact_users"))
+            / F.col("exact_users")
+            < 0.05
+        ).alias("est_ok"),
+        (F.col("est_users") >= F.col("max_day_exact") * 0.95).alias(
+            "ge_day_ok"
+        ),
     )
 
 
@@ -804,7 +835,25 @@ def q_agg_percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_agg_count_min_sketch",
-    oracle=None,  # binary sketches have no cross-engine twin; rows-only
+    oracle="""
+    WITH hot AS (
+      SELECT user_id FROM events
+      GROUP BY user_id ORDER BY count(*) DESC, user_id LIMIT 3
+    ),
+    et AS (SELECT DISTINCT event_type FROM events),
+    cnt AS (
+      SELECT event_type, user_id, count(*) AS n
+      FROM events
+      WHERE user_id IN (SELECT user_id FROM hot)
+      GROUP BY event_type, user_id
+    )
+    SELECT et.event_type, h.user_id,
+           coalesce(cnt.n, 0) AS exact,
+           true AS cms_ok
+    FROM et CROSS JOIN hot h
+    LEFT JOIN cnt ON cnt.event_type = et.event_type
+                 AND cnt.user_id = h.user_id
+    """,
     tier="P2",
     doc="Count-min sketch heavy-hitter estimation (Spark's built-in "
     "count_min_sketch aggregate): one CMS per event_type over user_id "
@@ -812,17 +861,20 @@ def q_agg_percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
     "collects only the FIVE serialized sketches (the whole point of a "
     "sketch — per-group state is a few KB regardless of row count) "
     "and probes them for the three hottest users via the JVM "
-    "CountMinSketch reader. Emits estimate next to exact; CMS "
-    "guarantees estimate >= exact with bounded overshoot — "
-    "pytest-checked. Completes the sketch family: HLL (approx "
-    "distinct, mergeable), bitmap (exact distinct, mergeable), CMS "
-    "(frequency, mergeable).",
+    "CountMinSketch reader. Binary sketches have no cross-engine "
+    "twin, so the hash check uses exact companions + a deterministic "
+    "witness: exact per-(type, hot-user) counts bit-exact vs SQL, and "
+    "cms_ok = exact <= estimate <= exact + 50 (the CMS one-sided "
+    "error guarantee; eps*N stays far under 50 at every driver sf, "
+    "and the fixed seed makes the estimate reproducible). Completes "
+    "the sketch family: HLL (approx distinct, mergeable), bitmap "
+    "(exact distinct, mergeable), CMS (frequency, mergeable).",
 )
 def q_agg_count_min_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources.tables import load_events
 
     ev = load_events(spark, sf_dir)
-    # three hottest users overall (exact, distributed)
+    # three hottest users overall (exact, distributed; tiebreak pinned)
     hot = [
         r["user_id"]
         for r in ev.groupBy("user_id")
@@ -854,17 +906,14 @@ def q_agg_count_min_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             bytes(r["cms"])
         )
         for uid in hot:
-            est = sk.estimateCount(int(uid))
+            est = int(sk.estimateCount(int(uid)))
+            ex = int(exact.get((r["event_type"], uid), 0))
             rows.append(
-                (
-                    r["event_type"],
-                    int(uid),
-                    int(est),
-                    int(exact.get((r["event_type"], uid), 0)),
-                )
+                (r["event_type"], int(uid), ex, ex <= est <= ex + 50)
             )
     return spark.createDataFrame(
-        rows, schema="event_type string, user_id long, est long, exact long"
+        rows,
+        schema="event_type string, user_id long, exact long, cms_ok boolean",
     )
 
 
@@ -897,21 +946,45 @@ def q_agg_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_agg_histogram_numeric",
-    oracle=None,  # adaptive bin placement is implementation-defined
+    oracle="""
+    SELECT count(*) AS total_mass,
+           true AS n_bins_ok,
+           true AS range_ok,
+           true AS order_ok
+    FROM lineitem
+    """,
     tier="P2",
     doc="Adaptive histogram sketch (histogram_numeric): 20 "
     "variable-width bins whose centroids adapt to the data "
     "distribution — the one-pass approximate complement to the exact "
     "fixed-bin q_histogram_fixed_bins (which needs the global extent "
-    "first). Bin placement is implementation-defined, so rows-only; "
-    "pytest asserts mass conservation, centroid ordering, and range "
-    "containment against the exact scan.",
+    "first). Bin placement is implementation-defined, so the hash "
+    "check uses deterministic invariants instead of bin values: "
+    "total_mass (sum of bin masses == exact row count — mass "
+    "conservation, bit-exact), n_bins_ok (1..20 bins), range_ok "
+    "(every centroid inside the exact global [min, max]), order_ok "
+    "(centroids strictly increasing).",
 )
 def q_agg_histogram_numeric(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
-    binned = li.select(
+    binned = li.agg(
         F.expr("histogram_numeric(l_extendedprice, 20)").alias("bins")
     )
-    return binned.select(F.explode("bins").alias("b")).select(
-        F.col("b.x").alias("centroid"), F.col("b.y").cast("long").alias("mass")
+    ext = li.agg(
+        F.min("l_extendedprice").alias("lo"),
+        F.max("l_extendedprice").alias("hi"),
+    )
+    cents = "transform(bins, b -> b.x)"
+    return binned.crossJoin(ext).select(
+        F.expr("cast(aggregate(bins, 0D, (a, b) -> a + b.y) as long)").alias(
+            "total_mass"
+        ),
+        F.expr("size(bins) between 1 and 20").alias("n_bins_ok"),
+        F.expr(
+            f"array_min({cents}) >= lo and array_max({cents}) <= hi"
+        ).alias("range_ok"),
+        F.expr(
+            f"{cents} = array_sort({cents}) "
+            f"and size(array_distinct({cents})) = size(bins)"
+        ).alias("order_ok"),
     )
