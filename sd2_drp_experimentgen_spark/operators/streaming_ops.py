@@ -256,6 +256,61 @@ def q_stream_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jobs.foreachbatch_upsert_counts(spark, src, state, ckpt)
 
 
+def _has_protobuf() -> bool:
+    """transformWithStateInPandas speaks to its JVM state server over a
+    protobuf protocol; without the google.protobuf package the Python
+    runner crashes at init. Gate registration so environments missing
+    the dependency (like this container) simply don't expose the op
+    instead of shipping a query that cannot run."""
+    try:
+        import google.protobuf  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def _q_stream_tws_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    sf_tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    src = _scratch(f"tws_totals_{sf_tag}")
+    shutil.rmtree(src, ignore_errors=True)
+    os.makedirs(src)
+    table = pq.read_table(f"{sf_dir}/events.parquet")
+    half = table.num_rows // 2
+    pq.write_table(table.slice(0, half), os.path.join(src, "0_first.parquet"))
+    pq.write_table(table.slice(half), os.path.join(src, "1_second.parquet"))
+    return jobs.tws_user_totals(spark, src)
+
+
+if _has_protobuf():
+    register(
+        "q_stream_tws_totals",
+        oracle="""
+        SELECT user_id,
+               count(*) AS n_events,
+               sum(CAST(round(value * 100) AS BIGINT)) AS sum_cents
+        FROM events
+        GROUP BY user_id
+        """,
+        tier="P1",
+        doc="LIVE arbitrary-stateful streaming via transformWithState"
+        "InPandas (Spark 4 StatefulProcessor + ValueState, RocksDB "
+        "state store) — the successor API to applyInPandasWithState "
+        "exercised by q_stream_stateful_counts. Events staged as TWO "
+        "files with maxFilesPerTrigger=1 so the typed state genuinely "
+        "persists and reloads across micro-batches; money accumulates "
+        "as integer cents, making the running sum exact and "
+        "order-independent, so the terminal per-user state "
+        "hash-checks against plain batch SQL. Registered only when "
+        "google.protobuf is importable (the API's state-server "
+        "protocol requires it).",
+    )(_q_stream_tws_totals)
+
+
 @register(
     "q_stream_python_source",
     oracle="""

@@ -404,3 +404,96 @@ def ohlc_1h_watermarked(spark: SparkSession, events_path: str) -> DataFrame:
         )
     )
     return run_to_memory(agg, "complete")
+
+
+def tws_user_totals(spark: SparkSession, events_path: str) -> DataFrame:
+    """Running per-user totals via transformWithStateInPandas — the
+    Spark 4 arbitrary-stateful API (StatefulProcessor + typed state
+    handles) that supersedes applyInPandasWithState. ValueState holds
+    (n_events, sum_cents) per user; every micro-batch emits the
+    updated cumulative row for each key it saw, and the terminal
+    per-user row is selected with max/max_by (counts strictly increase
+    per emission, so the arg-max is the final state).
+
+    Money is accumulated as integer cents (round(value*100)), which
+    makes the running sum exact and order-independent — a float
+    cumulative sum would depend on batch arrival order and could never
+    hash-check against set-oriented SQL.
+
+    transformWithState requires the RocksDB state store; the conf is
+    set on this query's dedicated session only (stream_events built it
+    via newSession), so HDFS-backed state elsewhere is untouched.
+    State-size posture at 100 TB: one 16-byte value per user key, and
+    TTL (timeMode='ProcessingTime' + ttlConfig) is one argument away
+    for evicting dormant users.
+    """
+    import pandas as pd
+
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    class UserTotals(StatefulProcessor):
+        _SCHEMA = StructType(
+            [
+                StructField("n", LongType(), True),
+                StructField("cents", LongType(), True),
+            ]
+        )
+
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._totals = handle.getValueState("totals", self._SCHEMA)
+
+        def handleInputRows(self, key, rows, timer_values):
+            if self._totals.exists():
+                prev = self._totals.get()
+                n, cents = int(prev[0]), int(prev[1])
+            else:
+                n, cents = 0, 0
+            for pdf in rows:
+                n += len(pdf)
+                cents += int(
+                    (pdf["value"] * 100).round().astype("int64").sum()
+                )
+            self._totals.update((n, cents))
+            yield pd.DataFrame(
+                {
+                    "user_id": [int(key[0])],
+                    "n_events": [n],
+                    "sum_cents": [cents],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    spark = _stream_session(spark)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    # maxFilesPerTrigger=1 forces one micro-batch per staged file, so the
+    # ValueState genuinely carries across batches (the single-batch path
+    # would never read state back).
+    raw = (
+        spark.readStream.schema(_events_file_schema(spark, events_path))
+        .option("maxFilesPerTrigger", 1)
+        .parquet(events_path)
+    )
+    ev = normalize_events_ts(raw)
+    out = (
+        ev.select("user_id", "value")
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            statefulProcessor=UserTotals(),
+            outputStructType="user_id long, n_events long, sum_cents long",
+            outputMode="Update",
+            timeMode="None",
+        )
+    )
+    result = run_to_memory(out, "update")
+    # terminal row per user: counts strictly increase per emission
+    return result.groupBy("user_id").agg(
+        F.max("n_events").alias("n_events"),
+        F.max_by("sum_cents", "n_events").alias("sum_cents"),
+    )
