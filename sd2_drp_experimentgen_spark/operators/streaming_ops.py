@@ -256,6 +256,35 @@ def q_stream_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jobs.foreachbatch_upsert_counts(spark, src, state, ckpt)
 
 
+@register(
+    "q_state_reader",
+    oracle="""
+    SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS window_start,
+           event_type,
+           count(*) AS n
+    FROM events
+    GROUP BY 1, 2
+    """,
+    tier="P2",
+    doc="Checkpoint state introspection via the Spark 4 State Data "
+    "Source (read.format('statestore')): runs the 1h-tumbling count "
+    "aggregation to completion with a durable checkpoint, then reads "
+    "the aggregation operator's internal state back as a DataFrame "
+    "(key.window/key.event_type/value.count flattened to scalars). "
+    "Complete-mode agg state holds every window's final count, so the "
+    "state contents hash-check against the plain batch aggregate — "
+    "the invariant an operator asserts when debugging or migrating a "
+    "production checkpoint without replaying the source.",
+)
+def q_state_reader(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    sf_tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    ckpt = _scratch(f"state_reader_{sf_tag}_ckpt")
+    shutil.rmtree(ckpt, ignore_errors=True)
+    return jobs.state_reader_windows(spark, _events_dir(sf_dir), ckpt)
+
+
 def _has_protobuf() -> bool:
     """transformWithStateInPandas speaks to its JVM state server over a
     protobuf protocol; without the google.protobuf package the Python

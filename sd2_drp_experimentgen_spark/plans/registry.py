@@ -234,6 +234,14 @@ _BOOST_RANK = {n: i for i, n in enumerate(_PRIORITY_BOOST)}
 # entries.
 _NEW_THIS_ROUND: frozenset[str] = frozenset()
 
+# Queries whose registration is conditional on an optional dependency:
+# they stay documented in SURVEY.md everywhere, but self-unregister in
+# environments lacking the dependency (tests/test_docs_sync.py allows
+# exactly this set to be documented-but-absent).
+ENV_GATED: frozenset[str] = frozenset(
+    {"q_stream_tws_totals"}  # transformWithStateInPandas needs protobuf
+)
+
 
 def _driver_priority(item: tuple[str, QuerySpec]) -> tuple[int, int]:
     name, spec = item

@@ -497,3 +497,44 @@ def tws_user_totals(spark: SparkSession, events_path: str) -> DataFrame:
         F.max("n_events").alias("n_events"),
         F.max_by("sum_cents", "n_events").alias("sum_cents"),
     )
+
+
+def state_reader_windows(
+    spark: SparkSession, events_path: str, ckpt: str
+) -> DataFrame:
+    """Checkpoint state introspection via the State Data Source reader
+    (Spark 4 ``statestore`` format): run the 1h-tumbling count
+    aggregation to completion with a durable checkpoint, then read the
+    aggregation operator's STATE back as a DataFrame and flatten it to
+    (window_start, event_type, n).
+
+    Complete-mode aggregation state holds every window's final count,
+    so the state contents equal the plain batch aggregate — which makes
+    this hash-checkable, and is exactly the invariant an operator would
+    assert when debugging a production checkpoint (the 100 TB use:
+    inspect/repair/migrate running state without replaying the source).
+    """
+    ev = stream_events(spark, events_path)
+    agg = ev.groupBy(
+        F.window("ts", "1 hour").alias("w"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    name = _unique_name("sd2drp_state_probe")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    st = (
+        ev.sparkSession.read.format("statestore")
+        .option("path", ckpt)
+        .load()
+    )
+    return st.select(
+        F.col("key.window.start").cast("long").alias("window_start"),
+        F.col("key.event_type").alias("event_type"),
+        F.col("value.count").alias("n"),
+    )

@@ -19,6 +19,11 @@ def test_every_registered_query_documented():
 
 
 def test_every_documented_query_registered():
+    from sd2_drp_experimentgen_spark.plans.registry import ENV_GATED
+
     doc_names = set(re.findall(r"`(q_[a-z0-9_]+)`", SURVEY.read_text()))
-    ghosts = doc_names - set(all_specs())
+    # Env-gated queries (e.g. transformWithStateInPandas needs
+    # google.protobuf) stay documented even where the dependency is
+    # absent and they self-unregister.
+    ghosts = doc_names - set(all_specs()) - ENV_GATED
     assert not ghosts, f"SURVEY.md claims unregistered queries: {sorted(ghosts)}"
