@@ -831,3 +831,125 @@ def q_decontaminate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("contamination"),
         )
     )
+
+
+@register(
+    "q_text_pii_redact",
+    oracle="""
+    WITH injected AS (
+      SELECT doc_id,
+             text
+             || CASE WHEN doc_id % 3 = 0
+                     THEN ' contact user' || doc_id || '@example.com'
+                     ELSE '' END
+             || CASE WHEN doc_id % 5 = 0
+                     THEN ' call +1-555-'
+                          || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                     ELSE '' END AS t
+      FROM documents
+    )
+    SELECT doc_id,
+           len(regexp_extract_all(t, '[a-z0-9]+@[a-z]+\\.com'))
+             AS n_emails,
+           len(regexp_extract_all(t, '\\+1-555-[0-9]{4}')) AS n_phones,
+           md5(regexp_replace(
+                 regexp_replace(t, '[a-z0-9]+@[a-z]+\\.com', '<EMAIL>', 'g'),
+                 '\\+1-555-[0-9]{4}', '<PHONE>', 'g')) AS redacted_md5
+    FROM injected
+    """,
+    tier="P1",
+    doc="PII detection + redaction — the pretraining-pipeline "
+    "compliance pass: regex-count emails/phones per document, then "
+    "redact them to typed placeholders. The synthetic corpus carries "
+    "no organic PII, so deterministic PII is INJECTED first (derived "
+    "from doc_id, identically in Spark and the oracle), which makes "
+    "detection counts and the md5 of the redacted text exact "
+    "cross-engine checks rather than pattern-luck. Patterns use the "
+    "portable regex subset (classes, +, {n}) that Java regex and RE2 "
+    "agree on. Scale: one projection, no shuffle; per-doc work "
+    "parallelizes embarrassingly and the scan prunes to "
+    "(doc_id, text).",
+)
+def q_text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    email_pat = r"[a-z0-9]+@[a-z]+\.com"
+    phone_pat = r"\+1-555-[0-9]{4}"
+    injected = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com"),
+            ),
+        ).otherwise(""),
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(
+                F.lit(" call +1-555-"),
+                F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            ),
+        ).otherwise(""),
+    )
+    redacted = F.regexp_replace(
+        F.regexp_replace(injected, email_pat, "<EMAIL>"),
+        phone_pat,
+        "<PHONE>",
+    )
+    return docs.select(
+        "doc_id",
+        F.regexp_count(injected, F.lit(email_pat)).alias("n_emails"),
+        F.regexp_count(injected, F.lit(phone_pat)).alias("n_phones"),
+        F.md5(redacted).alias("redacted_md5"),
+    )
+
+
+@register(
+    "q_mix_temperature",
+    oracle=f"""
+    WITH counts AS (
+      SELECT lang, count(*) AS n_docs
+      FROM documents GROUP BY lang
+    ),
+    tot AS (
+      SELECT sum(n_docs) AS total, sum(pow(n_docs, 0.7)) AS temp_mass
+      FROM counts
+    )
+    SELECT lang, n_docs,
+           {sql_r('n_docs / total', 6)} AS p_raw,
+           {sql_r('pow(n_docs, 0.7) / temp_mass', 6)} AS p_temp,
+           CAST(floor(10000 * pow(n_docs, 0.7) / temp_mass + 0.5) AS BIGINT)
+             AS draws_10k
+    FROM counts CROSS JOIN tot
+    """,
+    tier="P1",
+    doc="Temperature-based corpus mixing (alpha=0.7, the multilingual "
+    "sampling-rate design from the mBERT/XLM-R lineage): per-language "
+    "document counts -> raw proportions -> temperature-flattened "
+    "proportions n^0.7 / sum(n^0.7) -> integer draw budget out of "
+    "10k. Upsamples low-resource languages at a controlled rate; "
+    "combine with q_sample_weighted to materialize the mixture. One "
+    "tiny groupBy + a broadcast scalar join; 6dp rounding absorbs the "
+    "single pow/divide float steps (IEEE-identical inputs either "
+    "side).",
+)
+def q_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.helpers import r6
+
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    tot = counts.agg(
+        F.sum("n_docs").alias("total"),
+        F.sum(F.pow("n_docs", F.lit(0.7))).alias("temp_mass"),
+    )
+    p_temp = F.pow("n_docs", F.lit(0.7)) / F.col("temp_mass")
+    return counts.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "n_docs",
+        r6(F.col("n_docs") / F.col("total")).alias("p_raw"),
+        r6(p_temp).alias("p_temp"),
+        F.floor(F.lit(10000) * p_temp + F.lit(0.5))
+        .cast("long")
+        .alias("draws_10k"),
+    )

