@@ -991,3 +991,58 @@ def q_agg_histogram_numeric(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"and size(array_distinct({cents})) = size(bins)"
         ).alias("order_ok"),
     )
+
+
+@register(
+    "q_observe_metrics",
+    oracle=f"""
+    SELECT count(*) AS n_rows,
+           {sql_r('sum(l_quantity)')} AS sum_qty,
+           {sql_r('min(l_extendedprice)')} AS min_price,
+           {sql_r('max(l_extendedprice)')} AS max_price
+    FROM lineitem
+    WHERE l_discount > 0.02
+    """,
+    tier="P2",
+    doc="Observable metrics (df.observe + Observation): data-quality "
+    "counters attached to a REAL query so they ride the same job — at "
+    "100 TB the alternative is a second full scan just to know what "
+    "the pipeline processed. The observed aggregates (row count, "
+    "quantity total, price extrema over the filtered stream) are "
+    "collected from the listener after one materializing pass and "
+    "returned as a 1-row frame, hash-checked against computing the "
+    "same aggregates declaratively. The driver-side collect is the "
+    "metrics map only (4 scalars), never data.",
+)
+def q_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Observation
+
+    li = load_table(spark, sf_dir, "lineitem")
+    obs = Observation("qc")
+    observed = li.where(F.col("l_discount") > 0.02).observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("l_quantity").alias("sum_qty"),
+        F.min("l_extendedprice").alias("min_price"),
+        F.max("l_extendedprice").alias("max_price"),
+    )
+    observed.write.format("noop").mode("overwrite").save()  # one real pass
+    m = obs.get
+
+    def rh4(x: float) -> float:  # same half-up rounding as the oracle
+        import math
+
+        return math.floor(x * 10000 + 0.5) / 10000
+
+    return spark.createDataFrame(
+        [
+            (
+                int(m["n_rows"]),
+                rh4(m["sum_qty"]),
+                rh4(m["min_price"]),
+                rh4(m["max_price"]),
+            )
+        ],
+        schema="n_rows long, sum_qty double, min_price double, "
+        "max_price double",
+    )
