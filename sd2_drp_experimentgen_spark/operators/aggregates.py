@@ -1017,7 +1017,15 @@ def q_agg_histogram_numeric(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Observation
 
-    li = load_table(spark, sf_dir, "lineitem")
+    # Isolated session (shared SparkContext, own ObservationManager):
+    # a registered Observation leaves a non-serializable
+    # ObservationManager reference on its session that later poisons
+    # closure-cleaning for RDD-based jobs (MLlib evaluators) on the
+    # same session. Scoping the observation to a throwaway session
+    # keeps the caller's session clean; the returned frame is built on
+    # the caller's session from plain Python scalars.
+    spark_obs = spark.newSession()
+    li = load_table(spark_obs, sf_dir, "lineitem")
     obs = Observation("qc")
     observed = li.where(F.col("l_discount") > 0.02).observe(
         obs,

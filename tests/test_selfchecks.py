@@ -276,3 +276,18 @@ def test_mix_temperature_flattens(spark):
     assert lo["p_temp"] > lo["p_raw"]
     assert hi["p_temp"] < hi["p_raw"]
     assert abs(sum(r["draws_10k"] for r in rows) - 10000) <= len(rows)
+
+
+def test_observe_does_not_poison_session_closures(spark):
+    """A registered Observation must not leave a non-serializable
+    ObservationManager reference behind on the shared session: RDD
+    closure cleaning for later jobs (MLlib evaluators) fails with
+    'Task not serializable' if it does. q_observe_metrics scopes its
+    observation to a throwaway session; this pins the interaction."""
+    specs = all_specs()
+    row = specs["q_observe_metrics"].fn(spark, SF_T2).collect()[0]
+    assert row["n_rows"] > 0
+    # an RDD-closure job on the same session must still work
+    assert (
+        spark.range(100).rdd.map(lambda r: r.id).sum() == 4950
+    )
