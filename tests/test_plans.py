@@ -277,3 +277,24 @@ def test_neardup_token_join_is_prefix_bounded(spark):
         if "Join [token" in l and "doc_id" in l and "<" in l
     ]
     assert joins, p
+
+
+def test_pii_redact_scan_prunes_and_stays_shuffle_free(spark):
+    """Per-doc PII work is a pure projection: the documents scan must
+    read only (doc_id, text) and the plan must contain no Exchange —
+    at 100 TB this runs as one embarrassingly-parallel pass."""
+    p = plan(all_specs()["q_text_pii_redact"].fn(spark, SF_T2), "formatted")
+    assert "Exchange" not in p, p
+    scan_lines = [l for l in p.splitlines() if "ReadSchema" in l]
+    assert scan_lines and "doc_id" in scan_lines[0] and "text" in scan_lines[0]
+    for unused in ("lang:", "source:", "n_chars:"):
+        assert unused not in scan_lines[0], scan_lines[0]
+
+
+def test_mix_temperature_broadcasts_scalar_totals(spark):
+    """The totals side is a 1-row aggregate: it must reach the
+    per-language rows via a broadcast join, never a shuffle of the
+    counts table against a 1-row frame."""
+    p = plan(all_specs()["q_mix_temperature"].fn(spark, SF_T2), "simple")
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p, p
+    assert "SortMergeJoin" not in p, p
