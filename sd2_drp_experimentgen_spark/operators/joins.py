@@ -658,3 +658,80 @@ def q_sql_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE c_mktsegment = 'BUILDING'
         """
     )
+
+
+@register(
+    "q_sql_parameterized",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS n,
+           floor(sum(o_totalprice) * 10000 + 0.5) / 10000 AS sum_price
+    FROM orders
+    WHERE o_orderstatus = 'F' AND o_totalprice >= 50000
+    GROUP BY o_orderpriority
+    """,
+    tier="P2",
+    doc="Parameterized SQL (spark.sql named-parameter binding, Spark "
+    "3.4+): the status/threshold predicates arrive as bound :params, "
+    "not string interpolation — the injection-safe templated-report "
+    "surface. Binding happens in the parser, so the bound literals "
+    "still constant-fold and push down to the parquet scan exactly "
+    "like inline literals.",
+)
+def q_sql_parameterized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView(
+        "v_orders_param"
+    )
+    return spark.sql(
+        """
+        SELECT o_orderpriority, count(*) AS n,
+               floor(sum(o_totalprice) * 10000 + 0.5) / 10000 AS sum_price
+        FROM v_orders_param
+        WHERE o_orderstatus = :status AND o_totalprice >= :min_price
+        GROUP BY o_orderpriority
+        """,
+        args={"status": "F", "min_price": 50000},
+    )
+
+
+@register(
+    "q_sql_session_variables",
+    oracle="""
+    SELECT count(*) AS n,
+           floor(sum(l_extendedprice * (1 - l_discount)) * 10000 + 0.5)
+             / 10000 AS revenue
+    FROM lineitem
+    WHERE l_discount BETWEEN 0.05 - 0.01 AND 0.05 + 0.01
+      AND l_quantity < 24
+    """,
+    tier="P2",
+    doc="SQL session variables (Spark 4 DECLARE VARIABLE / SET VAR): "
+    "the Q6 predicate parameterized through typed session-scoped "
+    "variables instead of client-side string building — the "
+    "multi-statement-script surface. Declared on an isolated "
+    "newSession so the variables never leak into concurrent queries "
+    "on the caller's session; variable references constant-fold, so "
+    "the scan still sees pushed-down literals.",
+)
+def q_sql_session_variables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = spark.newSession()
+    from ..session import configure_session
+
+    configure_session(s)
+    load_table(s, sf_dir, "lineitem").createOrReplaceTempView(
+        "v_lineitem_var"
+    )
+    s.sql("DECLARE OR REPLACE VARIABLE target_disc DOUBLE DEFAULT 0.05")
+    s.sql("DECLARE OR REPLACE VARIABLE disc_band DOUBLE DEFAULT 0.01")
+    s.sql("DECLARE OR REPLACE VARIABLE max_qty DOUBLE")
+    s.sql("SET VAR max_qty = 24")
+    return s.sql(
+        """
+        SELECT count(*) AS n,
+               floor(sum(l_extendedprice * (1 - l_discount)) * 10000 + 0.5)
+                 / 10000 AS revenue
+        FROM v_lineitem_var
+        WHERE l_discount BETWEEN target_disc - disc_band
+                             AND target_disc + disc_band
+          AND l_quantity < max_qty
+        """
+    )
