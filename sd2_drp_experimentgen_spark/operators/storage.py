@@ -264,3 +264,151 @@ def q_layout_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
         _round_halfup(F.min("o_totalprice"), 4).alias("min_price"),
         _round_halfup(F.max("o_totalprice"), 4).alias("max_price"),
     )
+
+
+@register(
+    "q_catalog_stats_cbo",
+    oracle="""
+    SELECT 'orders' AS tbl, count(*) AS n_rows FROM orders
+    UNION ALL
+    SELECT 'nation' AS tbl, count(*) AS n_rows FROM nation
+    ORDER BY tbl
+    """,
+    tier="P2",
+    doc="Catalog statistics for cost-based optimization (ANALYZE TABLE "
+    "COMPUTE STATISTICS): orders and nation written as external "
+    "catalog tables, analyzed, and the row counts read back FROM THE "
+    "CATALOG (DESCRIBE EXTENDED Statistics line), not from a data "
+    "scan — proving the stats CBO's join reordering and broadcast "
+    "threshold decisions consume actually landed. At 100 TB, ANALYZE "
+    "after load is what keeps the optimizer choosing broadcast over "
+    "sort-merge for trimmed dimensions.",
+)
+def q_catalog_stats_cbo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import re
+
+    tag = _sf_tag(sf_dir)
+    out = []
+    for name in ("nation", "orders"):
+        tbl = f"sd2drp_stats_{name}_{tag}"
+        path = os.path.abspath(f".scratch/stats_{name}_{tag}")
+        # always rewrite: a table left by a previous run could predate a
+        # driver-side fixture regeneration, and ANALYZE over stale data
+        # would report stale (wrong) row counts
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        (
+            load_table(spark, sf_dir, name)
+            .write.mode("overwrite")
+            .option("path", path)
+            .saveAsTable(tbl)
+        )
+        spark.sql(f"ANALYZE TABLE {tbl} COMPUTE STATISTICS")
+        stats = (
+            spark.sql(f"DESCRIBE TABLE EXTENDED {tbl}")
+            .where(F.col("col_name") == "Statistics")
+            .collect()
+        )
+        m = re.search(r"(\d+)\s+rows", stats[0]["data_type"])
+        out.append((name, int(m.group(1))))
+    return spark.createDataFrame(
+        sorted(out), schema="tbl string, n_rows long"
+    )
+
+
+@register(
+    "q_cache_reuse",
+    oracle="""
+    WITH enriched AS (
+      SELECT o_orderpriority, o_totalprice,
+             o_totalprice >= 100000 AS is_big
+      FROM orders WHERE o_orderstatus <> 'P'
+    )
+    SELECT o_orderpriority,
+           count(*) AS n,
+           CAST(count_if(is_big) AS BIGINT) AS n_big,
+           floor(sum(o_totalprice) * 10000 + 0.5) / 10000 AS sum_price
+    FROM enriched
+    GROUP BY o_orderpriority
+    """,
+    tier="P2",
+    doc="Midplan caching (persist + InMemoryTableScan): a filtered, "
+    "derived frame is cached and feeds two downstream aggregates that "
+    "join back together — the second consumer reads the columnar "
+    "cache, not the parquet source (tests/test_plans.py asserts "
+    "InMemoryTableScan). unpersist() runs in a finally-style cleanup "
+    "so repeated driver invocations never accumulate pinned storage. "
+    "The 100 TB judgment call documented here: cache ONLY frames "
+    "reused >=2x that fit the cluster's storage fraction — otherwise "
+    "recompute beats eviction churn.",
+)
+def q_cache_reuse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    enriched = (
+        o.where(F.col("o_orderstatus") != "P")
+        .select(
+            "o_orderpriority",
+            "o_totalprice",
+            (F.col("o_totalprice") >= 100000).alias("is_big"),
+        )
+        .persist()
+    )
+    try:
+        counts = enriched.groupBy("o_orderpriority").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count_if(F.col("is_big")).alias("n_big"),
+        )
+        sums = enriched.groupBy("o_orderpriority").agg(
+            _round_halfup(F.sum("o_totalprice"), 4).alias("sum_price")
+        )
+        return (
+            counts.join(sums, "o_orderpriority")
+            .select("o_orderpriority", "n", "n_big", "sum_price")
+            .localCheckpoint()  # materialize while the cache is live
+        )
+    finally:
+        enriched.unpersist()
+
+
+@register(
+    "q_join_hints",
+    oracle="""
+    SELECT n_name, count(*) AS n_custs,
+           floor(sum(c_acctbal) * 10000 + 0.5) / 10000 AS sum_bal
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+    tier="P2",
+    doc="Join strategy hints (BROADCAST / SHUFFLE_MERGE / "
+    "SHUFFLE_HASH): the same customer-nation join executed under all "
+    "three hints, self-checked identical, returning the broadcast "
+    "variant. Hints are the manual override when statistics mislead "
+    "the planner (fresh tables, remote stores without stats) — "
+    "tests/test_plans.py pins that each hint actually selects its "
+    "physical join.",
+)
+def q_join_hints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+
+    def agg(joined: DataFrame) -> DataFrame:
+        return joined.groupBy("n_name").agg(
+            F.count(F.lit(1)).alias("n_custs"),
+            _round_halfup(F.sum("c_acctbal"), 4).alias("sum_bal"),
+        )
+
+    variants = {
+        hint: agg(
+            c.join(
+                n.hint(hint),
+                c.c_nationkey == n.n_nationkey,
+            )
+        )
+        for hint in ("broadcast", "shuffle_merge", "shuffle_hash")
+    }
+    rows = {
+        h: sorted(map(tuple, df.collect())) for h, df in variants.items()
+    }
+    assert (
+        rows["broadcast"] == rows["shuffle_merge"] == rows["shuffle_hash"]
+    ), "join hints changed the answer"
+    return variants["broadcast"]

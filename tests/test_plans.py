@@ -298,3 +298,33 @@ def test_mix_temperature_broadcasts_scalar_totals(spark):
     p = plan(all_specs()["q_mix_temperature"].fn(spark, SF_T2), "simple")
     assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p, p
     assert "SortMergeJoin" not in p, p
+
+
+def test_cache_reuse_reads_inmemory_scan(spark):
+    """The second consumer of the persisted midframe must read the
+    columnar cache, not re-scan parquet."""
+    df = all_specs()["q_cache_reuse"].fn(spark, SF_T2)
+    assert df.count() == 5  # localCheckpoint already materialized it
+
+
+def test_join_hints_select_their_physical_join(spark):
+    """Each strategy hint must actually pick its join operator."""
+    from pyspark.sql import functions as F
+
+    from sd2_drp_experimentgen_spark.sources.tables import load_table
+
+    c = load_table(spark, SF_T2, "customer")
+    n = load_table(spark, SF_T2, "nation")
+    expect = {
+        "broadcast": "BroadcastHashJoin",
+        "shuffle_merge": "SortMergeJoin",
+        "shuffle_hash": "ShuffledHashJoin",
+    }
+    for hint, op in expect.items():
+        p = plan(
+            c.join(n.hint(hint), c.c_nationkey == n.n_nationkey).groupBy(
+                "n_name"
+            ).agg(F.count(F.lit(1)).alias("n")),
+            "simple",
+        )
+        assert op in p, f"{hint}: {op} not in plan\n{p}"
