@@ -421,3 +421,39 @@ def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_stream_ohlc_watermarked(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jobs.ohlc_1h_watermarked(spark, _events_dir(sf_dir))
+
+
+@register(
+    "q_stream_rate_source",
+    oracle="""
+    WITH ticks AS (SELECT g AS value FROM generate_series(0, 4999) t(g))
+    SELECT value % 10 AS bucket,
+           count(*) AS n,
+           sum(value) AS sum_value
+    FROM ticks
+    GROUP BY 1
+    """,
+    tier="P2",
+    doc="Built-in rate-micro-batch streaming source: deterministic "
+    "synthetic ticks (value 0..N-1, fixed rowsPerBatch and "
+    "startTimestamp) aggregated per value-bucket under AvailableNow — "
+    "the load-generator surface for soak-testing a streaming topology "
+    "before pointing it at Kafka. Unlike the wall-clock `rate` "
+    "source, rate-micro-batch is replay-deterministic, so the result "
+    "hash-checks against generate_series SQL.",
+)
+def q_stream_rate_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = jobs._stream_session(spark)
+    r = (
+        s.readStream.format("rate-micro-batch")
+        .option("rowsPerBatch", 5000)
+        .option("numPartitions", 4)
+        .option("startTimestamp", 0)
+        .option("advanceMillisPerBatch", 1000)
+        .load()
+    )
+    agg = r.groupBy((F.col("value") % 10).alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("value").alias("sum_value"),
+    )
+    return jobs.run_to_memory(agg, "complete")

@@ -342,3 +342,47 @@ def q_pandas_api_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
         _round_halfup(F.col("total"), 4).alias("total"),
         _round_halfup(F.col("max_price"), 4).alias("max_price"),
     )
+
+
+@register(
+    "q_udf_apply_in_arrow",
+    oracle="""
+    SELECT l_returnflag,
+           count(*) AS n,
+           sum(CAST(round(l_quantity * 100) AS BIGINT)) AS qty_cents
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    tier="P2",
+    doc="Grouped applyInArrow (Spark 4): per-group aggregation written "
+    "directly against pyarrow RecordBatch compute kernels — no pandas "
+    "conversion on either side of the worker boundary. Completes the "
+    "Python execution matrix alongside row-UDF, pandas_udf, grouped "
+    "pandas UDAF, cogrouped pandas, mapInPandas, and mapInArrow. "
+    "Quantities are summed as integer hundredths (per-row round, then "
+    "integer sum), so the result is exact and order-independent and "
+    "hash-checks against SQL.",
+)
+def q_udf_apply_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pyarrow as pa
+
+    def per_flag(key: tuple, table: "pa.Table") -> "pa.Table":
+        import pyarrow.compute as pc
+
+        cents = pc.cast(
+            pc.round(pc.multiply(table["l_quantity"], 100)), pa.int64()
+        )
+        return pa.table(
+            {
+                "l_returnflag": [key[0]],
+                "n": [table.num_rows],
+                "qty_cents": [pc.sum(cents).as_py()],
+            }
+        )
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_quantity"
+    )
+    return li.groupBy("l_returnflag").applyInArrow(
+        per_flag, schema="l_returnflag string, n long, qty_cents long"
+    )
