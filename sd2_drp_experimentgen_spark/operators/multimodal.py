@@ -276,3 +276,78 @@ def q_mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_frames"),
         F.sum("checksum").alias("checksum_sum"),
     )
+
+
+@register(
+    "q_mm_features_verified",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, md5(text) AS hx,
+             (n_chars % 64 + 16) * (doc_id % 48 + 16) AS n_px,
+             (n_chars % 64 + 16) * (doc_id % 48 + 16) * 3 AS L
+      FROM documents
+    ),
+    p AS (SELECT g AS pos FROM generate_series(0, 47) t(g)),
+    b AS (
+      SELECT doc_id, n_px, L, pos, pos % 3 AS chan,
+             (strpos('0123456789abcdef',
+                     substr(hx, 2 * (pos % 16) + 1, 1)) - 1) * 16
+             + strpos('0123456789abcdef',
+                      substr(hx, 2 * (pos % 16) + 2, 1)) - 1 AS val
+      FROM d CROSS JOIN p
+    )
+    SELECT doc_id, n_px,
+           sum(CASE WHEN chan = 0 THEN val ELSE 0 END) * (L // 48)
+             + sum(CASE WHEN chan = 0 AND pos < L % 48 THEN val ELSE 0 END)
+             AS sum_r,
+           sum(CASE WHEN chan = 1 THEN val ELSE 0 END) * (L // 48)
+             + sum(CASE WHEN chan = 1 AND pos < L % 48 THEN val ELSE 0 END)
+             AS sum_g,
+           sum(CASE WHEN chan = 2 THEN val ELSE 0 END) * (L // 48)
+             + sum(CASE WHEN chan = 2 AND pos < L % 48 THEN val ELSE 0 END)
+             AS sum_b
+    FROM b
+    GROUP BY doc_id, n_px, L
+    """,
+    tier="P2",
+    doc="Multimodal decode with EXACT cross-engine verification: the "
+    "same real mapInPandas P6-PPM decode as q_mm_image_features, but "
+    "emitting integer per-channel raster sums. Because the synthetic "
+    "raster is a truncated repetition of the 16-byte md5(text) digest "
+    "(period lcm(3,16)=48 against the RGB stride), the oracle computes "
+    "the identical sums in closed form from the md5 hex — hashing a "
+    "binary-decode path against SQL, which rows-only checks cannot do. "
+    "Scale: the decode parallelizes per document; the oracle-side "
+    "closed form is verify-only.",
+)
+def q_mm_features_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    src = media_table(spark, sf_dir)
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            rows = []
+            for _, r in pdf.iterrows():
+                img = _decode_ppm(bytes(r["payload"]))
+                h, w, _ = img.shape
+                flat = img.reshape(-1, 3).astype(np.int64)
+                rows.append(
+                    (
+                        int(r["doc_id"]),
+                        int(h * w),
+                        int(flat[:, 0].sum()),
+                        int(flat[:, 1].sum()),
+                        int(flat[:, 2].sum()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "n_px", "sum_r", "sum_g", "sum_b"]
+            )
+
+    return src.select("doc_id", "payload").mapInPandas(
+        extract, schema="doc_id long, n_px long, sum_r long, sum_g long, "
+        "sum_b long"
+    )
