@@ -29,6 +29,13 @@ ALLOWED = {
     # Collects 5 serialized sketches + 3 hot-user rows — sketches exist
     # precisely so the driver-side state is KBs regardless of scale.
     ("aggregates.py", "q_agg_count_min_sketch"),
+    # Collects the DESCRIBE EXTENDED 'Statistics' catalog row (pure
+    # metadata, one row per table, size-independent of the data).
+    ("storage.py", "q_catalog_stats_cbo"),
+    # Collects the 25-row nation-grain aggregate 3x to self-check that
+    # join hints don't change the answer — bounded by the dimension
+    # cardinality, not the fact table.
+    ("storage.py", "q_join_hints"),
 }
 
 DRIVER_SINKS = {"collect", "toPandas"}
