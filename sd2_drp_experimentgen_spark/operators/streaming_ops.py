@@ -138,7 +138,11 @@ def q_stream_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    base = _scratch("late_run")
+    # sf-tagged like the other multi-phase streaming scratches so a
+    # driver verify and a pytest run at different sfs never share a
+    # checkpoint (a shared watermark would corrupt both)
+    sf_tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    base = _scratch(f"late_run_{sf_tag}")
     src, out, ckpt = (os.path.join(base, d) for d in ("src", "out", "ckpt"))
     for d in (src, out, ckpt):
         shutil.rmtree(d, ignore_errors=True)
