@@ -366,7 +366,7 @@ def q_pandas_api_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_udf_apply_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pyarrow as pa
 
-    def per_flag(key: tuple, table: "pa.Table") -> "pa.Table":
+    def per_salted_flag(key: tuple, table: "pa.Table") -> "pa.Table":
         import pyarrow.compute as pc
 
         cents = pc.cast(
@@ -380,9 +380,21 @@ def q_udf_apply_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
             }
         )
 
+    # Salted two-stage shape: applyInArrow routes EVERY row of a group
+    # to one Python worker, and l_returnflag has only 3 values — at
+    # 100 TB that is 3 workers eating the whole table. Grouping on
+    # (flag, salt) caps any single Arrow group at ~1/32 of a flag; the
+    # integer partials then combine JVM-side (associative sums), same
+    # exact answer.
     li = load_table(spark, sf_dir, "lineitem").select(
-        "l_returnflag", "l_quantity"
+        "l_returnflag",
+        "l_quantity",
+        (F.crc32(F.col("l_orderkey").cast("string")) % 32).alias("salt"),
     )
-    return li.groupBy("l_returnflag").applyInArrow(
-        per_flag, schema="l_returnflag string, n long, qty_cents long"
+    partials = li.groupBy("l_returnflag", "salt").applyInArrow(
+        lambda key, table: per_salted_flag(key, table.drop(["salt"])),
+        schema="l_returnflag string, n long, qty_cents long",
+    )
+    return partials.groupBy("l_returnflag").agg(
+        F.sum("n").alias("n"), F.sum("qty_cents").alias("qty_cents")
     )
