@@ -1,0 +1,53 @@
+"""Partitioning-invariance: the SURVEY §5.3 determinism claim under
+actual execution-layout changes.
+
+Every query must return identical values when the cluster knobs move —
+different shuffle-partition counts and input-split sizes change task
+boundaries, reduction order, and row arrival order, which is exactly
+what a 1000-executor deployment does to a local[32] plan. The sample
+below covers the shapes most at risk: float aggregation (reduction
+order), windows (per-partition sort), hash sampling and packing
+(partition-id temptations), near-dup joins, and iterative graph
+propagation.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from sd2_drp_experimentgen_spark.plans import all_specs
+from sd2_drp_experimentgen_spark.session import configure_session
+from tests.conftest import SF_T1
+
+SENSITIVE = [
+    "q_agg_groupby_q1",       # float sums, r4 after final merge
+    "q_mix_weighted_avg",     # weighted mean per 1.5k groups
+    "q_sample_hash_fraction",  # sampling must not see partition ids
+    "q_pack_sequences",       # cumsum/budget packing
+    "q_win_running",          # running windows over events
+    "q_neardup_jaccard",      # prefix-filtered self-join
+    "q_dedup_components",     # iterative label propagation
+    "q_emb_quantize_int8",    # vectorized quantization checksums
+]
+
+
+def _canon(df):
+    cols = sorted(df.columns)
+    return sorted(
+        tuple(str(row[c]) for c in cols) for row in df.collect()
+    )
+
+
+@pytest.mark.parametrize("name", SENSITIVE)
+def test_result_invariant_under_layout_change(spark, name):
+    base = _canon(all_specs()[name].fn(spark, SF_T1))
+
+    alt = spark.newSession()
+    configure_session(alt)
+    # prime-count shuffle + tiny input splits: different task
+    # boundaries, different merge order, many single-row-group splits
+    alt.conf.set("spark.sql.shuffle.partitions", "7")
+    alt.conf.set("spark.sql.files.maxPartitionBytes", "65536")
+    alt.conf.set("spark.sql.files.openCostInBytes", "0")
+    got = _canon(all_specs()[name].fn(alt, SF_T1))
+    assert got == base, f"{name} changed under a different physical layout"
