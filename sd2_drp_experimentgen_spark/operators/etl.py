@@ -572,3 +572,38 @@ def q_agg_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
         r4(F.regr_intercept(y, x)).alias("intercept"),
         F.regr_count(y, x).cast("long").alias("n"),
     )
+
+
+@register(
+    "q_sample_exact_k",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           md5(l_orderkey || '-' || l_linenumber) AS rank_key
+    FROM lineitem
+    ORDER BY rank_key
+    LIMIT 1000
+    """,
+    tier="P1",
+    doc="Exactly-k deterministic sample — the distributed reservoir: "
+    "rank every row by md5 of its stable key and keep the k smallest. "
+    "Statistically a uniform without-replacement sample (the hash is "
+    "uniform on the key space), but unlike reservoir Algorithm R it "
+    "is order/partitioning-independent, one-pass, and MERGEABLE: "
+    "per-partition top-k heaps combine to the global top-k (Spark "
+    "plans orderBy+limit as TakeOrdered), so sampling exactly 1000 "
+    "rows from 100 TB moves k rows per partition, never the table. "
+    "Same row is in the sample on any engine, any run — hash-checked "
+    "via ORDER BY md5 LIMIT k SQL.",
+)
+def q_sample_exact_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    rank_key = F.md5(
+        F.concat_ws("-", F.col("l_orderkey"), F.col("l_linenumber"))
+    )
+    return (
+        li.select(
+            "l_orderkey", "l_linenumber", rank_key.alias("rank_key")
+        )
+        .orderBy("rank_key")
+        .limit(1000)
+    )
