@@ -102,17 +102,25 @@ def q_source_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_sink_json_spec",
     oracle="""
-    SELECT o_orderpriority, count(*) AS n_specs
+    SELECT o_orderpriority, count(*) AS n_specs,
+           floor(sum(o_totalprice) * 10000 + 0.5) / 10000 AS sum_price,
+           sum(n_lines) AS n_lines
     FROM orders
-    WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)
+    JOIN (SELECT l_orderkey, count(*) AS n_lines
+          FROM lineitem GROUP BY l_orderkey) li
+      ON l_orderkey = o_orderkey
     GROUP BY o_orderpriority
     """,
     tier="P1",
     doc="Nested experiment-spec JSON export (the reference's spec "
     "document sink): one document per order with an array of line "
     "structs (struct + collect_list), written as JSON lines, read "
-    "back, then per-priority counts emitted. The aggregate after the "
-    "round-trip makes the nested sink hash-checkable.",
+    "back with schema inference, then per-priority counts, the SUM OF "
+    "PARSED TOTALPRICE, and nested-array sizes emitted — the hash "
+    "check proves the nested payload (struct fields and array "
+    "elements) survives the JSON round-trip bit-exact, not merely "
+    "that documents exist. Doubles round-trip exactly through JSON "
+    "shortest-repr serialization.",
 )
 def q_sink_json_spec(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = _scratch(sf_dir, "json_specs")
@@ -134,7 +142,13 @@ def q_sink_json_spec(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     specs.write.mode("overwrite").json(path)
     back = spark.read.json(path)
-    return back.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("n_specs"))
+    return back.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_specs"),
+        _round_halfup(F.sum(F.col("spec.o_totalprice")), 4).alias(
+            "sum_price"
+        ),
+        F.sum(F.size(F.col("spec.lines"))).alias("n_lines"),
+    )
 
 
 @register(
