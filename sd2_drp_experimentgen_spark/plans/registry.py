@@ -180,6 +180,7 @@ _PRIORITY_BOOST = (
     "q_neardup_jaccard",
     "q_agg_approx_distinct",   # upgraded no_oracle -> hash (r4)
     "q_agg_approx_percentile",  # upgraded no_oracle -> hash (r4)
+    "q_sink_json_spec",  # output schema strengthened in r4 post-green
     # tier 3: stale events-dependent r1/r2 greens
     "q_json_extract",
     "q_map_funcs",
