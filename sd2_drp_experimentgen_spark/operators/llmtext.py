@@ -953,3 +953,127 @@ def q_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("draws_10k"),
     )
+
+
+@register(
+    "q_llm_corpus_pipeline",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, text, lang,
+             len(string_split(text, ' ')) AS n_tok, n_chars
+      FROM documents
+    ),
+    quality AS (
+      SELECT * FROM toks WHERE n_tok >= 20 AND n_chars BETWEEN 100 AND 1000
+    ),
+    dedup AS (
+      SELECT * FROM quality
+      QUALIFY row_number() OVER (PARTITION BY text ORDER BY doc_id) = 1
+    ),
+    split AS (
+      SELECT *, CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cc'
+                       THEN 'train'
+                     WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6'
+                       THEN 'val'
+                     ELSE 'test' END AS split
+      FROM dedup
+    ),
+    shingled AS (
+      SELECT doc_id, split,
+             unnest(list_distinct(list_transform(
+               generate_series(1, n_tok - 2),
+               i -> md5(string_split(text, ' ')[i] || ' '
+                        || string_split(text, ' ')[i + 1] || ' '
+                        || string_split(text, ' ')[i + 2])))) AS sh
+      FROM split
+    ),
+    test_sh AS (SELECT DISTINCT sh FROM shingled WHERE split = 'test'),
+    contaminated AS (
+      SELECT DISTINCT doc_id FROM shingled
+      WHERE split = 'train' AND sh IN (SELECT sh FROM test_sh)
+    ),
+    clean AS (
+      SELECT * FROM split
+      WHERE split <> 'train'
+         OR doc_id NOT IN (SELECT doc_id FROM contaminated)
+    )
+    SELECT split, lang,
+           count(*) AS n_docs,
+           sum(n_tok) AS sum_tokens,
+           CAST((sum(n_tok) + 2047) // 2048 AS BIGINT) AS n_seqs_2048
+    FROM clean
+    GROUP BY split, lang
+    """,
+    tier="P1",
+    doc="SIGNATURE composition: the LLM corpus-preparation pipeline as "
+    "ONE declarative plan — quality gate (token count + length "
+    "window) -> exact dedup (min-doc_id survivor per text) -> "
+    "deterministic md5 train/val/test split -> decontamination (drop "
+    "train docs sharing any 3-token shingle hash with the test "
+    "split; left_anti on 16-byte hashes, text never shuffles) -> "
+    "packing accounting (2048-token sequence budget) per (split, "
+    "lang). Every stage is the registered standalone operator's "
+    "logic composed in-plan; Catalyst pipelines the whole thing with "
+    "three shuffles (dedup, shingle semi-join, final rollup). The "
+    "100 TB posture is inherited from the pieces: hash-based "
+    "determinism, no driver materialization, shuffles move hashes "
+    "and integers.",
+)
+def q_llm_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    d = d.select(
+        "doc_id", "text", "lang", "n_chars", F.size(toks).alias("n_tok")
+    ).where((F.col("n_tok") >= 20) & F.col("n_chars").between(100, 1000))
+
+    # exact dedup: min-doc_id survivor per text (no dropDuplicates —
+    # survivor selection must be partitioning-independent)
+    survivors = d.groupBy("text").agg(F.min("doc_id").alias("doc_id"))
+    d = d.join(survivors, ["text", "doc_id"], "left_semi")
+
+    prefix = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    d = d.withColumn(
+        "split",
+        F.when(prefix < "cc", "train")
+        .when(prefix < "e6", "val")
+        .otherwise("test"),
+    )
+
+    t2 = F.split(F.col("text"), " ")
+    shingle = lambda i: F.md5(  # noqa: E731
+        F.concat_ws(
+            " ",
+            F.element_at(t2, i),
+            F.element_at(t2, i + 1),
+            F.element_at(t2, i + 2),
+        )
+    )
+    idx = F.sequence(F.lit(1), F.col("n_tok") - 2)
+    shingled = d.select(
+        "doc_id",
+        "split",
+        F.explode(
+            F.array_distinct(F.transform(idx, lambda i: shingle(i)))
+        ).alias("sh"),
+    )
+    test_sh = (
+        shingled.where(F.col("split") == "test").select("sh").distinct()
+    )
+    contaminated = (
+        shingled.where(F.col("split") == "train")
+        .join(test_sh, "sh", "left_semi")
+        .select("doc_id")
+        .distinct()
+    )
+    clean = d.join(
+        contaminated,
+        (d.doc_id == contaminated.doc_id) & (d.split == "train"),
+        "left_anti",
+    )
+    return clean.groupBy("split", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").alias("sum_tokens"),
+        ((F.sum("n_tok") + F.lit(2047)) / F.lit(2048))
+        .cast("long")
+        .alias("n_seqs_2048"),
+    )
