@@ -28,6 +28,8 @@ SENSITIVE = [
     "q_neardup_jaccard",      # prefix-filtered self-join
     "q_dedup_components",     # iterative label propagation
     "q_emb_quantize_int8",    # vectorized quantization checksums
+    "q_llm_corpus_pipeline",  # composed dedup/split/decontam/packing
+    "q_sample_exact_k",       # global top-k by hash
 ]
 
 
