@@ -92,6 +92,15 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # local mode runs driver + all executor threads in ONE JVM; the
+        # 1g Spark default starves 32 concurrent tasks (observed: MLlib
+        # approxSimilarityJoin OOMing a long-lived session at sf0.1).
+        # Only effective for the process's first session — a
+        # driver-provided foreign session keeps its own sizing.
+        .config(
+            "spark.driver.memory",
+            os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"),
+        )
     )
     for k, v in RUNTIME_CONFS.items():
         builder = builder.config(k, v)
