@@ -57,3 +57,25 @@ def well_label(rank0: Column) -> Column:
     row_letter = F.char(F.lit(65) + (rank0 / F.lit(12)).cast("int"))
     col_number = (rank0 % F.lit(12) + F.lit(1)).cast("string")
     return F.concat(row_letter, col_number)
+
+
+def int_units(col: Column | str, scale: int = 4) -> Column:
+    """Per-row exact integer units: floor(x*10^s + 0.5) as BIGINT.
+
+    The scale-proof aggregation recipe (SURVEY §5.3 extension, found at
+    the sf0.1 sweep): a SUM of doubles depends on reduction order, and
+    once group sums reach ~1e10 the associativity noise crosses the 4dp
+    rounding boundary — fixed-decimal rounding AFTER a float sum only
+    holds at small scale. Converting each row to integer units first is
+    a deterministic single-expression double op (identical on both
+    engines for identical inputs); the int64 sum is then exact and
+    order-independent at ANY scale, and one final divide is a single
+    IEEE op. Headroom: 1e14 units stay far below 2^53.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.floor(c * F.lit(10**scale) + F.lit(0.5)).cast("long")
+
+
+def sql_units(expr: str, scale: int = 4) -> str:
+    """Oracle-side twin of :func:`int_units` for DuckDB SQL strings."""
+    return f"CAST(floor(({expr}) * {10 ** scale} + 0.5) AS BIGINT)"

@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.helpers import _round_halfup, r4, sql_r
+from ..functions.helpers import _round_halfup, int_units, r4, sql_r, sql_units
 from ..plans.registry import register
 from ..sources.tables import load_table
 
@@ -130,9 +130,10 @@ def q_agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_mix_weighted_avg",
     oracle=f"""
     SELECT l_orderkey,
-           {sql_r('sum(l_quantity * l_extendedprice) / sum(l_quantity)')}
+           {sql_r(f"sum({sql_units('l_quantity * l_extendedprice')})"
+                  f" / (100.0 * sum({sql_units('l_quantity', 2)}))")}
              AS w_avg_price,
-           {sql_r('sum(l_quantity)')} AS total_qty
+           sum({sql_units('l_quantity', 2)}) / 100.0 AS total_qty
     FROM lineitem
     GROUP BY l_orderkey
     """,
@@ -143,12 +144,14 @@ def q_agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_mix_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
+    # int-units sums (helpers.int_units): float sums crossed the 4dp
+    # rounding boundary at sf0.1; integer units keep the weighted mean
+    # exact and reduction-order-independent at any scale.
+    sum_qp = F.sum(int_units(F.col("l_quantity") * F.col("l_extendedprice")))
+    sum_q = F.sum(int_units("l_quantity", 2))
     return li.groupBy("l_orderkey").agg(
-        r4(
-            F.sum(F.col("l_quantity") * F.col("l_extendedprice"))
-            / F.sum("l_quantity")
-        ).alias("w_avg_price"),
-        r4(F.sum("l_quantity")).alias("total_qty"),
+        r4(sum_qp / (F.lit(100.0) * sum_q)).alias("w_avg_price"),
+        (sum_q / F.lit(100.0)).alias("total_qty"),
     )
 
 

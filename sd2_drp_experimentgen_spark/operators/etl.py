@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.helpers import _round_halfup, sql_r
+from ..functions.helpers import _round_halfup, int_units, sql_r, sql_units
 from ..plans.registry import register
 from ..sources.tables import load_events, load_table
 
@@ -175,7 +175,7 @@ def q_resample_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT o_orderstatus,
            CAST(count(*) AS BIGINT) AS n,
-           {sql_r('sum(o_totalprice)')} AS total
+           sum({sql_units('o_totalprice')}) / 10000.0 AS total
     FROM merged
     GROUP BY o_orderstatus
     """,
@@ -216,9 +216,13 @@ def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
             "price"
         ),
     )
+    # int-units sum (helpers.int_units): a float SUM is reduction-order
+    # dependent, and at sf0.1 the ~1e10 group totals crossed the 4dp
+    # rounding boundary; per-row integer units make the sum exact and
+    # order-independent at any scale.
     return merged.groupBy("o_orderstatus").agg(
         F.count(F.lit(1)).alias("n"),
-        _round_halfup(F.sum("price"), 4).alias("total"),
+        (F.sum(int_units("price")) / F.lit(10000.0)).alias("total"),
     )
 
 

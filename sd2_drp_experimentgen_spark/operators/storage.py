@@ -15,7 +15,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.helpers import _round_halfup, sql_r
+from ..functions.helpers import _round_halfup, int_units, sql_r, sql_units
 from ..plans.registry import register
 from ..sources.tables import load_table
 
@@ -75,7 +75,8 @@ def ensure_bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     oracle=f"""
     SELECT o_orderpriority,
            CAST(count(*) AS BIGINT) AS n_items,
-           {sql_r("sum(l_extendedprice * (1 - l_discount))")} AS revenue
+           sum({sql_units("l_extendedprice * (1 - l_discount)")})
+             / 10000.0 AS revenue
     FROM lineitem JOIN orders ON l_orderkey = o_orderkey
     GROUP BY o_orderpriority
     """,
@@ -97,8 +98,15 @@ def q_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderpriority")
         .agg(
             F.count(F.lit(1)).alias("n_items"),
-            _round_halfup(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            # int-units sum: order-independent at any scale (the float
+            # sum crossed the 4dp boundary at sf0.1 — helpers.int_units)
+            (
+                F.sum(
+                    int_units(
+                        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                    )
+                )
+                / F.lit(10000.0)
             ).alias("revenue"),
         )
     )

@@ -181,6 +181,11 @@ _PRIORITY_BOOST = (
     "q_agg_approx_distinct",   # upgraded no_oracle -> hash (r4)
     "q_agg_approx_percentile",  # upgraded no_oracle -> hash (r4)
     "q_sink_json_spec",  # output schema strengthened in r4 post-green
+    # int-units rewrite (r4): float sums crossed the 4dp boundary at
+    # sf0.1; values changed in the last decimal -> re-prove
+    "q_mix_weighted_avg",
+    "q_merge_upsert",
+    "q_join_bucketed",
     # tier 3: stale events-dependent r1/r2 greens
     "q_json_extract",
     "q_map_funcs",
