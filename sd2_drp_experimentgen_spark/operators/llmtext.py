@@ -1077,3 +1077,78 @@ def q_llm_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_seqs_2048"),
     )
+
+
+@register(
+    "q_text_bigram_lm_score",
+    oracle=f"""
+    WITH bg AS (
+      SELECT doc_id,
+             unnest(list_transform(
+               generate_series(1, len(string_split(text, ' ')) - 1),
+               i -> string_split(text, ' ')[i] || ' '
+                    || string_split(text, ' ')[i + 1])) AS bigram
+      FROM documents
+      WHERE len(string_split(text, ' ')) >= 2
+    ),
+    cnt AS (SELECT bigram, count(*) AS c FROM bg GROUP BY bigram)
+    SELECT doc_id,
+           count(*) AS n_bigrams,
+           CAST(sum(c) AS BIGINT) AS bigram_mass,
+           CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+           {sql_r('sum(c) * 1.0 / count(*)')} AS avg_bigram_freq
+    FROM bg JOIN cnt USING (bigram)
+    GROUP BY doc_id
+    """,
+    tier="P1",
+    doc="Count-based bigram language-model score per document — the "
+    "classic corpus-statistics quality filter (a cheap stand-in for "
+    "KenLM perplexity): every document position contributes the "
+    "CORPUS frequency of its bigram, so boilerplate text (common "
+    "bigrams) scores high and noise/garbage (hapax bigrams) scores "
+    "low. bigram_mass and n_hapax are exact integers; the only float "
+    "is one final divide, so the result hash-checks bit-for-bit. "
+    "Plan: explode to (doc, bigram) positions, two-phase counts — "
+    "per-(doc,bigram) multiplicities combine map-side, corpus counts "
+    "derive from those partials (never a second scan), and the "
+    "refine join runs bigram-to-bigram on hash-partitioned counts; "
+    "at 100 TB only (doc_id, bigram, int) triples ever shuffle and "
+    "the model table need not fit anywhere in one piece.",
+)
+def q_text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.helpers import r4
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    idx = F.sequence(F.lit(1), F.size(toks) - 1)
+    bg = d.where(F.size(toks) >= 2).select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                idx,
+                lambda i: F.concat_ws(
+                    " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+                ),
+            )
+        ).alias("bigram"),
+    )
+    # per-(doc, bigram) multiplicities; the corpus model derives from
+    # these partials, so the text is tokenized exactly once.
+    per = bg.groupBy("doc_id", "bigram").agg(F.count(F.lit(1)).alias("k"))
+    cnt = per.groupBy("bigram").agg(F.sum("k").alias("c"))
+    return (
+        per.join(cnt, "bigram")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("k").alias("n_bigrams"),
+            F.sum(F.col("k") * F.col("c")).alias("bigram_mass"),
+            F.sum(F.when(F.col("c") == 1, F.col("k")).otherwise(0)).alias(
+                "n_hapax"
+            ),
+            r4(
+                F.sum(F.col("k") * F.col("c"))
+                * F.lit(1.0)
+                / F.sum("k")
+            ).alias("avg_bigram_freq"),
+        )
+    )

@@ -238,7 +238,13 @@ _BOOST_RANK = {n: i for i, n in enumerate(_PRIORITY_BOOST)}
 # 50/round that backlog won't fully drain until round 4, so genuinely
 # new queries queue behind it — but before rows-only and already-green
 # entries.
-_NEW_THIS_ROUND: frozenset[str] = frozenset()
+_NEW_THIS_ROUND: frozenset[str] = frozenset(
+    {
+        # round-4 additions (post-boost-list): verify after the
+        # invalidated-green backlog drains
+        "q_text_bigram_lm_score",
+    }
+)
 
 # Queries whose registration is conditional on an optional dependency:
 # they stay documented in SURVEY.md everywhere, but self-unregister in
