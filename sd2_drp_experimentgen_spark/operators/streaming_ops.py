@@ -13,7 +13,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.helpers import sql_r
+from ..functions.helpers import sql_r, sql_units
 from ..plans.registry import register
 from ..streaming import jobs
 
@@ -461,3 +461,83 @@ def q_stream_rate_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("value").alias("sum_value"),
     )
     return jobs.run_to_memory(agg, "complete")
+
+
+@register(
+    "q_stream_chained_windows",
+    # Append-mode chaining emits exactly the 1h windows strictly below
+    # the final watermark (max event time - 2h) — same constructed-
+    # oracle pattern as q_stream_late_data. The value sum is exact:
+    # integer units at stage 1, integer re-sum at stage 2.
+    oracle=f"""
+    WITH w AS (
+      SELECT CAST(epoch(time_bucket(INTERVAL '1 hour', ts)) AS BIGINT)
+               AS window_start,
+             event_type,
+             count(*) AS n,
+             CAST(sum({sql_units('value')}) AS BIGINT) AS sum_value_units
+      FROM events
+      GROUP BY 1, 2
+    ),
+    wm AS (SELECT epoch(max(ts)) - 7200 AS wmark FROM events)
+    SELECT window_start, event_type, n, sum_value_units
+    FROM w, wm WHERE window_start + 3600 < wmark
+    """,
+    tier="P1",
+    doc="LIVE chained stateful operators (Spark 3.4+): 15-min tumbling "
+    "partial aggregates re-aggregated into 1-hour windows with "
+    "window(window_time(w15)) inside ONE streaming query — the "
+    "streaming rollup/pre-aggregation pipeline shape. Append mode is "
+    "mandatory for stateful chaining, so the emitted set is the "
+    "closed windows below the final watermark; the oracle derives "
+    "that same set from the batch table plus the watermark formula, "
+    "making an actual two-stage Structured Streaming run "
+    "hash-checkable. Money is summed as integer units at both "
+    "stages — exact on any partitioning, any batch arrival order.",
+)
+def q_stream_chained_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return jobs.chained_windows_15m_1h(spark, _events_dir(sf_dir))
+
+
+@register(
+    "q_stream_join_left_outer",
+    # The cutoff formula (min per-side max ts - 2h watermark - 90min
+    # margin) reproduces the streaming post-filter exactly, so the
+    # oracle is a plain batch LEFT JOIN over the decided clicks.
+    oracle="""
+    WITH wm AS (
+      SELECT least(max(ts) FILTER (WHERE event_type = 'click'),
+                   max(ts) FILTER (WHERE event_type = 'purchase'))
+             - INTERVAL 2 HOUR - INTERVAL 90 MINUTE AS cutoff
+      FROM events
+    ),
+    c AS (
+      SELECT user_id, event_id AS click_id, ts AS c_ts
+      FROM events WHERE event_type = 'click'
+    ),
+    p AS (
+      SELECT user_id AS p_user, event_id AS purchase_id, ts AS p_ts
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT c.user_id, c.click_id, p.purchase_id,
+           CASE WHEN p.purchase_id IS NULL THEN 0 ELSE 1 END AS matched
+    FROM c CROSS JOIN wm
+    LEFT JOIN p ON p.p_user = c.user_id
+               AND p.p_ts > c.c_ts
+               AND p.p_ts <= c.c_ts + INTERVAL 30 MINUTE
+    WHERE c.c_ts <= wm.cutoff
+    """,
+    tier="P2",
+    doc="LIVE stream-stream LEFT OUTER join with dual 2h watermarks: "
+    "clicks joined to the same user's purchases within 30 minutes, "
+    "unmatched clicks emitted with NULLs once the watermark proves no "
+    "match can arrive — the state-EVICTION semantics the inner join "
+    "never exercises. The streaming result is post-filtered to clicks "
+    "decided a full hour below the final watermark (a data-derived "
+    "cutoff both engines compute identically), which makes a real "
+    "outer-join Structured Streaming run hash-checkable against plain "
+    "batch SQL. Join-range condition + watermarks bound buffered "
+    "state to ~2.5h of events per side on unbounded ingest.",
+)
+def q_stream_join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return jobs.stream_stream_left_outer(spark, _events_dir(sf_dir), sf_dir)

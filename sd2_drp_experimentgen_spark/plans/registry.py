@@ -243,6 +243,8 @@ _NEW_THIS_ROUND: frozenset[str] = frozenset(
         # round-4 additions (post-boost-list): verify after the
         # invalidated-green backlog drains
         "q_text_bigram_lm_score",
+        "q_stream_chained_windows",
+        "q_stream_join_left_outer",
     }
 )
 

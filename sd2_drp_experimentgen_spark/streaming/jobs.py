@@ -142,6 +142,48 @@ def session_window_30m(spark: SparkSession, events_path: str) -> DataFrame:
     return run_to_memory(agg, "complete")
 
 
+def chained_windows_15m_1h(spark: SparkSession, events_path: str) -> DataFrame:
+    """Two chained stateful window aggregations in ONE streaming query
+    (Spark 3.4+ multiple-stateful-operators support): 15-minute tumbling
+    partials per event type, re-aggregated into 1-hour windows via
+    ``window(window_time(w15), '1 hour')``. Chaining requires append
+    output mode — each stage emits a window only once the watermark
+    passes its end, so the terminal output is exactly the 1h windows
+    strictly below the final watermark (max event time - 2h).
+
+    This is the streaming pre-aggregation/rollup shape: at 100 TB/day
+    the first stage's 15-min partials shrink state and shuffle volume
+    for every coarser rollup stacked on top, instead of each rollup
+    re-reading raw events. Money stays exact: stage 1 sums integer
+    value-units per 15-min window and stage 2 sums those partials —
+    both integer sums, order-independent at any scale.
+    """
+    from ..functions.helpers import int_units
+
+    ev = stream_events(spark, events_path)
+    s1 = (
+        ev.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "15 minutes").alias("w15"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n15"),
+            F.sum(int_units("value")).alias("u15"),
+        )
+    )
+    s2 = (
+        s1.groupBy(
+            F.window(F.window_time("w15"), "1 hour").alias("w1h"), "event_type"
+        )
+        .agg(F.sum("n15").alias("n"), F.sum("u15").alias("sum_value_units"))
+        .select(
+            F.col("w1h.start").cast("long").alias("window_start"),
+            "event_type",
+            "n",
+            "sum_value_units",
+        )
+    )
+    return run_to_memory(s2, "append")
+
+
 def dedup_within_watermark(spark: SparkSession, events_path: str) -> DataFrame:
     """Streaming duplicate drop by event_id within the watermark."""
     ev = stream_events(spark, events_path)
@@ -245,6 +287,89 @@ def stream_stream_click_purchase(
     ).select(F.col("c_user").alias("user_id"), "click_id", "purchase_id")
     pairs = run_to_memory(joined, "append")
     return pairs.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_pairs"))
+
+
+def stream_stream_left_outer(
+    spark: SparkSession, events_path: str, sf_dir: str
+) -> DataFrame:
+    """Stream-stream LEFT OUTER join: every click, joined to the same
+    user's purchases in the following 30 minutes — or emitted with a
+    NULL purchase once the watermark proves no match can arrive.
+
+    Outer results are watermark-driven: an unmatched click is held in
+    state until the global watermark (min across both sides, 2h lag)
+    passes the end of its join range, then emitted exactly once with
+    NULLs. That eviction point near the end of a bounded input is
+    engine-internal, so the result is post-filtered to clicks whose
+    fate is decided with a full hour of margin below the final
+    watermark — a cutoff computed from the data by the same formula on
+    both engines, making an actual outer-join streaming run
+    hash-checkable. On an unbounded stream there is no cutoff; rows
+    simply emit as the watermark advances.
+
+    State posture at 100 TB/day: both sides carry watermarks and the
+    join range bounds buffered state to ~2.5h of events per side.
+    """
+    from ..sources.tables import load_events
+
+    ev = stream_events(spark, events_path)
+    clicks = (
+        ev.where(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "2 hours")
+    )
+    purchases = (
+        ev.where(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "2 hours")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("p_ts") > F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 30 MINUTES")),
+        "leftOuter",
+    ).select(
+        F.col("c_user").alias("user_id"),
+        "click_id",
+        "c_ts",
+        "purchase_id",
+    )
+    rows = run_to_memory(joined, "append")
+    # Deterministic cutoff: final watermark = min(per-side max ts) - 2h;
+    # keep clicks decided >= 1h below it. Computed as a 1-row aggregate
+    # broadcast into the filter — no driver-side collect.
+    batch_ev = load_events(rows.sparkSession, sf_dir)
+    cutoff = batch_ev.agg(
+        (
+            F.least(
+                F.max(F.when(F.col("event_type") == "click", F.col("ts"))),
+                F.max(F.when(F.col("event_type") == "purchase", F.col("ts"))),
+            )
+            - F.expr("INTERVAL 2 HOURS")
+            - F.expr("INTERVAL 90 MINUTES")
+        ).alias("c_ts_cutoff")
+    )
+    return (
+        rows.crossJoin(F.broadcast(cutoff))
+        .where(F.col("c_ts") <= F.col("c_ts_cutoff"))
+        .select(
+            "user_id",
+            "click_id",
+            "purchase_id",
+            F.when(F.col("purchase_id").isNull(), 0).otherwise(1).alias(
+                "matched"
+            ),
+        )
+    )
 
 
 def sliding_1h_15m_watermarked(spark: SparkSession, events_path: str) -> DataFrame:
