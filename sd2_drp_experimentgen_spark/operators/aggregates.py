@@ -1057,3 +1057,174 @@ def q_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema="n_rows long, sum_qty double, min_price double, "
         "max_price double",
     )
+
+
+@register(
+    "q_agg_theta_sketch_ops",
+    oracle="""
+    WITH tu AS (SELECT DISTINCT event_type, user_id FROM events),
+    pu AS (SELECT user_id FROM tu WHERE event_type = 'purchase'),
+    np AS (SELECT count(*) AS n_purchase FROM pu),
+    x AS (
+      SELECT t.event_type,
+             count(*) AS n_users,
+             CAST(sum(CASE WHEN p.user_id IS NOT NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_inter
+      FROM tu t LEFT JOIN pu p ON p.user_id = t.user_id
+      GROUP BY t.event_type
+    )
+    SELECT event_type,
+           CAST(n_users AS BIGINT) AS n_users,
+           CAST(n_purchase AS BIGINT) AS n_purchase,
+           CAST(n_users + n_purchase - n_inter AS BIGINT) AS n_union,
+           n_inter,
+           CAST(n_users - n_inter AS BIGINT) AS n_diff,
+           true AS union_ok, true AS inter_ok, true AS diff_ok
+    FROM x CROSS JOIN np
+    """,
+    tier="P2",
+    doc="Theta sketches (Spark 4.1 Datasketches): the SET-ALGEBRA "
+    "sketch — unlike HLL, theta supports intersection and difference, "
+    "the audience-overlap / retention-cross-section queries. Built "
+    "two-level like a production sketch table: per-(day, event_type) "
+    "user sketches, theta_union_agg rollup to type level, then each "
+    "type's sketch intersected/differenced against the purchase "
+    "cohort's sketch. Binary sketches have no cross-engine twin, so "
+    "the hash check carries exact companions (distinct-user set "
+    "algebra in plain SQL, all BIGINT) plus witness booleans bounding "
+    "each estimate's error at 5% — below the 4096-entry nominal the "
+    "sketch is exact, so the witnesses are deterministically true at "
+    "verify scale and probabilistically safe far beyond it.",
+)
+def q_agg_theta_sketch_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.tables import load_events
+
+    ev = load_events(spark, sf_dir)
+    day_sk = ev.groupBy(
+        F.date_trunc("DAY", F.col("ts")).alias("day"), "event_type"
+    ).agg(F.theta_sketch_agg("user_id").alias("sk"))
+    type_sk = day_sk.groupBy("event_type").agg(
+        F.theta_union_agg("sk").alias("sk")
+    )
+    p_sk = type_sk.where(F.col("event_type") == "purchase").select(
+        F.col("sk").alias("psk")
+    )
+    est = type_sk.crossJoin(F.broadcast(p_sk)).select(
+        "event_type",
+        F.theta_sketch_estimate(F.theta_union("sk", "psk")).alias("u_est"),
+        F.theta_sketch_estimate(F.theta_intersection("sk", "psk")).alias(
+            "i_est"
+        ),
+        F.theta_sketch_estimate(F.theta_difference("sk", "psk")).alias(
+            "d_est"
+        ),
+    )
+    tu = ev.select("event_type", "user_id").distinct()
+    pu = tu.where(F.col("event_type") == "purchase").select(
+        "user_id", F.lit(1).alias("in_p")
+    )
+    ex = (
+        tu.join(F.broadcast(pu), "user_id", "left")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.sum(F.coalesce(F.col("in_p"), F.lit(0)))
+            .cast("long")
+            .alias("n_inter"),
+        )
+    )
+    np_ = pu.agg(F.count(F.lit(1)).alias("n_purchase"))
+
+    def ok(e, x):
+        return (F.abs(e - x) <= F.greatest(x * F.lit(0.05), F.lit(2.0))).alias(
+            None
+        )
+
+    out = est.join(ex, "event_type").crossJoin(F.broadcast(np_))
+    n_union = F.col("n_users") + F.col("n_purchase") - F.col("n_inter")
+    n_diff = F.col("n_users") - F.col("n_inter")
+    return out.select(
+        "event_type",
+        "n_users",
+        "n_purchase",
+        n_union.alias("n_union"),
+        "n_inter",
+        n_diff.alias("n_diff"),
+        (F.abs(F.col("u_est") - n_union)
+         <= F.greatest(n_union * 0.05, F.lit(2.0))).alias("union_ok"),
+        (F.abs(F.col("i_est") - F.col("n_inter"))
+         <= F.greatest(F.col("n_inter") * 0.05, F.lit(2.0))).alias("inter_ok"),
+        (F.abs(F.col("d_est") - n_diff)
+         <= F.greatest(n_diff * 0.05, F.lit(2.0))).alias("diff_ok"),
+    )
+
+
+@register(
+    "q_agg_kll_quantiles",
+    oracle=f"""
+    SELECT event_type,
+           count(*) AS n,
+           {sql_r("quantile_disc(value, 0.5)")} AS p50_disc,
+           {sql_r("quantile_disc(value, 0.9)")} AS p90_disc,
+           true AS n_ok, true AS q50_ok, true AS q90_ok
+    FROM events GROUP BY event_type
+    """,
+    tier="P2",
+    doc="KLL quantile sketches (Spark 4.1 Datasketches): MERGEABLE "
+    "streaming quantiles — the sketch a 100 TB pipeline stores per "
+    "partition/day and rolls up to any grain without re-sorting raw "
+    "data, where exact percentiles need a full sort per query. Built "
+    "two-level: per-(day, event_type) kll_sketch_agg_double over "
+    "event values, kll_merge_agg_double rollup to type level. Hash "
+    "check: n from the merged sketch must equal the exact count "
+    "(KLL tracks n exactly — n_ok), and the sketch's q50/q90 "
+    "estimate must land between the exact discrete quantiles at "
+    "±0.07 rank (the value-domain form of a 0.07 rank-error bound — "
+    "4x the k=200 sketch's 99% bound, so the witnesses hold "
+    "deterministically in practice at any scale). Exact p50/p90 "
+    "companions are rank selections, engine-identical.",
+)
+def q_agg_kll_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.tables import load_events
+
+    ev = load_events(spark, sf_dir)
+    day_sk = ev.groupBy(
+        F.date_trunc("DAY", F.col("ts")).alias("day"), "event_type"
+    ).agg(F.kll_sketch_agg_double(F.col("value")).alias("sk"))
+    merged = day_sk.groupBy("event_type").agg(
+        F.kll_merge_agg_double("sk").alias("sk")
+    )
+    ev.createOrReplaceTempView("v_events_kll")
+    # the sketch reader takes only FOLDABLE ranks, so the witness is
+    # inverted into the value domain: the sketch's q50/q90 estimate
+    # must land between the exact discrete quantiles at +-0.07 rank —
+    # equivalent to bounding the sketch's rank error at 0.07.
+    ex = spark.sql(
+        """
+        SELECT event_type,
+               count(*) AS n,
+               percentile_disc(0.5) WITHIN GROUP (ORDER BY value) AS p50_raw,
+               percentile_disc(0.9) WITHIN GROUP (ORDER BY value) AS p90_raw,
+               percentile_disc(0.43) WITHIN GROUP (ORDER BY value) AS p43_raw,
+               percentile_disc(0.57) WITHIN GROUP (ORDER BY value) AS p57_raw,
+               percentile_disc(0.83) WITHIN GROUP (ORDER BY value) AS p83_raw,
+               percentile_disc(0.97) WITHIN GROUP (ORDER BY value) AS p97_raw
+        FROM v_events_kll GROUP BY event_type
+        """
+    )
+    j = merged.join(ex, "event_type")
+    q50_est = F.kll_sketch_get_quantile_double("sk", F.lit(0.5))
+    q90_est = F.kll_sketch_get_quantile_double("sk", F.lit(0.9))
+    return j.select(
+        "event_type",
+        "n",
+        r4(F.col("p50_raw")).alias("p50_disc"),
+        r4(F.col("p90_raw")).alias("p90_disc"),
+        (F.kll_sketch_get_n_double("sk") == F.col("n")).alias("n_ok"),
+        ((q50_est >= F.col("p43_raw")) & (q50_est <= F.col("p57_raw"))).alias(
+            "q50_ok"
+        ),
+        ((q90_est >= F.col("p83_raw")) & (q90_est <= F.col("p97_raw"))).alias(
+            "q90_ok"
+        ),
+    )

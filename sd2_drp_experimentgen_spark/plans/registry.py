@@ -245,6 +245,8 @@ _NEW_THIS_ROUND: frozenset[str] = frozenset(
         "q_text_bigram_lm_score",
         "q_stream_chained_windows",
         "q_stream_join_left_outer",
+        "q_agg_theta_sketch_ops",
+        "q_agg_kll_quantiles",
     }
 )
 
