@@ -611,3 +611,130 @@ def q_sample_exact_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("rank_key")
         .limit(1000)
     )
+
+
+@register(
+    "q_dq_expectations",
+    oracle="""
+    SELECT 'orders_custkey_not_null' AS check_name,
+           CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_violations
+    FROM orders
+    UNION ALL
+    SELECT 'orders_orderkey_unique',
+           CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'orders_priority_accepted',
+           CAST(sum(CASE WHEN o_orderpriority NOT IN
+                 ('1-URGENT','2-HIGH','3-MEDIUM','4-NOT SPECIFIED','5-LOW')
+                 OR o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'orders_totalprice_nonneg',
+           CAST(sum(CASE WHEN o_totalprice < 0 THEN 1 ELSE 0 END) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'orders_custkey_in_customer',
+           CAST(count(*) AS BIGINT)
+    FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE c.c_custkey IS NULL
+    UNION ALL
+    SELECT 'lineitem_orderkey_in_orders',
+           CAST(count(*) AS BIGINT)
+    FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderkey IS NULL
+    UNION ALL
+    SELECT 'lineitem_discount_in_unit_range',
+           CAST(sum(CASE WHEN l_discount < 0 OR l_discount > 1
+                         THEN 1 ELSE 0 END) AS BIGINT)
+    FROM lineitem
+    """,
+    tier="P1",
+    doc="Declarative data-quality expectations in one pass family — "
+    "the dbt-tests / Great-Expectations contract surface: not-null, "
+    "key uniqueness, accepted values, value range, and two "
+    "referential-integrity checks (orders->customer, "
+    "lineitem->orders), each emitting its violation COUNT (never a "
+    "boolean only — counts are what a quarantine policy thresholds "
+    "on). Scale shape: column checks are map-side aggregates over "
+    "one scan per table; the referential checks are left-anti joins "
+    "that broadcast the smaller key side at fixture scale and "
+    "shuffle on the key at 100 TB — exactly the plans the "
+    "corresponding production checks run. All counts BIGINT: "
+    "hash-exact.",
+)
+def q_dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    cust = load_table(spark, sf_dir, "customer")
+    accepted = ("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+
+    def check(name: str, df: DataFrame) -> DataFrame:
+        return df.select(
+            F.lit(name).alias("check_name"),
+            F.col("n").cast("long").alias("n_violations"),
+        )
+
+    col_checks = orders.agg(
+        F.sum(F.when(F.col("o_custkey").isNull(), 1).otherwise(0)).alias(
+            "nn"
+        ),
+        (F.count(F.lit(1)) - F.countDistinct("o_orderkey")).alias("uq"),
+        F.sum(
+            F.when(
+                ~F.col("o_orderpriority").isin(*accepted)
+                | F.col("o_orderpriority").isNull(),
+                1,
+            ).otherwise(0)
+        ).alias("av"),
+        F.sum(F.when(F.col("o_totalprice") < 0, 1).otherwise(0)).alias("rg"),
+    )
+    parts = [
+        check(
+            "orders_custkey_not_null",
+            col_checks.select(F.col("nn").alias("n")),
+        ),
+        check(
+            "orders_orderkey_unique", col_checks.select(F.col("uq").alias("n"))
+        ),
+        check(
+            "orders_priority_accepted",
+            col_checks.select(F.col("av").alias("n")),
+        ),
+        check(
+            "orders_totalprice_nonneg",
+            col_checks.select(F.col("rg").alias("n")),
+        ),
+        check(
+            "orders_custkey_in_customer",
+            orders.join(
+                F.broadcast(cust.select("c_custkey")),
+                orders.o_custkey == F.col("c_custkey"),
+                "left_anti",
+            ).agg(F.count(F.lit(1)).alias("n")),
+        ),
+        check(
+            "lineitem_orderkey_in_orders",
+            li.join(
+                orders.select("o_orderkey"),
+                li.l_orderkey == F.col("o_orderkey"),
+                "left_anti",
+            ).agg(F.count(F.lit(1)).alias("n")),
+        ),
+        check(
+            "lineitem_discount_in_unit_range",
+            li.agg(
+                F.sum(
+                    F.when(
+                        (F.col("l_discount") < 0) | (F.col("l_discount") > 1),
+                        1,
+                    ).otherwise(0)
+                ).alias("n")
+            ),
+        ),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out

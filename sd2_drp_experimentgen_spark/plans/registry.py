@@ -247,6 +247,7 @@ _NEW_THIS_ROUND: frozenset[str] = frozenset(
         "q_stream_join_left_outer",
         "q_agg_theta_sketch_ops",
         "q_agg_kll_quantiles",
+        "q_dq_expectations",
     }
 )
 
