@@ -1228,3 +1228,64 @@ def q_agg_kll_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             "q90_ok"
         ),
     )
+
+
+@register(
+    "q_agg_weighted_percentile",
+    oracle=f"""
+    WITH w AS (
+      SELECT l_returnflag, l_extendedprice AS v,
+             sum(l_quantity) OVER (
+               PARTITION BY l_returnflag
+               ORDER BY l_extendedprice, l_orderkey, l_linenumber
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS cw,
+             sum(l_quantity) OVER (PARTITION BY l_returnflag) AS tw
+      FROM lineitem
+    )
+    SELECT l_returnflag,
+           {sql_r("min(CASE WHEN cw >= 0.5 * tw THEN v END)")} AS wp50,
+           {sql_r("min(CASE WHEN cw >= 0.9 * tw THEN v END)")} AS wp90,
+           CAST(count(*) AS BIGINT) AS n
+    FROM w GROUP BY l_returnflag
+    """,
+    tier="P1",
+    doc="EXACT weighted percentiles (quantity-weighted price p50/p90 "
+    "per return flag) — the inventory/revenue-weighted distribution "
+    "cut that plain percentile cannot express and Spark has no "
+    "built-in for. Implemented as the canonical cumulative-weight "
+    "selection: one window cumsum over (value, unique tiebreak), "
+    "threshold at q*total, take the minimum qualifying value. "
+    "Selection (never interpolation) keeps it engine-exact; the "
+    "total-ordered tiebreak makes per-row cumulative weights "
+    "identical on any engine or partitioning, and the fixture's "
+    "integer-valued quantities sum exactly in doubles, so the "
+    "threshold comparison cannot drift with aggregation order. One "
+    "shuffle on the group key serves both windows and the final "
+    "aggregate.",
+)
+def q_agg_weighted_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    wo = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("l_extendedprice", "l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wt = Window.partitionBy("l_returnflag")
+    w = li.select(
+        "l_returnflag",
+        F.col("l_extendedprice").alias("v"),
+        F.sum("l_quantity").over(wo).alias("cw"),
+        F.sum("l_quantity").over(wt).alias("tw"),
+    )
+    return w.groupBy("l_returnflag").agg(
+        r4(F.min(F.when(F.col("cw") >= 0.5 * F.col("tw"), F.col("v")))).alias(
+            "wp50"
+        ),
+        r4(F.min(F.when(F.col("cw") >= 0.9 * F.col("tw"), F.col("v")))).alias(
+            "wp90"
+        ),
+        F.count(F.lit(1)).alias("n"),
+    )

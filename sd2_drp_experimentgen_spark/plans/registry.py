@@ -248,6 +248,7 @@ _NEW_THIS_ROUND: frozenset[str] = frozenset(
         "q_agg_theta_sketch_ops",
         "q_agg_kll_quantiles",
         "q_dq_expectations",
+        "q_agg_weighted_percentile",
     }
 )
 
