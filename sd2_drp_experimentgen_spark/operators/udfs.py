@@ -398,3 +398,54 @@ def q_udf_apply_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     return partials.groupBy("l_returnflag").agg(
         F.sum("n").alias("n"), F.sum("qty_cents").alias("qty_cents")
     )
+
+
+@register(
+    "q_udtf_arrow_tokens",
+    oracle="""
+    SELECT token, count(*) AS n
+    FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+    GROUP BY token
+    ORDER BY n DESC, token
+    LIMIT 20
+    """,
+    tier="P2",
+    doc="Arrow-optimized Python UDTF (Spark 4.1 arrow_udtf): table in, "
+    "table out over raw pyarrow RecordBatches — the vectorized "
+    "table-function rung of the Python execution matrix, beside the "
+    "row-yield UDTF (q_udtf_split) and the scalar Arrow UDF "
+    "(q_udf_arrow_scalar). The UDTF explodes documents to (doc_id, "
+    "token) pairs entirely with pyarrow compute kernels "
+    "(split_pattern + list_flatten + parent-index take — zero "
+    "per-row Python, zero pandas), and the downstream top-20 count "
+    "runs as an ordinary Catalyst aggregate over the UDTF's output "
+    "relation. At 100 TB the UDTF processes one Arrow batch at a "
+    "time per task with bounded memory, and the fan-out never "
+    "materializes outside the engine.",
+)
+def q_udtf_arrow_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from pyspark.sql.functions import arrow_udtf
+
+    @arrow_udtf(returnType="doc_id: bigint, token: string")
+    class TokenizeArrow:
+        def eval(self, batch: "pa.RecordBatch"):
+            toks = pc.split_pattern(batch.column(1), " ")
+            ids = pc.take(batch.column(0), pc.list_parent_indices(toks))
+            yield pa.table({"doc_id": ids, "token": pc.list_flatten(toks)})
+
+    spark.udtf.register("udtf_tokenize_arrow", TokenizeArrow)
+    load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text"
+    ).createOrReplaceTempView("v_docs_arrow_udtf")
+    return spark.sql(
+        """
+        SELECT token, count(*) AS n
+        FROM udtf_tokenize_arrow(
+          TABLE(SELECT doc_id, text FROM v_docs_arrow_udtf))
+        GROUP BY token
+        ORDER BY n DESC, token
+        LIMIT 20
+        """
+    )

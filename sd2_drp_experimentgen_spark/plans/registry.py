@@ -249,6 +249,7 @@ _NEW_THIS_ROUND: frozenset[str] = frozenset(
         "q_agg_kll_quantiles",
         "q_dq_expectations",
         "q_agg_weighted_percentile",
+        "q_udtf_arrow_tokens",
     }
 )
 
