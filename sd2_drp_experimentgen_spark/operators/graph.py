@@ -246,3 +246,64 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("pr"),
         )
     return pr
+
+
+@register(
+    "q_dedup_cluster_stats",
+    oracle=f"""
+    WITH RECURSIVE pairs AS ({_PAIRS_SQL}),
+    edges AS (
+      SELECT id_lo AS src, id_hi AS dst FROM pairs
+      UNION ALL
+      SELECT id_hi, id_lo FROM pairs
+    ),
+    reach(src, dst) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+    ),
+    labels AS (
+      SELECT src AS doc_id, CAST(min(dst) AS BIGINT) AS component_id
+      FROM reach GROUP BY src
+    )
+    SELECT component_id,
+           count(*) AS n_docs,
+           CAST(count(*) - 1 AS BIGINT) AS n_removed,
+           CAST(sum(d.n_chars) AS BIGINT) AS chars_total,
+           CAST(sum(CASE WHEN l.doc_id <> l.component_id
+                         THEN d.n_chars ELSE 0 END) AS BIGINT)
+             AS chars_removed
+    FROM labels l JOIN documents d ON d.doc_id = l.doc_id
+    GROUP BY component_id
+    HAVING count(*) >= 2
+    """,
+    tier="P1",
+    doc="The dedup DECISION output — what a 100 TB dedup pass "
+    "actually deletes: near-dup pairs (J>=0.6) grouped into "
+    "connected components (q_dedup_components' min-label "
+    "propagation), then rolled up per duplicate CLUSTER: canonical "
+    "survivor id, cluster size, docs removed, and exact bytes kept "
+    "vs reclaimed (the dedup-savings report). Everything after the "
+    "pair graph is one join + one groupBy over (doc_id, label, "
+    "n_chars) triples; the oracle recomputes the closure with a "
+    "recursive CTE. Singleton docs never appear — the report is "
+    "exactly the clusters where a deletion decision exists.",
+)
+def q_dedup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    labels = q_dedup_components(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    j = labels.join(docs, "doc_id")
+    return (
+        j.groupBy("component_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            (F.count(F.lit(1)) - 1).cast("long").alias("n_removed"),
+            F.sum("n_chars").alias("chars_total"),
+            F.sum(
+                F.when(
+                    F.col("doc_id") != F.col("component_id"), F.col("n_chars")
+                ).otherwise(0)
+            ).alias("chars_removed"),
+        )
+        .where(F.col("n_docs") >= 2)
+    )

@@ -250,6 +250,7 @@ _NEW_THIS_ROUND: frozenset[str] = frozenset(
         "q_dq_expectations",
         "q_agg_weighted_percentile",
         "q_udtf_arrow_tokens",
+        "q_dedup_cluster_stats",
     }
 )
 
