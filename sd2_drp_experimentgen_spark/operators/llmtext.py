@@ -1152,3 +1152,82 @@ def q_text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_bigram_freq"),
         )
     )
+
+
+SPAN_K = 8  # tokens per duplicated-span window
+
+
+@register(
+    "q_text_span_dup",
+    oracle=f"""
+    WITH pos AS (
+      SELECT doc_id,
+             unnest(list_transform(
+               generate_series(1, len(string_split(text, ' ')) - {SPAN_K - 1}),
+               i -> md5({" || ' ' || ".join(
+                   f"string_split(text, ' ')[i + {j}]" for j in range(SPAN_K)
+               )}))) AS h
+      FROM documents
+      WHERE len(string_split(text, ' ')) >= {SPAN_K}
+    ),
+    nd AS (
+      SELECT h, count(DISTINCT doc_id) AS n_docs FROM pos GROUP BY h
+    )
+    SELECT doc_id,
+           count(*) AS n_spans,
+           CAST(sum(CASE WHEN nd.n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup_spans,
+           {sql_r('sum(CASE WHEN nd.n_docs >= 2 THEN 1 ELSE 0 END) * 1.0'
+                  ' / count(*)')} AS dup_share
+    FROM pos JOIN nd USING (h)
+    GROUP BY doc_id
+    """,
+    tier="P1",
+    doc="Duplicated-span quality filter (the Gopher/RefinedWeb "
+    "'fraction of text in duplicated 8-token windows' signal — the "
+    "CROSS-document complement of q_text_repetition's intra-doc "
+    "stats): every 8-token window is hashed, windows appearing in 2+ "
+    "distinct documents are 'duplicated', and each doc reports its "
+    "share of duplicated positions. Boilerplate headers/footers and "
+    "template text light up even when whole docs are not near-dups. "
+    "Shuffle shape: positions reduce to (doc_id, hash) pairs; the "
+    "distinct-doc counts groupBy 16-byte hashes; the refine join is "
+    "hash-to-hash — text never shuffles, integers + one divide only.",
+)
+def q_text_span_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.helpers import r4
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    idx = F.sequence(F.lit(1), F.size(toks) - (SPAN_K - 1))
+    sh = d.where(F.size(toks) >= SPAN_K).select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                idx,
+                lambda i: F.md5(
+                    F.concat_ws(
+                        " ",
+                        *[F.element_at(toks, i + j) for j in range(SPAN_K)],
+                    )
+                ),
+            )
+        ).alias("h"),
+    )
+    nd = (
+        sh.distinct()
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    dup = F.when(F.col("n_docs") >= 2, 1).otherwise(0)
+    return (
+        sh.join(nd, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum(dup).cast("long").alias("n_dup_spans"),
+            r4(F.sum(dup) * F.lit(1.0) / F.count(F.lit(1))).alias(
+                "dup_share"
+            ),
+        )
+    )

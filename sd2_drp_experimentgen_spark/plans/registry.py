@@ -251,6 +251,7 @@ _NEW_THIS_ROUND: frozenset[str] = frozenset(
         "q_agg_weighted_percentile",
         "q_udtf_arrow_tokens",
         "q_dedup_cluster_stats",
+        "q_text_span_dup",
     }
 )
 
