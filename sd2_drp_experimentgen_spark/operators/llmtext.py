@@ -1108,12 +1108,12 @@ def q_llm_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     "bigrams) scores high and noise/garbage (hapax bigrams) scores "
     "low. bigram_mass and n_hapax are exact integers; the only float "
     "is one final divide, so the result hash-checks bit-for-bit. "
-    "Plan: explode to (doc, bigram) positions, two-phase counts — "
-    "per-(doc,bigram) multiplicities combine map-side, corpus counts "
-    "derive from those partials (never a second scan), and the "
-    "refine join runs bigram-to-bigram on hash-partitioned counts; "
-    "at 100 TB only (doc_id, bigram, int) triples ever shuffle and "
-    "the model table need not fit anywhere in one piece.",
+    "Plan: explode to (doc, bigram) positions, per-(doc,bigram) "
+    "multiplicities combine map-side, and the corpus count attaches "
+    "as a WINDOW over the bigram partition — one scan, one "
+    "tokenize, no model-branch re-scan (plan-verified); at 100 TB "
+    "only (doc_id, bigram, int) triples ever shuffle and the model "
+    "never needs to fit anywhere in one piece.",
 )
 def q_text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.helpers import r4
@@ -1132,12 +1132,20 @@ def q_text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("bigram"),
     )
-    # per-(doc, bigram) multiplicities; the corpus model derives from
-    # these partials, so the text is tokenized exactly once.
+    from pyspark.sql import Window
+
+    # per-(doc, bigram) multiplicities, then corpus counts as a WINDOW
+    # over the bigram partition: one scan, one tokenize — a join
+    # against a separately-aggregated model branch would re-scan and
+    # re-tokenize the corpus (Catalyst does not share the subplan;
+    # verified in PLANS.md), which at 100 TB doubles the dominant
+    # cost. The window shuffles only (doc_id, bigram, count) triples.
     per = bg.groupBy("doc_id", "bigram").agg(F.count(F.lit(1)).alias("k"))
-    cnt = per.groupBy("bigram").agg(F.sum("k").alias("c"))
+    withc = per.withColumn(
+        "c", F.sum("k").over(Window.partitionBy("bigram"))
+    )
     return (
-        per.join(cnt, "bigram")
+        withc
         .groupBy("doc_id")
         .agg(
             F.sum("k").alias("n_bigrams"),
