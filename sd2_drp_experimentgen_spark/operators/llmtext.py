@@ -1222,20 +1222,21 @@ def q_text_span_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("h"),
     )
-    nd = (
-        sh.distinct()
-        .groupBy("h")
-        .agg(F.count(F.lit(1)).alias("n_docs"))
+    from pyspark.sql import Window
+
+    # per-(doc, hash) position counts, then distinct-doc counts as a
+    # window over the hash partition — one scan, one window-explode;
+    # the join-against-distinct form would re-scan and re-explode the
+    # corpus (same Catalyst subplan-sharing limit found on the bigram
+    # operator, PLANS.md). Only (doc_id, 16-byte hash, count) triples
+    # shuffle.
+    per = sh.groupBy("doc_id", "h").agg(F.count(F.lit(1)).alias("k"))
+    withnd = per.withColumn(
+        "n_docs", F.count(F.lit(1)).over(Window.partitionBy("h"))
     )
-    dup = F.when(F.col("n_docs") >= 2, 1).otherwise(0)
-    return (
-        sh.join(nd, "h")
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_spans"),
-            F.sum(dup).cast("long").alias("n_dup_spans"),
-            r4(F.sum(dup) * F.lit(1.0) / F.count(F.lit(1))).alias(
-                "dup_share"
-            ),
-        )
+    dup_k = F.when(F.col("n_docs") >= 2, F.col("k")).otherwise(0)
+    return withnd.groupBy("doc_id").agg(
+        F.sum("k").alias("n_spans"),
+        F.sum(dup_k).cast("long").alias("n_dup_spans"),
+        r4(F.sum(dup_k) * F.lit(1.0) / F.sum("k")).alias("dup_share"),
     )
