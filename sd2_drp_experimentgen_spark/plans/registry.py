@@ -252,6 +252,7 @@ _NEW_THIS_ROUND: frozenset[str] = frozenset(
         "q_udtf_arrow_tokens",
         "q_dedup_cluster_stats",
         "q_text_span_dup",
+        "q_etl_incremental_bookmark",
     }
 )
 
