@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.helpers import r4, sql_r
+from ..functions.helpers import r4, sql_r, sql_units
 from ..plans.registry import register
 from ..sources.tables import load_events, load_table
 
@@ -684,7 +684,8 @@ def q_sql_parameterized(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         """
         SELECT o_orderpriority, count(*) AS n,
-               floor(sum(o_totalprice) * 10000 + 0.5) / 10000 AS sum_price
+               CAST(sum(CAST(floor(o_totalprice * 10000 + 0.5) AS BIGINT))
+                    AS DOUBLE) / 10000 AS sum_price
         FROM v_orders_param
         WHERE o_orderstatus = :status AND o_totalprice >= :min_price
         GROUP BY o_orderpriority
@@ -733,5 +734,42 @@ def q_sql_session_variables(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE l_discount BETWEEN target_disc - disc_band
                              AND target_disc + disc_band
           AND l_quantity < max_qty
+        """
+    )
+
+
+@register(
+    "q_sql_group_by_all",
+    oracle=f"""
+    SELECT o_orderpriority,
+           CAST(strftime(o_orderdate, '%Y') AS INTEGER) AS order_year,
+           count(*) AS n,
+           CAST(sum({sql_units('o_totalprice')}) AS DOUBLE) / 10000
+             AS sum_price
+    FROM orders
+    GROUP BY o_orderpriority, order_year
+    """,
+    tier="P2",
+    doc="GROUP BY ALL / ORDER BY ALL (Spark 3.4+/4 SQL sugar, also in "
+    "DuckDB/Databricks SQL): the parser infers the grouping set as "
+    "every non-aggregate select item — the guard against the classic "
+    "added-a-column-forgot-the-GROUP-BY bug in wide reports. "
+    "Resolves to the identical Aggregate plan as the explicit list "
+    "(same partial-agg + exchange), proven by the hash check against "
+    "an explicit-GROUP-BY oracle.",
+)
+def q_sql_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView(
+        "v_orders_gball"
+    )
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               year(o_orderdate) AS order_year,
+               count(*) AS n,
+               CAST(sum(CAST(floor(o_totalprice * 10000 + 0.5) AS BIGINT))
+                    AS DOUBLE) / 10000 AS sum_price
+        FROM v_orders_gball
+        GROUP BY ALL
         """
     )

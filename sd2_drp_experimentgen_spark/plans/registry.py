@@ -253,6 +253,7 @@ _NEW_THIS_ROUND: frozenset[str] = frozenset(
         "q_dedup_cluster_stats",
         "q_text_span_dup",
         "q_etl_incremental_bookmark",
+        "q_sql_group_by_all",
     }
 )
 
