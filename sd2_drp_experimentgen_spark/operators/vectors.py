@@ -53,12 +53,26 @@ def _embeddings_count(spark: SparkSession, sf_dir: str) -> int:
     return n
 
 
+# Memoized (ids, matrix) per (sf_dir, file mtime) — the gated broadcast
+# path re-collected ~0.4s of identical vectors on every warm call
+# (measured at sf0.1); fixture dirs are immutable, and the mtime key
+# invalidates on a driver-side regeneration like the footer caches.
+_EMB_MATRIX_CACHE: dict = {}
+
+
 def _embeddings_matrix(spark: SparkSession, sf_dir: str):
     """Collect (ids, float64 matrix) for broadcast — the SMALL-side path
     only; callers gate on BROADCAST_MAX_ROWS and fall back to the
     block-partitioned plans beyond it."""
+    import os
+
     import numpy as np
 
+    st = os.stat(f"{sf_dir}/embeddings.parquet")
+    key = (sf_dir, st.st_mtime_ns, st.st_size)
+    hit = _EMB_MATRIX_CACHE.get(key)
+    if hit is not None:
+        return hit
     rows = (
         load_table(spark, sf_dir, "embeddings")
         .select("vec_id", "embedding")
@@ -67,6 +81,8 @@ def _embeddings_matrix(spark: SparkSession, sf_dir: str):
     )
     ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
     mat = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    _EMB_MATRIX_CACHE.clear()  # one fixture dir at a time is plenty
+    _EMB_MATRIX_CACHE[key] = (ids, mat)
     return ids, mat
 
 
