@@ -351,3 +351,175 @@ def q_mm_features_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
         extract, schema="doc_id long, n_px long, sum_r long, sum_g long, "
         "sum_b long"
     )
+
+
+def _le32_hex(expr: str) -> str:
+    """SQL: little-endian 4-byte hex string of an integer expression."""
+    return (
+        f"concat(lpad(hex(({expr}) % 256), 2, '0'), "
+        f"lpad(hex((({expr}) div 256) % 256), 2, '0'), "
+        f"lpad(hex((({expr}) div 65536) % 256), 2, '0'), "
+        f"lpad(hex((({expr}) div 16777216) % 256), 2, '0'))"
+    )
+
+
+def audio_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents -> audio table: (doc_id, payload binary WAV file,
+    audio struct<sample_rate int, n_samples int>).
+
+    The payload is a complete, valid RIFF/WAVE file built in Column
+    expressions: canonical 44-byte PCM header (chunk sizes little-
+    endian, mono, 16-bit, 8 kHz) + a data chunk of int16 samples from
+    the repeated md5(text) digest — deterministic, engine-independent
+    content, decodable by any audio stack. Same multimodal convention
+    as the PPM images: typed prunable metadata struct beside an opaque
+    binary column.
+    """
+    n_samp = "(n_chars % 128 + 64)"
+    data_len = f"({n_samp} * 2)"
+    payload = F.expr(
+        "concat("
+        "cast('RIFF' as binary), "
+        f"unhex({_le32_hex('36 + ' + data_len)}), "
+        "cast('WAVE' as binary), cast('fmt ' as binary), "
+        "unhex('10000000'), unhex('0100'), unhex('0100'), "
+        "unhex('401F0000'), unhex('803E0000'), unhex('0200'), "
+        "unhex('1000'), cast('data' as binary), "
+        f"unhex({_le32_hex(data_len)}), "
+        f"substring(unhex(repeat(md5(text), "
+        f"cast(ceil(({data_len}) / 16.0) as int))), 1, {data_len})"
+        ")"
+    )
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        payload.alias("payload"),
+        F.struct(
+            F.lit(8000).alias("sample_rate"),
+            F.expr(n_samp).cast("int").alias("n_samples"),
+        ).alias("audio"),
+    )
+
+
+def _decode_wav(payload: bytes):
+    """Genuine RIFF/WAVE parser (pure numpy/struct): validates magic,
+    fmt chunk, PCM/mono/16-bit, and data-chunk length, then decodes
+    little-endian int16 samples."""
+    import struct
+
+    import numpy as np
+
+    if payload[0:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    if payload[12:16] != b"fmt ":
+        raise ValueError("missing fmt chunk")
+    (fmt_size,) = struct.unpack("<I", payload[16:20])
+    if fmt_size != 16:
+        raise ValueError(f"unsupported fmt chunk size {fmt_size}")
+    audio_fmt, channels = struct.unpack("<HH", payload[20:24])
+    if audio_fmt != 1 or channels != 1:
+        raise ValueError("only PCM mono supported")
+    (rate,) = struct.unpack("<I", payload[24:28])
+    if payload[36:40] != b"data":
+        raise ValueError("missing data chunk")
+    (dl,) = struct.unpack("<I", payload[40:44])
+    data = payload[44 : 44 + dl]
+    if len(data) != dl:
+        raise ValueError("truncated data chunk")
+    return rate, np.frombuffer(data, dtype="<i2")
+
+
+@register(
+    "q_mm_audio_features",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, md5(text) AS hx,
+             n_chars % 128 + 64 AS n
+      FROM documents
+    ),
+    p AS (SELECT g AS i FROM generate_series(0, 7) t(g)),
+    s AS (
+      SELECT doc_id, n, i,
+             (strpos('0123456789abcdef', substr(hx, 2 * (2 * i) + 1, 1)) - 1) * 16
+               + strpos('0123456789abcdef', substr(hx, 2 * (2 * i) + 2, 1)) - 1
+               AS lo,
+             (strpos('0123456789abcdef', substr(hx, 2 * (2 * i + 1) + 1, 1)) - 1) * 16
+               + strpos('0123456789abcdef', substr(hx, 2 * (2 * i + 1) + 2, 1)) - 1
+               AS hi
+      FROM d CROSS JOIN p
+    ),
+    v AS (
+      SELECT doc_id, n, i,
+             CASE WHEN lo + 256 * hi >= 32768
+                  THEN lo + 256 * hi - 65536
+                  ELSE lo + 256 * hi END AS val
+      FROM s
+    )
+    SELECT doc_id,
+           CAST(n AS BIGINT) AS n_samples,
+           CAST(sum(abs(val)) * (n // 8)
+                + sum(CASE WHEN i < n % 8 THEN abs(val) ELSE 0 END)
+                AS BIGINT) AS sum_abs,
+           CAST(sum(val * val) * (n // 8)
+                + sum(CASE WHEN i < n % 8 THEN val * val ELSE 0 END)
+                AS BIGINT) AS sum_sq,
+           CAST(max(abs(val)) AS BIGINT) AS peak_abs
+    FROM v
+    GROUP BY doc_id, n
+    """,
+    tier="P2",
+    doc="Multimodal AUDIO decode with EXACT cross-engine verification "
+    "— the waveform twin of q_mm_features_verified: the payload is a "
+    "complete valid RIFF/WAVE PCM file (canonical 44-byte header "
+    "built little-endian in Column expressions), _decode_wav is a "
+    "genuine format parser (magic/fmt/PCM/mono validation, int16 LE "
+    "frombuffer), and the emitted features are exact integers "
+    "(sample count, total absolute amplitude, signal energy, peak). "
+    "Samples repeat the 16-byte md5 digest at period 8, so the "
+    "oracle reproduces every sum in closed form from the hex — a "
+    "real binary audio decode path hashed against SQL. Payload "
+    "bytes decode inside mapInPandas and never shuffle; per-doc "
+    "features are all that moves. Swapping WAV for FLAC/MP3 means "
+    "replacing one parser with soundfile/librosa.",
+)
+def q_mm_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    src = audio_table(spark, sf_dir)
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            rows = []
+            for _, r in pdf.iterrows():
+                rate, samples = _decode_wav(bytes(r["payload"]))
+                if rate != int(r["sample_rate"]):
+                    raise ValueError("header/metadata sample-rate mismatch")
+                if samples.size != int(r["n_samples"]):
+                    raise ValueError("header/metadata length mismatch")
+                s = samples.astype(np.int64)
+                rows.append(
+                    (
+                        int(r["doc_id"]),
+                        int(s.size),
+                        int(np.abs(s).sum()),
+                        int((s * s).sum()),
+                        int(np.abs(s).max()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "n_samples", "sum_abs", "sum_sq", "peak_abs"],
+            )
+
+    return src.select(
+        "doc_id",
+        "payload",
+        F.col("audio.sample_rate").alias("sample_rate"),
+        F.col("audio.n_samples").alias("n_samples"),
+    ).mapInPandas(
+        extract,
+        schema="doc_id long, n_samples long, sum_abs long, sum_sq long, "
+        "peak_abs long",
+    )

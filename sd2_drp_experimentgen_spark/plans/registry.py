@@ -254,6 +254,7 @@ _NEW_THIS_ROUND: frozenset[str] = frozenset(
         "q_text_span_dup",
         "q_etl_incremental_bookmark",
         "q_sql_group_by_all",
+        "q_mm_audio_features",
     }
 )
 
