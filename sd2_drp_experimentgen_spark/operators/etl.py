@@ -742,16 +742,18 @@ def q_dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _incremental_phase(spark, src_dir: str, out_dir: str, bm_dir: str) -> None:
     """One run of the bookmark-incremental batch job: aggregate only the
-    rows with ts above the persisted high-watermark bookmark, APPEND the
-    partial aggregates to the output, then advance the bookmark.
+    rows with ts above the persisted high-watermark bookmark, write the
+    partials under a RUN-KEYED partition, then advance the bookmark.
 
-    Order matters for crash consistency: output append commits before
-    the bookmark moves, so a crash between the two replays (appends
-    again) rather than losing data — the output layout must therefore
-    be re-aggregated on read (it is: per-run partials sum), which is
-    the standard at-least-once + idempotent-merge incremental shape.
-    The bookmark scalar rides a broadcast 1-row frame into the filter;
-    the driver never collects data.
+    Exactly-once under crash/replay: the run key is derived from the
+    bookmark the run started from, so a crash between the output commit
+    and the bookmark advance replays into the SAME partition, and
+    dynamic partition overwrite replaces it instead of appending a
+    duplicate (plain append would double-count — the classic bookmark
+    pitfall). The bookmark advances only after the output commits, so
+    no data can be skipped. The bookmark scalar rides a broadcast
+    1-row frame into the filter and the partition key; the driver
+    never collects data.
     """
     import os
 
@@ -766,11 +768,17 @@ def _incremental_phase(spark, src_dir: str, out_dir: str, bm_dir: str) -> None:
         bm = spark.range(1).select(
             F.lit("1970-01-01 00:00:00").cast("timestamp").alias("bm_ts")
         )
-    new = ev.join(F.broadcast(bm), F.col("ts") > F.col("bm_ts")).drop("bm_ts")
+    new = ev.join(F.broadcast(bm), F.col("ts") > F.col("bm_ts"))
     agg = new.groupBy(
-        F.date_trunc("DAY", F.col("ts")).cast("long").alias("day_start")
+        F.date_trunc("DAY", F.col("ts")).cast("long").alias("day_start"),
+        F.col("bm_ts").cast("long").alias("run_key"),
     ).agg(F.count(F.lit(1)).alias("n"))
-    agg.write.mode("append").parquet(out_dir)
+    (
+        agg.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("run_key")
+        .parquet(out_dir)
+    )
     newbm = ev.agg(F.max("ts").alias("bm_ts"))
     tmp = bm_dir.rstrip("/") + "_tmp"
     newbm.write.mode("overwrite").parquet(tmp)
@@ -793,7 +801,9 @@ def _incremental_phase(spark, src_dir: str, out_dir: str, bm_dir: str) -> None:
     "checkpoints (Glue/Airflow-style bookmarks): each run aggregates "
     "ONLY rows above the stored watermark, appends its partial "
     "per-day aggregates, and advances the bookmark afterwards "
-    "(crash-safe at-least-once + idempotent merge-on-read). "
+    "(run-keyed dynamic partition overwrite makes replays "
+    "idempotent — exactly-once under crash-between-commit-and-"
+    "bookmark). "
     "Exercised for real: the fixture is staged as two time-split "
     "files and the job runs twice, the second run seeing both files "
     "but allowed to touch only the new one's rows; the hash check "
