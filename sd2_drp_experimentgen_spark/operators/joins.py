@@ -773,3 +773,71 @@ def q_sql_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY ALL
         """
     )
+
+
+@register(
+    "q_sql_exists_in_subqueries",
+    oracle="""
+    WITH risky AS (
+      SELECT CASE WHEN c_acctbal < 0 THEN NULL ELSE c_custkey END AS k
+      FROM customer
+    )
+    SELECT
+      (SELECT count(*) FROM orders o
+        WHERE EXISTS (SELECT 1 FROM customer c
+                      WHERE c.c_custkey = o.o_custkey
+                        AND c.c_acctbal < 0)) AS n_exists,
+      (SELECT count(*) FROM orders o
+        WHERE NOT EXISTS (SELECT 1 FROM customer c
+                          WHERE c.c_custkey = o.o_custkey
+                            AND c.c_acctbal < 0)) AS n_not_exists,
+      (SELECT count(*) FROM orders
+        WHERE o_custkey IN (SELECT k FROM risky)) AS n_in,
+      (SELECT count(*) FROM orders
+        WHERE o_custkey NOT IN (SELECT k FROM risky)) AS n_not_in,
+      (SELECT count(*) FROM orders
+        WHERE o_custkey NOT IN (SELECT k FROM risky WHERE k IS NOT NULL))
+        AS n_not_in_nullsafe
+    """,
+    tier="P2",
+    doc="Correlated-subquery SQL battery: EXISTS / NOT EXISTS "
+    "(decorrelated to semi/anti joins by the planner) and IN / "
+    "NOT IN against a subquery whose key list CONTAINS NULLs — the "
+    "classic three-valued-logic trap: NOT IN over a NULL-bearing "
+    "list can match no rows at all (x <> NULL is unknown), which "
+    "both engines must reproduce identically, while the NULL-"
+    "filtered variant returns the intuitive complement. EXISTS and "
+    "NOT EXISTS counts partition the orders exactly. One row of five "
+    "BIGINT counts — the regression pin for the subquery planner "
+    "paths and the NULL semantics most pipelines get wrong once.",
+)
+def q_sql_exists_in_subqueries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("v_sq_orders")
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView(
+        "v_sq_customer"
+    )
+    return spark.sql(
+        """
+        WITH risky AS (
+          SELECT CASE WHEN c_acctbal < 0 THEN NULL ELSE c_custkey END AS k
+          FROM v_sq_customer
+        )
+        SELECT
+          (SELECT count(*) FROM v_sq_orders o
+            WHERE EXISTS (SELECT 1 FROM v_sq_customer c
+                          WHERE c.c_custkey = o.o_custkey
+                            AND c.c_acctbal < 0)) AS n_exists,
+          (SELECT count(*) FROM v_sq_orders o
+            WHERE NOT EXISTS (SELECT 1 FROM v_sq_customer c
+                              WHERE c.c_custkey = o.o_custkey
+                                AND c.c_acctbal < 0)) AS n_not_exists,
+          (SELECT count(*) FROM v_sq_orders
+            WHERE o_custkey IN (SELECT k FROM risky)) AS n_in,
+          (SELECT count(*) FROM v_sq_orders
+            WHERE o_custkey NOT IN (SELECT k FROM risky)) AS n_not_in,
+          (SELECT count(*) FROM v_sq_orders
+            WHERE o_custkey NOT IN (SELECT k FROM risky
+                                    WHERE k IS NOT NULL))
+            AS n_not_in_nullsafe
+        """
+    )
