@@ -328,3 +328,34 @@ def test_join_hints_select_their_physical_join(spark):
             "simple",
         )
         assert op in p, f"{hint}: {op} not in plan\n{p}"
+
+
+def test_bigram_lm_single_tokenize(spark):
+    """The corpus-count branch must ride a window over the per-doc
+    partials — a join against a separately-aggregated model would
+    re-scan and re-explode the corpus (one Generate, not two)."""
+    p = plan(all_specs()["q_text_bigram_lm_score"].fn(spark, SF_T2), "simple")
+    assert p.count("Generate") == 1, p
+
+
+def test_span_dup_single_explode(spark):
+    """Same invariant for the duplicated-span filter: one corpus
+    explode feeds both the position counts and the distinct-doc
+    window."""
+    p = plan(all_specs()["q_text_span_dup"].fn(spark, SF_T2), "simple")
+    assert p.count("Generate") == 1, p
+
+
+def test_weighted_percentile_single_shuffle(spark):
+    """Both window frames and the final aggregate must share the one
+    returnflag exchange."""
+    p = plan(all_specs()["q_agg_weighted_percentile"].fn(spark, SF_T2), "simple")
+    n_exchanges = p.count("Exchange hashpartitioning")
+    assert n_exchanges == 1, f"expected 1 data exchange, saw {n_exchanges}\n{p}"
+
+
+def test_dq_referential_checks_are_anti_joins(spark):
+    """The referential-integrity expectations must plan as anti joins,
+    not materialized outer joins."""
+    p = plan(all_specs()["q_dq_expectations"].fn(spark, SF_T2), "simple")
+    assert "LeftAnti" in p, p
