@@ -1240,3 +1240,166 @@ def q_text_span_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(dup_k).cast("long").alias("n_dup_spans"),
         r4(F.sum(dup_k) * F.lit(1.0) / F.sum("k")).alias("dup_share"),
     )
+
+
+_EST_AGREE_SQL = " + ".join(
+    f"CASE WHEN a.m{h} = b.m{h} THEN 1 ELSE 0 END" for h in range(N_MINHASH)
+)
+_EST_EXACT_SQL = (
+    "len(list_filter(a.mds, x -> list_contains(b.mds, x))) * 1.0 "
+    "/ (len(a.mds) + len(b.mds) "
+    "- len(list_filter(a.mds, x -> list_contains(b.mds, x))))"
+)
+
+
+@register(
+    "q_dedup_minhash_estimate",
+    oracle=f"""
+    WITH sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               generate_series(1, len(string_split(text, ' ')) - 2),
+               i -> md5(string_split(text, ' ')[i] || ' '
+                        || string_split(text, ' ')[i + 1] || ' '
+                        || string_split(text, ' ')[i + 2]))) AS mds
+      FROM documents
+      WHERE len(string_split(text, ' ')) >= 3
+    ),
+    hh AS (
+      SELECT doc_id, mds,
+             list_transform(mds,
+               m -> CAST('0x' || substr(m, 1, 12) AS BIGINT) % {MINHASH_P}) AS h1,
+             list_transform(mds,
+               m -> CAST('0x' || substr(m, 13, 12) AS BIGINT) % {MINHASH_P}) AS h2
+      FROM sh
+    ),
+    mh AS (
+      SELECT doc_id, mds,
+             {", ".join(
+                 f"list_aggregate(list_transform(generate_series(1, len(h1)), "
+                 f"j -> (h1[j] + {h} * h2[j]) % {MINHASH_P}), 'min') AS m{h}"
+                 for h in range(N_MINHASH))}
+      FROM hh
+    ),
+    bands AS (
+      {" UNION ALL ".join(
+          "SELECT doc_id, md5(" + " || '|' || ".join(
+              f"CAST(m{b * BAND_SIZE + j} AS VARCHAR)" for j in range(BAND_SIZE)
+          ) + f") AS band_sig, {b} AS band_idx FROM mh"
+          for b in range(N_MINHASH // BAND_SIZE))}
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_lo, b.doc_id AS doc_hi
+      FROM bands a JOIN bands b
+        ON a.band_idx = b.band_idx AND a.band_sig = b.band_sig
+       AND a.doc_id < b.doc_id
+    )
+    SELECT doc_lo, doc_hi,
+           CAST({_EST_AGREE_SQL} AS BIGINT) AS n_agree,
+           {sql_r(f"({_EST_AGREE_SQL}) / {N_MINHASH}.0")} AS est_j,
+           {sql_r(_EST_EXACT_SQL)} AS exact_j
+    FROM cand
+    JOIN mh a ON a.doc_id = doc_lo
+    JOIN mh b ON b.doc_id = doc_hi
+    """,
+    tier="P2",
+    doc="MinHash estimator CALIBRATION: for every LSH candidate pair, "
+    "the 16-hash agreement count, the Jaccard estimate it implies "
+    "(n_agree/16), and the EXACT Jaccard of the distinct-shingle "
+    "sets side by side. Because the hash family is md5-derived and "
+    "deterministic, the estimate itself hash-checks bit-for-bit "
+    "across engines — the estimator's per-pair accuracy is proven, "
+    "not just recall-sampled. This is the table an operator reads "
+    "when tuning bands x rows against a corpus: it shows exactly "
+    "how the 4x4 banding's candidates distribute around the J=0.8 "
+    "S-curve. Shuffle shape: signatures (16 ints) and distinct-"
+    "shingle hash sets join only for candidate pairs.",
+)
+def q_dedup_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.helpers import r4
+
+    p = MINHASH_P
+    d = load_table(spark, sf_dir, "documents")
+    toks_all = F.split(F.col("text"), " ")
+    dd = d.where(F.size(toks_all) >= 3)
+    shingle = lambda i: F.concat_ws(  # noqa: E731
+        " ",
+        F.element_at(toks_all, i),
+        F.element_at(toks_all, i + 1),
+        F.element_at(toks_all, i + 2),
+    )
+    idx = F.sequence(F.lit(1), F.size(toks_all) - 2)
+    mds = dd.select(
+        "doc_id",
+        F.array_distinct(
+            F.transform(idx, lambda i: F.md5(shingle(i)))
+        ).alias("mds"),
+    )
+    hx = lambda m, start: (  # noqa: E731
+        F.conv(F.substring(m, start, 12), 16, 10).cast("long") % p
+    )
+    hh = mds.select(
+        "doc_id",
+        "mds",
+        F.transform(F.col("mds"), lambda m: hx(m, 1)).alias("h1"),
+        F.transform(F.col("mds"), lambda m: hx(m, 13)).alias("h2"),
+    )
+    mh_cols = [
+        F.array_min(
+            F.zip_with(
+                F.col("h1"), F.col("h2"), lambda a, b: (a + F.lit(h) * b) % p
+            )
+        ).alias(f"m{h}")
+        for h in range(N_MINHASH)
+    ]
+    sigs = hh.select("doc_id", "mds", *mh_cols)
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band_idx"),
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    *[
+                        F.col(f"m{b * BAND_SIZE + j}").cast("string")
+                        for j in range(BAND_SIZE)
+                    ],
+                )
+            ).alias("band_sig"),
+        )
+        for b in range(N_MINHASH // BAND_SIZE)
+    ]
+    bands = sigs.select(
+        "doc_id", F.explode(F.array(*band_structs)).alias("band")
+    ).select("doc_id", "band.band_idx", "band.band_sig")
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_sig") == F.col("b.band_sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_lo"), F.col("b.doc_id").alias("doc_hi")
+        )
+        .distinct()
+    )
+    sa = sigs.alias("sa")
+    sb = sigs.alias("sb")
+    j = cand.join(sa, F.col("sa.doc_id") == F.col("doc_lo")).join(
+        sb, F.col("sb.doc_id") == F.col("doc_hi")
+    )
+    agree = sum(
+        F.when(F.col(f"sa.m{h}") == F.col(f"sb.m{h}"), 1).otherwise(0)
+        for h in range(N_MINHASH)
+    )
+    inter = F.size(F.array_intersect(F.col("sa.mds"), F.col("sb.mds")))
+    union = F.size(F.col("sa.mds")) + F.size(F.col("sb.mds")) - inter
+    return j.select(
+        "doc_lo",
+        "doc_hi",
+        agree.cast("long").alias("n_agree"),
+        r4(agree / F.lit(float(N_MINHASH))).alias("est_j"),
+        r4(inter * F.lit(1.0) / union).alias("exact_j"),
+    )

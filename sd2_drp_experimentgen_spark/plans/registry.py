@@ -256,6 +256,7 @@ _NEW_THIS_ROUND: frozenset[str] = frozenset(
         "q_sql_group_by_all",
         "q_mm_audio_features",
         "q_sql_exists_in_subqueries",
+        "q_dedup_minhash_estimate",
     }
 )
 
