@@ -291,3 +291,50 @@ def test_observe_does_not_poison_session_closures(spark):
     assert (
         spark.range(100).rdd.map(lambda r: r.id).sum() == 4950
     )
+
+
+def test_wav_decoder_parses_and_rejects():
+    """_decode_wav must behave like a format parser: decode a valid
+    hand-built RIFF/WAVE PCM file exactly, and reject malformed
+    input (wrong magic, non-PCM, stereo, truncated data)."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from sd2_drp_experimentgen_spark.operators.multimodal import _decode_wav
+
+    samples = np.array([0, 1, -1, 32767, -32768, 1000], dtype="<i2")
+    data = samples.tobytes()
+
+    def wav(
+        magic=b"RIFF", wave=b"WAVE", fmt=b"fmt ", fmt_size=16,
+        audio_fmt=1, channels=1, payload=data,
+    ):
+        return (
+            magic
+            + struct.pack("<I", 36 + len(payload))
+            + wave
+            + fmt
+            + struct.pack("<I", fmt_size)
+            + struct.pack("<HH", audio_fmt, channels)
+            + struct.pack("<I", 8000)
+            + struct.pack("<I", 16000)
+            + struct.pack("<HH", 2, 16)
+            + b"data"
+            + struct.pack("<I", len(payload))
+            + payload
+        )
+
+    rate, out = _decode_wav(wav())
+    assert rate == 8000
+    assert np.array_equal(out, samples)
+
+    with pytest.raises(ValueError):
+        _decode_wav(wav(magic=b"RIFX"))
+    with pytest.raises(ValueError):
+        _decode_wav(wav(audio_fmt=3))  # IEEE float, not PCM
+    with pytest.raises(ValueError):
+        _decode_wav(wav(channels=2))
+    with pytest.raises(ValueError):
+        _decode_wav(wav()[:-2])  # truncated data chunk
