@@ -572,3 +572,53 @@ def q_source_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_suppliers"),
         F.min("s_name").alias("first_supplier"),
     )
+
+
+@register(
+    "q_source_text_roundtrip",
+    oracle="""
+    SELECT lang,
+           count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+           CAST(min(doc_id) AS BIGINT) AS min_doc
+    FROM documents
+    GROUP BY lang
+    """,
+    tier="P2",
+    doc="Line-oriented text source/sink round-trip — the log-file "
+    "interchange format beside CSV/JSON/parquet/ORC/XML/binary: each "
+    "document's (doc_id, lang, n_chars) is serialized to one "
+    "tab-delimited line via the single-column text SINK, read back "
+    "with spark.read.text (one 'value' row per line, schema-free by "
+    "design), re-parsed with split() Column expressions, and "
+    "aggregated per language. The oracle sees only the final "
+    "relation — identical iff serialization, line splitting, and "
+    "parsing are all lossless. At 100 TB this is the raw-log ingest "
+    "path: text files split by line across tasks, parse cost is one "
+    "projection, malformed lines routable exactly like the CSV "
+    "quarantine.",
+)
+def q_source_text_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _scratch(sf_dir, "text_docs")
+    d = load_table(spark, sf_dir, "documents")
+    lines = d.select(
+        F.concat_ws(
+            "\t",
+            F.col("doc_id").cast("string"),
+            F.col("lang"),
+            F.col("n_chars").cast("string"),
+        ).alias("value")
+    )
+    lines.write.mode("overwrite").text(path)
+    back = spark.read.text(path)
+    parts = F.split(F.col("value"), "\t")
+    parsed = back.select(
+        F.element_at(parts, 1).cast("long").alias("doc_id"),
+        F.element_at(parts, 2).alias("lang"),
+        F.element_at(parts, 3).cast("long").alias("n_chars"),
+    )
+    return parsed.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.min("doc_id").alias("min_doc"),
+    )

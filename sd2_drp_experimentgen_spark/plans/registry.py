@@ -257,6 +257,7 @@ _NEW_THIS_ROUND: frozenset[str] = frozenset(
         "q_mm_audio_features",
         "q_sql_exists_in_subqueries",
         "q_dedup_minhash_estimate",
+        "q_source_text_roundtrip",
     }
 )
 
