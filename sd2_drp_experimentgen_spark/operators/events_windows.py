@@ -570,3 +570,116 @@ def q_event_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             r4(F.sum("value")).alias("attributed_value"),
         )
     )
+
+
+@register(
+    "q_event_journey_pipeline",
+    oracle="""
+    WITH w AS (
+      SELECT user_id, event_id, ts, event_type,
+             CASE WHEN lag(ts) OVER win IS NULL
+                    OR ts - lag(ts) OVER win > INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_sess,
+             last_value(CASE WHEN event_type <> 'purchase'
+                             THEN event_type END IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ) AS prev_np
+      FROM events
+      WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id,
+           count(*) AS n_events,
+           CAST(sum(new_sess) AS BIGINT) AS n_sessions,
+           CAST(CASE
+             WHEN min(ts) FILTER (event_type = 'view') IS NOT NULL
+              AND min(ts) FILTER (event_type = 'click')
+                  > min(ts) FILTER (event_type = 'view')
+              AND min(ts) FILTER (event_type = 'purchase')
+                  > min(ts) FILTER (event_type = 'click')
+             THEN 3
+             WHEN min(ts) FILTER (event_type = 'view') IS NOT NULL
+              AND min(ts) FILTER (event_type = 'click')
+                  > min(ts) FILTER (event_type = 'view')
+             THEN 2
+             WHEN min(ts) FILTER (event_type = 'view') IS NOT NULL
+             THEN 1 ELSE 0 END AS BIGINT) AS funnel_stage,
+           CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT)
+             AS n_purchases,
+           CAST(count(*) FILTER (event_type = 'purchase'
+                                 AND prev_np = 'click') AS BIGINT)
+             AS n_attr_click
+    FROM w GROUP BY user_id
+    """,
+    tier="P1",
+    doc="SIGNATURE composition for the event-analytics leg — the "
+    "per-user journey table a product team actually reads, built as "
+    "ONE Catalyst plan: 30-min-gap sessionization (lag + boundary "
+    "count), ordered view->click->purchase funnel stage (conditional "
+    "first-timestamp comparison), and last-touch click attribution "
+    "per purchase (ignore-nulls last_value over a trailing frame), "
+    "all folded into a single wide row per user. Both window specs "
+    "and the final groupBy share ONE user_id shuffle — composing the "
+    "three analyses costs no more data movement than any one of "
+    "them, the point of declaring the whole journey in one plan. "
+    "Every output is a count or a small integer stage: hash-exact.",
+)
+def q_event_journey_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_events(spark, sf_dir)
+    win = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_ts = F.lag("ts").over(win)
+    new_sess = F.when(
+        prev_ts.isNull()
+        | (F.col("ts").cast("long") - prev_ts.cast("long") > 1800),
+        1,
+    ).otherwise(0)
+    prev_np = F.last(
+        F.when(F.col("event_type") != "purchase", F.col("event_type")),
+        ignorenulls=True,
+    ).over(win.rowsBetween(Window.unboundedPreceding, -1))
+    rows = ev.select(
+        "user_id",
+        "ts",
+        "event_type",
+        new_sess.alias("new_sess"),
+        prev_np.alias("prev_np"),
+    )
+
+    def first_ts(t: str):
+        return F.min(F.when(F.col("event_type") == t, F.col("ts")))
+
+    agg = rows.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("new_sess").alias("n_sessions"),
+        first_ts("view").alias("t_view"),
+        first_ts("click").alias("t_click"),
+        first_ts("purchase").alias("t_purchase"),
+        F.count_if(F.col("event_type") == "purchase").alias("n_purchases"),
+        F.count_if(
+            (F.col("event_type") == "purchase") & (F.col("prev_np") == "click")
+        ).alias("n_attr_click"),
+    )
+    stage = (
+        F.when(
+            F.col("t_view").isNotNull()
+            & (F.col("t_click") > F.col("t_view"))
+            & (F.col("t_purchase") > F.col("t_click")),
+            3,
+        )
+        .when(
+            F.col("t_view").isNotNull() & (F.col("t_click") > F.col("t_view")),
+            2,
+        )
+        .when(F.col("t_view").isNotNull(), 1)
+        .otherwise(0)
+    )
+    return agg.select(
+        "user_id",
+        "n_events",
+        "n_sessions",
+        stage.cast("long").alias("funnel_stage"),
+        "n_purchases",
+        "n_attr_click",
+    )

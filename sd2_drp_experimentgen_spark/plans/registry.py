@@ -258,6 +258,7 @@ _NEW_THIS_ROUND: frozenset[str] = frozenset(
         "q_sql_exists_in_subqueries",
         "q_dedup_minhash_estimate",
         "q_source_text_roundtrip",
+        "q_event_journey_pipeline",
     }
 )
 

@@ -359,3 +359,11 @@ def test_dq_referential_checks_are_anti_joins(spark):
     not materialized outer joins."""
     p = plan(all_specs()["q_dq_expectations"].fn(spark, SF_T2), "simple")
     assert "LeftAnti" in p, p
+
+
+def test_journey_pipeline_single_shuffle(spark):
+    """Sessionization windows, attribution window, and the final
+    per-user aggregate must all share one user_id exchange."""
+    p = plan(all_specs()["q_event_journey_pipeline"].fn(spark, SF_T2), "simple")
+    n = p.count("Exchange hashpartitioning")
+    assert n == 1, f"expected 1 data exchange, saw {n}\n{p}"
