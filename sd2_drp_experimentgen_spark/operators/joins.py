@@ -841,3 +841,92 @@ def q_sql_exists_in_subqueries(spark: SparkSession, sf_dir: str) -> DataFrame:
             AS n_not_in_nullsafe
         """
     )
+
+
+SPATIAL_R = 50  # L-infinity radius for the neighbor-pair join
+SPATIAL_COORD_MOD = 2000  # coordinate domain [0, 2000)
+
+
+@register(
+    "q_join_spatial_grid",
+    oracle=f"""
+    WITH pts AS (
+      SELECT c_custkey AS id,
+             CAST('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 6)
+                  AS BIGINT) % {SPATIAL_COORD_MOD} AS x,
+             CAST('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 7, 6)
+                  AS BIGINT) % {SPATIAL_COORD_MOD} AS y
+      FROM customer
+    )
+    SELECT a.id AS id_lo, b.id AS id_hi,
+           CAST(greatest(abs(a.x - b.x), abs(a.y - b.y)) AS BIGINT) AS dist
+    FROM pts a JOIN pts b
+      ON a.id < b.id
+     AND abs(a.x - b.x) <= {SPATIAL_R}
+     AND abs(a.y - b.y) <= {SPATIAL_R}
+    """,
+    tier="P1",
+    doc="Grid-blocked spatial neighbor join — the 2-D analog of the "
+    "interval join's blocking-key pattern and the core of every "
+    "distributed geospatial/collision query: points (deterministic "
+    "md5-derived integer coordinates per customer) land in "
+    "radius-sized grid cells; one side explodes to its 3x3 cell "
+    "neighborhood, the equi-join runs on cell ids, and the exact "
+    "L-infinity predicate refines. Every task sees only its cell's "
+    "candidates — the quadratic all-pairs compare the oracle runs "
+    "never materializes in Spark; shuffle moves (cell, id, x, y) "
+    "tuples. Integer coordinates make distances hash-exact. The "
+    "same plan serves geohash/S2/H3 bucketing at planet scale.",
+)
+def q_join_spatial_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r, mod = SPATIAL_R, SPATIAL_COORD_MOD
+    c = load_table(spark, sf_dir, "customer").select("c_custkey")
+    hx = lambda start: (  # noqa: E731
+        F.conv(
+            F.substring(F.md5(F.col("c_custkey").cast("string")), start, 6),
+            16,
+            10,
+        ).cast("long")
+        % mod
+    )
+    pts = c.select(
+        F.col("c_custkey").alias("id"), hx(1).alias("x"), hx(7).alias("y")
+    )
+    cell = lambda col: (col / F.lit(r)).cast("long")  # noqa: E731
+    # probe side: each point replicated to its 3x3 cell neighborhood
+    offs = F.explode(
+        F.array(
+            *[
+                F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+                for dx in (-1, 0, 1)
+                for dy in (-1, 0, 1)
+            ]
+        )
+    )
+    probe = pts.select(
+        F.col("id").alias("a_id"), F.col("x").alias("ax"),
+        F.col("y").alias("ay"), offs.alias("o"),
+    ).select(
+        "a_id", "ax", "ay",
+        (cell(F.col("ax")) + F.col("o.dx")).alias("cx"),
+        (cell(F.col("ay")) + F.col("o.dy")).alias("cy"),
+    )
+    build = pts.select(
+        F.col("id").alias("b_id"), F.col("x").alias("bx"),
+        F.col("y").alias("by"),
+        cell(F.col("x")).alias("cx"), cell(F.col("y")).alias("cy"),
+    )
+    joined = probe.join(build, ["cx", "cy"])
+    dx = F.abs(F.col("ax") - F.col("bx"))
+    dy = F.abs(F.col("ay") - F.col("by"))
+    return (
+        joined.where(
+            (F.col("a_id") < F.col("b_id")) & (dx <= r) & (dy <= r)
+        )
+        .select(
+            F.col("a_id").alias("id_lo"),
+            F.col("b_id").alias("id_hi"),
+            F.greatest(dx, dy).alias("dist"),
+        )
+        .distinct()
+    )

@@ -259,6 +259,7 @@ _NEW_THIS_ROUND: frozenset[str] = frozenset(
         "q_dedup_minhash_estimate",
         "q_source_text_roundtrip",
         "q_event_journey_pipeline",
+        "q_join_spatial_grid",
     }
 )
 
