@@ -856,3 +856,68 @@ def q_etl_incremental_bookmark(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("day_start")
         .agg(F.sum("n").alias("n"))
     )
+
+
+@register(
+    "q_dq_outlier_fences",
+    oracle="""
+    WITH q AS (
+      SELECT event_type,
+             quantile_disc(value, 0.25) AS q1,
+             quantile_disc(value, 0.75) AS q3
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_type,
+           count(*) AS n,
+           CAST(sum(CASE WHEN e.value < q.q1 - 1.5 * (q.q3 - q.q1)
+                           OR e.value > q.q3 + 1.5 * (q.q3 - q.q1)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+           floor(q.q1 * 10000 + 0.5) / 10000 AS q1,
+           floor(q.q3 * 10000 + 0.5) / 10000 AS q3
+    FROM events e JOIN q USING (event_type)
+    GROUP BY e.event_type, q.q1, q.q3
+    """,
+    tier="P2",
+    doc="Tukey-fence outlier screening per group — the statistical "
+    "complement of q_dq_expectations' rule checks: quartiles by "
+    "DISCRETE selection (percentile_disc returns actual data values, "
+    "so q1/q3 are bit-identical across engines), fences at "
+    "1.5x IQR, and the per-group outlier COUNT a quarantine policy "
+    "thresholds on. The fence arithmetic is the same deterministic "
+    "IEEE expression on both engines, so the counts hash-check "
+    "exactly — no tolerance windows. Plan: one quartile aggregate "
+    "per group (broadcast back, groups are few), one counting scan; "
+    "at 100 TB the quartile pass swaps to the mergeable KLL sketch "
+    "(q_agg_kll_quantiles) with fences unchanged.",
+)
+def q_dq_outlier_fences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.helpers import r4
+
+    ev = load_events(spark, sf_dir)
+    ev.createOrReplaceTempView("v_events_fences")
+    q = spark.sql(
+        """
+        SELECT event_type,
+               percentile_disc(0.25) WITHIN GROUP (ORDER BY value) AS q1,
+               percentile_disc(0.75) WITHIN GROUP (ORDER BY value) AS q3
+        FROM v_events_fences GROUP BY event_type
+        """
+    )
+    iqr = F.col("q3") - F.col("q1")
+    lo = F.col("q1") - 1.5 * iqr
+    hi = F.col("q3") + 1.5 * iqr
+    j = ev.join(F.broadcast(q), "event_type")
+    return j.groupBy("event_type", "q1", "q3").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.when((F.col("value") < lo) | (F.col("value") > hi), 1).otherwise(
+                0
+            )
+        ).alias("n_outliers"),
+    ).select(
+        "event_type",
+        "n",
+        "n_outliers",
+        r4(F.col("q1")).alias("q1"),
+        r4(F.col("q3")).alias("q3"),
+    )

@@ -260,6 +260,7 @@ _NEW_THIS_ROUND: frozenset[str] = frozenset(
         "q_source_text_roundtrip",
         "q_event_journey_pipeline",
         "q_join_spatial_grid",
+        "q_dq_outlier_fences",
     }
 )
 
