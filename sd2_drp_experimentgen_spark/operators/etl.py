@@ -921,3 +921,87 @@ def q_dq_outlier_fences(spark: SparkSession, sf_dir: str) -> DataFrame:
         r4(F.col("q1")).alias("q1"),
         r4(F.col("q3")).alias("q3"),
     )
+
+
+@register(
+    "q_etl_snapshot_diff",
+    oracle="""
+    WITH v1 AS (
+      SELECT o_orderkey AS k, o_totalprice AS p FROM orders
+    ),
+    v2 AS (
+      -- deterministic next version: md5-prefix '0' rows deleted,
+      -- prefix '1'/'2' rows repriced +10%, one new row per deleted
+      -- key (shifted into a fresh key range), rest unchanged
+      SELECT k, CASE WHEN substr(md5(CAST(k AS VARCHAR)), 1, 1) IN ('1', '2')
+                     THEN p * 1.1 ELSE p END AS p
+      FROM v1
+      WHERE substr(md5(CAST(k AS VARCHAR)), 1, 1) <> '0'
+      UNION ALL
+      SELECT k + 100000000, p
+      FROM v1 WHERE substr(md5(CAST(k AS VARCHAR)), 1, 1) = '0'
+    )
+    SELECT op, count(*) AS n,
+           CAST(min(k) AS BIGINT) AS min_key,
+           CAST(max(k) AS BIGINT) AS max_key
+    FROM (
+      SELECT COALESCE(a.k, b.k) AS k,
+             CASE WHEN a.k IS NULL THEN 'insert'
+                  WHEN b.k IS NULL THEN 'delete'
+                  ELSE 'update' END AS op
+      FROM v1 a FULL OUTER JOIN v2 b ON a.k = b.k
+      WHERE a.k IS NULL OR b.k IS NULL OR a.p <> b.p
+    )
+    GROUP BY op
+    """,
+    tier="P1",
+    doc="Snapshot diff / change-data-feed generation — the MERGE "
+    "inverse: given two versions of a table, derive the "
+    "insert/update/delete change set (what Delta CDF or a CDC tool "
+    "emits), here summarized as per-op counts and key ranges. The "
+    "next version is constructed deterministically from md5 "
+    "prefixes (deletes, +10% reprices, fresh-key inserts), so both "
+    "engines diff identical inputs. Plan: ONE full-outer join on "
+    "the key with a null/changed filter — at 100 TB this shuffles "
+    "each snapshot once on the join key, or zero times if both "
+    "versions share a bucketed layout (q_join_bucketed); change "
+    "detection on wide rows swaps the payload compare for a "
+    "row-hash compare, same plan.",
+)
+def q_etl_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"), F.col("o_totalprice").alias("p")
+    )
+    pfx = F.substring(F.md5(F.col("k").cast("string")), 1, 1)
+    survivors = o.where(pfx != "0").select(
+        "k",
+        F.when(pfx.isin("1", "2"), F.col("p") * 1.1).otherwise(F.col("p")).alias(
+            "p"
+        ),
+    )
+    inserts = o.where(pfx == "0").select(
+        (F.col("k") + 100_000_000).alias("k"), "p"
+    )
+    v2 = survivors.unionAll(inserts)
+    a = o.alias("a")
+    b = v2.alias("b")
+    diff = (
+        a.join(b, F.col("a.k") == F.col("b.k"), "full_outer")
+        .where(
+            F.col("a.k").isNull()
+            | F.col("b.k").isNull()
+            | (F.col("a.p") != F.col("b.p"))
+        )
+        .select(
+            F.coalesce(F.col("a.k"), F.col("b.k")).alias("k"),
+            F.when(F.col("a.k").isNull(), "insert")
+            .when(F.col("b.k").isNull(), "delete")
+            .otherwise("update")
+            .alias("op"),
+        )
+    )
+    return diff.groupBy("op").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("k").alias("min_key"),
+        F.max("k").alias("max_key"),
+    )

@@ -261,6 +261,7 @@ _NEW_THIS_ROUND: frozenset[str] = frozenset(
         "q_event_journey_pipeline",
         "q_join_spatial_grid",
         "q_dq_outlier_fences",
+        "q_etl_snapshot_diff",
     }
 )
 
