@@ -67,3 +67,86 @@ def q_sort_multikey_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .limit(100)
     )
+
+
+PAGE_SIZE = 100
+
+
+@register(
+    "q_sort_keyset_pagination",
+    oracle=f"""
+    WITH page3_offset AS (
+      SELECT o_orderkey, o_orderdate, o_totalprice
+      FROM orders
+      ORDER BY o_orderdate, o_orderkey
+      LIMIT {PAGE_SIZE} OFFSET {2 * PAGE_SIZE}
+    ),
+    last_of_page2 AS (
+      SELECT o_orderdate AS d, o_orderkey AS k
+      FROM orders
+      ORDER BY o_orderdate, o_orderkey
+      LIMIT 1 OFFSET {2 * PAGE_SIZE - 1}
+    ),
+    page3_keyset AS (
+      SELECT o.o_orderkey, o.o_orderdate, o.o_totalprice
+      FROM orders o, last_of_page2 p
+      WHERE (o.o_orderdate, o.o_orderkey) > (p.d, p.k)
+      ORDER BY o.o_orderdate, o.o_orderkey
+      LIMIT {PAGE_SIZE}
+    )
+    SELECT a.o_orderkey,
+           CAST(epoch(a.o_orderdate) AS BIGINT) AS order_date_epoch,
+           floor(a.o_totalprice * 10000 + 0.5) / 10000 AS total,
+           CASE WHEN b.o_orderkey IS NOT NULL THEN 1 ELSE 0 END AS keyset_match
+    FROM page3_offset a
+    LEFT JOIN page3_keyset b ON a.o_orderkey = b.o_orderkey
+    """,
+    tier="P2",
+    doc="Keyset pagination vs OFFSET — the operational export/API "
+    "pattern at scale: page 3 of the order history fetched both ways "
+    "over a total order (date, key), with keyset_match proving the "
+    "seek-predicate page equals the OFFSET page row-for-row. The "
+    "point for 100 TB: OFFSET n scans and discards n rows per page "
+    "(quadratic over a full export) while the keyset predicate "
+    "'(date, key) > (last_date, last_key)' pushes into the scan and "
+    "each page costs one bounded TakeOrdered — the only shape that "
+    "survives paging a petabyte table. Total-order tiebreak makes "
+    "page boundaries engine-exact.",
+)
+def q_sort_keyset_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.helpers import _round_halfup, epoch_seconds
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.col("o_orderdate").cast("timestamp").alias("d"),
+        "o_totalprice",
+    )
+    ordered = o.orderBy("d", "o_orderkey")
+    page3_offset = ordered.offset(2 * PAGE_SIZE).limit(PAGE_SIZE)
+    last_of_p2 = (
+        ordered.offset(2 * PAGE_SIZE - 1)
+        .limit(1)
+        .select(F.col("d").alias("pd"), F.col("o_orderkey").alias("pk"))
+    )
+    page3_keyset = (
+        o.crossJoin(F.broadcast(last_of_p2))
+        .where(
+            (F.col("d") > F.col("pd"))
+            | ((F.col("d") == F.col("pd")) & (F.col("o_orderkey") > F.col("pk")))
+        )
+        .orderBy("d", "o_orderkey")
+        .limit(PAGE_SIZE)
+        .select(F.col("o_orderkey").alias("k2"))
+    )
+    return (
+        page3_offset.join(
+            page3_keyset, page3_offset.o_orderkey == page3_keyset.k2, "left"
+        )
+        .select(
+            "o_orderkey",
+            epoch_seconds(F.col("d")).alias("order_date_epoch"),
+            _round_halfup(F.col("o_totalprice"), 4).alias("total"),
+            F.when(F.col("k2").isNotNull(), 1).otherwise(0).alias(
+                "keyset_match"
+            ),
+        )
+    )

@@ -262,6 +262,7 @@ _NEW_THIS_ROUND: frozenset[str] = frozenset(
         "q_join_spatial_grid",
         "q_dq_outlier_fences",
         "q_etl_snapshot_diff",
+        "q_sort_keyset_pagination",
     }
 )
 
