@@ -1403,3 +1403,74 @@ def q_dedup_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         r4(agree / F.lit(float(N_MINHASH))).alias("est_j"),
         r4(inter * F.lit(1.0) / union).alias("exact_j"),
     )
+
+
+@register(
+    "q_text_langid_confusion",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, lang,
+             {_sql_hits(LANG_MARKERS['en'])} AS h_en,
+             {_sql_hits(LANG_MARKERS['fr'])} AS h_fr,
+             {_sql_hits(LANG_MARKERS['es'])} AS h_es,
+             {_sql_hits(LANG_MARKERS['de'])} AS h_de,
+             {_sql_hits(LANG_MARKERS['zh'])} AS h_zh
+      FROM documents
+    ),
+    pred AS (
+      SELECT lang AS actual,
+             CASE WHEN h_en >= greatest(h_fr, h_es, h_de, h_zh) THEN 'en'
+                  WHEN h_fr >= greatest(h_es, h_de, h_zh) THEN 'fr'
+                  WHEN h_es >= greatest(h_de, h_zh) THEN 'es'
+                  WHEN h_de >= h_zh THEN 'de'
+                  ELSE 'zh' END AS predicted
+      FROM scored
+    ),
+    tot AS (SELECT actual, count(*) AS n_actual FROM pred GROUP BY actual)
+    SELECT p.actual, p.predicted,
+           count(*) AS n,
+           {sql_r('count(*) * 1.0 / max(t.n_actual)')} AS row_share
+    FROM pred p JOIN tot t ON t.actual = p.actual
+    GROUP BY p.actual, p.predicted
+    """,
+    tier="P2",
+    doc="Classifier-evaluation confusion matrix over the langid voter "
+    "— the model-eval table every labeling pipeline publishes: "
+    "(actual, predicted, count, row-normalized share) per cell, "
+    "computed distributed as prediction projection -> two-key "
+    "groupBy -> per-actual totals joined back (broadcast — the "
+    "matrix side is |langs|² rows regardless of corpus size). The "
+    "share divides two exact integers, so the matrix hash-checks "
+    "bit-for-bit; at 100 TB the eval costs one corpus scan.",
+)
+def q_text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.helpers import r4
+
+    d = load_table(spark, sf_dir, "documents")
+    tokens = F.split(F.col("text"), " ")
+    hits = {
+        lang: _hits(tokens, marks).alias(f"h_{lang}")
+        for lang, marks in LANG_MARKERS.items()
+    }
+    scored = d.select("lang", *hits.values())
+    h = {lang: F.col(f"h_{lang}") for lang in LANG_MARKERS}
+    guess = (
+        F.when(h["en"] >= F.greatest(h["fr"], h["es"], h["de"], h["zh"]), "en")
+        .when(h["fr"] >= F.greatest(h["es"], h["de"], h["zh"]), "fr")
+        .when(h["es"] >= F.greatest(h["de"], h["zh"]), "es")
+        .when(h["de"] >= h["zh"], "de")
+        .otherwise("zh")
+    )
+    pred = scored.select(
+        F.col("lang").alias("actual"), guess.alias("predicted")
+    )
+    cells = pred.groupBy("actual", "predicted").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    totals = pred.groupBy("actual").agg(F.count(F.lit(1)).alias("n_actual"))
+    return cells.join(F.broadcast(totals), "actual").select(
+        "actual",
+        "predicted",
+        "n",
+        r4(F.col("n") * F.lit(1.0) / F.col("n_actual")).alias("row_share"),
+    )

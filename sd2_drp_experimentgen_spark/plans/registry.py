@@ -263,6 +263,7 @@ _NEW_THIS_ROUND: frozenset[str] = frozenset(
         "q_dq_outlier_fences",
         "q_etl_snapshot_diff",
         "q_sort_keyset_pagination",
+        "q_text_langid_confusion",
     }
 )
 
