@@ -267,6 +267,89 @@ BAND_SIZE = 4  # 4 bands x 4 rows — the banding that targets J ≈ 0.8
 MINHASH_P = 1_000_000_007  # compacting modulus for the derived family
 
 
+def _minhash_signatures(d: DataFrame, keep_shingles: bool = False) -> DataFrame:
+    """documents -> (doc_id[, mds], m0..m15): the Carter-Wegman banded-
+    MinHash signature construction shared by the bands / refine /
+    estimator operators — ONE md5 per 3-token shingle split into two
+    48-bit halves (h1, h2), family member h derived as (h1 + h*h2) mod P.
+    ``keep_shingles`` additionally carries the distinct shingle-hash
+    array for exact-Jaccard refinement."""
+    toks = F.split(F.col("text"), " ")
+    dd = d.where(F.size(toks) >= 3)
+    shingle = lambda i: F.concat_ws(  # noqa: E731
+        " ",
+        F.element_at(toks, i),
+        F.element_at(toks, i + 1),
+        F.element_at(toks, i + 2),
+    )
+    idx = F.sequence(F.lit(1), F.size(toks) - 2)
+    mds_expr = F.transform(idx, lambda i: F.md5(shingle(i)))
+    if keep_shingles:
+        mds_expr = F.array_distinct(mds_expr)
+    mds = dd.select("doc_id", mds_expr.alias("mds"))
+    hx = lambda m, start: (  # noqa: E731
+        F.conv(F.substring(m, start, 12), 16, 10).cast("long") % MINHASH_P
+    )
+    hh = mds.select(
+        "doc_id",
+        *(["mds"] if keep_shingles else []),
+        F.transform(F.col("mds"), lambda m: hx(m, 1)).alias("h1"),
+        F.transform(F.col("mds"), lambda m: hx(m, 13)).alias("h2"),
+    )
+    mh = [
+        F.array_min(
+            F.zip_with(
+                F.col("h1"),
+                F.col("h2"),
+                lambda a, b: (a + F.lit(h) * b) % MINHASH_P,
+            )
+        ).alias(f"m{h}")
+        for h in range(N_MINHASH)
+    ]
+    return hh.select("doc_id", *(["mds"] if keep_shingles else []), *mh)
+
+
+def _band_frame(sigs: DataFrame) -> DataFrame:
+    """signatures -> exploded (doc_id, band_idx, band_sig) rows: md5 of
+    each 4-row band — the 16-byte keys the LSH groupBy/self-join moves."""
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band_idx"),
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    *[
+                        F.col(f"m{b * BAND_SIZE + j}").cast("string")
+                        for j in range(BAND_SIZE)
+                    ],
+                )
+            ).alias("band_sig"),
+        )
+        for b in range(N_MINHASH // BAND_SIZE)
+    ]
+    return sigs.select(
+        "doc_id", F.explode(F.array(*band_structs)).alias("band")
+    ).select("doc_id", "band.band_idx", "band.band_sig")
+
+
+def _band_candidates(bands: DataFrame) -> DataFrame:
+    """band rows -> distinct (doc_lo, doc_hi) LSH candidate pairs."""
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_sig") == F.col("b.band_sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_lo"), F.col("b.doc_id").alias("doc_hi")
+        )
+        .distinct()
+    )
+
+
 def _sql_minhash_bands() -> str:
     """DuckDB twin of the banded-MinHash construction below: ONE md5
     per shingle, 16 minhashes derived as (h1 + i*h2) mod P."""
@@ -339,56 +422,8 @@ def _sql_minhash_bands() -> str:
     "groupBy moves 16-byte band signatures — never shingles or text.",
 )
 def q_dedup_minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
-    p = MINHASH_P
-    d = load_table(spark, sf_dir, "documents")
-    toks = F.split(F.col("text"), " ")
-    d = d.where(F.size(toks) >= 3)
-    shingle = lambda i: F.concat_ws(  # noqa: E731
-        " ",
-        F.element_at(toks, i),
-        F.element_at(toks, i + 1),
-        F.element_at(toks, i + 2),
-    )
-    idx = F.sequence(F.lit(1), F.size(toks) - 2)
-    # one md5 per shingle, then two 48-bit halves as the hash-family seed
-    mds = d.select(
-        "doc_id", F.transform(idx, lambda i: F.md5(shingle(i))).alias("mds")
-    )
-    hx = lambda m, start: (  # noqa: E731
-        F.conv(F.substring(m, start, 12), 16, 10).cast("long") % p
-    )
-    hh = mds.select(
-        "doc_id",
-        F.transform(F.col("mds"), lambda m: hx(m, 1)).alias("h1"),
-        F.transform(F.col("mds"), lambda m: hx(m, 13)).alias("h2"),
-    )
-    mh = [
-        F.array_min(
-            F.zip_with(
-                F.col("h1"), F.col("h2"), lambda a, b: (a + F.lit(h) * b) % p
-            )
-        ).alias(f"m{h}")
-        for h in range(N_MINHASH)
-    ]
-    sigs = hh.select("doc_id", *mh)
-    band_structs = [
-        F.struct(
-            F.lit(b).alias("band_idx"),
-            F.md5(
-                F.concat_ws(
-                    "|",
-                    *[
-                        F.col(f"m{b * BAND_SIZE + j}").cast("string")
-                        for j in range(BAND_SIZE)
-                    ],
-                )
-            ).alias("band_sig"),
-        )
-        for b in range(N_MINHASH // BAND_SIZE)
-    ]
-    bands = sigs.select(
-        "doc_id", F.explode(F.array(*band_structs)).alias("band")
-    ).select("doc_id", "band.band_idx", "band.band_sig")
+    sigs = _minhash_signatures(load_table(spark, sf_dir, "documents"))
+    bands = _band_frame(sigs)
     return (
         bands.groupBy("band_idx", "band_sig")
         .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("min_doc_id"))
@@ -592,69 +627,8 @@ def q_text_ngram_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_dedup_lsh_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.helpers import r4
 
-    p = MINHASH_P
     d = load_table(spark, sf_dir, "documents")
-    toks_all = F.split(F.col("text"), " ")
-    dd = d.where(F.size(toks_all) >= 3)
-    shingle = lambda i: F.concat_ws(  # noqa: E731
-        " ",
-        F.element_at(toks_all, i),
-        F.element_at(toks_all, i + 1),
-        F.element_at(toks_all, i + 2),
-    )
-    idx = F.sequence(F.lit(1), F.size(toks_all) - 2)
-    mds = dd.select(
-        "doc_id", F.transform(idx, lambda i: F.md5(shingle(i))).alias("mds")
-    )
-    hx = lambda m, start: (  # noqa: E731
-        F.conv(F.substring(m, start, 12), 16, 10).cast("long") % p
-    )
-    hh = mds.select(
-        "doc_id",
-        F.transform(F.col("mds"), lambda m: hx(m, 1)).alias("h1"),
-        F.transform(F.col("mds"), lambda m: hx(m, 13)).alias("h2"),
-    )
-    mh = [
-        F.array_min(
-            F.zip_with(
-                F.col("h1"), F.col("h2"), lambda a, b: (a + F.lit(h) * b) % p
-            )
-        ).alias(f"m{h}")
-        for h in range(N_MINHASH)
-    ]
-    sigs = hh.select("doc_id", *mh)
-    band_structs = [
-        F.struct(
-            F.lit(b).alias("band_idx"),
-            F.md5(
-                F.concat_ws(
-                    "|",
-                    *[
-                        F.col(f"m{b * BAND_SIZE + j}").cast("string")
-                        for j in range(BAND_SIZE)
-                    ],
-                )
-            ).alias("band_sig"),
-        )
-        for b in range(N_MINHASH // BAND_SIZE)
-    ]
-    bands = sigs.select(
-        "doc_id", F.explode(F.array(*band_structs)).alias("band")
-    ).select("doc_id", "band.band_idx", "band.band_sig")
-    a = bands.alias("a")
-    b = bands.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_sig") == F.col("b.band_sig"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_lo"), F.col("b.doc_id").alias("doc_hi")
-        )
-        .distinct()
-    )
+    cand = _band_candidates(_band_frame(_minhash_signatures(d)))
     toks = d.select(
         "doc_id", F.array_distinct(F.split(F.col("text"), " ")).alias("t")
     )
@@ -1318,73 +1292,12 @@ _EST_EXACT_SQL = (
 def q_dedup_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.helpers import r4
 
-    p = MINHASH_P
     d = load_table(spark, sf_dir, "documents")
-    toks_all = F.split(F.col("text"), " ")
-    dd = d.where(F.size(toks_all) >= 3)
-    shingle = lambda i: F.concat_ws(  # noqa: E731
-        " ",
-        F.element_at(toks_all, i),
-        F.element_at(toks_all, i + 1),
-        F.element_at(toks_all, i + 2),
-    )
-    idx = F.sequence(F.lit(1), F.size(toks_all) - 2)
-    mds = dd.select(
-        "doc_id",
-        F.array_distinct(
-            F.transform(idx, lambda i: F.md5(shingle(i)))
-        ).alias("mds"),
-    )
-    hx = lambda m, start: (  # noqa: E731
-        F.conv(F.substring(m, start, 12), 16, 10).cast("long") % p
-    )
-    hh = mds.select(
-        "doc_id",
-        "mds",
-        F.transform(F.col("mds"), lambda m: hx(m, 1)).alias("h1"),
-        F.transform(F.col("mds"), lambda m: hx(m, 13)).alias("h2"),
-    )
-    mh_cols = [
-        F.array_min(
-            F.zip_with(
-                F.col("h1"), F.col("h2"), lambda a, b: (a + F.lit(h) * b) % p
-            )
-        ).alias(f"m{h}")
-        for h in range(N_MINHASH)
-    ]
-    sigs = hh.select("doc_id", "mds", *mh_cols)
-    band_structs = [
-        F.struct(
-            F.lit(b).alias("band_idx"),
-            F.md5(
-                F.concat_ws(
-                    "|",
-                    *[
-                        F.col(f"m{b * BAND_SIZE + j}").cast("string")
-                        for j in range(BAND_SIZE)
-                    ],
-                )
-            ).alias("band_sig"),
-        )
-        for b in range(N_MINHASH // BAND_SIZE)
-    ]
-    bands = sigs.select(
-        "doc_id", F.explode(F.array(*band_structs)).alias("band")
-    ).select("doc_id", "band.band_idx", "band.band_sig")
-    a = bands.alias("a")
-    b = bands.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_sig") == F.col("b.band_sig"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_lo"), F.col("b.doc_id").alias("doc_hi")
-        )
-        .distinct()
-    )
+    # NOTE: the estimator hashes DISTINCT shingles (keep_shingles also
+    # dedupes), which leaves every minhash unchanged — min over a set
+    # ignores multiplicity — and gives the exact-Jaccard side its sets.
+    sigs = _minhash_signatures(d, keep_shingles=True)
+    cand = _band_candidates(_band_frame(sigs))
     sa = sigs.alias("sa")
     sb = sigs.alias("sb")
     j = cand.join(sa, F.col("sa.doc_id") == F.col("doc_lo")).join(
