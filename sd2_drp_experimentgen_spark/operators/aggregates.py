@@ -1289,3 +1289,46 @@ def q_agg_weighted_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+@register(
+    "q_agg_pivot_multi",
+    oracle=f"""
+    SELECT l_returnflag,
+           CAST(count(*) FILTER (l_linestatus = 'F') AS BIGINT) AS f_n,
+           sum({sql_units('l_quantity', 2)}) FILTER (l_linestatus = 'F')
+             AS f_qty_units,
+           CAST(count(*) FILTER (l_linestatus = 'O') AS BIGINT) AS o_n,
+           sum({sql_units('l_quantity', 2)}) FILTER (l_linestatus = 'O')
+             AS o_qty_units
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    tier="P2",
+    doc="Multi-aggregate pivot — the n-values x m-measures column "
+    "explosion (.pivot() with an EXPLICIT value list and several "
+    "aggregates per cell) that completes the pivot matrix beside "
+    "the single-measure conditional pivot and the SQL PIVOT clause. "
+    "The explicit IN list matters at scale: implicit pivot runs an "
+    "extra distinct-values job and yields data-dependent column "
+    "order. One shuffle, map-side partials per (flag, status) cell; "
+    "quantities summed in integer hundredth-units so every cell is "
+    "exact at any scale.",
+)
+def q_agg_pivot_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    wide = (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(int_units("l_quantity", 2)).alias("qty_units"),
+        )
+    )
+    return wide.select(
+        "l_returnflag",
+        F.col("F_n").alias("f_n"),
+        F.col("F_qty_units").alias("f_qty_units"),
+        F.col("O_n").alias("o_n"),
+        F.col("O_qty_units").alias("o_qty_units"),
+    )

@@ -264,6 +264,7 @@ _NEW_THIS_ROUND: frozenset[str] = frozenset(
         "q_etl_snapshot_diff",
         "q_sort_keyset_pagination",
         "q_text_langid_confusion",
+        "q_agg_pivot_multi",
     }
 )
 
