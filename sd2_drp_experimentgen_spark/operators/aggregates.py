@@ -1332,3 +1332,68 @@ def q_agg_pivot_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("O_n").alias("o_n"),
         F.col("O_qty_units").alias("o_qty_units"),
     )
+
+
+_ENTROPY_TYPES = ("view", "click", "purchase", "signup", "error")
+
+
+def _entropy_sql() -> str:
+    counts = ", ".join(
+        f"CAST(count(*) FILTER (event_type = '{t}') AS BIGINT) AS n_{t}"
+        for t in _ENTROPY_TYPES
+    )
+    # fixed expression order: term(view) + term(click) + ... so the
+    # float sum is bit-identical across engines
+    terms = " + ".join(
+        f"CASE WHEN n_{t} > 0 THEN n_{t} * ln(n_{t}) ELSE 0 END"
+        for t in _ENTROPY_TYPES
+    )
+    return counts, terms
+
+
+@register(
+    "q_agg_entropy_profile",
+    oracle=f"""
+    WITH c AS (
+      SELECT user_id, {_entropy_sql()[0]}, count(*) AS n
+      FROM events GROUP BY user_id
+    )
+    SELECT user_id, n,
+           {", ".join(f"n_{t}" for t in _ENTROPY_TYPES)},
+           floor((ln(n) - ({_entropy_sql()[1]}) / n) * 10000 + 0.5) / 10000
+             AS entropy
+    FROM c
+    """,
+    tier="P2",
+    doc="Behavioral-diversity profile: Shannon entropy of each user's "
+    "event-type distribution (0 = does one thing, ln(5) = uniform "
+    "mix) — a standard segmentation/anomaly feature. Entropy = "
+    "ln(n) - (1/n)*SUM n_i*ln(n_i), computed from exact integer "
+    "counts with the per-type terms written in a FIXED order, so "
+    "the float expression is bit-identical across engines and "
+    "hash-checks without tolerance. One conditional-aggregate pass; "
+    "the exact counts ship alongside so the feature is auditable.",
+)
+def q_agg_entropy_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.tables import load_events
+
+    ev = load_events(spark, sf_dir)
+    c = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        *[
+            F.count_if(F.col("event_type") == t).alias(f"n_{t}")
+            for t in _ENTROPY_TYPES
+        ],
+    )
+    terms = None
+    for t in _ENTROPY_TYPES:
+        nt = F.col(f"n_{t}")
+        term = F.when(nt > 0, nt * F.log(nt.cast("double"))).otherwise(0.0)
+        terms = term if terms is None else terms + term
+    entropy = F.log(F.col("n").cast("double")) - terms / F.col("n")
+    return c.select(
+        "user_id",
+        "n",
+        *[f"n_{t}" for t in _ENTROPY_TYPES],
+        _round_halfup(entropy, 4).alias("entropy"),
+    )

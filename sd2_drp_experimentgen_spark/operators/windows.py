@@ -74,6 +74,8 @@ def q_win_running(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.helpers import r4
     from ..sources.tables import load_events
 
+    from ..sources.tables import load_events
+
     ev = load_events(spark, sf_dir)
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     return ev.select(
@@ -103,6 +105,8 @@ def q_win_running(spark: SparkSession, sf_dir: str) -> DataFrame:
     "next event type.",
 )
 def q_win_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.tables import load_events
+
     from ..sources.tables import load_events
 
     ev = load_events(spark, sf_dir)
@@ -359,4 +363,66 @@ def q_win_range_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
                ) AS n_last_hour
         FROM v_events_ri
         """
+    )
+
+
+EWMA_ALPHA = 0.8  # decay per step
+EWMA_K = 5  # bounded trailing window
+
+
+def _ewma_terms_sql() -> str:
+    num = " + ".join(
+        f"COALESCE(lag(value, {j}) OVER w * {EWMA_ALPHA ** j!r}, 0)"
+        for j in range(EWMA_K)
+    )
+    den = " + ".join(
+        f"CASE WHEN lag(value, {j}) OVER w IS NOT NULL"
+        f" THEN {EWMA_ALPHA ** j!r} ELSE 0 END"
+        for j in range(EWMA_K)
+    )
+    return f"({num}) / ({den})"
+
+
+@register(
+    "q_win_ewma_bounded",
+    oracle=f"""
+    SELECT user_id, event_id,
+           floor(({_ewma_terms_sql()}) * 10000 + 0.5) / 10000 AS ewma
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+    tier="P2",
+    doc="Bounded exponentially-weighted moving average per user (the "
+    "time-series smoothing primitive): EWMA over each event's "
+    "trailing 5 observations with per-step decay 0.8, normalized "
+    "over the weights actually present so early rows smooth over "
+    "their shorter history. The unbounded recursive EWMA cannot be "
+    "expressed (or cross-checked) in window SQL; the bounded form "
+    "is the standard streaming-feature approximation and is written "
+    "as a FIXED sum of lag() terms — identical expression order on "
+    "both engines, so the float arithmetic is bit-identical and the "
+    "result hash-checks. One shuffle + one sort per user serves all "
+    "five lags.",
+)
+def q_win_ewma_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.helpers import _round_halfup
+
+    from ..sources.tables import load_events
+
+    ev = load_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    num = None
+    den = None
+    for j in range(EWMA_K):
+        lagv = F.lag("value", j).over(w)
+        term = F.coalesce(lagv * F.lit(EWMA_ALPHA**j), F.lit(0.0))
+        wgt = F.when(lagv.isNotNull(), F.lit(EWMA_ALPHA**j)).otherwise(
+            F.lit(0.0)
+        )
+        num = term if num is None else num + term
+        den = wgt if den is None else den + wgt
+    return ev.select(
+        "user_id",
+        "event_id",
+        _round_halfup(num / den, 4).alias("ewma"),
     )

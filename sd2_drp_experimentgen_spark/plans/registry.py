@@ -265,6 +265,8 @@ _NEW_THIS_ROUND: frozenset[str] = frozenset(
         "q_sort_keyset_pagination",
         "q_text_langid_confusion",
         "q_agg_pivot_multi",
+        "q_win_ewma_bounded",
+        "q_agg_entropy_profile",
     }
 )
 
