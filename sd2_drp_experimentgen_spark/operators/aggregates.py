@@ -1397,3 +1397,72 @@ def q_agg_entropy_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         *[f"n_{t}" for t in _ENTROPY_TYPES],
         _round_halfup(entropy, 4).alias("entropy"),
     )
+
+
+@register(
+    "q_agg_gini_concentration",
+    oracle="""
+    WITH spend AS (
+      SELECT c.c_mktsegment AS seg, o.o_custkey AS k,
+             CAST(sum(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS units
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+      GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT seg, units,
+             row_number() OVER (PARTITION BY seg ORDER BY units, k) AS i,
+             count(*) OVER (PARTITION BY seg) AS n
+      FROM spend
+    )
+    SELECT seg,
+           CAST(max(n) AS BIGINT) AS n_customers,
+           CAST(sum(units) AS BIGINT) AS total_units,
+           floor(CAST(sum((2 * i - n - 1) * units) AS DOUBLE)
+                 / (CAST(max(n) AS DOUBLE) * CAST(sum(units) AS DOUBLE))
+                 * 10000 + 0.5) / 10000 AS gini
+    FROM ranked
+    GROUP BY seg
+    """,
+    tier="P2",
+    doc="Gini concentration index of customer spend per market "
+    "segment — the revenue-concentration / inequality metric "
+    "(0 = evenly spread, ->1 = one whale). Uses the rank formula "
+    "G = SUM((2i - n - 1) * x_i) / (n * SUM x) over a TOTAL order "
+    "(spend, custkey), with spend in integer hundredth-units: both "
+    "big sums are exact int64 (headroom to ~1e18; beyond that, "
+    "switch the numerator to DECIMAL or the pairwise mean-difference "
+    "form), then one double divide — hash-exact. Plan: one "
+    "custkey aggregate, broadcast segment join, one rank window and "
+    "the final aggregate sharing the segment shuffle.",
+)
+def q_agg_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    spend = (
+        o.groupBy("o_custkey")
+        .agg(F.sum(int_units("o_totalprice", 2)).alias("units"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .select(F.col("c_mktsegment").alias("seg"), F.col("o_custkey").alias("k"), "units")
+    )
+    w = Window.partitionBy("seg").orderBy("units", "k")
+    ranked = spend.select(
+        "seg",
+        "units",
+        F.row_number().over(w).alias("i"),
+        F.count(F.lit(1)).over(Window.partitionBy("seg")).alias("n"),
+    )
+    num = F.sum((2 * F.col("i") - F.col("n") - 1) * F.col("units"))
+    return ranked.groupBy("seg").agg(
+        F.max("n").alias("n_customers"),
+        F.sum("units").alias("total_units"),
+        _round_halfup(
+            num.cast("double")
+            / (F.max("n").cast("double") * F.sum("units").cast("double")),
+            4,
+        ).alias("gini"),
+    )

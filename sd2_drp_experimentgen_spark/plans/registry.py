@@ -267,6 +267,7 @@ _NEW_THIS_ROUND: frozenset[str] = frozenset(
         "q_agg_pivot_multi",
         "q_win_ewma_bounded",
         "q_agg_entropy_profile",
+        "q_agg_gini_concentration",
     }
 )
 
