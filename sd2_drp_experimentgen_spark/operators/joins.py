@@ -930,3 +930,79 @@ def q_join_spatial_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+
+
+@register(
+    "q_join_asof_forward",
+    oracle="""
+    SELECT o_orderkey,
+           event_id AS next_event_id,
+           CAST(floor(epoch(ts)) AS BIGINT) AS next_ts_epoch
+    FROM (
+      SELECT o.o_orderkey, e.event_id, e.ts,
+             row_number() OVER (
+               PARTITION BY o.o_orderkey
+               ORDER BY e.ts ASC, e.event_id ASC
+             ) AS rn
+      FROM orders o JOIN events e
+        ON e.user_id = o.o_custkey AND e.ts > o.o_orderdate
+    )
+    WHERE rn = 1
+    """,
+    tier="P2",
+    doc="FORWARD as-of join — each order matched to that customer's "
+    "EARLIEST event strictly after it (the next-activity-after-"
+    "treatment lookup), completing the as-of direction pair with "
+    "q_join_asof's backward match. Same scalable union-sort shape, "
+    "mirrored: one sort per key DESCENDING in time with orders "
+    "before events at equal instants (strict >), last(ignorenulls) "
+    "carries the nearest FUTURE event backward through the "
+    "sequence. One shuffle, no candidate explosion; timestamp ties "
+    "resolve to min event_id on both engines.",
+)
+def q_join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..sources.tables import load_events
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("key"),
+        F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias("t_us"),
+        F.lit(0).alias("is_event"),
+        F.col("o_orderkey"),
+        F.lit(None).cast("long").alias("event_id"),
+        F.lit(None).cast("long").alias("ev_us"),
+    )
+    ev = load_events(spark, sf_dir).select(
+        F.col("user_id").alias("key"),
+        F.unix_micros("ts").alias("t_us"),
+        F.lit(1).alias("is_event"),
+        F.lit(None).cast("long").alias("o_orderkey"),
+        F.col("event_id"),
+        F.unix_micros("ts").alias("ev_us"),
+    )
+    # Descending time; orders sort BEFORE events at equal t (is_event
+    # asc after desc-time) so an event at exactly the order instant is
+    # NOT matched (strict >); equal-ts events resolve to min event_id
+    # (event_id desc in the walk -> the last carried is the smallest).
+    w = (
+        Window.partitionBy("key")
+        .orderBy(F.desc("t_us"), F.asc("is_event"), F.desc("event_id"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    tagged = orders.unionByName(ev)
+    return (
+        tagged.select(
+            "o_orderkey",
+            "is_event",
+            F.last("event_id", ignorenulls=True).over(w).alias(
+                "next_event_id"
+            ),
+            (F.last("ev_us", ignorenulls=True).over(w) / 1_000_000)
+            .cast("long")
+            .alias("next_ts_epoch"),
+        )
+        .where(F.col("is_event") == 0)
+        .where(F.col("next_event_id").isNotNull())
+        .select("o_orderkey", "next_event_id", "next_ts_epoch")
+    )

@@ -268,6 +268,7 @@ _NEW_THIS_ROUND: frozenset[str] = frozenset(
         "q_win_ewma_bounded",
         "q_agg_entropy_profile",
         "q_agg_gini_concentration",
+        "q_join_asof_forward",
     }
 )
 
