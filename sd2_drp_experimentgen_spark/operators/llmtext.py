@@ -1387,3 +1387,61 @@ def q_text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         r4(F.col("n") * F.lit(1.0) / F.col("n_actual")).alias("row_share"),
     )
+
+
+DOMAIN_CAP = 10
+
+
+@register(
+    "q_corpus_domain_caps",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT source, n_chars,
+             row_number() OVER (
+               PARTITION BY source ORDER BY n_chars DESC, doc_id
+             ) AS rk
+      FROM documents
+    )
+    SELECT source,
+           count(*) AS n_docs,
+           sum(CASE WHEN rk <= {DOMAIN_CAP} THEN 1 ELSE 0 END) AS n_kept,
+           sum(CASE WHEN rk >  {DOMAIN_CAP} THEN 1 ELSE 0 END) AS n_dropped,
+           sum(CASE WHEN rk <= {DOMAIN_CAP} THEN n_chars ELSE 0 END)
+             AS kept_chars
+    FROM ranked
+    GROUP BY source
+    """,
+    tier="P1",
+    doc="Per-domain document caps (the C4/RefinedWeb corpus-curation "
+    "primitive): every source keeps at most its top-K documents by a "
+    "quality proxy (length, doc_id tiebreak — a total order, so the "
+    "cap boundary is engine-exact), and the report shows kept/dropped "
+    "mass per domain. One shuffle on source feeds both the "
+    "row_number window and the rollup. 100 TB skew note: a "
+    "crawl-scale hot domain (1e9 docs) would funnel one partition; "
+    "the production variant first aggregates per-domain counts "
+    "(cheap), short-circuits the <=cap domains with no window at "
+    "all, and ranks only over-cap domains — same semantics, and the "
+    "window only ever sees the skewed tail. The cap itself is what "
+    "bounds downstream cost: after this pass no domain contributes "
+    "more than K docs to training.",
+)
+def q_corpus_domain_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "source", "doc_id", "n_chars"
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.desc("n_chars"), F.asc("doc_id")
+    )
+    ranked = docs.withColumn("rk", F.row_number().over(w))
+    kept = F.col("rk") <= DOMAIN_CAP
+    return ranked.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(kept, 1).otherwise(0)).alias("n_kept"),
+        F.sum(F.when(~kept, 1).otherwise(0)).alias("n_dropped"),
+        F.sum(F.when(kept, F.col("n_chars")).otherwise(F.lit(0))).alias(
+            "kept_chars"
+        ),
+    )

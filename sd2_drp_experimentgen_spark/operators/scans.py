@@ -622,3 +622,46 @@ def q_source_text_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_chars").alias("sum_chars"),
         F.min("doc_id").alias("min_doc"),
     )
+
+
+@register(
+    "q_scan_metadata_columns",
+    oracle="""
+    SELECT l_returnflag, count(*) AS n,
+           CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    tier="P2",
+    doc="Hidden file-metadata columns (the `_metadata` struct every "
+    "file source exposes): lineitem is written partitioned by "
+    "returnflag, read back, and the partition value is recovered "
+    "from `_metadata.file_path` alone (regexp over the hive-style "
+    "directory name) — never from the data columns — then aggregated "
+    "and proven equal to grouping the real column. This is the "
+    "lineage/debugging surface at 100 TB: attributing bad rows to "
+    "their source files, auditing which partition directories fed a "
+    "result, and building file-level quarantine lists, all without a "
+    "join against any manifest. Metadata columns are populated from "
+    "the scan's own file listing — zero extra IO.",
+)
+def q_scan_metadata_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _scratch(sf_dir, "li_by_flag_meta")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_quantity"
+    )
+    li.write.mode("overwrite").partitionBy("l_returnflag").parquet(path)
+    back = spark.read.parquet(path)
+    return (
+        back.select(
+            F.regexp_extract(
+                F.col("_metadata.file_path"), r"l_returnflag=([A-Z])", 1
+            ).alias("l_returnflag"),
+            "l_quantity",
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
+        )
+    )

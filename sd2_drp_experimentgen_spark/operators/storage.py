@@ -420,3 +420,59 @@ def q_join_hints(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows["broadcast"] == rows["shuffle_merge"] == rows["shuffle_hash"]
     ), "join hints changed the answer"
     return variants["broadcast"]
+
+
+@register(
+    "q_sink_partition_overwrite",
+    oracle=f"""
+    WITH final AS (
+      SELECT o_orderpriority, o_totalprice FROM orders
+      WHERE o_orderpriority <> '1-URGENT'
+      UNION ALL
+      SELECT o_orderpriority, o_totalprice * 2 AS o_totalprice FROM orders
+      WHERE o_orderpriority = '1-URGENT' AND o_orderstatus = 'F'
+    )
+    SELECT o_orderpriority, count(*) AS n,
+           sum({sql_units("o_totalprice", 2)}) AS sum_cents
+    FROM final
+    GROUP BY o_orderpriority
+    """,
+    tier="P1",
+    doc="Dynamic partition overwrite (INSERT OVERWRITE ... PARTITION "
+    "semantics, partitionOverwriteMode=dynamic): the orders table is "
+    "written partitioned by priority, then ONE partition ('1-URGENT') "
+    "is overwritten with a corrected restatement (finalized urgent "
+    "orders, repriced) — and the re-read proves the other four "
+    "partitions survived untouched, which STATIC overwrite mode would "
+    "have deleted. This is the idempotent daily-restatement shape at "
+    "100 TB: a day's re-run replaces exactly its own date partitions, "
+    "never truncating the table, and the overwritten unit is a "
+    "directory swap — no read-modify-write of neighbors. The mode "
+    "conf is set on an isolated newSession so concurrent queries on "
+    "the caller's session keep their semantics.",
+)
+def q_sink_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .scans import _scratch
+
+    s = spark.newSession()
+    s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    path = _scratch(sf_dir, "orders_by_priority")
+    o = load_table(s, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority"
+    )
+    o.write.mode("overwrite").partitionBy("o_orderpriority").parquet(path)
+    restated = (
+        o.where(
+            (F.col("o_orderpriority") == "1-URGENT")
+            & (F.col("o_orderstatus") == "F")
+        )
+        .withColumn("o_totalprice", F.col("o_totalprice") * 2)
+    )
+    # dynamic mode: only partitions present in `restated` (just
+    # 1-URGENT) are replaced; the other four directories are kept.
+    restated.write.mode("overwrite").partitionBy("o_orderpriority").parquet(path)
+    back = s.read.parquet(path)
+    return back.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(int_units("o_totalprice", 2)).alias("sum_cents"),
+    )

@@ -43,6 +43,7 @@ _OPERATOR_MODULES = [
     "streaming_ops",
     "multimodal",
     "ml",
+    "tpch",
 ]
 
 
@@ -269,6 +270,23 @@ _NEW_THIS_ROUND: frozenset[str] = frozenset(
         "q_agg_entropy_profile",
         "q_agg_gini_concentration",
         "q_join_asof_forward",
+        "q_tpch_q4_order_priority",
+        "q_tpch_q7_volume_shipping",
+        "q_tpch_q8_market_share",
+        "q_tpch_q10_returned_items",
+        "q_tpch_q13_customer_distribution",
+        "q_tpch_q14_promo_revenue",
+        "q_tpch_q15_top_supplier",
+        "q_tpch_q16_supplier_cnt",
+        "q_tpch_q17_small_qty_revenue",
+        "q_tpch_q18_large_orders",
+        "q_tpch_q19_disjunctive_rev",
+        "q_tpch_q20_part_promotion",
+        "q_tpch_q21_waiting_supplier",
+        "q_tpch_q22_idle_customers",
+        "q_corpus_domain_caps",
+        "q_sink_partition_overwrite",
+        "q_scan_metadata_columns",
     }
 )
 
