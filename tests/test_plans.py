@@ -367,3 +367,43 @@ def test_journey_pipeline_single_shuffle(spark):
     p = plan(all_specs()["q_event_journey_pipeline"].fn(spark, SF_T2), "simple")
     n = p.count("Exchange hashpartitioning")
     assert n == 1, f"expected 1 data exchange, saw {n}\n{p}"
+
+
+def test_tpch_q4_exists_is_semi_join_with_pushed_dates(spark):
+    """The EXISTS must plan as a LEFT SEMI hash join (one probe per
+    order, no distinct step) and both quarter predicates must reach
+    the orders parquet scan."""
+    p = plan(all_specs()["q_tpch_q4_order_priority"].fn(spark, SF_T2))
+    assert "LeftSemi" in p, p
+    assert "GreaterThanOrEqual(o_orderdate" in p
+    assert "LessThan(o_orderdate" in p
+
+
+def test_tpch_q15_max_is_broadcast_not_window(spark):
+    """The max-revenue selection must be a 1-row broadcast equality,
+    never an unpartitioned Window (which funnels every supplier
+    through one task at scale)."""
+    p = plan(all_specs()["q_tpch_q15_top_supplier"].fn(spark, SF_T2), "simple")
+    assert "Window" not in p, p
+    assert "BroadcastExchange" in p
+
+
+def test_tpch_q16_blacklist_is_anti_join(spark):
+    """NOT IN over the non-null supplier key must plan as LEFT ANTI,
+    and the exact distinct as the two-phase expand/re-aggregate."""
+    p = plan(all_specs()["q_tpch_q16_supplier_cnt"].fn(spark, SF_T2), "simple")
+    assert "LeftAnti" in p, p
+    assert p.count("HashAggregate") >= 4  # expand + partial/final distinct
+
+
+def test_tpch_q19_disjunction_pushes_common_conjuncts(spark):
+    """Catalyst must extract per-side conjuncts from the three-branch
+    OR: the quantity ranges reach the lineitem scan and the
+    brand/size ranges reach the part scan as pushed filters — the OR
+    must not defeat pushdown."""
+    p = plan(all_specs()["q_tpch_q19_disjunctive_rev"].fn(spark, SF_T2))
+    scans = [l for l in p.splitlines() if "PushedFilters" in l]
+    li_scan = next(l for l in scans if "l_quantity" in l)
+    assert "Or(Or(And(GreaterThanOrEqual(l_quantity" in li_scan, li_scan
+    part_scan = next(l for l in scans if "p_brand" in l)
+    assert "Or(" in part_scan and "p_brand" in part_scan, part_scan
