@@ -1,0 +1,223 @@
+"""Embedded-format column codecs — SURVEY §2.11.
+
+Real pipelines carry *columns* holding serialized payloads (a CSV
+fragment in a log line, an XML snippet from an instrument/LIMS export,
+a URL to tokenize) long before anything reaches a file source. These
+operators exercise Spark's column-level codec surface — ``to_csv`` /
+``from_csv``, ``xpath_string``, ``parse_url`` / ``url_encode``,
+``convert_timezone`` — each as a build→parse round-trip whose parsed
+aggregate must hash-match the aggregate computed directly from the
+source columns: the parse is proven lossless, not just non-crashing.
+
+Determinism: every payload is constructed from fixture columns with
+integer money (cents) — doubles never pass through a string format,
+whose rendering (scientific notation, trailing zeros) differs between
+engines. All functions here are JVM-side Column expressions inside
+whole-stage codegen; per-row work parallelizes embarrassingly and
+nothing shuffles except the final small aggregate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.helpers import int_units, sql_units
+from ..plans.registry import register
+from ..sources.tables import load_table
+
+
+@register(
+    "q_codec_csv_column",
+    oracle=f"""
+    SELECT o_orderstatus, count(*) AS n,
+           sum({sql_units("o_totalprice", 2)}) AS sum_cents,
+           max(o_orderkey) AS max_key
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+    tier="P1",
+    doc="CSV as a COLUMN codec (to_csv -> from_csv), distinct from the "
+    "CSV file source: each order is serialized to an embedded CSV "
+    "line (the log-line/message-payload shape), parsed back with an "
+    "explicit schema — never inference — and the aggregate over the "
+    "PARSED fields must equal the direct aggregate, proving the "
+    "round-trip lossless. Money rides as integer cents: a double "
+    "through a string format is an engine-specific rendering "
+    "(scientific notation, trailing zeros) and would not round-trip "
+    "bit-exactly. Both codecs are codegen'd Column expressions — at "
+    "100 TB this is a map-only pass with no Python boundary.",
+)
+def q_codec_csv_column(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    line = F.to_csv(
+        F.struct(
+            F.col("o_orderkey"),
+            F.col("o_orderstatus"),
+            int_units("o_totalprice", 2).alias("cents"),
+        )
+    )
+    parsed = o.select(
+        F.from_csv(
+            line, "o_orderkey BIGINT, o_orderstatus STRING, cents BIGINT"
+        ).alias("r")
+    )
+    return parsed.groupBy(F.col("r.o_orderstatus").alias("o_orderstatus")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("r.cents").alias("sum_cents"),
+        F.max("r.o_orderkey").alias("max_key"),
+    )
+
+
+@register(
+    "q_codec_url_parse",
+    oracle=f"""
+    SELECT 'shop.example.com' AS host,
+           '/orders/' || o_orderstatus AS path,
+           replace(o_orderpriority, ' ', '+') AS prio_encoded,
+           count(*) AS n,
+           sum({sql_units("o_totalprice", 2)}) AS sum_cents
+    FROM orders
+    GROUP BY path, prio_encoded
+    """,
+    tier="P1",
+    doc="URL build + parse round-trip (parse_url / url_encode): each "
+    "order becomes a canonical URL whose host, path, and one "
+    "form-encoded query parameter are then recovered with parse_url "
+    "— the clickstream/referrer tokenization every web-log pipeline "
+    "runs. The oracle reconstructs the same components from the raw "
+    "columns (the fixture's priority strings contain only [A-Z0-9- ]"
+    ", so form-encoding is exactly space->'+' on both engines); "
+    "equality proves extraction, not just parsing. parse_url's "
+    "QUERY-with-key form does the parameter lookup JVM-side — no "
+    "regex over the query string.",
+)
+def q_codec_url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    url = F.concat(
+        F.lit("https://shop.example.com/orders/"),
+        F.col("o_orderstatus"),
+        F.lit("?prio="),
+        F.url_encode(F.col("o_orderpriority")),
+        F.lit("&cust="),
+        F.col("o_custkey").cast("string"),
+    )
+    withu = o.select(
+        url.alias("url"), int_units("o_totalprice", 2).alias("cents")
+    )
+    return (
+        withu.select(
+            F.parse_url(F.col("url"), F.lit("HOST")).alias("host"),
+            F.parse_url(F.col("url"), F.lit("PATH")).alias("path"),
+            F.parse_url(F.col("url"), F.lit("QUERY"), F.lit("prio")).alias(
+                "prio_encoded"
+            ),
+            "cents",
+        )
+        .groupBy("host", "path", "prio_encoded")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("cents").alias("sum_cents"),
+        )
+    )
+
+
+@register(
+    "q_codec_xpath_column",
+    oracle=f"""
+    SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+           sum({sql_units("o_totalprice", 2)}) AS sum_cents
+    FROM orders
+    GROUP BY o_orderstatus, o_orderpriority
+    """,
+    tier="P2",
+    doc="XML as a COLUMN codec (xpath_string), distinct from the XML "
+    "file source: each order is rendered as an XML fragment — "
+    "attribute + two child elements, the instrument/LIMS "
+    "message-payload shape — and status, priority, and integer cents "
+    "are recovered by XPath. The parsed aggregate must equal the "
+    "direct aggregate, proving extraction lossless. XPath runs "
+    "JVM-side per row; the only shuffle is the 15-group rollup. "
+    "Priorities contain spaces and dashes but no XML metacharacters, "
+    "so no escaping layer is needed for the fixture vocabulary.",
+)
+def q_codec_xpath_column(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    xml = F.concat(
+        F.lit('<order id="'),
+        F.col("o_orderkey").cast("string"),
+        F.lit('"><status>'),
+        F.col("o_orderstatus"),
+        F.lit("</status><prio>"),
+        F.col("o_orderpriority"),
+        F.lit("</prio><cents>"),
+        int_units("o_totalprice", 2).cast("string"),
+        F.lit("</cents></order>"),
+    )
+    parsed = o.select(xml.alias("xml")).select(
+        F.xpath_string(F.col("xml"), F.lit("/order/status")).alias(
+            "o_orderstatus"
+        ),
+        F.xpath_string(F.col("xml"), F.lit("/order/prio")).alias(
+            "o_orderpriority"
+        ),
+        F.xpath_string(F.col("xml"), F.lit("/order/cents"))
+        .cast("long")
+        .alias("cents"),
+    )
+    return parsed.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cents").alias("sum_cents"),
+    )
+
+
+_TZ_OFFSETS = (("+05:30", 330), ("-08:00", -480), ("+09:00", 540))
+
+
+@register(
+    "q_codec_tz_local_hours",
+    oracle=f"""
+    SELECT tz, hour(ts + to_minutes(mins)) AS local_hour,
+           count(*) AS n
+    FROM events
+    CROSS JOIN (VALUES {", ".join(f"('{z}', {m})" for z, m in _TZ_OFFSETS)})
+      AS zones(tz, mins)
+    GROUP BY tz, local_hour
+    """,
+    tier="P2",
+    doc="Local-wall-clock analytics via convert_timezone: UTC event "
+    "times converted to three fixed-offset zones and bucketed by "
+    "local hour — the per-market hour-of-day activity profile. "
+    "Fixed offsets (+05:30 / -08:00 / +09:00) keep both engines on "
+    "pure interval arithmetic: named IANA zones would pull in DST "
+    "tables (and DuckDB's ICU extension), which a hash gate cannot "
+    "assume. The zone list is a 3-row broadcast-exploded literal; "
+    "the scan is read once, not once per zone, and the rollup is "
+    "3x24 groups — free at any scale.",
+)
+def q_codec_tz_local_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.tables import load_events
+
+    ev = load_events(spark, sf_dir).select(
+        F.col("ts").cast("timestamp_ntz").alias("ts_utc")
+    )
+    zones = F.array(
+        *[
+            F.struct(F.lit(z).alias("tz"), F.lit(z).alias("target"))
+            for z, _ in _TZ_OFFSETS
+        ]
+    )
+    exploded = ev.select(
+        "ts_utc", F.explode(zones).alias("z")
+    )
+    local = exploded.select(
+        F.col("z.tz").alias("tz"),
+        F.hour(
+            F.convert_timezone(
+                F.lit("UTC"), F.col("z.target"), F.col("ts_utc")
+            )
+        ).alias("local_hour"),
+    )
+    return local.groupBy("tz", "local_hour").agg(
+        F.count(F.lit(1)).alias("n")
+    )

@@ -476,3 +476,54 @@ def q_sink_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.sum(int_units("o_totalprice", 2)).alias("sum_cents"),
     )
+
+
+@register(
+    "q_join_skew_salted",
+    oracle=f"""
+    SELECT c_mktsegment, count(*) AS n,
+           sum({sql_units("value")}) AS sum_value_units
+    FROM events JOIN customer ON user_id = c_custkey
+    GROUP BY c_mktsegment
+    """,
+    tier="P1",
+    doc="Skew-salted shuffle JOIN — the join-side twin of "
+    "q_agg_skew_salted: the fact side gets a deterministic 16-way "
+    "salt (pmod of the row key), the dimension side is exploded 16x "
+    "so every (key, salt) pair exists, and the join runs on "
+    "(key, salt) — a hot join key that would melt one task now "
+    "spreads over 16. The shuffle_hash hint suppresses the broadcast "
+    "Catalyst would rightly pick at fixture scale, because the "
+    "pattern being exercised is for dimensions too big to broadcast "
+    "with skewed fact keys (AQE's skew-join split handles sort-merge "
+    "skew, but salting remains the lever when the hot key is a "
+    "single value AQE can't subdivide, e.g. a null-bucket or "
+    "bot-traffic user). The salt never reaches the output: the "
+    "post-join aggregate is salt-invariant and hash-checks against "
+    "the plain join.",
+)
+def q_join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.tables import load_events
+
+    ev = load_events(spark, sf_dir).select(
+        "user_id", "event_id", int_units("value").alias("value_units")
+    )
+    salted_fact = ev.withColumn(
+        "salt", F.pmod(F.col("event_id"), F.lit(N_SALTS)).cast("int")
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    salted_dim = cust.withColumn(
+        "salt",
+        F.explode(F.array(*[F.lit(i) for i in range(N_SALTS)])),
+    )
+    joined = salted_fact.hint("shuffle_hash").join(
+        salted_dim,
+        (F.col("user_id") == F.col("c_custkey"))
+        & (salted_fact.salt == salted_dim.salt),
+    )
+    return joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("value_units").alias("sum_value_units"),
+    )

@@ -44,6 +44,7 @@ _OPERATOR_MODULES = [
     "multimodal",
     "ml",
     "tpch",
+    "codecs",
 ]
 
 
@@ -287,6 +288,11 @@ _NEW_THIS_ROUND: frozenset[str] = frozenset(
         "q_corpus_domain_caps",
         "q_sink_partition_overwrite",
         "q_scan_metadata_columns",
+        "q_codec_csv_column",
+        "q_codec_url_parse",
+        "q_codec_xpath_column",
+        "q_codec_tz_local_hours",
+        "q_join_skew_salted",
     }
 )
 
