@@ -541,3 +541,92 @@ def q_stream_chained_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_stream_join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jobs.stream_stream_left_outer(spark, _events_dir(sf_dir), sf_dir)
+
+
+@register(
+    "q_stream_sink_python_ds",
+    oracle=f"""
+    SELECT event_type, count(*) AS n,
+           sum({sql_units("value")}) AS sum_value_units,
+           max(event_id) AS max_event_id
+    FROM events
+    GROUP BY event_type
+    """,
+    tier="P2",
+    doc="LIVE custom STREAMING sink via the Python Data Source API "
+    "(DataSourceStreamWriter — the fourth quadrant of the connector "
+    "matrix beside batch read, batch write, and streaming read): "
+    "events staged as two files and streamed with maxFilesPerTrigger"
+    "=1, each micro-batch written by per-task executor-side write() "
+    "to pipe-delimited files, the driver's commit(messages, batchId) "
+    "publishing a per-batch manifest and abort() sweeping orphans — "
+    "the exactly-once sink contract under task retries and batch "
+    "replays (an already-committed batchId is detected and the "
+    "duplicate attempt dropped). Only manifest-listed files are read "
+    "back, and their aggregate hash-checks against plain SQL over "
+    "the source: append-mode passthrough delivered every row exactly "
+    "once.",
+)
+def q_stream_sink_python_ds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    from ..functions.helpers import int_units
+    from ..sources.pyds import StreamFileSinkDataSource, committed_stream_files
+    from ..streaming.jobs import _events_file_schema, _unique_name
+    from ..sources.tables import normalize_events_ts
+
+    sf_tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    base = _scratch(f"pyds_stream_sink_{sf_tag}")
+    src, out, ckpt = (os.path.join(base, d) for d in ("src", "out", "ckpt"))
+    for d in (src, out, ckpt):
+        shutil.rmtree(d, ignore_errors=True)
+    os.makedirs(src)
+    table = pq.read_table(f"{sf_dir}/events.parquet")
+    half = table.num_rows // 2
+    pq.write_table(table.slice(0, half), os.path.join(src, "0_first.parquet"))
+    pq.write_table(table.slice(half), os.path.join(src, "1_second.parquet"))
+
+    # NOT _stream_session: Python data-source registrations on a cloned
+    # newSession are invisible to the streaming sink lookup (observed:
+    # ClassNotFoundException for the format despite register() on the
+    # clone succeeding), and this query has no stateful shuffle to tune
+    # anyway — append passthrough carries no state store.
+    s = spark
+    try:
+        s.dataSource.register(StreamFileSinkDataSource)
+    except Exception:
+        pass  # already registered in this session
+    raw = (
+        s.readStream.schema(_events_file_schema(s, src))
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    rows = normalize_events_ts(raw).select(
+        "event_id", "event_type", int_units("value").alias("value_units")
+    )
+    q = (
+        rows.writeStream.format("sd2drp_stream_file_sink")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .queryName(_unique_name("sd2drp_pyds_sink"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    committed = set(committed_stream_files(out))
+    assert committed, "stream sink committed no files"
+    paths = [os.path.join(out, f) for f in sorted(committed)]
+    back = (
+        spark.read.schema("event_id BIGINT, event_type STRING, value_units BIGINT")
+        .option("sep", "|")
+        .csv(paths)
+    )
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("value_units").alias("sum_value_units"),
+        F.max("event_id").alias("max_event_id"),
+    )

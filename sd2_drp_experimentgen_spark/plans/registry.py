@@ -293,6 +293,7 @@ _NEW_THIS_ROUND: frozenset[str] = frozenset(
         "q_codec_xpath_column",
         "q_codec_tz_local_hours",
         "q_join_skew_salted",
+        "q_stream_sink_python_ds",
     }
 )
 

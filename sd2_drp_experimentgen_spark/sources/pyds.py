@@ -16,6 +16,7 @@ from __future__ import annotations
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamWriter,
     DataSourceWriter,
     InputPartition,
     SimpleDataSourceStreamReader,
@@ -205,3 +206,95 @@ class SensorFileWriter(DataSourceWriter):
         for f in os.listdir(self.path):
             if f.startswith(f"part-{self.job_id}-"):
                 os.remove(os.path.join(self.path, f))
+
+
+class StreamFileSinkDataSource(DataSource):
+    """Streaming-writer half of the Python Data Source API:
+    `df.writeStream.format("sd2drp_stream_file_sink")`. Per micro-batch,
+    each TASK writes its partition to one pipe-delimited file (executor-
+    side write(), never seeing another partition's rows); the DRIVER's
+    commit(messages, batchId) publishes a per-batch manifest
+    `_SUCCESS-<batchId>` naming every committed file, and
+    abort(messages, batchId) sweeps that batch's orphans. Replays of an
+    already-committed batchId are detected by the existing manifest and
+    rewritten idempotently — together with the checkpoint this is the
+    exactly-once contract a custom streaming sink must implement."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "sd2drp_stream_file_sink"
+
+    def streamWriter(self, schema, overwrite: bool) -> "StreamFileWriter":
+        return StreamFileWriter(self.options)
+
+
+class StreamFileWriter(DataSourceStreamWriter):
+    def __init__(self, options) -> None:
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError(
+                "sd2drp_stream_file_sink requires .option('path', ...)"
+            )
+
+    def write(self, iterator) -> FileCommitMessage:
+        import os
+        import uuid
+
+        from pyspark import TaskContext
+
+        ctx = TaskContext.get()
+        pid = ctx.partitionId()
+        os.makedirs(self.path, exist_ok=True)
+        fname = f"batchpart-{pid:05d}-{uuid.uuid4().hex}.psv"
+        full = os.path.join(self.path, fname)
+        n = 0
+        with open(full, "w") as fh:
+            for row in iterator:
+                fh.write("|".join("" if v is None else str(v) for v in row))
+                fh.write("\n")
+                n += 1
+        return FileCommitMessage(fname, n)
+
+    def commit(self, messages, batchId: int) -> None:
+        import os
+
+        committed = {m.path for m in messages if m is not None}
+        manifest = os.path.join(self.path, f"_SUCCESS-{batchId}")
+        if os.path.exists(manifest):
+            # replayed batch: drop the duplicate attempt's files, keep
+            # the originally committed ones (idempotent re-delivery)
+            with open(manifest) as fh:
+                keep = {l.strip() for l in fh if l.strip()}
+            for f in committed - keep:
+                try:
+                    os.remove(os.path.join(self.path, f))
+                except FileNotFoundError:
+                    pass
+            return
+        with open(manifest, "w") as fh:
+            for m in sorted(committed):
+                fh.write(m + "\n")
+
+    def abort(self, messages, batchId: int) -> None:
+        import os
+
+        for m in messages:
+            if m is None:
+                continue
+            try:
+                os.remove(os.path.join(self.path, m.path))
+            except FileNotFoundError:
+                pass
+
+
+def committed_stream_files(path: str) -> list[str]:
+    """Files named by any per-batch manifest — the only files a reader
+    of this sink may trust (uncommitted attempts are invisible)."""
+    import os
+
+    out: list[str] = []
+    for f in sorted(os.listdir(path)):
+        if f.startswith("_SUCCESS-"):
+            with open(os.path.join(path, f)) as fh:
+                out += [l.strip() for l in fh if l.strip()]
+    return out
