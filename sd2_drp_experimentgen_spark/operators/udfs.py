@@ -449,3 +449,52 @@ def q_udtf_arrow_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         LIMIT 20
         """
     )
+
+
+@register(
+    "q_udf_sql_registered",
+    oracle="""
+    SELECT o_orderpriority,
+           count(*) AS n,
+           sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+               * (6 - CAST(substr(o_orderpriority, 1, 1) AS BIGINT)))
+             AS weighted_cents
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+    tier="P2",
+    doc="SQL-visible scalar Python UDF (spark.udf.register + useArrow): "
+    "the registration surface that makes a Python function callable "
+    "from ANY spark.sql text — the path analysts use without touching "
+    "the DataFrame API. The UDF multiplies exact cents by an integer "
+    "urgency weight parsed from the priority string, so the SQL "
+    "oracle reproduces it in closed form and the check is hash-exact. "
+    "Arrow serialization keeps the Python boundary batched; the "
+    "surrounding plan (scan, groupBy) stays JVM-side — only the "
+    "projected expression crosses to Python. At 100 TB a closed-form "
+    "expression like this belongs in Column functions (and every "
+    "other operator here keeps it there); this op exists to pin the "
+    "registration path itself.",
+)
+def q_udf_sql_registered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.types import LongType
+
+    @F.udf(returnType=LongType(), useArrow=True)
+    def weighted_cents(cents: int, prio: str) -> int:
+        return cents * (6 - int(prio[0]))
+
+    spark.udf.register("sd2drp_weighted_cents", weighted_cents)
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView(
+        "v_orders_sqludf"
+    )
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               count(*) AS n,
+               sum(sd2drp_weighted_cents(
+                     CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT),
+                     o_orderpriority)) AS weighted_cents
+        FROM v_orders_sqludf
+        GROUP BY o_orderpriority
+        """
+    )

@@ -290,7 +290,7 @@ _NEW_THIS_ROUND: frozenset[str] = frozenset(
         "q_scan_metadata_columns",
         "q_codec_csv_column",
         "q_codec_url_parse",
-        "q_codec_xpath_column",
+        "q_codec_xml_column",
         "q_codec_tz_local_hours",
         "q_join_skew_salted",
         "q_stream_sink_python_ds",
