@@ -1005,3 +1005,86 @@ def q_etl_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("k").alias("min_key"),
         F.max("k").alias("max_key"),
     )
+
+
+@register(
+    "q_etl_apply_changes",
+    oracle=f"""
+    WITH v1 AS (
+      SELECT o_orderkey AS k,
+             {sql_units("o_totalprice", 2)} AS cents
+      FROM orders
+    ),
+    v2 AS (
+      SELECT k, CASE WHEN substr(md5(CAST(k AS VARCHAR)), 1, 1) IN ('1','2')
+                     THEN cents + 1000 ELSE cents END AS cents
+      FROM v1
+      WHERE substr(md5(CAST(k AS VARCHAR)), 1, 1) <> '0'
+      UNION ALL
+      SELECT k + 100000000, cents
+      FROM v1 WHERE substr(md5(CAST(k AS VARCHAR)), 1, 1) = '0'
+    )
+    SELECT k % 10 AS bucket, count(*) AS n,
+           sum(cents) AS sum_cents,
+           min(k) AS min_key, max(k) AS max_key
+    FROM v2
+    GROUP BY bucket
+    """,
+    tier="P1",
+    doc="CDC change-set APPLY — the inverse closing the loop with "
+    "q_etl_snapshot_diff: a full insert/update/delete change feed "
+    "(built deterministically from md5 prefixes, integer-cent "
+    "payloads) is folded into the v1 table and the result must equal "
+    "the directly-constructed v2 — apply(diff(v1,v2), v1) = v2, the "
+    "invariant every CDC consumer (Delta MERGE, warehouse loader) "
+    "depends on. Plan: ONE left join of base to changes on the key "
+    "(unchanged rows pass through, deletes drop, updates take the "
+    "new payload) unioned with the inserts — at 100 TB the base "
+    "shuffles once, or zero with a bucketed layout, and the change "
+    "feed (typically <<1% of base) broadcasts.",
+)
+def q_etl_apply_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    v1 = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        int_units("o_totalprice", 2).alias("cents"),
+    )
+    pfx = F.substring(F.md5(F.col("k").cast("string")), 1, 1)
+    # the change feed a CDC tool would emit for v1 -> v2
+    deletes = v1.where(pfx == "0").select(
+        "k", F.lit("delete").alias("op"), F.lit(None).cast("long").alias("new_cents")
+    )
+    updates = v1.where(pfx.isin("1", "2")).select(
+        "k", F.lit("update").alias("op"),
+        (F.col("cents") + 1000).alias("new_cents"),
+    )
+    inserts = v1.where(pfx == "0").select(
+        (F.col("k") + 100_000_000).alias("k"),
+        F.lit("insert").alias("op"),
+        F.col("cents").alias("new_cents"),
+    )
+    changes = deletes.unionAll(updates).unionAll(inserts)
+    # apply: base LEFT JOIN non-insert changes; inserts appended
+    mods = changes.where(F.col("op") != "insert").select(
+        F.col("k").alias("ck"), "op", "new_cents"
+    )
+    applied = (
+        v1.join(F.broadcast(mods), F.col("k") == F.col("ck"), "left")
+        .where(F.col("op").isNull() | (F.col("op") == "update"))
+        .select(
+            "k",
+            F.when(F.col("op") == "update", F.col("new_cents"))
+            .otherwise(F.col("cents"))
+            .alias("cents"),
+        )
+        .unionAll(
+            changes.where(F.col("op") == "insert").select(
+                "k", F.col("new_cents").alias("cents")
+            )
+        )
+    )
+    return applied.groupBy((F.col("k") % 10).alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cents").alias("sum_cents"),
+        F.min("k").alias("min_key"),
+        F.max("k").alias("max_key"),
+    )

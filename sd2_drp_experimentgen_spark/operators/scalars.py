@@ -712,3 +712,50 @@ def q_json_to_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p.k").alias("k"),
         F.when(F.col("p.k").isNull(), 1).otherwise(0).alias("parse_failed"),
     )
+
+
+@register(
+    "q_nested_collect_inline",
+    oracle="""
+    SELECT l_linenumber, count(*) AS n,
+           sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+             AS sum_cents,
+           sum(CAST(l_quantity AS BIGINT)) AS sum_qty
+    FROM lineitem
+    GROUP BY l_linenumber
+    """,
+    tier="P2",
+    doc="Nested build + flatten round-trip: lineitems are collected "
+    "into a per-order ARRAY<STRUCT> (sort_array on the struct's "
+    "leading l_linenumber field makes the array order deterministic "
+    "— a bare collect_list is partition-order-dependent and could "
+    "never hash-check), then exploded back with inline() and "
+    "re-aggregated; equality with the direct aggregate proves the "
+    "denormalize/renormalize cycle lossless. This is the "
+    "document-model shape (order-with-items JSON, one record per "
+    "entity) every export/API layer builds; at 100 TB the collect "
+    "is one groupBy shuffle and per-order arrays stay small (items "
+    "per order is bounded), so no skew amplification — the pattern "
+    "to avoid is collecting UNBOUNDED groups (a user's full event "
+    "history) into one array.",
+)
+def q_nested_collect_inline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.helpers import int_units
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        F.struct(
+            F.col("l_linenumber"),
+            F.col("l_quantity").cast("long").alias("qty"),
+            int_units("l_extendedprice", 2).alias("cents"),
+        ).alias("item"),
+    )
+    nested = li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_list("item")).alias("items")
+    )
+    flat = nested.select(F.inline("items"))
+    return flat.groupBy("l_linenumber").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cents").alias("sum_cents"),
+        F.sum("qty").alias("sum_qty"),
+    )

@@ -294,6 +294,9 @@ _NEW_THIS_ROUND: frozenset[str] = frozenset(
         "q_codec_tz_local_hours",
         "q_join_skew_salted",
         "q_stream_sink_python_ds",
+        "q_udf_sql_registered",
+        "q_etl_apply_changes",
+        "q_nested_collect_inline",
     }
 )
 
