@@ -527,3 +527,90 @@ def q_join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.sum("value_units").alias("sum_value_units"),
     )
+
+
+@register(
+    "q_sink_write_audit_publish",
+    oracle=f"""
+    SELECT o_orderstatus, count(*) AS n,
+           sum({sql_units("o_totalprice", 2)}) AS sum_cents,
+           0 AS audit_null_keys, 0 AS audit_dup_keys, 0 AS audit_bad_price
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+    tier="P1",
+    doc="Write-audit-publish (WAP): data is STAGED to a non-served "
+    "location, data-quality expectations run against the staged "
+    "files (null keys, duplicate keys, price range), and only a "
+    "clean audit publishes the staging directory to the serving "
+    "path with one atomic rename — consumers can never observe a "
+    "bad or partial table. The reject path is genuinely exercised: "
+    "a first attempt staging poisoned rows (nulled keys) fails its "
+    "audit and is discarded without publishing; the clean second "
+    "attempt publishes. The audit counters ride in the output (all "
+    "zero for the published table), so the hash check proves both "
+    "the served data and the gate's verdict. At 100 TB: the audit "
+    "is one aggregate pass over staged parquet (map-side counts + "
+    "one tiny shuffle), the publish is a metadata move, and a "
+    "failed audit costs zero serving-side IO — the pattern behind "
+    "Iceberg/Delta staging branches and blue-green table loads.",
+)
+def q_sink_write_audit_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    from .scans import _scratch
+
+    base = _scratch(sf_dir, "wap")
+    staging = os.path.join(base, "staging")
+    serving = os.path.join(base, "serving")
+    shutil.rmtree(base, ignore_errors=True)
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", int_units("o_totalprice", 2).alias("cents")
+    )
+
+    def audit(path: str) -> dict[str, int]:
+        staged = spark.read.parquet(path)
+        row = staged.agg(
+            F.sum(F.when(F.col("o_orderkey").isNull(), 1).otherwise(0)).alias(
+                "null_keys"
+            ),
+            (
+                F.count(F.lit(1)) - F.count_distinct(F.col("o_orderkey"))
+            ).alias("dup_keys"),
+            F.sum(
+                F.when(
+                    (F.col("cents") <= 0) | (F.col("cents") > 100_000_000), 1
+                ).otherwise(0)
+            ).alias("bad_price"),
+        ).collect()[0]
+        return {k: int(row[k] or 0) for k in ("null_keys", "dup_keys", "bad_price")}
+
+    # attempt 1: poisoned batch (a third of the keys nulled) — the
+    # audit MUST reject it, and nothing may reach the serving path
+    poisoned = o.withColumn(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 3 == 0, F.lit(None)).otherwise(
+            F.col("o_orderkey")
+        ),
+    )
+    poisoned.write.mode("overwrite").parquet(staging)
+    bad = audit(staging)
+    assert bad["null_keys"] > 0, "poisoned audit unexpectedly clean"
+    shutil.rmtree(staging)  # reject: discard staging, never publish
+    assert not os.path.exists(serving), "reject path leaked to serving"
+
+    # attempt 2: clean batch — audit passes, staging becomes serving
+    o.write.mode("overwrite").parquet(staging)
+    good = audit(staging)
+    assert all(v == 0 for v in good.values()), f"clean audit failed: {good}"
+    os.rename(staging, serving)  # atomic publish
+
+    served = spark.read.parquet(serving)
+    return served.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cents").alias("sum_cents"),
+        F.lit(good["null_keys"]).alias("audit_null_keys"),
+        F.lit(good["dup_keys"]).alias("audit_dup_keys"),
+        F.lit(good["bad_price"]).alias("audit_bad_price"),
+    )

@@ -297,6 +297,7 @@ _NEW_THIS_ROUND: frozenset[str] = frozenset(
         "q_udf_sql_registered",
         "q_etl_apply_changes",
         "q_nested_collect_inline",
+        "q_sink_write_audit_publish",
     }
 )
 
