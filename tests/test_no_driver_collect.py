@@ -36,6 +36,10 @@ ALLOWED = {
     # join hints don't change the answer — bounded by the dimension
     # cardinality, not the fact table.
     ("storage.py", "q_join_hints"),
+    # Collects the ONE-row audit-counter aggregate over staged files —
+    # the publish/reject decision is a driver-side branch on three
+    # scalars regardless of staged volume.
+    ("storage.py", "audit"),
 }
 
 DRIVER_SINKS = {"collect", "toPandas"}
