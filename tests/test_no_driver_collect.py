@@ -39,7 +39,7 @@ ALLOWED = {
     # Collects the ONE-row audit-counter aggregate over staged files —
     # the publish/reject decision is a driver-side branch on three
     # scalars regardless of staged volume.
-    ("storage.py", "audit"),
+    ("storage.py", "q_sink_write_audit_publish"),
 }
 
 DRIVER_SINKS = {"collect", "toPandas"}
