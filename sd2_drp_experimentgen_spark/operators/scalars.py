@@ -759,3 +759,94 @@ def q_nested_collect_inline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("cents").alias("sum_cents"),
         F.sum("qty").alias("sum_qty"),
     )
+
+
+@register(
+    "q_sql_collation",
+    oracle="""
+    SELECT lower(min(mixed)) AS name_ci, min(mixed) AS repr_name,
+           count(*) AS n, sum(CAST(p_size AS BIGINT)) AS sum_size
+    FROM (
+      SELECT CASE WHEN p_partkey % 2 = 0 THEN upper(p_name)
+                  ELSE p_name END AS mixed,
+             p_size
+      FROM part
+    )
+    GROUP BY lower(mixed)
+    """,
+    tier="P2",
+    doc="String collations (Spark 4 COLLATE): case-insensitive "
+    "grouping via UTF8_LCASE collation on a deliberately mixed-case "
+    "column (every even key uppercased), proven equal to grouping by "
+    "lower() — the collation-aware GROUP BY runs inside the engine "
+    "with no expression wrapper, which at 100 TB means the "
+    "aggregation hashes collation keys directly instead of "
+    "materializing a lowercased copy of every string. The collated "
+    "GROUP BY key has no canonical spelling, so every emitted column "
+    "is an aggregate over the UNCOLLATED strings (binary min and its "
+    "lowercase) — min over the collated column itself would pick a "
+    "collation-equal representative nondeterministically (observed: "
+    "Spark returned either case at whim while DuckDB's binary min "
+    "always took the uppercase).",
+)
+def q_sql_collation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "part").createOrReplaceTempView("v_part_coll")
+    return spark.sql(
+        """
+        SELECT lower(min(mixed)) AS name_ci, min(mixed) AS repr_name,
+               count(*) AS n, sum(CAST(p_size AS BIGINT)) AS sum_size
+        FROM (
+          SELECT CASE WHEN p_partkey % 2 = 0 THEN upper(p_name)
+                      ELSE p_name END AS mixed,
+                 p_size
+          FROM v_part_coll
+        )
+        GROUP BY mixed COLLATE UTF8_LCASE
+        """
+    )
+
+
+@register(
+    "q_sql_identifier_clause",
+    oracle="""
+    SELECT 'open' AS segment, count(*) AS n,
+           CAST(sum(floor(o_totalprice * 100 + 0.5)) AS BIGINT) AS sum_cents
+    FROM orders WHERE o_orderstatus = 'O'
+    UNION ALL
+    SELECT 'final' AS segment, count(*) AS n,
+           CAST(sum(floor(o_totalprice * 100 + 0.5)) AS BIGINT) AS sum_cents
+    FROM orders WHERE o_orderstatus = 'F'
+    """,
+    tier="P2",
+    doc="Parameterized identifiers (Spark 4 IDENTIFIER clause): the "
+    "table a query reads is bound as a named PARAMETER, not spliced "
+    "into the SQL string — the injection-safe form of dynamic table "
+    "routing every multi-tenant/sharded report generator needs "
+    "(string-built identifiers are the SQL-injection vector the "
+    "clause exists to close). Two status-partitioned views are "
+    "queried through the same parameterized statement; constant "
+    "folding still applies once the identifier resolves, so the "
+    "plan is identical to a literal table reference.",
+)
+def q_sql_identifier_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    o.where(F.col("o_orderstatus") == "O").createOrReplaceTempView(
+        "v_orders_open"
+    )
+    o.where(F.col("o_orderstatus") == "F").createOrReplaceTempView(
+        "v_orders_final"
+    )
+    parts = []
+    for seg, view in (("open", "v_orders_open"), ("final", "v_orders_final")):
+        parts.append(
+            o.sparkSession.sql(
+                """
+                SELECT :seg AS segment, count(*) AS n,
+                       CAST(sum(floor(o_totalprice * 100 + 0.5)) AS BIGINT)
+                         AS sum_cents
+                FROM IDENTIFIER(:tbl)
+                """,
+                args={"seg": seg, "tbl": view},
+            )
+        )
+    return parts[0].unionAll(parts[1])

@@ -298,6 +298,8 @@ _NEW_THIS_ROUND: frozenset[str] = frozenset(
         "q_etl_apply_changes",
         "q_nested_collect_inline",
         "q_sink_write_audit_publish",
+        "q_sql_collation",
+        "q_sql_identifier_clause",
     }
 )
 
