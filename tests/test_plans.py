@@ -407,3 +407,30 @@ def test_tpch_q19_disjunction_pushes_common_conjuncts(spark):
     assert "Or(Or(And(GreaterThanOrEqual(l_quantity" in li_scan, li_scan
     part_scan = next(l for l in scans if "p_brand" in l)
     assert "Or(" in part_scan and "p_brand" in part_scan, part_scan
+
+
+def test_skew_salted_join_is_shuffled_hash_on_composite_key(spark):
+    """The salting demo must actually run the shuffled-hash join on
+    (key, salt) — a broadcast would make the salt columns dead code."""
+    p = plan(all_specs()["q_join_skew_salted"].fn(spark, SF_T2), "simple")
+    assert "ShuffledHashJoin" in p, p
+    assert "salt" in p.split("ShuffledHashJoin")[1][:120]
+    assert "BroadcastHashJoin" not in p
+
+
+def test_csv_codec_is_single_scan_single_shuffle(spark):
+    """to_csv -> from_csv must stay a projection over ONE scan with
+    only the final rollup exchange — a codec that re-reads or
+    shuffles per field is wrong at any scale."""
+    p = plan(all_specs()["q_codec_csv_column"].fn(spark, SF_T2), "simple")
+    assert p.count("FileScan") == 1, p
+    assert p.count("Exchange") == 1, p
+    assert "from_csv" in p and "to_csv" in p
+
+
+def test_nested_roundtrip_collects_map_side(spark):
+    """collect_list must show a partial (map-side) aggregate below its
+    exchange and exactly one Generate (the inline flatten)."""
+    p = plan(all_specs()["q_nested_collect_inline"].fn(spark, SF_T2), "simple")
+    assert "partial_collect_list" in p, p
+    assert p.count("Generate") == 1, p
