@@ -1088,3 +1088,140 @@ def q_etl_apply_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("k").alias("min_key"),
         F.max("k").alias("max_key"),
     )
+
+
+@register(
+    "q_resample_interpolate",
+    oracle="""
+    WITH hourly AS (
+      SELECT user_id, date_trunc('hour', ts) AS h,
+             sum(CAST(floor(value * 10000 + 0.5) AS BIGINT)) AS obs_units
+      FROM events WHERE user_id < 30
+      GROUP BY user_id, date_trunc('hour', ts)
+    ),
+    spans AS (
+      SELECT user_id, min(h) AS h_min, max(h) AS h_max FROM hourly
+      GROUP BY user_id
+    ),
+    grid AS (
+      SELECT s.user_id, g.h
+      FROM spans s, LATERAL (
+        SELECT unnest(generate_series(s.h_min, s.h_max,
+                                      INTERVAL 1 HOUR)) AS h
+      ) g
+    ),
+    joined AS (
+      SELECT g.user_id, CAST(epoch(g.h) AS BIGINT) AS hs, obs_units
+      FROM grid g LEFT JOIN hourly o
+        ON o.user_id = g.user_id AND o.h = g.h
+    ),
+    bracketed AS (
+      SELECT user_id, hs, obs_units,
+             last_value(obs_units IGNORE NULLS) OVER w_prev AS prev_u,
+             last_value(CASE WHEN obs_units IS NOT NULL THEN hs END
+                        IGNORE NULLS) OVER w_prev AS prev_h,
+             first_value(obs_units IGNORE NULLS) OVER w_next AS next_u,
+             first_value(CASE WHEN obs_units IS NOT NULL THEN hs END
+                         IGNORE NULLS) OVER w_next AS next_h
+      FROM joined
+      WINDOW
+        w_prev AS (PARTITION BY user_id ORDER BY hs
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        w_next AS (PARTITION BY user_id ORDER BY hs
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    ),
+    filled AS (
+      SELECT user_id, hs, obs_units,
+             CASE WHEN obs_units IS NOT NULL THEN CAST(obs_units AS DOUBLE)
+                  WHEN prev_u IS NULL THEN CAST(next_u AS DOUBLE)
+                  WHEN next_u IS NULL THEN CAST(prev_u AS DOUBLE)
+                  ELSE prev_u + (next_u - prev_u) * (hs - prev_h)
+                              / (next_h - prev_h)
+             END AS lerp_units
+      FROM bracketed
+    )
+    SELECT user_id,
+           count(*) AS n_hours,
+           count(obs_units) AS n_observed,
+           CAST(count(*) - count(obs_units) AS BIGINT) AS n_interp,
+           sum(CAST(floor(lerp_units + 0.5) AS BIGINT)) AS sum_lerp_units
+    FROM filled
+    GROUP BY user_id
+    """,
+    tier="P1",
+    doc="Time-series linear interpolation — the hypertable "
+    "interpolate() analog completing the resampling pair with "
+    "q_resample_gapfill's zero-fill: each user's hourly grid is "
+    "densified and every missing hour gets the straight-line value "
+    "between its bracketing observations (boundary gaps carry the "
+    "nearest edge). Both bracket searches are ignore-nulls window "
+    "walks over ONE user-keyed sort — no self-join against the "
+    "observation set. Determinism: observed values are exact integer "
+    "units; the lerp is the one fixed IEEE expression "
+    "prev + (next-prev)*(t-t0)/(t1-t0) over integers, written "
+    "identically in both engines, and each hour's result is "
+    "half-up-rounded back to integer units before the sum — so the "
+    "per-user rollup is exact int64 arithmetic at any scale. The "
+    "user_id<30 gate bounds the grid at fixture scale; at 100 TB "
+    "the grid explode is per-user-bounded (span/1h rows) and the "
+    "windows share the grid's user_id shuffle.",
+)
+def q_resample_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_events(spark, sf_dir).where(F.col("user_id") < 30)
+    hourly = ev.groupBy(
+        "user_id", F.date_trunc("hour", F.col("ts")).alias("h")
+    ).agg(F.sum(int_units("value")).alias("obs_units"))
+    spans = hourly.groupBy("user_id").agg(
+        F.min("h").alias("h_min"), F.max("h").alias("h_max")
+    )
+    grid = spans.select(
+        "user_id",
+        F.explode(
+            F.sequence("h_min", "h_max", F.expr("INTERVAL 1 HOUR"))
+        ).alias("h"),
+    )
+    joined = grid.join(hourly, ["user_id", "h"], "left").select(
+        "user_id", F.col("h").cast("long").alias("hs"), "obs_units"
+    )
+    w_prev = (
+        Window.partitionBy("user_id")
+        .orderBy("hs")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_next = (
+        Window.partitionBy("user_id")
+        .orderBy("hs")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    obs_h = F.when(F.col("obs_units").isNotNull(), F.col("hs"))
+    br = joined.select(
+        "user_id",
+        "hs",
+        "obs_units",
+        F.last("obs_units", ignorenulls=True).over(w_prev).alias("prev_u"),
+        F.last(obs_h, ignorenulls=True).over(w_prev).alias("prev_h"),
+        F.first("obs_units", ignorenulls=True).over(w_next).alias("next_u"),
+        F.first(obs_h, ignorenulls=True).over(w_next).alias("next_h"),
+    )
+    lerp = (
+        F.when(F.col("obs_units").isNotNull(), F.col("obs_units").cast("double"))
+        .when(F.col("prev_u").isNull(), F.col("next_u").cast("double"))
+        .when(F.col("next_u").isNull(), F.col("prev_u").cast("double"))
+        .otherwise(
+            F.col("prev_u")
+            + (F.col("next_u") - F.col("prev_u"))
+            * (F.col("hs") - F.col("prev_h"))
+            / (F.col("next_h") - F.col("prev_h"))
+        )
+    )
+    filled = br.select("user_id", "obs_units", lerp.alias("lerp_units"))
+    return filled.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_hours"),
+        F.count("obs_units").alias("n_observed"),
+        (F.count(F.lit(1)) - F.count("obs_units")).alias("n_interp"),
+        F.sum(F.floor(F.col("lerp_units") + F.lit(0.5)).cast("long")).alias(
+            "sum_lerp_units"
+        ),
+    )

@@ -300,6 +300,7 @@ _NEW_THIS_ROUND: frozenset[str] = frozenset(
         "q_sink_write_audit_publish",
         "q_sql_collation",
         "q_sql_identifier_clause",
+        "q_resample_interpolate",
     }
 )
 
