@@ -665,3 +665,101 @@ def q_scan_metadata_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
         )
     )
+
+
+@register(
+    "q_scan_corrupt_files_skip",
+    oracle="""
+    SELECT r_regionkey, r_name FROM region
+    UNION ALL
+    SELECT n_nationkey + 100 AS r_regionkey, n_name AS r_name FROM nation
+    """,
+    tier="P2",
+    doc="Corrupt-file resilience (ignoreCorruptFiles): a directory "
+    "holding two good parquet files and one truncated-garbage file "
+    "is read with the option on — the good rows all survive, the "
+    "poison file is skipped instead of failing the job. At 100 TB a "
+    "single bad object among millions must not kill a multi-hour "
+    "batch; the complementary quarantine pattern (route, don't "
+    "drop) is q_source_csv_malformed's PERMISSIVE path — this op "
+    "pins the file-granularity switch, scoped via the per-read "
+    "option (not the session conf, which would hide corruption "
+    "everywhere).",
+)
+def q_scan_corrupt_files_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+
+    path = _scratch(sf_dir, "corrupt_mix")
+    shutil.rmtree(path, ignore_errors=True)
+    os.makedirs(path)
+    load_table(spark, sf_dir, "region").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(path, "good1"))
+    load_table(spark, sf_dir, "nation").select(
+        (F.col("n_nationkey") + 100).alias("r_regionkey"),
+        F.col("n_name").alias("r_name"),
+    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(path, "good2"))
+    flat = _scratch(sf_dir, "corrupt_flat")
+    shutil.rmtree(flat, ignore_errors=True)
+    os.makedirs(flat)
+    i = 0
+    for sub in ("good1", "good2"):
+        for f in os.listdir(os.path.join(path, sub)):
+            if f.endswith(".parquet"):
+                shutil.copy(
+                    os.path.join(path, sub, f),
+                    os.path.join(flat, f"part-good-{i}.parquet"),
+                )
+                i += 1
+    with open(os.path.join(flat, "part-poison.parquet"), "wb") as fh:
+        fh.write(b"PAR1this is not a real parquet file at all")
+    return (
+        spark.read.option("ignoreCorruptFiles", "true")
+        .schema("r_regionkey INT, r_name STRING")
+        .parquet(flat)
+    )
+
+
+@register(
+    "q_scan_modified_after",
+    oracle="""
+    SELECT n_regionkey, count(*) AS n
+    FROM nation
+    WHERE n_nationkey >= 10
+    GROUP BY n_regionkey
+    """,
+    tier="P2",
+    doc="Time-based incremental pickup (modifiedAfter): two file "
+    "batches land with controlled mtimes (os.utime pins the old "
+    "batch a day back), and the read's modifiedAfter cutoff selects "
+    "ONLY the newer batch — the zero-bookkeeping incremental-ingest "
+    "filter for landing zones where writers can't maintain a "
+    "manifest. File selection happens at listing time, before any "
+    "footer or data IO. The stateful complement (exact, replayable) "
+    "is q_etl_incremental_bookmark; modifiedAfter is the cheap "
+    "first-pass cut when approximate time-based pickup suffices.",
+)
+def q_scan_modified_after(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import time
+
+    path = _scratch(sf_dir, "modified_after")
+    shutil.rmtree(path, ignore_errors=True)
+    n = load_table(spark, sf_dir, "nation")
+    n.where(F.col("n_nationkey") < 10).write.mode("overwrite").parquet(path)
+    old = time.time() - 86_400
+    for f in os.listdir(path):
+        os.utime(os.path.join(path, f), (old, old))
+    n.where(F.col("n_nationkey") >= 10).write.mode("append").parquet(path)
+    # cutoff halfway between the two batches' mtimes (UTC, listing-time)
+    cutoff = time.strftime(
+        "%Y-%m-%dT%H:%M:%S", time.gmtime(time.time() - 43_200)
+    )
+    recent = (
+        spark.read.option("modifiedAfter", cutoff)
+        .schema(n.schema)
+        .parquet(path)
+    )
+    return recent.groupBy("n_regionkey").agg(F.count(F.lit(1)).alias("n"))

@@ -614,3 +614,60 @@ def q_sink_write_audit_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(good["dup_keys"]).alias("audit_dup_keys"),
         F.lit(good["bad_price"]).alias("audit_bad_price"),
     )
+
+
+@register(
+    "q_join_dynamic_partition_pruning",
+    oracle=f"""
+    SELECT o_orderpriority, count(*) AS n,
+           sum({sql_units("o_totalprice", 2)}) AS sum_cents
+    FROM orders
+    WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+    GROUP BY o_orderpriority
+    """,
+    tier="P1",
+    doc="Dynamic partition pruning (DPP): the fact table is laid out "
+    "partitioned by priority, the dimension carries the selective "
+    "predicate (is_hot), and the fact-side partition filter is "
+    "DERIVED AT RUNTIME from the dimension's build side — the scan "
+    "reads 2 of 5 partition directories without any literal fact "
+    "predicate in the query. tests/test_plans.py pins "
+    "`dynamicpruningexpression` in the fact scan's PartitionFilters. "
+    "This is the single biggest scan lever for star joins at 100 TB: "
+    "a date-dimension filter ('last week') prunes years of fact "
+    "partitions before one byte is read, with zero query rewriting. "
+    "The broadcast side doubles as the DPP subquery, so the pruning "
+    "costs one tiny dimension scan, not a fact pre-pass.",
+)
+def q_join_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    from .scans import _scratch
+
+    path = _scratch(sf_dir, "orders_dpp")
+    marker = os.path.join(path, "_SUCCESS")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", int_units("o_totalprice", 2).alias("cents"),
+        "o_orderpriority",
+    )
+    if not os.path.exists(marker):
+        shutil.rmtree(path, ignore_errors=True)
+        o.write.mode("overwrite").partitionBy("o_orderpriority").parquet(path)
+    fact = spark.read.parquet(path)
+    dim = (
+        o.select("o_orderpriority")
+        .distinct()
+        .withColumn(
+            "is_hot",
+            F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"),
+        )
+        .withColumnRenamed("o_orderpriority", "d_priority")
+    )
+    joined = fact.join(
+        F.broadcast(dim.where(F.col("is_hot"))),
+        fact.o_orderpriority == F.col("d_priority"),
+    )
+    return joined.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cents").alias("sum_cents"),
+    )

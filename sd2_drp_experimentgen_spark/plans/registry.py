@@ -301,6 +301,9 @@ _NEW_THIS_ROUND: frozenset[str] = frozenset(
         "q_sql_collation",
         "q_sql_identifier_clause",
         "q_resample_interpolate",
+        "q_join_dynamic_partition_pruning",
+        "q_scan_corrupt_files_skip",
+        "q_scan_modified_after",
     }
 )
 

@@ -434,3 +434,12 @@ def test_nested_roundtrip_collects_map_side(spark):
     p = plan(all_specs()["q_nested_collect_inline"].fn(spark, SF_T2), "simple")
     assert "partial_collect_list" in p, p
     assert p.count("Generate") == 1, p
+
+
+def test_dpp_prunes_fact_partitions_at_runtime(spark):
+    """The star join must derive the fact-side partition filter from
+    the dimension at runtime — dynamicpruningexpression in the fact
+    scan's PartitionFilters is the 100 TB scan lever."""
+    df = all_specs()["q_join_dynamic_partition_pruning"].fn(spark, SF_T2)
+    p = plan(df, "extended")
+    assert "dynamicpruning" in p, p[:2000]
