@@ -671,3 +671,83 @@ def q_join_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFr
         F.count(F.lit(1)).alias("n"),
         F.sum("cents").alias("sum_cents"),
     )
+
+
+@register(
+    "q_storage_time_travel",
+    oracle=f"""
+    SELECT 1 AS version, count(*) AS n,
+           sum({sql_units("o_totalprice", 2)}) AS sum_cents
+    FROM orders WHERE o_orderstatus = 'F'
+    UNION ALL
+    SELECT 2 AS version, count(*) AS n,
+           sum({sql_units("o_totalprice", 2)}) AS sum_cents
+    FROM orders WHERE o_orderstatus IN ('F', 'O')
+    """,
+    tier="P1",
+    doc="Manifest-based snapshot time travel — the table-format "
+    "primitive under Iceberg/Delta VERSION AS OF, built from parts "
+    "the engine already has: each commit writes immutable data "
+    "files plus a versioned manifest naming exactly the files in "
+    "that snapshot, and a reader binds to a manifest, never to the "
+    "directory listing. After a second commit appends files and "
+    "manifest v2, reading AS OF v1 still reproduces the old table "
+    "bit-for-bit even though v2's files sit in the same directory — "
+    "directory-listing reads can never give that isolation. Both "
+    "versions are read back manifest-driven and hash-checked. At "
+    "100 TB the manifest is metadata (file names, KBs per thousands "
+    "of files); snapshot reads cost zero data copying, old versions "
+    "expire by deleting manifests then unreferenced files.",
+)
+def q_storage_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import json
+    import shutil
+
+    from .scans import _scratch
+
+    base = _scratch(sf_dir, "time_travel")
+    data = os.path.join(base, "data")
+    shutil.rmtree(base, ignore_errors=True)
+    os.makedirs(base)
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", int_units("o_totalprice", 2).alias("cents")
+    )
+
+    def commit(df, version: int) -> None:
+        batch_dir = os.path.join(data, f"batch_v{version}")
+        df.write.mode("overwrite").parquet(batch_dir)
+        files = sorted(
+            os.path.join(batch_dir, f)
+            for f in os.listdir(batch_dir)
+            if f.endswith(".parquet")
+        )
+        prev = manifest(version - 1)
+        with open(os.path.join(base, f"manifest_v{version}.json"), "w") as fh:
+            json.dump({"version": version, "files": prev + files}, fh)
+
+    def manifest(version: int) -> list[str]:
+        p = os.path.join(base, f"manifest_v{version}.json")
+        if not os.path.exists(p):
+            return []
+        with open(p) as fh:
+            return json.load(fh)["files"]
+
+    commit(o.where(F.col("o_orderstatus") == "F"), 1)
+    commit(o.where(F.col("o_orderstatus") == "O"), 2)
+
+    def read_as_of(version: int):
+        return (
+            spark.read.schema(
+                "o_orderkey BIGINT, o_orderstatus STRING, cents BIGINT"
+            )
+            .parquet(*manifest(version))
+            .agg(
+                F.lit(version).alias("version"),
+                F.count(F.lit(1)).alias("n"),
+                F.sum("cents").alias("sum_cents"),
+            )
+            .select("version", "n", "sum_cents")
+        )
+
+    return read_as_of(1).unionAll(read_as_of(2))

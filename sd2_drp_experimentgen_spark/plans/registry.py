@@ -304,6 +304,7 @@ _NEW_THIS_ROUND: frozenset[str] = frozenset(
         "q_join_dynamic_partition_pruning",
         "q_scan_corrupt_files_skip",
         "q_scan_modified_after",
+        "q_storage_time_travel",
     }
 )
 
