@@ -751,3 +751,62 @@ def q_storage_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return read_as_of(1).unionAll(read_as_of(2))
+
+
+@register(
+    "q_storage_merge_on_read_deletes",
+    oracle=f"""
+    SELECT o_orderstatus, count(*) AS n,
+           sum({sql_units("o_totalprice", 2)}) AS sum_cents
+    FROM orders
+    WHERE NOT (o_orderstatus = 'F'
+               AND substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) = '0')
+    GROUP BY o_orderstatus
+    """,
+    tier="P1",
+    doc="Merge-on-read deletes (the deletion-vector pattern behind "
+    "Delta DVs / Iceberg position-delete files): deleting rows "
+    "writes only a small DELETE-KEY file; the base data files are "
+    "never rewritten, and every read applies the deletes with a "
+    "broadcast LEFT ANTI join at scan time. The alternative — "
+    "copy-on-write — rewrites every file containing a deleted row "
+    "at delete time; merge-on-read moves that cost to reads, which "
+    "is the right trade for small scattered deletes (GDPR "
+    "erasure, dedup kill-lists) against 100 TB of immutable "
+    "parquet. The deleted set (~6% of finalized orders, md5-"
+    "selected) stays a broadcast at any base size because it scales "
+    "with deletions, not data. Compaction later folds the deletes "
+    "into rewritten files — q_maint_compact_files' job.",
+)
+def q_storage_merge_on_read_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    from .scans import _scratch
+
+    base = _scratch(sf_dir, "mor_deletes")
+    data = os.path.join(base, "data")
+    dels = os.path.join(base, "deletes")
+    shutil.rmtree(base, ignore_errors=True)
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", int_units("o_totalprice", 2).alias("cents")
+    )
+    o.write.mode("overwrite").parquet(data)
+    # the delete commit: ONLY keys are written — no base file rewritten
+    delete_keys = o.where(
+        (F.col("o_orderstatus") == "F")
+        & (F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 1) == "0")
+    ).select("o_orderkey")
+    delete_keys.write.mode("overwrite").parquet(dels)
+
+    live = spark.read.parquet(data).join(
+        F.broadcast(
+            spark.read.parquet(dels).withColumnRenamed("o_orderkey", "dk")
+        ),
+        F.col("o_orderkey") == F.col("dk"),
+        "left_anti",
+    )
+    return live.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cents").alias("sum_cents"),
+    )

@@ -305,6 +305,7 @@ _NEW_THIS_ROUND: frozenset[str] = frozenset(
         "q_scan_corrupt_files_skip",
         "q_scan_modified_after",
         "q_storage_time_travel",
+        "q_storage_merge_on_read_deletes",
     }
 )
 
