@@ -1225,3 +1225,84 @@ def q_resample_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_lerp_units"
         ),
     )
+
+
+@register(
+    "q_dq_anomaly_zscore",
+    oracle="""
+    WITH hourly AS (
+      SELECT user_id, date_trunc('hour', ts) AS h, count(*) AS x
+      FROM events WHERE user_id < 100
+      GROUP BY user_id, date_trunc('hour', ts)
+    ),
+    stats AS (
+      SELECT user_id,
+             count(*) AS n,
+             sum(x) AS sx,
+             sum(x * x) AS sxx
+      FROM hourly GROUP BY user_id
+    ),
+    scored AS (
+      SELECT h.user_id, h.x, s.n, s.sx, s.sxx,
+             (h.x * s.n - s.sx) /
+               sqrt(CAST(s.n AS DOUBLE) * (s.n * s.sxx - s.sx * s.sx)
+                    / (s.n - 1)) AS z
+      FROM hourly h JOIN stats s ON h.user_id = s.user_id
+      WHERE s.n > 1 AND s.n * s.sxx > s.sx * s.sx
+    )
+    SELECT user_id,
+           CAST(max(n) AS BIGINT) AS n_hours,
+           sum(CASE WHEN abs(z) > 2.0 THEN 1 ELSE 0 END) AS n_anomalies,
+           floor(max(abs(z)) * 10000 + 0.5) / 10000 AS max_abs_z
+    FROM scored
+    GROUP BY user_id
+    """,
+    tier="P1",
+    doc="Statistical anomaly screen (z-score process monitoring): each "
+    "user's hourly event counts are scored against that user's own "
+    "mean/stddev, and hours beyond 2 sigma are flagged — the "
+    "metric-monitoring pass run over pipeline health counters and "
+    "user-behavior streams. Cross-engine exactness is engineered: "
+    "n, sum(x), sum(x^2) are EXACT integer aggregates (the classic "
+    "stddev one-pass identity), and z is computed from them by ONE "
+    "fixed algebraic expression — using the engines' own stddev_samp "
+    "would compare two different accumulation orders and flip "
+    "boundary rows. The max|z| output rounds half-up at 4dp on both "
+    "sides. Two shuffles (hourly rollup, per-user stats broadcast "
+    "back by key join); the z expression is map-side.",
+)
+def q_dq_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_events(spark, sf_dir).where(F.col("user_id") < 100)
+    hourly = ev.groupBy(
+        "user_id", F.date_trunc("hour", F.col("ts")).alias("h")
+    ).agg(F.count(F.lit(1)).alias("x"))
+    stats = hourly.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    scored = (
+        hourly.join(stats, "user_id")
+        .where(
+            (F.col("n") > 1)
+            & (F.col("n") * F.col("sxx") > F.col("sx") * F.col("sx"))
+        )
+        .withColumn(
+            "z",
+            (F.col("x") * F.col("n") - F.col("sx"))
+            / F.sqrt(
+                F.col("n").cast("double")
+                * (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+                / (F.col("n") - 1)
+            ),
+        )
+    )
+    return scored.groupBy("user_id").agg(
+        F.max("n").alias("n_hours"),
+        F.sum(F.when(F.abs(F.col("z")) > 2.0, 1).otherwise(0)).alias(
+            "n_anomalies"
+        ),
+        (
+            F.floor(F.max(F.abs(F.col("z"))) * 10000 + F.lit(0.5)) / 10000
+        ).alias("max_abs_z"),
+    )

@@ -850,3 +850,58 @@ def q_sql_identifier_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     return parts[0].unionAll(parts[1])
+
+
+@register(
+    "q_sql_udf_declared",
+    oracle="""
+    WITH top_by_status AS (
+      SELECT o_orderstatus, o_orderkey,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+             row_number() OVER (
+               PARTITION BY o_orderstatus
+               ORDER BY floor(o_totalprice * 100 + 0.5) DESC, o_orderkey
+             ) AS rn
+      FROM orders
+    )
+    SELECT o_orderstatus, o_orderkey, cents
+    FROM top_by_status WHERE rn <= 3
+    """,
+    tier="P2",
+    doc="SQL-defined functions (Spark 4 CREATE TEMPORARY FUNCTION ... "
+    "RETURN): a scalar SQL UDF (exact cents conversion) and a TABLE "
+    "function (top-3 orders for a given status, parameterized) "
+    "declared in pure SQL — no Python worker, no JVM jar; the bodies "
+    "INLINE into the calling plan at analysis time, so unlike "
+    "external UDFs they cost nothing at 100 TB and stay inside "
+    "whole-stage codegen with full pushdown. The table function is "
+    "invoked once per status via a literal LATERAL-style union, and "
+    "results rank on exact cents with a key tiebreak (on the raw "
+    "expression — the analyzer rejects SQL UDFs inside Sort).",
+)
+def q_sql_udf_declared(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = spark
+    load_table(s, sf_dir, "orders").createOrReplaceTempView("v_orders_sqlfn")
+    s.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION sd2drp_cents(x DOUBLE) "
+        "RETURNS BIGINT RETURN CAST(floor(x * 100 + 0.5) AS BIGINT)"
+    )
+    s.sql(
+        """
+        CREATE OR REPLACE TEMPORARY FUNCTION sd2drp_top3(status STRING)
+        RETURNS TABLE(o_orderstatus STRING, o_orderkey BIGINT, cents BIGINT)
+        RETURN
+          SELECT o_orderstatus, o_orderkey, sd2drp_cents(o_totalprice)
+          FROM v_orders_sqlfn
+          WHERE o_orderstatus = status
+          ORDER BY floor(o_totalprice * 100 + 0.5) DESC, o_orderkey
+          LIMIT 3
+        """
+    )
+    return s.sql(
+        """
+        SELECT * FROM sd2drp_top3('F')
+        UNION ALL SELECT * FROM sd2drp_top3('O')
+        UNION ALL SELECT * FROM sd2drp_top3('P')
+        """
+    )

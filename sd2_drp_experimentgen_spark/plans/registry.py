@@ -306,6 +306,8 @@ _NEW_THIS_ROUND: frozenset[str] = frozenset(
         "q_scan_modified_after",
         "q_storage_time_travel",
         "q_storage_merge_on_read_deletes",
+        "q_sql_udf_declared",
+        "q_dq_anomaly_zscore",
     }
 )
 
