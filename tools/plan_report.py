@@ -62,6 +62,8 @@ REPORT = [
     ("q_tpch_q15_top_supplier", "1-row max broadcast-equality, no unpartitioned Window"),
     ("q_tpch_q19_disjunctive_rev", "three-branch OR: per-side conjuncts extracted and pushed to BOTH scans"),
     ("q_tpch_q21_waiting_supplier", "EXISTS/NOT-EXISTS pair as two same-key rollups, no fact self-joins"),
+    ("q_join_dynamic_partition_pruning", "dynamicpruningexpression in the fact scan PartitionFilters"),
+    ("q_join_skew_salted", "ShuffledHashJoin on (key, salt); no broadcast"),
 ]
 
 
