@@ -1445,3 +1445,70 @@ def q_corpus_domain_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
             "kept_chars"
         ),
     )
+
+
+@register(
+    "q_corpus_report",
+    oracle="""
+    WITH per_doc AS (
+      SELECT doc_id, lang, n_chars,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             CASE WHEN count(*) OVER (PARTITION BY md5(text)) > 1
+                  THEN 1 ELSE 0 END AS is_dup,
+             CASE WHEN len(string_split(text, ' ')) BETWEEN 20 AND 80
+                  THEN 1 ELSE 0 END AS len_ok
+      FROM documents
+    )
+    SELECT coalesce(lang, 'ALL') AS lang,
+           count(*) AS n_docs,
+           sum(n_chars) AS total_chars,
+           sum(n_tokens) AS total_tokens,
+           CAST(sum(is_dup) AS BIGINT) AS n_dup_docs,
+           CAST(sum(len_ok) AS BIGINT) AS n_len_ok,
+           min(n_tokens) AS min_tokens,
+           max(n_tokens) AS max_tokens
+    FROM per_doc
+    GROUP BY GROUPING SETS ((lang), ())
+    """,
+    tier="P1",
+    doc="The dataset-card report as ONE Catalyst plan: per-document "
+    "features (token count, exact-dup membership via a count window "
+    "over the text hash, length-window flag) rolled up per language "
+    "AND corpus-wide in the same pass with GROUPING SETS — the "
+    "summary table every corpus release publishes (doc/token/char "
+    "volumes, duplicate and quality rates, per-language mix). Two "
+    "shuffles total: the dup window partitions by 16-byte text "
+    "hashes (text itself never shuffles — the md5 projection "
+    "happens at the scan), then the rollup; the grouping-sets "
+    "expansion reuses the single aggregated pass rather than "
+    "re-scanning the corpus per grain. All counters are exact "
+    "integers — the report hash-checks bit-for-bit.",
+)
+def q_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_tokens = F.size(F.split(F.col("text"), " ")).cast("long")
+    w = Window.partitionBy(F.md5(F.col("text")))
+    per_doc = docs.select(
+        "lang",
+        "n_chars",
+        n_tokens.alias("n_tokens"),
+        F.when(F.count(F.lit(1)).over(w) > 1, 1).otherwise(0).alias("is_dup"),
+        F.when(n_tokens.between(20, 80), 1).otherwise(0).alias("len_ok"),
+    )
+    per_doc.createOrReplaceTempView("v_corpus_per_doc")
+    return per_doc.sparkSession.sql(
+        """
+        SELECT coalesce(lang, 'ALL') AS lang,
+               count(*) AS n_docs,
+               sum(n_chars) AS total_chars,
+               sum(n_tokens) AS total_tokens,
+               sum(is_dup) AS n_dup_docs,
+               sum(len_ok) AS n_len_ok,
+               min(n_tokens) AS min_tokens,
+               max(n_tokens) AS max_tokens
+        FROM v_corpus_per_doc
+        GROUP BY GROUPING SETS ((lang), ())
+        """
+    )

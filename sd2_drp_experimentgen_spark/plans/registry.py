@@ -308,6 +308,7 @@ _NEW_THIS_ROUND: frozenset[str] = frozenset(
         "q_storage_merge_on_read_deletes",
         "q_sql_udf_declared",
         "q_dq_anomaly_zscore",
+        "q_corpus_report",
     }
 )
 
