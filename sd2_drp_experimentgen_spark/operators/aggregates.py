@@ -436,11 +436,16 @@ def q_agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
              max(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS label
       FROM orders
       GROUP BY o_custkey
+    ), li_per_order AS (
+      SELECT l_orderkey,
+             sum({sql_units("l_discount", 2)}) AS disc_units,
+             count(*) AS n_items
+      FROM lineitem GROUP BY l_orderkey
     ), li AS (
       SELECT o_custkey,
-             {sql_r('avg(l_discount)')} AS avg_disc,
-             count(*) AS n_items
-      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             {sql_r('sum(disc_units) / (100.0 * sum(n_items))')} AS avg_disc,
+             sum(n_items) AS n_items
+      FROM li_per_order JOIN orders ON l_orderkey = o_orderkey
       GROUP BY o_custkey
     )
     SELECT c_custkey,
@@ -489,12 +494,29 @@ def q_train_features_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumnRenamed("o_custkey", "ord_custkey")
     )
+    # Pre-aggregate lineitem per ORDER before touching orders: at 100 TB
+    # this collapses the fact-fact join's probe side from one row per
+    # item to one row per order (~4x here, ~10x in TPC-H proper) before
+    # any wide shuffle, and the discount average is carried as EXACT
+    # integer partials (2dp discounts -> cent-units; the final divide is
+    # one IEEE op), so the two-phase rollup is bit-deterministic where
+    # an avg-of-doubles would drift with reduction order.
+    li_per_order = li.groupBy("l_orderkey").agg(
+        F.sum(int_units("l_discount", 2)).alias("disc_units"),
+        F.count(F.lit(1)).alias("n_items_o"),
+    )
     li_agg = (
-        li.join(o.select("o_orderkey", "o_custkey"), li.l_orderkey == F.col("o_orderkey"))
+        li_per_order.join(
+            o.select("o_orderkey", "o_custkey"),
+            li_per_order.l_orderkey == F.col("o_orderkey"),
+        )
         .groupBy("o_custkey")
         .agg(
-            r4(F.avg("l_discount")).alias("avg_disc"),
-            F.count(F.lit(1)).alias("n_items"),
+            r4(
+                F.sum("disc_units")
+                / (F.lit(100.0) * F.sum("n_items_o"))
+            ).alias("avg_disc"),
+            F.sum("n_items_o").alias("n_items"),
         )
         .withColumnRenamed("o_custkey", "li_custkey")
     )

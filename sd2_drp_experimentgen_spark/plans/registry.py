@@ -188,6 +188,9 @@ _PRIORITY_BOOST = (
     "q_mix_weighted_avg",
     "q_merge_upsert",
     "q_join_bucketed",
+    # pre-aggregation rewrite (r4 late): li-per-order partials + exact
+    # integer discount average changed avg_disc's derivation -> re-prove
+    "q_train_features_wide",
     # tier 3: stale events-dependent r1/r2 greens
     "q_json_extract",
     "q_map_funcs",
