@@ -54,6 +54,15 @@ def events_ts_unit(path: str) -> str:
     same process (bench warm-ups, per-query driver calls) pay zero IO
     while a regenerated file still invalidates the entry.
     """
+    if os.path.isdir(path):
+        # multi-file table (the production layout): all parts share one
+        # writer schema, so sniffing any one footer suffices
+        parts = sorted(
+            f for f in os.listdir(path) if f.endswith(".parquet")
+        )
+        if not parts:
+            raise FileNotFoundError(f"no parquet parts in {path}")
+        path = os.path.join(path, parts[0])
     st = os.stat(path)
     return _ts_unit_impl(path, st.st_mtime_ns, st.st_size)
 
