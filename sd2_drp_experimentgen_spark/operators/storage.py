@@ -122,14 +122,21 @@ def q_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY l_returnflag
     """,
     tier="P1",
-    doc="Skew-resistant two-stage aggregation: l_returnflag has only 3 "
-    "values, so a direct groupBy funnels the whole table into 3 reduce "
-    "tasks. Stage 1 groups by (key, salt) — 16 random salts spread "
-    "each hot key over 16 tasks; stage 2 merges the 48 partials. "
-    "count/sum re-aggregate losslessly, so the result hash-matches the "
-    "unsalted oracle. (Spark's AQE skew handling covers joins, not "
-    "hot-key aggregation — this is the manual pattern for that gap; "
-    "float sums are rounded only after the final merge.)",
+    doc="Skew-resistant two-stage aggregation: stage 1 groups by "
+    "(key, salt) — 16 deterministic salts spread each hot key over 16 "
+    "tasks; stage 2 merges the 48 partials. count/sum re-aggregate "
+    "losslessly, so the result hash-matches the unsalted oracle. "
+    "Honest scope, per the measured study (SCALE.md round-4 skew "
+    "study, tools/skew_study.py): for DECOMPOSABLE aggregates like "
+    "these, map-side partial aggregation already collapses a hot key "
+    "to one row per task and salting measured as pure overhead "
+    "(0.26s naive vs 0.45s salted on a 50%-one-key 19M-row build) — "
+    "the pattern earns its keep for HOLISTIC or state-heavy "
+    "aggregates (collect_list/exact percentile state, partial maps "
+    "degrading under high per-task key cardinality), where stage 1 "
+    "genuinely bounds per-task state. This operator exists to pin "
+    "the lossless two-stage mechanics; float sums are rounded only "
+    "after the final merge.",
 )
 def q_agg_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").select("l_returnflag", "l_quantity")
@@ -495,10 +502,11 @@ def q_sink_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     "spreads over 16. The shuffle_hash hint suppresses the broadcast "
     "Catalyst would rightly pick at fixture scale, because the "
     "pattern being exercised is for dimensions too big to broadcast "
-    "with skewed fact keys (AQE's skew-join split handles sort-merge "
-    "skew, but salting remains the lever when the hot key is a "
-    "single value AQE can't subdivide, e.g. a null-bucket or "
-    "bot-traffic user). The salt never reaches the output: the "
+    "with skewed fact keys — measured on a 50%-one-key 19M-row "
+    "build (SCALE.md round-4 skew study): salted 1.13s vs 1.67s "
+    "naive-with-AQE-skew-split, because AQE's split targets "
+    "sort-merge spill imbalance and left this in-memory shuffled-"
+    "hash join's hot task intact. The salt never reaches the output: the "
     "post-join aggregate is salt-invariant and hash-checks against "
     "the plain join.",
 )
