@@ -312,6 +312,7 @@ _NEW_THIS_ROUND: frozenset[str] = frozenset(
         "q_sql_udf_declared",
         "q_dq_anomaly_zscore",
         "q_corpus_report",
+        "q_agg_distinct_salted",
     }
 )
 
