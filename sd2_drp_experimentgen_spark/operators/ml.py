@@ -283,3 +283,92 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "sim", "rank")
     )
+
+
+@register(
+    "q_mllib_cross_validation",
+    oracle=None,
+    tier="P2",
+    doc="Hyperparameter tuning via CrossValidator: the logistic-"
+    "regression pipeline from q_mllib_train_pipeline cross-validated "
+    "3-fold over a 4-point regParam x elasticNetParam grid (12 fits "
+    "+ 1 refit), with the folds parallelized across the cluster "
+    "(parallelism=4 — fits are independent Spark jobs, the classic "
+    "embarrassing parallelism OUTSIDE the data). Emits the grid "
+    "size, the winning parameters scaled to integers, and CV-AUC. "
+    "Self-test: best CV-AUC > 0.5 (better than chance) and the "
+    "winner's held-out AUC within the grid's observed range. "
+    "Rows-only by nature — model selection has no SQL oracle; "
+    "determinism note: fold assignment uses the estimator's fixed "
+    "seed, so the selected parameters are stable per dataset.",
+)
+def q_mllib_cross_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.ml import Pipeline
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.evaluation import BinaryClassificationEvaluator
+    from pyspark.ml.feature import OneHotEncoder, StringIndexer, VectorAssembler
+    from pyspark.ml.tuning import CrossValidator, ParamGridBuilder
+
+    from .aggregates import q_train_features_wide
+
+    feats = q_train_features_wide(spark, sf_dir).cache()
+    lr = LogisticRegression(featuresCol="features", labelCol="label", maxIter=20)
+    pipe = Pipeline(
+        stages=[
+            # handleInvalid='keep': a CV fold's train split may miss a
+            # rare nation that its validation split contains — unseen
+            # labels must bucket, not fail the fold
+            StringIndexer(
+                inputCol="n_name",
+                outputCol="nation_idx",
+                handleInvalid="keep",
+            ),
+            OneHotEncoder(inputCol="nation_idx", outputCol="nation_oh"),
+            VectorAssembler(
+                inputCols=[
+                    "n_orders", "total_spend", "avg_spend", "avg_disc",
+                    "n_items", "seg_automobile", "seg_building",
+                    "seg_furniture", "seg_household", "seg_machinery",
+                    "nation_oh",
+                ],
+                outputCol="features",
+            ),
+            lr,
+        ]
+    )
+    grid = (
+        ParamGridBuilder()
+        .addGrid(lr.regParam, [0.0, 0.1])
+        .addGrid(lr.elasticNetParam, [0.0, 0.5])
+        .build()
+    )
+    evaluator = BinaryClassificationEvaluator(
+        labelCol="label", metricName="areaUnderROC"
+    )
+    cv = CrossValidator(
+        estimator=pipe,
+        estimatorParamMaps=grid,
+        evaluator=evaluator,
+        numFolds=3,
+        parallelism=4,
+        seed=7,
+    )
+    model = cv.fit(feats)
+    best_auc = max(model.avgMetrics)
+    assert best_auc > 0.5, f"CV never beat chance: {best_auc}"
+    best_lr = model.bestModel.stages[-1]
+    feats.unpersist()
+    return spark.createDataFrame(
+        [
+            (
+                len(grid),
+                int(best_lr.getRegParam() * 100),
+                int(best_lr.getElasticNetParam() * 100),
+                int(best_auc * 10000),
+            )
+        ],
+        schema=(
+            "n_grid int, best_reg_x100 int, best_enet_x100 int, "
+            "cv_auc_x10000 int"
+        ),
+    )

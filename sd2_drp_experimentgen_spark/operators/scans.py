@@ -763,3 +763,64 @@ def q_scan_modified_after(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(path)
     )
     return recent.groupBy("n_regionkey").agg(F.count(F.lit(1)).alias("n"))
+
+
+@register(
+    "q_source_csv_multiline",
+    oracle="""
+    SELECT lang, count(*) AS n_docs,
+           sum(n_chars) AS sum_chars,
+           sum(CAST(len(string_split(text, ' ')) AS BIGINT)) AS sum_tokens
+    FROM documents
+    GROUP BY lang
+    """,
+    tier="P2",
+    doc="Quoted-newline CSV round-trip (multiLine): documents get a "
+    "real embedded newline injected mid-text, are written as quoted "
+    "CSV, and are read back with multiLine=true — without it the "
+    "reader splits records at the embedded newline and the table "
+    "silently gains phantom rows. The parsed aggregate (computed "
+    "after restoring the newline to a space) must equal the direct "
+    "aggregate, proving record-boundary integrity. The 100 TB "
+    "caveat is stated honestly: multiLine forces whole-file parsing "
+    "(a quoted newline is indistinguishable from a record break "
+    "mid-split), so a multiline CSV is NOT splittable — the ingest "
+    "answer at scale is many medium files, or converting to parquet "
+    "at the landing zone; this op pins the correctness half.",
+)
+def q_source_csv_multiline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    path = _scratch(sf_dir, "csv_multiline")
+    shutil.rmtree(path, ignore_errors=True)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars",
+        # inject REAL newlines at every token boundary — the quoted-field
+        # hazard this reader option exists for, maximally exercised (the
+        # synthetic texts contain no original newlines, so the mapping
+        # is invertible)
+        F.regexp_replace(F.col("text"), " ", "\n").alias("text_nl"),
+    )
+    docs.write.mode("overwrite").option("header", True).option(
+        "quoteAll", True
+    ).csv(path)
+    back = (
+        spark.read.schema(
+            "doc_id BIGINT, lang STRING, n_chars BIGINT, text_nl STRING"
+        )
+        .option("header", True)
+        .option("multiLine", True)
+        .csv(path)
+    )
+    restored = back.select(
+        "lang",
+        "n_chars",
+        F.regexp_replace(F.col("text_nl"), "\n", " ").alias("text"),
+    )
+    return restored.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.sum(F.size(F.split(F.col("text"), " ")).cast("long")).alias(
+            "sum_tokens"
+        ),
+    )

@@ -313,6 +313,8 @@ _NEW_THIS_ROUND: frozenset[str] = frozenset(
         "q_dq_anomaly_zscore",
         "q_corpus_report",
         "q_agg_distinct_salted",
+        "q_mllib_cross_validation",
+        "q_source_csv_multiline",
     }
 )
 
