@@ -523,3 +523,146 @@ def q_mm_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema="doc_id long, n_samples long, sum_abs long, sum_sq long, "
         "peak_abs long",
     )
+
+
+N_VIDEO_FRAME_BYTES = 160  # 16-byte digest x 10 repeats
+
+
+def video_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents -> video table: (doc_id, payload binary SVID
+    container, video struct<n_frames int, frame_bytes int>).
+
+    SVID is a minimal-but-real container built in Column expressions:
+    magic 'SVID', one byte frame count, uint16-LE frame length, then
+    n_frames fixed-length frames. Frame f's bytes are the 16-byte
+    md5(md5(text) || '-' || f) digest repeated 10x — per-frame content
+    that differs deterministically along the time axis, so temporal
+    operators (stride sampling, per-frame stats) have real structure
+    to verify against. Same multimodal convention as PPM/WAV: typed
+    prunable metadata struct beside an opaque binary column.
+    """
+    nf = "(doc_id % 5 + 2)"  # 2..6 frames
+    frame_hexes = ", ".join(
+        f"unhex(case when {f} < {nf} then "
+        f"repeat(md5(concat(md5(text), '-', '{f}')), 10) else '' end)"
+        for f in range(6)
+    )
+    payload = F.expr(
+        "concat(cast('SVID' as binary), "
+        f"unhex(lpad(hex({nf}), 2, '0')), "
+        "unhex('A000'), "  # frame_len = 160, little-endian uint16
+        f"{frame_hexes})"
+    )
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        payload.alias("payload"),
+        F.struct(
+            F.expr(nf).cast("int").alias("n_frames"),
+            F.lit(N_VIDEO_FRAME_BYTES).alias("frame_bytes"),
+        ).alias("video"),
+    )
+
+
+def _decode_svid(payload: bytes):
+    """Genuine SVID container parser: validates magic, reads the frame
+    count and little-endian frame length, checks total length, and
+    returns the list of frame byte arrays."""
+    import struct
+
+    import numpy as np
+
+    if payload[:4] != b"SVID":
+        raise ValueError("bad magic")
+    n_frames = payload[4]
+    (frame_len,) = struct.unpack("<H", payload[5:7])
+    if len(payload) != 7 + n_frames * frame_len:
+        raise ValueError("container length mismatch")
+    body = np.frombuffer(payload, dtype=np.uint8, offset=7)
+    return [
+        body[f * frame_len : (f + 1) * frame_len] for f in range(n_frames)
+    ]
+
+
+@register(
+    "q_mm_video_stride_verified",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, md5(text) AS hx, doc_id % 5 + 2 AS nf
+      FROM documents
+    ),
+    f AS (SELECT g AS fr FROM generate_series(0, 5) t(g)
+          WHERE g % 2 = 0),
+    i AS (SELECT g AS px FROM generate_series(0, 15) t(g)),
+    b AS (
+      SELECT d.doc_id, d.nf, f.fr,
+             (strpos('0123456789abcdef',
+                     substr(md5(d.hx || '-' || CAST(f.fr AS VARCHAR)),
+                            2 * i.px + 1, 1)) - 1) * 16
+             + strpos('0123456789abcdef',
+                      substr(md5(d.hx || '-' || CAST(f.fr AS VARCHAR)),
+                             2 * i.px + 2, 1)) - 1 AS val
+      FROM d JOIN f ON f.fr < d.nf CROSS JOIN i
+    )
+    SELECT doc_id,
+           CAST(max(nf) AS INTEGER) AS n_frames,
+           CAST(count(*) / 16 AS INTEGER) AS n_sampled,
+           CAST(sum(val) * 10 AS BIGINT) AS energy,
+           CAST(max(val) AS BIGINT) AS peak
+    FROM b
+    GROUP BY doc_id
+    """,
+    tier="P2",
+    doc="Multimodal VIDEO decode with EXACT verification — the "
+    "temporal member of the verified-decode family beside the PPM "
+    "image and RIFF/WAVE audio paths: the payload is a real "
+    "container (magic, frame count, LE frame length, fixed-size "
+    "frames) built in Column expressions, _decode_svid is a genuine "
+    "parser with length validation, and the operator does what video "
+    "pipelines do at ingest — STRIDE-SAMPLE every 2nd frame (the "
+    "keyframe-thinning step that makes 100 TB of video tractable) "
+    "and emit exact integer per-doc features (frames, sampled "
+    "frames, sampled energy, peak). Frame bytes repeat a per-frame "
+    "md5 digest, so the oracle reproduces every sampled sum in "
+    "closed form. Payloads decode inside mapInPandas and never "
+    "shuffle; swapping SVID for MP4 means replacing the parser with "
+    "pyav and the stride with a keyframe index.",
+)
+def q_mm_video_stride_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    src = video_table(spark, sf_dir)
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            rows = []
+            for _, r in pdf.iterrows():
+                frames = _decode_svid(bytes(r["payload"]))
+                if len(frames) != int(r["n_frames"]):
+                    raise ValueError("header/metadata frame-count mismatch")
+                sampled = frames[::2]
+                stacked = np.concatenate(sampled).astype(np.int64)
+                rows.append(
+                    (
+                        int(r["doc_id"]),
+                        len(frames),
+                        len(sampled),
+                        int(stacked.sum()),
+                        int(stacked.max()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "n_frames", "n_sampled", "energy", "peak"],
+            )
+
+    flat = src.select("doc_id", "payload", F.col("video.n_frames").alias("n_frames"))
+    return flat.mapInPandas(
+        extract,
+        schema=(
+            "doc_id bigint, n_frames int, n_sampled int, "
+            "energy bigint, peak bigint"
+        ),
+    )

@@ -315,6 +315,7 @@ _NEW_THIS_ROUND: frozenset[str] = frozenset(
         "q_agg_distinct_salted",
         "q_mllib_cross_validation",
         "q_source_csv_multiline",
+        "q_mm_video_stride_verified",
     }
 )
 
