@@ -629,3 +629,66 @@ def cosine_topk_for_queries(
     return spark.createDataFrame(
         rows, schema="query_id long, neighbor_id long, sim double, rank int"
     )
+
+
+MATRYOSHKA_PREFIX_DIMS = 16
+
+
+@register(
+    "q_emb_matryoshka_mass",
+    oracle=f"""
+    WITH per_vec AS (
+      SELECT vec_id, label,
+             list_sum(list_transform(embedding[1:{MATRYOSHKA_PREFIX_DIMS}],
+                      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))
+               AS head_sq,
+             list_sum(list_transform(embedding,
+                      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))
+               AS total_sq
+      FROM embeddings
+    )
+    SELECT label,
+           count(*) AS n_vecs,
+           sum(CAST(floor(head_sq / total_sq * 1000000 + 0.5) AS BIGINT))
+             AS sum_mass_ppm,
+           sum(CASE WHEN head_sq / total_sq >= 0.5 THEN 1 ELSE 0 END)
+             AS n_head_heavy
+    FROM per_vec
+    GROUP BY label
+    """,
+    tier="P2",
+    doc="Matryoshka truncation diagnostic: the fraction of each "
+    "vector's L2 mass held by its first "
+    f"{MATRYOSHKA_PREFIX_DIMS} dimensions — the number that decides "
+    "whether an MRL-style index can serve coarse search from "
+    "truncated prefixes (cheap first-stage ANN over 4x-smaller "
+    "vectors, full-dim rescoring only for finalists). Per-vector "
+    "math is a fixed-order fold over the array (slice + square-sum "
+    "via aggregate, identical element order on both engines), the "
+    "ratio is one IEEE divide rounded half-up to ppm, and the "
+    "per-label rollup sums exact integers. Pure Column expressions "
+    "— no Python boundary for a per-vector diagnostic that would "
+    "run over every embedding in a 100 TB corpus.",
+)
+def q_emb_matryoshka_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    sq_sum = lambda col: F.aggregate(  # noqa: E731
+        col,
+        F.lit(0.0),
+        lambda acc, x: acc + x.cast("double") * x.cast("double"),
+    )
+    per_vec = e.select(
+        "label",
+        sq_sum(F.slice(F.col("embedding"), 1, MATRYOSHKA_PREFIX_DIMS)).alias(
+            "head_sq"
+        ),
+        sq_sum(F.col("embedding")).alias("total_sq"),
+    )
+    ratio = F.col("head_sq") / F.col("total_sq")
+    return per_vec.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.sum(
+            F.floor(ratio * 1_000_000 + F.lit(0.5)).cast("long")
+        ).alias("sum_mass_ppm"),
+        F.sum(F.when(ratio >= 0.5, 1).otherwise(0)).alias("n_head_heavy"),
+    )

@@ -316,6 +316,7 @@ _NEW_THIS_ROUND: frozenset[str] = frozenset(
         "q_mllib_cross_validation",
         "q_source_csv_multiline",
         "q_mm_video_stride_verified",
+        "q_emb_matryoshka_mass",
     }
 )
 
