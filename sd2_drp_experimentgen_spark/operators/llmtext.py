@@ -1512,3 +1512,164 @@ def q_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY GROUPING SETS ((lang), ())
         """
     )
+
+
+@register(
+    "q_pack_policy_compare",
+    oracle=f"""
+    WITH sized AS (
+      SELECT doc_id, len(string_split(text, ' ')) AS n_tokens
+      FROM documents
+    ),
+    arrival AS (
+      SELECT CAST((sum(n_tokens) OVER (ORDER BY doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   - n_tokens) // {PACK_BUDGET} AS BIGINT) AS seq_id,
+             n_tokens
+      FROM sized
+    ),
+    sorted_fill AS (
+      SELECT CAST((sum(n_tokens) OVER (ORDER BY n_tokens DESC, doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   - n_tokens) // {PACK_BUDGET} AS BIGINT) AS seq_id,
+             n_tokens
+      FROM sized
+    )
+    SELECT 'arrival' AS policy,
+           (SELECT count(DISTINCT seq_id) FROM arrival) AS n_seqs,
+           (SELECT sum(n_tokens) FROM arrival) AS total_tokens,
+           (SELECT sum(CASE WHEN t = {PACK_BUDGET} THEN 1 ELSE 0 END)
+            FROM (SELECT seq_id, sum(n_tokens) AS t FROM arrival
+                  GROUP BY seq_id)) AS n_exact_full
+    UNION ALL
+    SELECT 'sorted' AS policy,
+           (SELECT count(DISTINCT seq_id) FROM sorted_fill) AS n_seqs,
+           (SELECT sum(n_tokens) FROM sorted_fill) AS total_tokens,
+           (SELECT sum(CASE WHEN t = {PACK_BUDGET} THEN 1 ELSE 0 END)
+            FROM (SELECT seq_id, sum(n_tokens) AS t FROM sorted_fill
+                  GROUP BY seq_id)) AS n_exact_full
+    """,
+    tier="P2",
+    doc="Packing-policy comparison: the same corpus packed into "
+    f"{PACK_BUDGET}-token sequences under two deterministic "
+    "policies — arrival order (stable doc_id; streaming-friendly, "
+    "no extra shuffle) vs length-sorted-descending fill (the "
+    "offline pass that reduces fragmentation by placing large docs "
+    "first) — reporting sequences produced, total tokens (identical "
+    "by construction: packing must conserve tokens), and "
+    "exactly-full sequences per policy. The decision table for the "
+    "batch-construction step: sorting costs one extra global sort "
+    "of (doc_id, n_tokens) pairs — 16 bytes/doc, NOT the text — "
+    "and pays off only if the fill-rate gain beats that sort at "
+    "corpus scale. Same offset-division shape as q_pack_sequences; "
+    "the policy is just the window's ORDER BY.",
+)
+def q_pack_policy_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    sized = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.size(F.split(F.col("text"), " ")).alias("n_tokens")
+    )
+
+    def pack(order_cols, policy: str):
+        w = Window.orderBy(*order_cols).rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        seqs = sized.withColumn(
+            "seq_id",
+            ((F.sum("n_tokens").over(w) - F.col("n_tokens")) / PACK_BUDGET)
+            .cast("long"),
+        )
+        per_seq = seqs.groupBy("seq_id").agg(F.sum("n_tokens").alias("t"))
+        return per_seq.agg(
+            F.lit(policy).alias("policy"),
+            F.count(F.lit(1)).alias("n_seqs"),
+            F.sum("t").alias("total_tokens"),
+            F.sum(F.when(F.col("t") == PACK_BUDGET, 1).otherwise(0)).alias(
+                "n_exact_full"
+            ),
+        ).select("policy", "n_seqs", "total_tokens", "n_exact_full")
+
+    arrival = pack([F.asc("doc_id")], "arrival")
+    sorted_fill = pack([F.desc("n_tokens"), F.asc("doc_id")], "sorted")
+    return arrival.unionAll(sorted_fill)
+
+
+MIX_TOKEN_BUDGET = 1_000_000
+MIX_MAX_EPOCHS_X100 = 400  # cap any language at 4 epochs
+
+
+@register(
+    "q_mix_epochs_budget",
+    oracle=f"""
+    WITH lang_tokens AS (
+      SELECT lang,
+             sum(len(string_split(text, ' '))) AS avail
+      FROM documents GROUP BY lang
+    ),
+    shares AS (
+      SELECT lang, avail,
+             CAST(floor(CAST(avail AS DOUBLE)
+                        / (SELECT sum(avail) FROM lang_tokens)
+                        * {MIX_TOKEN_BUDGET} + 0.5) AS BIGINT) AS want
+      FROM lang_tokens
+    )
+    SELECT lang,
+           CAST(avail AS BIGINT) AS avail_tokens,
+           want AS target_tokens,
+           least(CAST(floor(CAST(want AS DOUBLE) / avail * 100 + 0.5)
+                      AS BIGINT), {MIX_MAX_EPOCHS_X100}) AS epochs_x100,
+           least(CAST(floor(CAST(want AS DOUBLE) / avail * 100 + 0.5)
+                      AS BIGINT), {MIX_MAX_EPOCHS_X100}) * avail // 100
+             AS granted_tokens
+    FROM shares
+    """,
+    tier="P2",
+    doc="Mixing-budget / epochs table — the planning artifact behind "
+    "every pre-training data card: given a total token budget and "
+    "each language's available tokens, how many EPOCHS (repetition "
+    "factor, x100 fixed-point) each slice contributes, capped at 4 "
+    "epochs (the repetition ceiling the data-constrained-scaling "
+    "literature motivates), and the tokens actually granted under "
+    "the cap. Composes upstream of q_mix_temperature (which reshapes "
+    "the target shares) and q_sample_weighted (which materializes "
+    "the draw). All ratios are single IEEE divides rounded to "
+    "fixed-point BEFORE the integer arithmetic, so the table is "
+    "hash-exact; the whole plan is one small rollup + a 1-row "
+    "total broadcast.",
+)
+def q_mix_epochs_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    lang_tokens = docs.groupBy("lang").agg(
+        F.sum(F.size(F.split(F.col("text"), " "))).alias("avail")
+    )
+    total = lang_tokens.agg(F.sum("avail").alias("total_avail"))
+    want = (
+        F.floor(
+            F.col("avail").cast("double")
+            / F.col("total_avail")
+            * MIX_TOKEN_BUDGET
+            + F.lit(0.5)
+        ).cast("long")
+    )
+    epochs = F.least(
+        F.floor(
+            F.col("target_tokens").cast("double") / F.col("avail") * 100
+            + F.lit(0.5)
+        ).cast("long"),
+        F.lit(MIX_MAX_EPOCHS_X100),
+    )
+    return (
+        lang_tokens.crossJoin(F.broadcast(total))
+        .withColumn("target_tokens", want)
+        .withColumn("epochs_x100", epochs)
+        .select(
+            "lang",
+            F.col("avail").cast("long").alias("avail_tokens"),
+            "target_tokens",
+            "epochs_x100",
+            ((F.col("epochs_x100") * F.col("avail")) / 100)
+            .cast("long")
+            .alias("granted_tokens"),
+        )
+    )

@@ -317,6 +317,8 @@ _NEW_THIS_ROUND: frozenset[str] = frozenset(
         "q_source_csv_multiline",
         "q_mm_video_stride_verified",
         "q_emb_matryoshka_mass",
+        "q_pack_policy_compare",
+        "q_mix_epochs_budget",
     }
 )
 
