@@ -1306,3 +1306,165 @@ def q_dq_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor(F.max(F.abs(F.col("z"))) * 10000 + F.lit(0.5)) / 10000
         ).alias("max_abs_z"),
     )
+
+
+@register(
+    "q_stat_chi_square_cells",
+    oracle="""
+    WITH joined AS (
+      SELECT e.event_type, c.c_mktsegment AS segment
+      FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    ),
+    obs AS (
+      SELECT event_type, segment, count(*) AS o
+      FROM joined GROUP BY event_type, segment
+    ),
+    margins AS (
+      SELECT o.event_type, o.segment, o.o,
+             sum(o.o) OVER (PARTITION BY o.event_type) AS row_total,
+             sum(o.o) OVER (PARTITION BY o.segment) AS col_total,
+             sum(o.o) OVER () AS grand
+      FROM obs o
+    )
+    SELECT event_type, segment, CAST(o AS BIGINT) AS observed,
+           floor(CAST(row_total AS DOUBLE) * col_total / grand
+                 * 1000000 + 0.5) / 1000000 AS expected,
+           floor((o - CAST(row_total AS DOUBLE) * col_total / grand)
+                 * (o - CAST(row_total AS DOUBLE) * col_total / grand)
+                 / (CAST(row_total AS DOUBLE) * col_total / grand)
+                 * 1000000 + 0.5) / 1000000 AS contribution
+    FROM margins
+    """,
+    tier="P2",
+    doc="Chi-square independence table (event type x customer "
+    "segment): the per-cell observed counts, expected counts under "
+    "independence (row x col / grand), and chi-square contributions "
+    "— the statistical-association screen behind every segmentation "
+    "or A/B sanity check. Emitted PER CELL rather than as one chi2 "
+    "scalar on purpose: each cell's expected value and contribution "
+    "is a fixed chain of IEEE ops from exact integer margins "
+    "(hash-exact at 6dp), while a single summed statistic would "
+    "fold 25 doubles in engine-dependent order — the analyst sums "
+    "the 25 published cells, or compares cells directly (which is "
+    "what you actually do when a test fires). One fact shuffle for "
+    "the counts; margins are windows over the 25-row table — free.",
+)
+def q_stat_chi_square_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_events(spark, sf_dir).select("user_id", "event_type")
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", F.col("c_mktsegment").alias("segment")
+    )
+    obs = (
+        ev.join(F.broadcast(cust), ev.user_id == cust.c_custkey)
+        .groupBy("event_type", "segment")
+        .agg(F.count(F.lit(1)).alias("o"))
+    )
+    row_w = Window.partitionBy("event_type")
+    col_w = Window.partitionBy("segment")
+    all_w = Window.partitionBy()
+    withm = obs.select(
+        "event_type",
+        "segment",
+        "o",
+        F.sum("o").over(row_w).alias("row_total"),
+        F.sum("o").over(col_w).alias("col_total"),
+        F.sum("o").over(all_w).alias("grand"),
+    )
+    e = F.col("row_total").cast("double") * F.col("col_total") / F.col("grand")
+    r6_ = lambda c: F.floor(c * 1_000_000 + F.lit(0.5)) / 1_000_000  # noqa: E731
+    return withm.select(
+        "event_type",
+        "segment",
+        F.col("o").alias("observed"),
+        r6_(e).alias("expected"),
+        r6_((F.col("o") - e) * (F.col("o") - e) / e).alias("contribution"),
+    )
+
+
+@register(
+    "q_crm_rfm_segments",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id,
+             CAST(date_diff('day',
+                  CAST(max(ts) AS DATE),
+                  (SELECT CAST(max(ts) AS DATE) FROM events)) AS BIGINT)
+               AS recency_days,
+             count(*) AS frequency,
+             sum(CAST(floor(value * 10000 + 0.5) AS BIGINT)) AS monetary_units
+      FROM events
+      WHERE event_type = 'purchase'
+      GROUP BY user_id
+    ),
+    scored AS (
+      SELECT user_id, recency_days, frequency, monetary_units,
+             ntile(5) OVER (ORDER BY recency_days, user_id) AS r_score,
+             ntile(5) OVER (ORDER BY frequency DESC, user_id) AS f_score,
+             ntile(5) OVER (ORDER BY monetary_units DESC, user_id) AS m_score
+      FROM per_user
+    )
+    SELECT r_score, f_score, m_score,
+           count(*) AS n_users,
+           sum(monetary_units) AS sum_monetary_units,
+           min(user_id) AS sample_user
+    FROM scored
+    GROUP BY r_score, f_score, m_score
+    """,
+    tier="P1",
+    doc="RFM segmentation (recency / frequency / monetary) — the "
+    "classic CRM scoring every marketing warehouse computes: per "
+    "purchasing user, days since last purchase (vs the corpus max), "
+    "purchase count, and exact integer monetary units; each axis "
+    "quintiled with ntile(5) over a TOTAL order (metric, then "
+    "user_id — ntile over a partial order would split ties "
+    "arbitrarily per engine), then rolled up per (R,F,M) cell. "
+    "Scale note: each unpartitioned ntile is a single-task sort of "
+    "one (metric, user) pair per USER — fine to ~10^8 users; beyond "
+    "that the quintile boundaries come from approx/exact percentiles "
+    "broadcast back (the q_dq_outlier_fences construction) and the "
+    "score is a comparison, not a rank.",
+)
+def q_crm_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_events(spark, sf_dir).where(F.col("event_type") == "purchase")
+    max_day = ev.agg(
+        F.max(F.col("ts").cast("date")).alias("corpus_max_day")
+    )
+    per_user = (
+        ev.groupBy("user_id")
+        .agg(
+            F.max(F.col("ts").cast("date")).alias("last_day"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.sum(int_units("value")).alias("monetary_units"),
+        )
+        .crossJoin(F.broadcast(max_day))
+        .select(
+            "user_id",
+            F.datediff(F.col("corpus_max_day"), F.col("last_day"))
+            .cast("long")
+            .alias("recency_days"),
+            "frequency",
+            "monetary_units",
+        )
+    )
+    scored = per_user.select(
+        "user_id",
+        "monetary_units",
+        F.ntile(5)
+        .over(Window.orderBy(F.asc("recency_days"), F.asc("user_id")))
+        .alias("r_score"),
+        F.ntile(5)
+        .over(Window.orderBy(F.desc("frequency"), F.asc("user_id")))
+        .alias("f_score"),
+        F.ntile(5)
+        .over(Window.orderBy(F.desc("monetary_units"), F.asc("user_id")))
+        .alias("m_score"),
+    )
+    return scored.groupBy("r_score", "f_score", "m_score").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("monetary_units").alias("sum_monetary_units"),
+        F.min("user_id").alias("sample_user"),
+    )

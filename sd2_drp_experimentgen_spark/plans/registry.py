@@ -319,6 +319,8 @@ _NEW_THIS_ROUND: frozenset[str] = frozenset(
         "q_emb_matryoshka_mass",
         "q_pack_policy_compare",
         "q_mix_epochs_budget",
+        "q_stat_chi_square_cells",
+        "q_crm_rfm_segments",
     }
 )
 
