@@ -1006,3 +1006,94 @@ def q_join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("next_event_id").isNotNull())
         .select("o_orderkey", "next_event_id", "next_ts_epoch")
     )
+
+
+ASOF_TOLERANCE_DAYS = 8400
+
+
+@register(
+    "q_join_asof_tolerance",
+    oracle=f"""
+    WITH matched AS (
+      SELECT e.event_id, o.o_orderkey, o.o_orderdate,
+             row_number() OVER (
+               PARTITION BY e.event_id
+               ORDER BY o.o_orderdate DESC, o.o_orderkey DESC
+             ) AS rn
+      FROM events e JOIN orders o
+        ON o.o_custkey = e.user_id
+       AND o.o_orderdate <= e.ts
+       AND o.o_orderdate > e.ts - INTERVAL {ASOF_TOLERANCE_DAYS} DAY
+    )
+    SELECT event_id,
+           o_orderkey AS asof_orderkey,
+           CAST(o_orderdate AS DATE) AS asof_date
+    FROM matched WHERE rn = 1
+    """,
+    tier="P2",
+    doc="As-of join WITH TOLERANCE — completing the direction/bound "
+    "trio (backward q_join_asof, forward q_join_asof_forward): each "
+    f"event matches its customer's latest order at most "
+    f"{ASOF_TOLERANCE_DAYS} days old (calibrated to the fixture's "
+    "2024-events-vs-2001-orders gap so BOTH outcomes — match kept "
+    "and match dropped — actually occur); staler matches drop, "
+    "exactly pandas merge_asof's tolerance semantics (a stock quote "
+    "too old must not fill today's trade). Same one-"
+    "shuffle union-sort walk — the tolerance is a post-carry filter "
+    "comparing the carried order time against the event time, so no "
+    "extra join or window; ties on date resolve to max orderkey on "
+    "both engines. The tolerance also BOUNDS the useful state at "
+    "100 TB: a time-bucketed variant can partition by (user, "
+    "tolerance-sized bucket) and never sort more than two buckets "
+    "together.",
+)
+def q_join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..sources.tables import load_events
+
+    tol_us = ASOF_TOLERANCE_DAYS * 86_400 * 1_000_000
+    ev = load_events(spark, sf_dir).select(
+        F.col("user_id").alias("key"),
+        F.unix_micros("ts").alias("t_us"),
+        F.lit(0).alias("is_order"),
+        F.col("event_id"),
+        F.lit(None).cast("long").alias("o_orderkey"),
+        F.lit(None).cast("timestamp_ntz").alias("o_orderdate"),
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("key"),
+        F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias("t_us"),
+        F.lit(1).alias("is_order"),
+        F.lit(None).cast("long").alias("event_id"),
+        F.col("o_orderkey"),
+        F.col("o_orderdate"),
+    )
+    w = (
+        Window.partitionBy("key")
+        .orderBy(F.asc("t_us"), F.desc("is_order"), F.asc("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    tagged = ev.unionByName(orders)
+    carried = tagged.select(
+        "event_id",
+        "is_order",
+        F.col("t_us").alias("ev_us"),
+        F.last("o_orderkey", ignorenulls=True).over(w).alias("asof_orderkey"),
+        F.last("o_orderdate", ignorenulls=True).over(w).alias("asof_ts"),
+        F.last(
+            F.when(F.col("is_order") == 1, F.col("t_us")), ignorenulls=True
+        ).over(w).alias("asof_us"),
+    )
+    return (
+        carried.where(F.col("is_order") == 0)
+        .where(
+            F.col("asof_orderkey").isNotNull()
+            & (F.col("ev_us") - F.col("asof_us") < F.lit(tol_us))
+        )
+        .select(
+            "event_id",
+            "asof_orderkey",
+            F.col("asof_ts").cast("date").alias("asof_date"),
+        )
+    )

@@ -321,6 +321,7 @@ _NEW_THIS_ROUND: frozenset[str] = frozenset(
         "q_mix_epochs_budget",
         "q_stat_chi_square_cells",
         "q_crm_rfm_segments",
+        "q_join_asof_tolerance",
     }
 )
 
