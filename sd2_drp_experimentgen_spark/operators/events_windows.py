@@ -683,3 +683,87 @@ def q_event_journey_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_purchases",
         "n_attr_click",
     )
+
+
+FUNNEL_WINDOW_HOURS = 24
+
+
+@register(
+    "q_event_funnel_bounded",
+    oracle=f"""
+    WITH firsts AS (
+      SELECT user_id,
+             min(CASE WHEN event_type = 'view' THEN ts END) AS first_view
+      FROM events GROUP BY user_id
+    ),
+    conv AS (
+      SELECT f.user_id, f.first_view,
+             min(e.ts) AS first_purchase_in_window
+      FROM firsts f
+      LEFT JOIN events e
+        ON e.user_id = f.user_id
+       AND e.event_type = 'purchase'
+       AND e.ts > f.first_view
+       AND e.ts <= f.first_view + INTERVAL {FUNNEL_WINDOW_HOURS} HOUR
+      GROUP BY f.user_id, f.first_view
+    )
+    SELECT count(*) AS n_users,
+           count(first_view) AS n_viewed,
+           count(first_purchase_in_window) AS n_converted,
+           CAST(floor(CAST(count(first_purchase_in_window) AS DOUBLE)
+                      / count(first_view) * 10000 + 0.5) AS BIGINT)
+             AS conversion_bps
+    FROM conv
+    """,
+    tier="P1",
+    doc="TIME-BOUNDED conversion funnel — the attribution-window form "
+    f"of q_event_funnel: a user converts only if a purchase follows "
+    f"their first view within {FUNNEL_WINDOW_HOURS} hours (unbounded "
+    "funnels overstate conversion forever; every product-analytics "
+    "tool bounds the window). The purchase search is a range-"
+    "predicate join back to events keyed on user_id — one co-"
+    "partitioned shuffle — and the report is exact integer counts "
+    "plus one basis-point divide. At 100 TB the same plan holds "
+    "with the join's time predicate doubling as a partition-pruning "
+    "filter when events are date-partitioned.",
+)
+def q_event_funnel_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.tables import load_events
+
+    ev = load_events(spark, sf_dir)
+    firsts = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias(
+            "first_view"
+        )
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
+    )
+    conv = (
+        firsts.join(
+            purchases,
+            (F.col("user_id") == F.col("p_user"))
+            & (F.col("p_ts") > F.col("first_view"))
+            & (
+                F.col("p_ts")
+                <= F.col("first_view")
+                + F.expr(f"INTERVAL {FUNNEL_WINDOW_HOURS} HOURS")
+            ),
+            "left",
+        )
+        .groupBy("user_id", "first_view")
+        .agg(F.min("p_ts").alias("first_purchase_in_window"))
+    )
+    return conv.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.count("first_view").alias("n_viewed"),
+        F.count("first_purchase_in_window").alias("n_converted"),
+        F.floor(
+            F.count("first_purchase_in_window").cast("double")
+            / F.count("first_view")
+            * 10000
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("conversion_bps"),
+    )

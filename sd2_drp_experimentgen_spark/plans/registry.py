@@ -322,6 +322,8 @@ _NEW_THIS_ROUND: frozenset[str] = frozenset(
         "q_stat_chi_square_cells",
         "q_crm_rfm_segments",
         "q_join_asof_tolerance",
+        "q_agg_period_over_period",
+        "q_event_funnel_bounded",
     }
 )
 
