@@ -1673,3 +1673,88 @@ def q_mix_epochs_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("granted_tokens"),
         )
     )
+
+
+WINNOW_W = 4  # fingerprint-selection window over consecutive gram hashes
+
+
+@register(
+    "q_text_winnow_fingerprints",
+    oracle=f"""
+    WITH g AS (
+      SELECT doc_id, lang,
+             list_transform(
+               list_transform(
+                 generate_series(1, len(string_split(text, ' ')) - 2),
+                 i -> md5(string_split(text, ' ')[i] || ' ' ||
+                          string_split(text, ' ')[i + 1] || ' ' ||
+                          string_split(text, ' ')[i + 2])),
+               m -> CAST('0x' || substr(m, 1, 12) AS BIGINT)
+                    % {MINHASH_P}) AS gh
+      FROM documents
+      WHERE len(string_split(text, ' ')) >= {WINNOW_W + 2 + 1}
+    ),
+    w AS (
+      SELECT doc_id, lang, len(gh) AS n_grams,
+             list_distinct(list_transform(
+               generate_series(1, len(gh) - {WINNOW_W - 1}),
+               j -> list_aggregate(gh[j:j + {WINNOW_W - 1}], 'min'))) AS fps
+      FROM g
+    )
+    SELECT doc_id, lang,
+           CAST(n_grams AS INTEGER) AS n_grams,
+           CAST(len(fps) AS INTEGER) AS n_fps,
+           CAST(list_aggregate(fps, 'sum') AS BIGINT) AS fp_checksum
+    FROM w
+    """,
+    tier="P1",
+    doc="Winnowing fingerprints (the MOSS local-minima scheme) — the "
+    "fourth member of the fingerprint family beside MinHash, SimHash "
+    "and the min-shingle digest: over each document's sequence of "
+    "3-token gram hashes, every " f"{WINNOW_W}" "-gram window "
+    "contributes its MINIMUM hash, and the distinct selected set is "
+    "the fingerprint. Winnowing guarantees any shared substring of "
+    "length >= w+k-1 yields at least one shared fingerprint "
+    "(MinHash gives only probabilistic overlap), which is why "
+    "plagiarism/clone detectors use it. The whole selection is "
+    "ARRAY-level Column expressions — transform over window slices, "
+    "array_min, array_distinct — so per-doc work never explodes to "
+    "rows and nothing shuffles but the final per-doc summary. The "
+    "fingerprint SET is position-independent, hence deterministic; "
+    "the checksum is an exact integer sum of distinct sub-1e9 "
+    "values. The md5-derived gram hashes are the same cross-engine "
+    "family the MinHash ladder uses.",
+)
+def q_text_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = F.split(F.col("text"), " ")
+    d = load_table(spark, sf_dir, "documents").where(
+        F.size(toks) >= WINNOW_W + 3
+    )
+    shingle = lambda i: F.concat_ws(  # noqa: E731
+        " ",
+        F.element_at(toks, i),
+        F.element_at(toks, i + 1),
+        F.element_at(toks, i + 2),
+    )
+    gh = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - 2),
+        lambda i: F.conv(F.substring(F.md5(shingle(i)), 1, 12), 16, 10)
+        .cast("long")
+        % MINHASH_P,
+    )
+    with_g = d.select("doc_id", "lang", gh.alias("gh"))
+    fps = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size(F.col("gh")) - (WINNOW_W - 1)),
+            lambda j: F.array_min(F.slice(F.col("gh"), j, WINNOW_W)),
+        )
+    )
+    return with_g.select(
+        "doc_id",
+        "lang",
+        F.size(F.col("gh")).alias("n_grams"),
+        F.size(fps).alias("n_fps"),
+        F.aggregate(
+            fps, F.lit(0).cast("long"), lambda acc, x: acc + x
+        ).alias("fp_checksum"),
+    )

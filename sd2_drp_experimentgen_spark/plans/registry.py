@@ -324,6 +324,7 @@ _NEW_THIS_ROUND: frozenset[str] = frozenset(
         "q_join_asof_tolerance",
         "q_agg_period_over_period",
         "q_event_funnel_bounded",
+        "q_text_winnow_fingerprints",
     }
 )
 
