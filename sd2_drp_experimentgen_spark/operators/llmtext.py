@@ -1758,3 +1758,93 @@ def q_text_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
             fps, F.lit(0).cast("long"), lambda acc, x: acc + x
         ).alias("fp_checksum"),
     )
+
+
+WINNOW_MIN_SHARED = 2
+
+
+@register(
+    "q_dedup_winnow_pairs",
+    oracle=f"""
+    WITH g AS (
+      SELECT doc_id,
+             list_transform(
+               list_transform(
+                 generate_series(1, len(string_split(text, ' ')) - 2),
+                 i -> md5(string_split(text, ' ')[i] || ' ' ||
+                          string_split(text, ' ')[i + 1] || ' ' ||
+                          string_split(text, ' ')[i + 2])),
+               m -> CAST('0x' || substr(m, 1, 12) AS BIGINT)
+                    % {MINHASH_P}) AS gh
+      FROM documents
+      WHERE len(string_split(text, ' ')) >= {WINNOW_W + 2 + 1}
+    ),
+    fp AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(
+               generate_series(1, len(gh) - {WINNOW_W - 1}),
+               j -> list_aggregate(gh[j:j + {WINNOW_W - 1}], 'min')))) AS f
+      FROM g
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           count(*) AS n_shared
+    FROM fp a JOIN fp b ON a.f = b.f AND a.doc_id < b.doc_id
+    GROUP BY doc_a, doc_b
+    HAVING count(*) >= {WINNOW_MIN_SHARED}
+    """,
+    tier="P1",
+    doc="Winnowing-based near-dup candidate pairs — the scheme "
+    "composed into the dedup ladder: documents sharing at least "
+    f"{WINNOW_MIN_SHARED} winnowing fingerprints are flagged, via a "
+    "self-join ON THE FINGERPRINT (16-byte-derived integers — text "
+    "never joins), exactly MOSS's match step. Because winnowing "
+    "guarantees a shared fingerprint for any sufficiently long "
+    "shared substring, this candidate set provably CONTAINS every "
+    "pair with substantial verbatim overlap — a recall guarantee "
+    "banded MinHash cannot give — while the per-fingerprint buckets "
+    "keep the join linear in matches, not quadratic in corpus. At "
+    "100 TB the one extra lever is dropping stop-fingerprints "
+    "(values shared by >T docs — boilerplate) before the join, the "
+    "same hot-token exclusion the ppjoin rung uses.",
+)
+def q_dedup_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = F.split(F.col("text"), " ")
+    d = load_table(spark, sf_dir, "documents").where(
+        F.size(toks) >= WINNOW_W + 3
+    )
+    shingle = lambda i: F.concat_ws(  # noqa: E731
+        " ",
+        F.element_at(toks, i),
+        F.element_at(toks, i + 1),
+        F.element_at(toks, i + 2),
+    )
+    gh = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - 2),
+        lambda i: F.conv(F.substring(F.md5(shingle(i)), 1, 12), 16, 10)
+        .cast("long")
+        % MINHASH_P,
+    )
+    fps = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size(F.col("gh")) - (WINNOW_W - 1)),
+            lambda j: F.array_min(F.slice(F.col("gh"), j, WINNOW_W)),
+        )
+    )
+    fp = (
+        d.select("doc_id", gh.alias("gh"))
+        .select("doc_id", F.explode(fps).alias("f"))
+    )
+    a = fp.alias("a")
+    b = fp.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.f") == F.col("b.f"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .where(F.col("n_shared") >= WINNOW_MIN_SHARED)
+    )

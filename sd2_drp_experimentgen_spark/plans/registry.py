@@ -325,6 +325,7 @@ _NEW_THIS_ROUND: frozenset[str] = frozenset(
         "q_agg_period_over_period",
         "q_event_funnel_bounded",
         "q_text_winnow_fingerprints",
+        "q_dedup_winnow_pairs",
     }
 )
 
