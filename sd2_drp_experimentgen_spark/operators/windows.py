@@ -426,3 +426,79 @@ def q_win_ewma_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         _round_halfup(num / den, 4).alias("ewma"),
     )
+
+
+@register(
+    "q_win_max_drawdown",
+    oracle="""
+    WITH cum AS (
+      SELECT user_id, ts, event_id,
+             sum(CAST(floor(value * 10000 + 0.5) AS BIGINT)
+                 * CASE WHEN event_type = 'error' THEN -1 ELSE 1 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS bal
+      FROM events
+    ),
+    dd AS (
+      SELECT user_id, bal,
+             max(bal) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND CURRENT ROW) - bal AS drawdown
+      FROM cum
+    )
+    SELECT user_id,
+           count(*) AS n_events,
+           max(drawdown) AS max_drawdown_units,
+           max(bal) AS peak_units,
+           CAST(sum(CASE WHEN drawdown = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_at_peak
+    FROM dd
+    GROUP BY user_id
+    """,
+    tier="P1",
+    doc="Maximum drawdown per user — the running-peak-to-trough metric "
+    "of finance and SLO analytics, over a signed running balance "
+    "(error events debit, everything else credits): cumulative sum, "
+    "running max, drawdown = peak - current, all in exact integer "
+    "units over the total order (ts, event_id) so an inherently "
+    "PATH-DEPENDENT statistic still hash-checks bit-for-bit — "
+    "float cumulative sums would make every downstream value "
+    "order-sensitive. Both windows and the final rollup share ONE "
+    "user_id shuffle and sort; n_at_peak (rows with zero drawdown) "
+    "rides along as the time-at-high-water companion metric.",
+)
+def q_win_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.helpers import int_units
+    from ..sources.tables import load_events
+
+    ev = load_events(spark, sf_dir).select(
+        "user_id",
+        "ts",
+        "event_id",
+        (
+            int_units("value")
+            * F.when(F.col("event_type") == "error", -1).otherwise(1)
+        ).alias("delta"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.asc("ts"), F.asc("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = ev.select(
+        "user_id", F.sum("delta").over(w).alias("bal"), "ts", "event_id"
+    )
+    dd = cum.select(
+        "user_id",
+        "bal",
+        (F.max("bal").over(w) - F.col("bal")).alias("drawdown"),
+    )
+    return dd.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.max("drawdown").alias("max_drawdown_units"),
+        F.max("bal").alias("peak_units"),
+        F.sum(F.when(F.col("drawdown") == 0, 1).otherwise(0)).alias(
+            "n_at_peak"
+        ),
+    )

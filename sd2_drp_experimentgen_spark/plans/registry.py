@@ -326,6 +326,7 @@ _NEW_THIS_ROUND: frozenset[str] = frozenset(
         "q_event_funnel_bounded",
         "q_text_winnow_fingerprints",
         "q_dedup_winnow_pairs",
+        "q_win_max_drawdown",
     }
 )
 
