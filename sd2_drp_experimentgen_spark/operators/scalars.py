@@ -905,3 +905,49 @@ def q_sql_udf_declared(spark: SparkSession, sf_dir: str) -> DataFrame:
         UNION ALL SELECT * FROM sd2drp_top3('P')
         """
     )
+
+
+@register(
+    "q_frame_transpose",
+    oracle="""
+    WITH agg AS (
+      SELECT o_orderstatus,
+             count(*) AS n_orders,
+             sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS cents
+      FROM orders GROUP BY o_orderstatus
+    )
+    SELECT 'n_orders' AS key,
+           max(CASE WHEN o_orderstatus = 'F' THEN n_orders END) AS F,
+           max(CASE WHEN o_orderstatus = 'O' THEN n_orders END) AS O,
+           max(CASE WHEN o_orderstatus = 'P' THEN n_orders END) AS P
+    FROM agg
+    UNION ALL
+    SELECT 'cents' AS key,
+           max(CASE WHEN o_orderstatus = 'F' THEN cents END) AS F,
+           max(CASE WHEN o_orderstatus = 'O' THEN cents END) AS O,
+           max(CASE WHEN o_orderstatus = 'P' THEN cents END) AS P
+    FROM agg
+    """,
+    tier="P2",
+    doc="DataFrame.transpose (Spark 4): a per-status summary flipped "
+    "so measures become rows and statuses become columns — the "
+    "report-orientation step every summary table hits before a "
+    "human reads it. transpose() collects the index column to the "
+    "DRIVER to mint the output schema (column names must exist at "
+    "plan time), which is exactly why it is safe here and a trap in "
+    "general: transposing a 3-row aggregate is free, transposing a "
+    "fact table would materialize it — so the operator transposes "
+    "only the final small rollup, never input data. Measures are "
+    "pre-cast to one type (transpose requires a least-common type "
+    "across transposed columns; exact integer cents keep the "
+    "values hash-stable).",
+)
+def q_frame_transpose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    agg = o.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum(
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+        ).alias("cents"),
+    )
+    return agg.transpose("o_orderstatus")

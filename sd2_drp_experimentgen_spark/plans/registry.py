@@ -327,6 +327,7 @@ _NEW_THIS_ROUND: frozenset[str] = frozenset(
         "q_text_winnow_fingerprints",
         "q_dedup_winnow_pairs",
         "q_win_max_drawdown",
+        "q_frame_transpose",
     }
 )
 
