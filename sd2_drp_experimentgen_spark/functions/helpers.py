@@ -79,3 +79,20 @@ def int_units(col: Column | str, scale: int = 4) -> Column:
 def sql_units(expr: str, scale: int = 4) -> str:
     """Oracle-side twin of :func:`int_units` for DuckDB SQL strings."""
     return f"CAST(floor(({expr}) * {10 ** scale} + 0.5) AS BIGINT)"
+
+
+def sql_sum_units(expr: str, scale: int = 4) -> str:
+    """``CAST(sum(<units>) AS BIGINT)`` — the only safe shape for an
+    integer-sum ORACLE OUTPUT column (determinism rule #11, SURVEY §5.3).
+
+    DuckDB widens ``sum(BIGINT)`` to HUGEINT; pandas (the driver's hash
+    medium) has no 128-bit int dtype, so a HUGEINT result column
+    materializes as float64 (``12056.0``) while Spark's stays int64
+    (``12056``) — a guaranteed hash-fail whenever that oracle is sampled
+    (VERDICT r4: both r3/r4 hash failures, 42 affected oracles).  The
+    outer cast restores BIGINT before pandas ever sees the column.
+    Intermediate (CTE-internal) HUGEINTs are harmless; only result
+    columns must be cast — ``tests/test_oracle_types.py`` enforces this
+    statically for every registered oracle.
+    """
+    return f"CAST(sum({sql_units(expr, scale)}) AS BIGINT)"

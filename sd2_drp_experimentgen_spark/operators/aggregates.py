@@ -1318,10 +1318,12 @@ def q_agg_weighted_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     SELECT l_returnflag,
            CAST(count(*) FILTER (l_linestatus = 'F') AS BIGINT) AS f_n,
-           sum({sql_units('l_quantity', 2)}) FILTER (l_linestatus = 'F')
+           CAST(sum({sql_units('l_quantity', 2)})
+                FILTER (l_linestatus = 'F') AS BIGINT)
              AS f_qty_units,
            CAST(count(*) FILTER (l_linestatus = 'O') AS BIGINT) AS o_n,
-           sum({sql_units('l_quantity', 2)}) FILTER (l_linestatus = 'O')
+           CAST(sum({sql_units('l_quantity', 2)})
+                FILTER (l_linestatus = 'O') AS BIGINT)
              AS o_qty_units
     FROM lineitem
     GROUP BY l_returnflag
@@ -1496,7 +1498,8 @@ def q_agg_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH monthly AS (
       SELECT c_mktsegment AS segment,
              CAST(epoch(date_trunc('month', o_orderdate)) AS BIGINT) AS m,
-             sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS cents
+             CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS cents
       FROM orders JOIN customer ON o_custkey = c_custkey
       GROUP BY segment, date_trunc('month', o_orderdate)
     )

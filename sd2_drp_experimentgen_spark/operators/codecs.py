@@ -31,7 +31,7 @@ from ..sources.tables import load_table
     "q_codec_csv_column",
     oracle=f"""
     SELECT o_orderstatus, count(*) AS n,
-           sum({sql_units("o_totalprice", 2)}) AS sum_cents,
+           CAST(sum({sql_units("o_totalprice", 2)}) AS BIGINT) AS sum_cents,
            max(o_orderkey) AS max_key
     FROM orders
     GROUP BY o_orderstatus
@@ -76,7 +76,7 @@ def q_codec_csv_column(spark: SparkSession, sf_dir: str) -> DataFrame:
            '/orders/' || o_orderstatus AS path,
            replace(o_orderpriority, ' ', '+') AS prio_encoded,
            count(*) AS n,
-           sum({sql_units("o_totalprice", 2)}) AS sum_cents
+           CAST(sum({sql_units("o_totalprice", 2)}) AS BIGINT) AS sum_cents
     FROM orders
     GROUP BY path, prio_encoded
     """,
@@ -126,7 +126,7 @@ def q_codec_url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_codec_xml_column",
     oracle=f"""
     SELECT o_orderstatus, o_orderpriority, count(*) AS n,
-           sum({sql_units("o_totalprice", 2)}) AS sum_cents,
+           CAST(sum({sql_units("o_totalprice", 2)}) AS BIGINT) AS sum_cents,
            max(o_orderkey) AS max_id
     FROM orders
     GROUP BY o_orderstatus, o_orderpriority

@@ -1025,7 +1025,7 @@ def q_etl_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM v1 WHERE substr(md5(CAST(k AS VARCHAR)), 1, 1) = '0'
     )
     SELECT k % 10 AS bucket, count(*) AS n,
-           sum(cents) AS sum_cents,
+           CAST(sum(cents) AS BIGINT) AS sum_cents,
            min(k) AS min_key, max(k) AS max_key
     FROM v2
     GROUP BY bucket
@@ -1144,7 +1144,8 @@ def q_etl_apply_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
            count(*) AS n_hours,
            count(obs_units) AS n_observed,
            CAST(count(*) - count(obs_units) AS BIGINT) AS n_interp,
-           sum(CAST(floor(lerp_units + 0.5) AS BIGINT)) AS sum_lerp_units
+           CAST(sum(CAST(floor(lerp_units + 0.5) AS BIGINT)) AS BIGINT)
+             AS sum_lerp_units
     FROM filled
     GROUP BY user_id
     """,
@@ -1252,7 +1253,8 @@ def q_resample_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT user_id,
            CAST(max(n) AS BIGINT) AS n_hours,
-           sum(CASE WHEN abs(z) > 2.0 THEN 1 ELSE 0 END) AS n_anomalies,
+           CAST(sum(CASE WHEN abs(z) > 2.0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_anomalies,
            floor(max(abs(z)) * 10000 + 0.5) / 10000 AS max_abs_z
     FROM scored
     GROUP BY user_id
@@ -1407,7 +1409,7 @@ def q_stat_chi_square_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT r_score, f_score, m_score,
            count(*) AS n_users,
-           sum(monetary_units) AS sum_monetary_units,
+           CAST(sum(monetary_units) AS BIGINT) AS sum_monetary_units,
            min(user_id) AS sample_user
     FROM scored
     GROUP BY r_score, f_score, m_score

@@ -190,7 +190,7 @@ def _pr_iter_sql(prev: str, out: str) -> str:
     {_pr_iter_sql('pr0', 'pr1')},
     {_pr_iter_sql('pr1', 'pr2')},
     {_pr_iter_sql('pr2', 'pr3')}
-    SELECT node, pr FROM pr3
+    SELECT node, CAST(pr AS BIGINT) AS pr FROM pr3
     """,
     tier="P1",
     doc="Iterative distributed PageRank (3 rounds, damping 0.85) over "

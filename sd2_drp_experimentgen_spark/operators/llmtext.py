@@ -973,7 +973,7 @@ def q_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT split, lang,
            count(*) AS n_docs,
-           sum(n_tok) AS sum_tokens,
+           CAST(sum(n_tok) AS BIGINT) AS sum_tokens,
            CAST((sum(n_tok) + 2047) // 2048 AS BIGINT) AS n_seqs_2048
     FROM clean
     GROUP BY split, lang
@@ -1404,10 +1404,12 @@ DOMAIN_CAP = 10
     )
     SELECT source,
            count(*) AS n_docs,
-           sum(CASE WHEN rk <= {DOMAIN_CAP} THEN 1 ELSE 0 END) AS n_kept,
-           sum(CASE WHEN rk >  {DOMAIN_CAP} THEN 1 ELSE 0 END) AS n_dropped,
-           sum(CASE WHEN rk <= {DOMAIN_CAP} THEN n_chars ELSE 0 END)
-             AS kept_chars
+           CAST(sum(CASE WHEN rk <= {DOMAIN_CAP} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_kept,
+           CAST(sum(CASE WHEN rk >  {DOMAIN_CAP} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_dropped,
+           CAST(sum(CASE WHEN rk <= {DOMAIN_CAP} THEN n_chars ELSE 0 END)
+                AS BIGINT) AS kept_chars
     FROM ranked
     GROUP BY source
     """,
@@ -1461,8 +1463,8 @@ def q_corpus_domain_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT coalesce(lang, 'ALL') AS lang,
            count(*) AS n_docs,
-           sum(n_chars) AS total_chars,
-           sum(n_tokens) AS total_tokens,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
            CAST(sum(is_dup) AS BIGINT) AS n_dup_docs,
            CAST(sum(len_ok) AS BIGINT) AS n_len_ok,
            min(n_tokens) AS min_tokens,
@@ -1537,17 +1539,19 @@ def q_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT 'arrival' AS policy,
            (SELECT count(DISTINCT seq_id) FROM arrival) AS n_seqs,
-           (SELECT sum(n_tokens) FROM arrival) AS total_tokens,
-           (SELECT sum(CASE WHEN t = {PACK_BUDGET} THEN 1 ELSE 0 END)
+           CAST((SELECT sum(n_tokens) FROM arrival) AS BIGINT)
+             AS total_tokens,
+           CAST((SELECT sum(CASE WHEN t = {PACK_BUDGET} THEN 1 ELSE 0 END)
             FROM (SELECT seq_id, sum(n_tokens) AS t FROM arrival
-                  GROUP BY seq_id)) AS n_exact_full
+                  GROUP BY seq_id)) AS BIGINT) AS n_exact_full
     UNION ALL
     SELECT 'sorted' AS policy,
            (SELECT count(DISTINCT seq_id) FROM sorted_fill) AS n_seqs,
-           (SELECT sum(n_tokens) FROM sorted_fill) AS total_tokens,
-           (SELECT sum(CASE WHEN t = {PACK_BUDGET} THEN 1 ELSE 0 END)
+           CAST((SELECT sum(n_tokens) FROM sorted_fill) AS BIGINT)
+             AS total_tokens,
+           CAST((SELECT sum(CASE WHEN t = {PACK_BUDGET} THEN 1 ELSE 0 END)
             FROM (SELECT seq_id, sum(n_tokens) AS t FROM sorted_fill
-                  GROUP BY seq_id)) AS n_exact_full
+                  GROUP BY seq_id)) AS BIGINT) AS n_exact_full
     """,
     tier="P2",
     doc="Packing-policy comparison: the same corpus packed into "
@@ -1619,9 +1623,9 @@ MIX_MAX_EPOCHS_X100 = 400  # cap any language at 4 epochs
            want AS target_tokens,
            least(CAST(floor(CAST(want AS DOUBLE) / avail * 100 + 0.5)
                       AS BIGINT), {MIX_MAX_EPOCHS_X100}) AS epochs_x100,
-           least(CAST(floor(CAST(want AS DOUBLE) / avail * 100 + 0.5)
+           CAST(least(CAST(floor(CAST(want AS DOUBLE) / avail * 100 + 0.5)
                       AS BIGINT), {MIX_MAX_EPOCHS_X100}) * avail // 100
-             AS granted_tokens
+             AS BIGINT) AS granted_tokens
     FROM shares
     """,
     tier="P2",

@@ -297,15 +297,15 @@ def q_mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM d CROSS JOIN p
     )
     SELECT doc_id, n_px,
-           sum(CASE WHEN chan = 0 THEN val ELSE 0 END) * (L // 48)
+           CAST(sum(CASE WHEN chan = 0 THEN val ELSE 0 END) * (L // 48)
              + sum(CASE WHEN chan = 0 AND pos < L % 48 THEN val ELSE 0 END)
-             AS sum_r,
-           sum(CASE WHEN chan = 1 THEN val ELSE 0 END) * (L // 48)
+             AS BIGINT) AS sum_r,
+           CAST(sum(CASE WHEN chan = 1 THEN val ELSE 0 END) * (L // 48)
              + sum(CASE WHEN chan = 1 AND pos < L % 48 THEN val ELSE 0 END)
-             AS sum_g,
-           sum(CASE WHEN chan = 2 THEN val ELSE 0 END) * (L // 48)
+             AS BIGINT) AS sum_g,
+           CAST(sum(CASE WHEN chan = 2 THEN val ELSE 0 END) * (L // 48)
              + sum(CASE WHEN chan = 2 AND pos < L % 48 THEN val ELSE 0 END)
-             AS sum_b
+             AS BIGINT) AS sum_b
     FROM b
     GROUP BY doc_id, n_px, L
     """,

@@ -718,9 +718,9 @@ def q_json_to_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_nested_collect_inline",
     oracle="""
     SELECT l_linenumber, count(*) AS n,
-           sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
-             AS sum_cents,
-           sum(CAST(l_quantity AS BIGINT)) AS sum_qty
+           CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+             AS BIGINT) AS sum_cents,
+           CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
     FROM lineitem
     GROUP BY l_linenumber
     """,
@@ -765,7 +765,7 @@ def q_nested_collect_inline(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_sql_collation",
     oracle="""
     SELECT lower(min(mixed)) AS name_ci, min(mixed) AS repr_name,
-           count(*) AS n, sum(CAST(p_size AS BIGINT)) AS sum_size
+           count(*) AS n, CAST(sum(CAST(p_size AS BIGINT)) AS BIGINT) AS sum_size
     FROM (
       SELECT CASE WHEN p_partkey % 2 = 0 THEN upper(p_name)
                   ELSE p_name END AS mixed,
@@ -794,7 +794,7 @@ def q_sql_collation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         """
         SELECT lower(min(mixed)) AS name_ci, min(mixed) AS repr_name,
-               count(*) AS n, sum(CAST(p_size AS BIGINT)) AS sum_size
+               count(*) AS n, CAST(sum(CAST(p_size AS BIGINT)) AS BIGINT) AS sum_size
         FROM (
           SELECT CASE WHEN p_partkey % 2 = 0 THEN upper(p_name)
                       ELSE p_name END AS mixed,
@@ -913,7 +913,8 @@ def q_sql_udf_declared(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH agg AS (
       SELECT o_orderstatus,
              count(*) AS n_orders,
-             sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS cents
+             CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS cents
       FROM orders GROUP BY o_orderstatus
     )
     SELECT 'n_orders' AS key,

@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.helpers import _round_halfup, sql_r
+from ..functions.helpers import _round_halfup, int_units, sql_r
 from ..plans.registry import register
 from ..sources.tables import load_table
 
@@ -103,8 +103,9 @@ def q_source_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_sink_json_spec",
     oracle="""
     SELECT o_orderpriority, count(*) AS n_specs,
-           floor(sum(o_totalprice) * 10000 + 0.5) / 10000 AS sum_price,
-           sum(n_lines) AS n_lines
+           CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS sum_price_cents,
+           CAST(sum(n_lines) AS BIGINT) AS n_lines
     FROM orders
     JOIN (SELECT l_orderkey, count(*) AS n_lines
           FROM lineitem GROUP BY l_orderkey) li
@@ -115,12 +116,15 @@ def q_source_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Nested experiment-spec JSON export (the reference's spec "
     "document sink): one document per order with an array of line "
     "structs (struct + collect_list), written as JSON lines, read "
-    "back with schema inference, then per-priority counts, the SUM OF "
-    "PARSED TOTALPRICE, and nested-array sizes emitted — the hash "
-    "check proves the nested payload (struct fields and array "
-    "elements) survives the JSON round-trip bit-exact, not merely "
-    "that documents exist. Doubles round-trip exactly through JSON "
-    "shortest-repr serialization.",
+    "back with schema inference, then per-priority counts, the sum of "
+    "PARSED TOTALPRICE (as per-row integer cents: a ~3k-term float64 "
+    "sum's order-dependent error exceeds a 4dp rounding quantum at "
+    "this magnitude, so money rides as integer cents — determinism "
+    "rule #4), and nested-array sizes emitted — the hash check proves "
+    "the nested payload (struct fields and array elements) survives "
+    "the JSON round-trip bit-exact, not merely that documents exist. "
+    "Doubles round-trip exactly through JSON shortest-repr "
+    "serialization, so per-row cents agree exactly on both sides.",
 )
 def q_sink_json_spec(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = _scratch(sf_dir, "json_specs")
@@ -144,8 +148,8 @@ def q_sink_json_spec(spark: SparkSession, sf_dir: str) -> DataFrame:
     back = spark.read.json(path)
     return back.groupBy("o_orderpriority").agg(
         F.count(F.lit(1)).alias("n_specs"),
-        _round_halfup(F.sum(F.col("spec.o_totalprice")), 4).alias(
-            "sum_price"
+        F.sum(int_units(F.col("spec.o_totalprice"), 2)).alias(
+            "sum_price_cents"
         ),
         F.sum(F.size(F.col("spec.lines"))).alias("n_lines"),
     )
@@ -769,8 +773,9 @@ def q_scan_modified_after(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_source_csv_multiline",
     oracle="""
     SELECT lang, count(*) AS n_docs,
-           sum(n_chars) AS sum_chars,
-           sum(CAST(len(string_split(text, ' ')) AS BIGINT)) AS sum_tokens
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+           CAST(sum(CAST(len(string_split(text, ' ')) AS BIGINT)) AS BIGINT)
+             AS sum_tokens
     FROM documents
     GROUP BY lang
     """,

@@ -440,7 +440,7 @@ def q_join_hints(spark: SparkSession, sf_dir: str) -> DataFrame:
       WHERE o_orderpriority = '1-URGENT' AND o_orderstatus = 'F'
     )
     SELECT o_orderpriority, count(*) AS n,
-           sum({sql_units("o_totalprice", 2)}) AS sum_cents
+           CAST(sum({sql_units("o_totalprice", 2)}) AS BIGINT) AS sum_cents
     FROM final
     GROUP BY o_orderpriority
     """,
@@ -489,7 +489,7 @@ def q_sink_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_join_skew_salted",
     oracle=f"""
     SELECT c_mktsegment, count(*) AS n,
-           sum({sql_units("value")}) AS sum_value_units
+           CAST(sum({sql_units("value")}) AS BIGINT) AS sum_value_units
     FROM events JOIN customer ON user_id = c_custkey
     GROUP BY c_mktsegment
     """,
@@ -541,7 +541,7 @@ def q_join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_sink_write_audit_publish",
     oracle=f"""
     SELECT o_orderstatus, count(*) AS n,
-           sum({sql_units("o_totalprice", 2)}) AS sum_cents,
+           CAST(sum({sql_units("o_totalprice", 2)}) AS BIGINT) AS sum_cents,
            0 AS audit_null_keys, 0 AS audit_dup_keys, 0 AS audit_bad_price
     FROM orders
     GROUP BY o_orderstatus
@@ -628,7 +628,7 @@ def q_sink_write_audit_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_join_dynamic_partition_pruning",
     oracle=f"""
     SELECT o_orderpriority, count(*) AS n,
-           sum({sql_units("o_totalprice", 2)}) AS sum_cents
+           CAST(sum({sql_units("o_totalprice", 2)}) AS BIGINT) AS sum_cents
     FROM orders
     WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
     GROUP BY o_orderpriority
@@ -685,11 +685,11 @@ def q_join_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFr
     "q_storage_time_travel",
     oracle=f"""
     SELECT 1 AS version, count(*) AS n,
-           sum({sql_units("o_totalprice", 2)}) AS sum_cents
+           CAST(sum({sql_units("o_totalprice", 2)}) AS BIGINT) AS sum_cents
     FROM orders WHERE o_orderstatus = 'F'
     UNION ALL
     SELECT 2 AS version, count(*) AS n,
-           sum({sql_units("o_totalprice", 2)}) AS sum_cents
+           CAST(sum({sql_units("o_totalprice", 2)}) AS BIGINT) AS sum_cents
     FROM orders WHERE o_orderstatus IN ('F', 'O')
     """,
     tier="P1",
@@ -765,7 +765,7 @@ def q_storage_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_storage_merge_on_read_deletes",
     oracle=f"""
     SELECT o_orderstatus, count(*) AS n,
-           sum({sql_units("o_totalprice", 2)}) AS sum_cents
+           CAST(sum({sql_units("o_totalprice", 2)}) AS BIGINT) AS sum_cents
     FROM orders
     WHERE NOT (o_orderstatus = 'F'
                AND substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) = '0')

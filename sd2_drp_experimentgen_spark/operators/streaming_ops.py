@@ -433,7 +433,7 @@ def q_stream_ohlc_watermarked(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH ticks AS (SELECT g AS value FROM generate_series(0, 4999) t(g))
     SELECT value % 10 AS bucket,
            count(*) AS n,
-           sum(value) AS sum_value
+           CAST(sum(value) AS BIGINT) AS sum_value
     FROM ticks
     GROUP BY 1
     """,
@@ -547,7 +547,7 @@ def q_stream_join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_stream_sink_python_ds",
     oracle=f"""
     SELECT event_type, count(*) AS n,
-           sum({sql_units("value")}) AS sum_value_units,
+           CAST(sum({sql_units("value")}) AS BIGINT) AS sum_value_units,
            max(event_id) AS max_event_id
     FROM events
     GROUP BY event_type

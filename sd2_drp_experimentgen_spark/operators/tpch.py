@@ -92,7 +92,7 @@ _Q7_NATIONS = ("NATION_3", "NATION_7")
     oracle=f"""
     SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
            year(l_shipdate) AS l_year,
-           sum({_REV_SQL}) AS revenue_units
+           CAST(sum({_REV_SQL}) AS BIGINT) AS revenue_units
     FROM lineitem
     JOIN supplier ON l_suppkey = s_suppkey
     JOIN orders   ON l_orderkey = o_orderkey
@@ -163,9 +163,9 @@ _Q8_REGION, _Q8_NATION, _Q8_TYPE = "EUROPE", "NATION_7", "ECONOMY"
     "q_tpch_q8_market_share",
     oracle=f"""
     SELECT year(o_orderdate) AS o_year,
-           sum(CASE WHEN n1.n_name = '{_Q8_NATION}'
-                    THEN {_REV_SQL} ELSE 0 END) AS nation_units,
-           sum({_REV_SQL}) AS total_units,
+           CAST(sum(CASE WHEN n1.n_name = '{_Q8_NATION}'
+                    THEN {_REV_SQL} ELSE 0 END) AS BIGINT) AS nation_units,
+           CAST(sum({_REV_SQL}) AS BIGINT) AS total_units,
            sum(CASE WHEN n1.n_name = '{_Q8_NATION}'
                     THEN {_REV_SQL} ELSE 0 END) / sum({_REV_SQL})
              AS mkt_share
@@ -239,7 +239,7 @@ def q_tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_tpch_q10_returned_items",
     oracle=f"""
     SELECT c_custkey, c_name,
-           sum({_REV_SQL}) AS revenue_units,
+           CAST(sum({_REV_SQL}) AS BIGINT) AS revenue_units,
            {sql_units("c_acctbal", 2)} AS acctbal_cents,
            n_name
     FROM customer
@@ -336,9 +336,9 @@ def q_tpch_q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFr
 @register(
     "q_tpch_q14_promo_revenue",
     oracle=f"""
-    SELECT sum(CASE WHEN p_type = 'PROMO' THEN {_REV_SQL} ELSE 0 END)
-             AS promo_units,
-           sum({_REV_SQL}) AS total_units,
+    SELECT CAST(sum(CASE WHEN p_type = 'PROMO' THEN {_REV_SQL} ELSE 0 END)
+             AS BIGINT) AS promo_units,
+           CAST(sum({_REV_SQL}) AS BIGINT) AS total_units,
            100.0 * (sum(CASE WHEN p_type = 'PROMO' THEN {_REV_SQL} ELSE 0 END)
                     / sum({_REV_SQL})) AS promo_share_pct
     FROM lineitem JOIN part ON l_partkey = p_partkey
@@ -381,7 +381,7 @@ def q_tpch_q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_tpch_q15_top_supplier",
     oracle=f"""
     WITH revenue AS (
-      SELECT l_suppkey AS supplier_no, sum({_REV_SQL}) AS total_units
+      SELECT l_suppkey AS supplier_no, CAST(sum({_REV_SQL}) AS BIGINT) AS total_units
       FROM lineitem
       WHERE l_shipdate >= TIMESTAMP '1997-01-01'
         AND l_shipdate <  TIMESTAMP '1997-04-01'
@@ -474,11 +474,11 @@ def q_tpch_q16_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH part_avg AS (
       SELECT l_partkey AS pk, count(*) AS n_li,
-             sum(CAST(l_quantity AS BIGINT)) AS sum_qty
+             CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
       FROM lineitem GROUP BY l_partkey
     )
     SELECT count(*) AS n_small,
-           sum({sql_units("l_extendedprice")}) AS revenue_units,
+           CAST(sum({sql_units("l_extendedprice")}) AS BIGINT) AS revenue_units,
            sum({sql_units("l_extendedprice")}) / 70000.0 AS avg_yearly
     FROM lineitem
     JOIN part ON l_partkey = p_partkey
@@ -529,7 +529,7 @@ _Q18_MIN_QTY = 250
     "q_tpch_q18_large_orders",
     oracle=f"""
     WITH big AS (
-      SELECT l_orderkey AS bk, sum(CAST(l_quantity AS BIGINT)) AS sum_qty
+      SELECT l_orderkey AS bk, CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
       FROM lineitem GROUP BY l_orderkey
       HAVING sum(CAST(l_quantity AS BIGINT)) > {_Q18_MIN_QTY}
     )
@@ -587,7 +587,7 @@ def q_tpch_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_tpch_q19_disjunctive_rev",
     oracle=f"""
-    SELECT count(*) AS n_items, sum({_REV_SQL}) AS revenue_units
+    SELECT count(*) AS n_items, CAST(sum({_REV_SQL}) AS BIGINT) AS revenue_units
     FROM lineitem JOIN part ON l_partkey = p_partkey
     WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
            AND l_quantity BETWEEN 1 AND 11)
@@ -781,7 +781,7 @@ _Q22_IDLE_SINCE = "2000-01-01"
     )
     SELECT c_nationkey % 10 AS cntrycode,
            count(*) AS numcust,
-           sum(bal_cents) AS total_cents
+           CAST(sum(bal_cents) AS BIGINT) AS total_cents
     FROM idle
     GROUP BY cntrycode
     """,

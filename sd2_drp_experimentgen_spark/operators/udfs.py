@@ -349,7 +349,7 @@ def q_pandas_api_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT l_returnflag,
            count(*) AS n,
-           sum(CAST(round(l_quantity * 100) AS BIGINT)) AS qty_cents
+           CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS qty_cents
     FROM lineitem
     GROUP BY l_returnflag
     """,
@@ -456,9 +456,9 @@ def q_udtf_arrow_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT o_orderpriority,
            count(*) AS n,
-           sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+           CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
                * (6 - CAST(substr(o_orderpriority, 1, 1) AS BIGINT)))
-             AS weighted_cents
+             AS BIGINT) AS weighted_cents
     FROM orders
     GROUP BY o_orderpriority
     """,

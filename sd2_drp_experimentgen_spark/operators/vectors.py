@@ -649,10 +649,10 @@ MATRYOSHKA_PREFIX_DIMS = 16
     )
     SELECT label,
            count(*) AS n_vecs,
-           sum(CAST(floor(head_sq / total_sq * 1000000 + 0.5) AS BIGINT))
-             AS sum_mass_ppm,
-           sum(CASE WHEN head_sq / total_sq >= 0.5 THEN 1 ELSE 0 END)
-             AS n_head_heavy
+           CAST(sum(CAST(floor(head_sq / total_sq * 1000000 + 0.5)
+                AS BIGINT)) AS BIGINT) AS sum_mass_ppm,
+           CAST(sum(CASE WHEN head_sq / total_sq >= 0.5 THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_head_heavy
     FROM per_vec
     GROUP BY label
     """,

@@ -449,8 +449,8 @@ def q_win_ewma_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT user_id,
            count(*) AS n_events,
-           max(drawdown) AS max_drawdown_units,
-           max(bal) AS peak_units,
+           CAST(max(drawdown) AS BIGINT) AS max_drawdown_units,
+           CAST(max(bal) AS BIGINT) AS peak_units,
            CAST(sum(CASE WHEN drawdown = 0 THEN 1 ELSE 0 END) AS BIGINT)
              AS n_at_peak
     FROM dd

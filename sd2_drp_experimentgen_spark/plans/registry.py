@@ -10,6 +10,13 @@ Determinism contract for every registered query (SURVEY §5.3): float
 outputs rounded 4-6dp on both sides, every ORDER BY ends in a unique key,
 integer SUMs cast to BIGINT in the oracle, no raw nanosecond timestamps
 emitted, computed columns aliased identically in Spark and SQL.
+
+Rule #11 (SURVEY §5.3, learned r4): the BIGINT cast must wrap the
+OUTERMOST expression of every integer-valued oracle RESULT column —
+DuckDB widens ``sum(BIGINT)`` to HUGEINT, and the driver's pandas hash
+medium turns HUGEINT into float64, a guaranteed hash-fail.  Statically
+enforced by tests/test_oracle_types.py; use
+``functions.helpers.sql_sum_units`` for the common money/units shape.
 """
 
 from __future__ import annotations
@@ -92,11 +99,18 @@ def _load() -> None:
 # is unchanged — only the iteration order of the returned dict is
 # prioritized.
 # CAVEAT (VERDICT r3 item 4): membership here records driver HISTORY,
-# not current validity — the r3 fixture regeneration invalidated every
-# events-dependent green, so those names ALSO appear in _PRIORITY_BOOST
-# below, which takes precedence and forces a fresh sample.
+# not current validity — a query rewritten after its green must ALSO
+# appear in _PRIORITY_BOOST below, which takes precedence and forces a
+# fresh sample.
 _DRIVER_VERIFIED = frozenset(
     {
+        # --- round 4 (CORRECTNESS_r04.json, 48 green rows; the 2 hash
+        # fails q_graph_pagerank / q_sink_json_spec are boosted below) ---
+        "q_variant_json", "q_json_to_struct", "q_profile_table",
+        "q_agg_bitmap_distinct", "q_win_moving_median",
+        "q_agg_mode_deterministic", "q_win_rolling_distinct",
+        "q_win_range_interval", "q_set_intersect_all", "q_set_except_all",
+        "q_udf_cogrouped", "q_time_downsample_ohlc",
         # --- round 3 (CORRECTNESS_r03.json, 38 green rows) ---
         "q_agg_collect_sets", "q_dedup_minhash_bands", "q_dedup_lsh_refine",
         "q_decontaminate_ngrams", "q_split_train_val_test",
@@ -152,184 +166,85 @@ _DRIVER_VERIFIED = frozenset(
 )
 
 
-# Must-sample-first queries for the round-4 driver window, in order
-# (VERDICT r3 item 4). The r3 fixture regeneration (events.ts NANOS ->
-# MICROS) invalidated every events-dependent green; the loaders are now
-# schema-adaptive (sources/tables.py), so these must be RE-proven:
-#   tier 1 — the 11 queries that errored in r3 (regression-risk rows);
-#   tier 2 — q_graph_pagerank (r3 hash-fail, passes the local verifier
-#            on current fixtures — likely a mixed-generation driver
-#            read) and q_neardup_jaccard (r2 green predates its r3
-#            ppjoin rewrite);
-#   tier 3 — the 29 events-dependent r1/r2 greens now stale;
-#   tier 4 — never-sampled hash-oracled queries (first driver rows).
-# 55 entries vs a 50-query window: the tier-4 tail rolls to round 5.
+# Must-sample-first queries for the round-5 driver window, in order
+# (VERDICT r4 "next round" item 4). Round 4 diagnosed the HUGEINT
+# oracle class (42 oracles whose integer result columns widened to
+# HUGEINT -> float64 under the driver's pandas hasher — the cause of
+# BOTH r3/r4 hash-fails); all 42 were CAST-swept this round and must be
+# (re-)proven:
+#   tier 1 — the two repeat offenders (hash-FAILED r4): pagerank and
+#            sink_json_spec (which also moved from a fragile rounded
+#            float sum to exact integer cents);
+#   tier 2 — the other 40 CAST-swept oracles (fresh greens prove the
+#            sweep; ~38 of them had never been sampled);
+#   tier 3 — the three §2 rows-only operators with zero driver evidence
+#            (#59-61: rows-only rows logged = weaker but first signal);
+#   tier 4 — the remaining never-sampled TPC-H battery queries.
+# Exactly 50 entries = one driver window.
 _PRIORITY_BOOST = (
-    # tier 1: r3 errors
-    "q_variant_json",
-    "q_json_to_struct",
-    "q_profile_table",
-    "q_agg_bitmap_distinct",
-    "q_win_moving_median",
-    "q_agg_mode_deterministic",
-    "q_win_rolling_distinct",
-    "q_win_range_interval",
-    "q_set_intersect_all",
-    "q_set_except_all",
-    "q_udf_cogrouped",
-    # tier 2: suspect or rewritten-since-green
+    # tier 1: r4 hash-fails, now fixed
     "q_graph_pagerank",
-    "q_neardup_jaccard",
-    "q_agg_approx_distinct",   # upgraded no_oracle -> hash (r4)
-    "q_agg_approx_percentile",  # upgraded no_oracle -> hash (r4)
-    "q_sink_json_spec",  # output schema strengthened in r4 post-green
-    # int-units rewrite (r4): float sums crossed the 4dp boundary at
-    # sf0.1; values changed in the last decimal -> re-prove
-    "q_mix_weighted_avg",
-    "q_merge_upsert",
-    "q_join_bucketed",
-    # pre-aggregation rewrite (r4 late): li-per-order partials + exact
-    # integer discount average changed avg_disc's derivation -> re-prove
-    "q_train_features_wide",
-    # tier 3: stale events-dependent r1/r2 greens
-    "q_json_extract",
-    "q_map_funcs",
-    "q_null_funcs",
-    "q_join_left_outer",
-    "q_join_semi",
-    "q_join_anti",
-    "q_join_interval",
-    "q_join_asof",
-    "q_agg_conditional_pivot",
-    "q_win_running",
-    "q_win_lag_lead",
-    "q_set_union_all",
-    "q_set_union_distinct",
-    "q_set_intersect",
-    "q_set_except",
-    "q_resample_gapfill",
-    "q_event_funnel",
-    "q_retention_cohort",
-    "q_sink_pivot_wide",
-    "q_stream_tumbling_1h",
-    "q_stream_sliding_1h_15m",
-    "q_stream_session_30m",
-    "q_stream_dedup",
-    "q_stream_late_data",
-    "q_stream_stateful_counts",
-    "q_stream_tumbling_watermarked",
-    "q_stream_session_window",
-    "q_stream_stream_join",
-    "q_stream_sliding_watermarked",
-    # tier 4: never-sampled, hash-oracled
-    "q_time_downsample_ohlc",
-    "q_win_gap_islands",
-    "q_event_attribution",
-    "q_event_transitions",
-    "q_interval_sweepline",
-    "q_agg_window_distinct",
-    "q_source_binaryfile",
-    "q_udf_map_in_arrow",
-    "q_pandas_api_groupby",
-    "q_stream_ohlc_watermarked",
-    "q_stream_static_join",
-    "q_stream_python_source",
-    "q_stream_foreachbatch_upsert",
+    "q_sink_json_spec",
+    # tier 2: the CAST-swept HUGEINT class (VERDICT r4 wrong-#1 list)
+    "q_agg_period_over_period",
+    "q_agg_pivot_multi",
+    "q_codec_csv_column",
+    "q_codec_url_parse",
+    "q_codec_xml_column",
+    "q_corpus_domain_caps",
+    "q_corpus_report",
+    "q_crm_rfm_segments",
+    "q_dq_anomaly_zscore",
+    "q_emb_matryoshka_mass",
+    "q_etl_apply_changes",
+    "q_frame_transpose",
+    "q_join_dynamic_partition_pruning",
+    "q_join_skew_salted",
+    "q_llm_corpus_pipeline",
+    "q_mix_epochs_budget",
+    "q_mm_features_verified",
+    "q_nested_collect_inline",
+    "q_pack_policy_compare",
+    "q_resample_interpolate",
+    "q_sink_partition_overwrite",
+    "q_sink_write_audit_publish",
+    "q_source_csv_multiline",
+    "q_sql_collation",
+    "q_storage_merge_on_read_deletes",
+    "q_storage_time_travel",
+    "q_stream_rate_source",
+    "q_stream_sink_python_ds",
+    "q_tpch_q7_volume_shipping",
+    "q_tpch_q8_market_share",
+    "q_tpch_q10_returned_items",
+    "q_tpch_q14_promo_revenue",
+    "q_tpch_q15_top_supplier",
+    "q_tpch_q17_small_qty_revenue",
+    "q_tpch_q18_large_orders",
+    "q_tpch_q19_disjunctive_rev",
+    "q_tpch_q22_idle_customers",
+    "q_udf_apply_in_arrow",
+    "q_udf_sql_registered",
+    "q_win_max_drawdown",
+    # tier 3: §2 rows-only operators with zero driver evidence (#59-61)
+    "q_dedup_minhash_lsh",
+    "q_kmeans_embeddings",
+    "q_mllib_train_pipeline",
+    # tier 4: remaining never-sampled TPC-H battery
+    "q_tpch_q4_order_priority",
+    "q_tpch_q13_customer_distribution",
+    "q_tpch_q16_supplier_cnt",
+    "q_tpch_q20_part_promotion",
+    "q_tpch_q21_waiting_supplier",
 )
 _BOOST_RANK = {n: i for i, n in enumerate(_PRIORITY_BOOST)}
 
-# Queries added in round 3 (never seen by any driver). They verify
-# AFTER the rounds-1/2 backlog of hash-checkable queries — at
-# 50/round that backlog won't fully drain until round 4, so genuinely
-# new queries queue behind it — but before rows-only and already-green
-# entries.
-_NEW_THIS_ROUND: frozenset[str] = frozenset(
-    {
-        # round-4 additions (post-boost-list): verify after the
-        # invalidated-green backlog drains
-        "q_text_bigram_lm_score",
-        "q_stream_chained_windows",
-        "q_stream_join_left_outer",
-        "q_agg_theta_sketch_ops",
-        "q_agg_kll_quantiles",
-        "q_dq_expectations",
-        "q_agg_weighted_percentile",
-        "q_udtf_arrow_tokens",
-        "q_dedup_cluster_stats",
-        "q_text_span_dup",
-        "q_etl_incremental_bookmark",
-        "q_sql_group_by_all",
-        "q_mm_audio_features",
-        "q_sql_exists_in_subqueries",
-        "q_dedup_minhash_estimate",
-        "q_source_text_roundtrip",
-        "q_event_journey_pipeline",
-        "q_join_spatial_grid",
-        "q_dq_outlier_fences",
-        "q_etl_snapshot_diff",
-        "q_sort_keyset_pagination",
-        "q_text_langid_confusion",
-        "q_agg_pivot_multi",
-        "q_win_ewma_bounded",
-        "q_agg_entropy_profile",
-        "q_agg_gini_concentration",
-        "q_join_asof_forward",
-        "q_tpch_q4_order_priority",
-        "q_tpch_q7_volume_shipping",
-        "q_tpch_q8_market_share",
-        "q_tpch_q10_returned_items",
-        "q_tpch_q13_customer_distribution",
-        "q_tpch_q14_promo_revenue",
-        "q_tpch_q15_top_supplier",
-        "q_tpch_q16_supplier_cnt",
-        "q_tpch_q17_small_qty_revenue",
-        "q_tpch_q18_large_orders",
-        "q_tpch_q19_disjunctive_rev",
-        "q_tpch_q20_part_promotion",
-        "q_tpch_q21_waiting_supplier",
-        "q_tpch_q22_idle_customers",
-        "q_corpus_domain_caps",
-        "q_sink_partition_overwrite",
-        "q_scan_metadata_columns",
-        "q_codec_csv_column",
-        "q_codec_url_parse",
-        "q_codec_xml_column",
-        "q_codec_tz_local_hours",
-        "q_join_skew_salted",
-        "q_stream_sink_python_ds",
-        "q_udf_sql_registered",
-        "q_etl_apply_changes",
-        "q_nested_collect_inline",
-        "q_sink_write_audit_publish",
-        "q_sql_collation",
-        "q_sql_identifier_clause",
-        "q_resample_interpolate",
-        "q_join_dynamic_partition_pruning",
-        "q_scan_corrupt_files_skip",
-        "q_scan_modified_after",
-        "q_storage_time_travel",
-        "q_storage_merge_on_read_deletes",
-        "q_sql_udf_declared",
-        "q_dq_anomaly_zscore",
-        "q_corpus_report",
-        "q_agg_distinct_salted",
-        "q_mllib_cross_validation",
-        "q_source_csv_multiline",
-        "q_mm_video_stride_verified",
-        "q_emb_matryoshka_mass",
-        "q_pack_policy_compare",
-        "q_mix_epochs_budget",
-        "q_stat_chi_square_cells",
-        "q_crm_rfm_segments",
-        "q_join_asof_tolerance",
-        "q_agg_period_over_period",
-        "q_event_funnel_bounded",
-        "q_text_winnow_fingerprints",
-        "q_dedup_winnow_pairs",
-        "q_win_max_drawdown",
-        "q_frame_transpose",
-    }
-)
+# Queries added THIS round (never seen by any driver). They verify
+# AFTER the never-sampled backlog of hash-checkable queries from prior
+# rounds, but before rows-only and already-green entries. Repopulated
+# each round as operators land; the round-4 set graduated into the
+# general never-sampled pool (priority tier 1).
+_NEW_THIS_ROUND: frozenset[str] = frozenset()
 
 # Queries whose registration is conditional on an optional dependency:
 # they stay documented in SURVEY.md everywhere, but self-unregister in

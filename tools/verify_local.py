@@ -60,6 +60,13 @@ def canon_value(v):
     """Canonicalize one cell for cross-engine comparison."""
     if v is None:
         return "NULL"
+    if hasattr(v, "item") and type(v).__module__ == "numpy":
+        # numpy scalar from the pandas path — unwrap to the Python
+        # scalar FIRST so bool/int/float take the same branches as the
+        # Spark side (np.bool_ would otherwise stringify as "True").
+        v = v.item()
+        if v is None:
+            return "NULL"
     if isinstance(v, _CONTAINER_TYPES) or type(v).__name__ == "ndarray":
         raise NonScalarCell(
             f"non-scalar cell {type(v).__name__!r}: the driver's pandas "
@@ -74,7 +81,16 @@ def canon_value(v):
     if isinstance(v, bool):
         return str(v).lower()
     if hasattr(v, "isoformat"):  # datetime/date
-        return v.isoformat()
+        s = v.isoformat()
+        # DATE columns are asymmetric under pandas materialization:
+        # Spark keeps datetime.date ('1999-04-01') while DuckDB DATE
+        # becomes a midnight datetime64 ('1999-04-01T00:00:00').  The
+        # driver compares these equal (q_date_funcs/q_join_asof were
+        # driver-green r1/r4), so fold exact-midnight naive timestamps
+        # to the bare date.  Symmetric for genuine midnight timestamps.
+        if s.endswith("T00:00:00"):
+            s = s[: -len("T00:00:00")]
+        return s
     return str(v)
 
 
@@ -104,17 +120,62 @@ def container_cols(schema) -> list[str]:
     ]
 
 
-def compare(name, spark_df, duck_res) -> tuple[bool, str]:
+def compare(name, spark_df, duck_rel) -> tuple[bool, str]:
+    """Driver-faithful compare: the DuckDB side goes THROUGH PANDAS.
+
+    The driver canonicalizes the oracle result via ``rel.df()`` — pandas
+    — where DuckDB HUGEINT/DECIMAL columns materialize as float64
+    (``12056.0``), while a ``fetchall()`` path returns exact Python ints
+    and hides the loss.  That gap is exactly why q_graph_pagerank and
+    q_sink_json_spec passed this tool and failed the driver in r3/r4
+    (VERDICT r4 "what's wrong" #3).  Replicating the pandas
+    materialization here makes local green imply driver green again.
+    """
+    import pandas as pd
+
     bad = container_cols(spark_df.schema)
     if bad:
         return False, (
             f"DRIVER-INCOMPATIBLE schema: container-typed output columns {bad} "
             "— string-encode (concat_ws / to_json) before returning"
         )
-    s_cols = spark_df.columns
-    s_rows = [tuple(r) for r in spark_df.collect()]
-    d_cols = [c[0] for c in duck_res.description]
-    d_rows = duck_res.fetchall()
+    # Spark side ALSO goes through pandas: a NULL-bearing int64 column
+    # widens to float64 on BOTH sides under the driver (evidence:
+    # q_win_lag_lead's nullable gap_s hash-passed r4), so collect()-exact
+    # Spark values against pandas-widened oracle values would flag false
+    # FAILs on every nullable-int query.  Symmetric widening is the
+    # driver contract; only the *asymmetric* HUGEINT/DECIMAL loss (cast
+    # rule #11) is a real divergence.
+    s_pdf = spark_df.toPandas()
+    s_cols = list(s_pdf.columns)
+    s_rows = [
+        tuple(
+            None
+            if v is pd.NaT or (isinstance(v, float) and v != v)
+            else v
+            for v in row
+        )
+        for row in s_pdf.itertuples(index=False, name=None)
+    ]
+
+    duck_pdf = duck_rel.df()  # pandas materialization == driver behavior
+    d_cols = list(duck_pdf.columns)
+    # SQL NULLs surface as NaN (numeric) / NaT (datetime) after pandas
+    # materialization; map those back to None so they compare equal to
+    # Spark's None.  Genuine NaN *values* in oracle output are folded
+    # too — acceptable: oracles are deterministic SQL and the repo
+    # convention forbids NaN-valued result cells.  Crucially this does
+    # NOT undo the float64 widening of non-null cells, which is the
+    # driver behavior this path exists to surface.
+    d_rows = [
+        tuple(
+            None
+            if v is pd.NaT or (isinstance(v, float) and v != v)
+            else v
+            for v in row
+        )
+        for row in duck_pdf.itertuples(index=False, name=None)
+    ]
 
     if sorted(s_cols) != sorted(d_cols):
         return False, f"columns differ: spark={sorted(s_cols)} duck={sorted(d_cols)}"
@@ -168,7 +229,7 @@ def main() -> int:
                 n_rows_only += 1
                 print(f"ROWS-ONLY {name}: {cnt} rows ({time.time()-t0:.2f}s)")
                 continue
-            ok, msg = compare(name, df, con.execute(spec.oracle))
+            ok, msg = compare(name, df, con.sql(spec.oracle))
         except Exception as e:  # noqa: BLE001
             ok, msg = False, f"EXCEPTION: {type(e).__name__}: {e}"
         dt = time.time() - t0
