@@ -1852,3 +1852,122 @@ def q_dedup_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .where(F.col("n_shared") >= WINNOW_MIN_SHARED)
     )
+
+
+@register(
+    "q_corpus_upsample_epochs",
+    oracle=f"""
+    WITH lang_tokens AS (
+      SELECT lang, sum(len(string_split(text, ' '))) AS avail
+      FROM documents GROUP BY lang
+    ),
+    ep AS (
+      SELECT lang,
+             least(CAST(floor(
+               CAST(floor(CAST(avail AS DOUBLE)
+                          / (SELECT sum(avail) FROM lang_tokens)
+                          * {MIX_TOKEN_BUDGET} + 0.5) AS DOUBLE)
+               / avail * 100 + 0.5) AS BIGINT),
+               {MIX_MAX_EPOCHS_X100}) AS e
+      FROM lang_tokens
+    ),
+    docs AS (
+      SELECT doc_id, lang, len(string_split(text, ' ')) AS n_tok
+      FROM documents
+    ),
+    copies AS (
+      SELECT d.lang, d.n_tok, ep.e,
+             ep.e // 100
+             + CASE WHEN CAST('0x' || substr(
+                       md5(CAST(d.doc_id AS VARCHAR)), 1, 2) AS BIGINT) * 100
+                    < (ep.e % 100) * 256
+                    THEN 1 ELSE 0 END AS n_copies
+      FROM docs d JOIN ep ON d.lang = ep.lang
+    )
+    SELECT lang,
+           CAST(max(e) AS BIGINT) AS epochs_x100,
+           count(*) AS n_docs_in,
+           CAST(sum(n_copies) AS BIGINT) AS n_docs_out,
+           CAST(sum(n_copies * n_tok) AS BIGINT) AS out_tokens
+    FROM copies
+    GROUP BY lang
+    """,
+    tier="P2",
+    doc="Epoch-budget MATERIALIZATION — the execution step downstream "
+    "of q_mix_epochs_budget's planning table: every document is "
+    "physically repeated floor(epochs) times plus one extra copy for "
+    "a deterministic md5-coin subset of size frac(epochs) (first "
+    "md5(doc_id) byte * 100 < frac_x100 * 256 — the same "
+    "hash-fraction idiom as q_split_train_val_test, so reruns and "
+    "both engines pick the identical subset; no RNG, no seed "
+    "plumbing). Spark plan: the 5-row epochs table broadcasts onto "
+    "documents, array_repeat + explode mints the copies (narrow, no "
+    "shuffle), and one partial-aggregated groupBy(lang) audits the "
+    "materialized corpus. 100 TB: upsampling multiplies bytes at most "
+    "4x (the epoch cap), stays embarrassingly parallel, and the only "
+    "exchange carries 5 partial-agg rows; the audit columns ARE the "
+    "data-card numbers (docs in/out, tokens out).",
+)
+def q_corpus_upsample_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    lang_tokens = docs.groupBy("lang").agg(
+        F.sum(F.size(F.split(F.col("text"), " "))).alias("avail")
+    )
+    total = lang_tokens.agg(F.sum("avail").alias("total_avail"))
+    want = F.floor(
+        F.col("avail").cast("double") / F.col("total_avail")
+        * MIX_TOKEN_BUDGET + F.lit(0.5)
+    ).cast("long")
+    ep = (
+        lang_tokens.crossJoin(F.broadcast(total))
+        .withColumn("want", want)
+        .select(
+            "lang",
+            F.least(
+                F.floor(
+                    F.col("want").cast("double") / F.col("avail") * 100
+                    + F.lit(0.5)
+                ).cast("long"),
+                F.lit(MIX_MAX_EPOCHS_X100),
+            ).alias("e"),
+        )
+    )
+    coin = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2), 16, 10
+    ).cast("long")
+    per_doc = (
+        docs.select(
+            "doc_id", "lang", F.size(F.split(F.col("text"), " ")).alias("n_tok")
+        )
+        .join(F.broadcast(ep), "lang")
+        .withColumn(
+            "n_copies",
+            (F.col("e") / 100).cast("long")
+            + F.when(coin * 100 < (F.col("e") % 100) * 256, 1).otherwise(0),
+        )
+    )
+    materialized = per_doc.select(
+        "lang",
+        "e",
+        "n_tok",
+        F.explode(
+            F.array_repeat(F.lit(1), F.col("n_copies").cast("int"))
+        ).alias("copy"),
+    )
+    audit_in = per_doc.groupBy("lang").agg(
+        F.max("e").alias("epochs_x100"),
+        F.count(F.lit(1)).alias("n_docs_in"),
+    )
+    audit_out = materialized.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs_out"),
+        F.sum("n_tok").alias("out_tokens"),
+    )
+    # left join: a lang can legally materialize zero copies (e == 0 and
+    # no coin hits) yet must still appear in the audit
+    return audit_in.join(audit_out, "lang", "left").select(
+        "lang",
+        "epochs_x100",
+        "n_docs_in",
+        F.coalesce("n_docs_out", F.lit(0)).alias("n_docs_out"),
+        F.coalesce("out_tokens", F.lit(0)).alias("out_tokens"),
+    )

@@ -666,3 +666,112 @@ def q_mm_video_stride_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
             "energy bigint, peak bigint"
         ),
     )
+
+
+# --- perceptual-hash dedup (round 5) -------------------------------------
+
+_HEXVAL = (
+    "((strpos('0123456789abcdef', substr(hx, 2 * ({i}) + 1, 1)) - 1) * 16"
+    " + strpos('0123456789abcdef', substr(hx, 2 * ({i}) + 2, 1)) - 1)"
+)
+
+
+def _gray_sql(base: str) -> str:
+    """Closed-form gray value of the synthetic raster pixel whose first
+    byte sits at linear offset ``base``: the raster is the 16-byte
+    md5(text) digest repeated, so byte(p) = digest[p % 16], and
+    gray = (R + G + B) // 3 in exact integer arithmetic."""
+    return (
+        "(" + " + ".join(
+            _HEXVAL.format(i=f"(({base}) + {c}) % 16") for c in (0, 1, 2)
+        ) + ") // 3"
+    )
+
+
+@register(
+    "q_mm_phash_dedup",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, md5(text) AS hx,
+             (n_chars % 64 + 16) AS w, (doc_id % 48 + 16) AS h
+      FROM documents
+    ),
+    grid AS (
+      SELECT gy.g AS y, gx.g AS x
+      FROM generate_series(0, 7) gy(g) CROSS JOIN generate_series(0, 7) gx(g)
+    ),
+    gray AS (
+      SELECT doc_id, y, x,
+             {_gray_sql("(((y * h) // 8) * w + ((x * w) // 8)) * 3")} AS g
+      FROM d CROSS JOIN grid
+    ),
+    bits AS (
+      SELECT a.doc_id, a.y, a.x,
+             CASE WHEN a.g > b.g THEN 1 ELSE 0 END AS bit
+      FROM gray a
+      JOIN gray b ON b.doc_id = a.doc_id AND b.y = a.y AND b.x = a.x + 1
+      WHERE a.x < 7
+    ),
+    ph AS (
+      SELECT doc_id,
+             CAST(sum(bit * (CAST(1 AS BIGINT) << (y * 7 + x)))
+                  AS BIGINT) AS phash
+      FROM bits GROUP BY doc_id
+    )
+    SELECT doc_id, phash,
+           CAST(count(*) OVER (PARTITION BY phash) AS BIGINT)
+             AS cluster_size
+    FROM ph
+    """,
+    tier="P1",
+    doc="Multimodal DEDUP rung: a dHash-style 56-bit perceptual hash "
+    "computed from the DECODED image (real mapInPandas P6-PPM parse -> "
+    "8x8 nearest-neighbor downsample -> integer gray -> horizontal "
+    "gradient sign bits), then duplicate clusters via a groupBy on the "
+    "hash. Extends the dedup ladder (exact/minhash/simhash/winnow/"
+    "embedding) to binary media: identical images collide exactly, and "
+    "near-identical re-encodes would collide in a real corpus (here "
+    "content is md5-derived so only exact duplicates cluster — the "
+    "detection PLUMBING is what scales). 100 TB: payload bytes never "
+    "shuffle — the decode is data-local and only (doc_id, 8-byte hash) "
+    "rows reach the exchange, exactly like q_dedup_minhash_bands' "
+    "signature-only shuffle; Hamming-radius>0 lookups would band the "
+    "56 bits into 4x14-bit keys, same bucket-join shape. The oracle "
+    "reproduces the hash in closed form from the md5 hex (digest "
+    "period 16 vs RGB stride 3), making a binary decode + downsample "
+    "+ bit-packing pipeline hash-verifiable cross-engine.",
+)
+def q_mm_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    src = media_table(spark, sf_dir)
+
+    def phash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ids, hashes = [], []
+            for _, r in pdf.iterrows():
+                img = _decode_ppm(bytes(r["payload"]))
+                h, w, _ = img.shape
+                ys = (np.arange(8) * h) // 8
+                xs = (np.arange(8) * w) // 8
+                patch = img[np.ix_(ys, xs)].astype(np.int64)
+                gray = patch.sum(axis=2) // 3  # exact (R+G+B)//3
+                bits = gray[:, :7] > gray[:, 1:]  # horizontal gradient
+                weights = np.int64(1) << (
+                    np.arange(8)[:, None] * 7 + np.arange(7)[None, :]
+                )
+                ids.append(int(r["doc_id"]))
+                hashes.append(int((bits * weights).sum()))
+            yield pd.DataFrame({"doc_id": ids, "phash": hashes})
+
+    hashed = src.select("doc_id", "payload").mapInPandas(
+        phash, schema="doc_id long, phash long"
+    )
+    return hashed.withColumn(
+        "cluster_size",
+        F.count(F.lit(1)).over(Window.partitionBy("phash")),
+    )

@@ -268,3 +268,118 @@ def q_neardup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return verified.where(j >= 0.6).select(
         "id_lo", "id_hi", r4(j).alias("jaccard")
     )
+
+
+@register(
+    "q_neardup_containment",
+    oracle="""
+    WITH dt AS (
+      SELECT DISTINCT doc_id, source, token
+      FROM (SELECT doc_id, source, unnest(string_split(text, ' ')) AS token
+            FROM documents)
+    ), sizes AS (
+      SELECT doc_id, count(*) AS n_tok FROM dt GROUP BY doc_id
+    ), inter AS (
+      SELECT a.doc_id AS id_lo, b.doc_id AS id_hi, count(*) AS n_inter
+      FROM dt a JOIN dt b
+        ON a.token = b.token AND a.source = b.source
+       AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT id_lo, id_hi,
+           CAST(least(sa.n_tok, sb.n_tok) AS BIGINT) AS n_small,
+           floor((CAST(n_inter AS DOUBLE)
+                  / least(sa.n_tok, sb.n_tok)) * 10000 + 0.5) / 10000
+             AS containment
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_lo
+    JOIN sizes sb ON sb.doc_id = id_hi
+    WHERE CAST(n_inter AS DOUBLE) / least(sa.n_tok, sb.n_tok) >= 0.7
+    """,
+    tier="P1",
+    doc="Sub-document duplication via the CONTAINMENT / overlap "
+    "coefficient |A∩B| / min(|A|,|B|) >= 0.7 — the measure that "
+    "catches a short document embedded verbatim inside a long one, "
+    "which symmetric Jaccard structurally misses (a 50-token quote "
+    "inside a 5000-token page has J≈0.01 but containment 1.0); the "
+    "standard boilerplate/quotation rung of an LLM dedup ladder next "
+    "to q_neardup_jaccard. Candidates are prefix-filtered for the "
+    "ASYMMETRIC threshold: each doc's rarest n - ceil(0.7n) + 1 "
+    "tokens (integer-exact (7n+9) div 10) join against the OTHER "
+    "side's full token list — lossless, because if C(A,B) >= t the "
+    "globally-rarest common token cannot fit inside the smaller set's "
+    "size-(ceil(t*n)-1) suffix; hot stopwords never appear in any "
+    "prefix, so they never become join keys (the full side only "
+    "contributes occurrences of rare tokens). All arithmetic is "
+    "integer counts + one IEEE divide — cross-engine bit-exact. "
+    "100 TB: same-source blocking bounds the join, the verify step "
+    "intersects bounded per-doc token sets, and text never shuffles "
+    "past tokenization.",
+)
+def q_neardup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.helpers import r4
+
+    d = load_table(spark, sf_dir, "documents")
+    dt = d.select(
+        "doc_id", "source", F.explode(F.split(F.col("text"), " ")).alias("token")
+    ).distinct()
+    tok_df = dt.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    ranked = (
+        dt.join(tok_df, "token")
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("doc_id").orderBy("df", "token")
+            ),
+        )
+        .withColumn(
+            "n_tok", F.count(F.lit(1)).over(Window.partitionBy("doc_id"))
+        )
+    )
+    # prefix length n - ceil(0.7n) + 1, integer-exact: ceil(7n/10) = (7n+9) div 10
+    pre = ranked.where(
+        F.col("rn") <= F.col("n_tok") - F.expr("(7 * n_tok + 9) div 10") + 1
+    ).select("doc_id", "source", "token")
+    # asymmetric candidate join: either side's PREFIX against the other
+    # side's FULL token list (pair normalized to id_lo < id_hi)
+    cand = (
+        pre.alias("a")
+        .join(
+            dt.alias("b"),
+            (F.col("a.token") == F.col("b.token"))
+            & (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.doc_id") != F.col("b.doc_id")),
+        )
+        .select(
+            F.least("a.doc_id", "b.doc_id").alias("id_lo"),
+            F.greatest("a.doc_id", "b.doc_id").alias("id_hi"),
+        )
+        .distinct()
+    )
+    toksets = dt.groupBy("doc_id").agg(
+        F.collect_set("token").alias("toks"), F.count(F.lit(1)).alias("n_tok")
+    )
+    verified = (
+        cand.join(
+            toksets.select(
+                F.col("doc_id").alias("id_lo"),
+                F.col("toks").alias("ta"),
+                F.col("n_tok").alias("na"),
+            ),
+            "id_lo",
+        )
+        .join(
+            toksets.select(
+                F.col("doc_id").alias("id_hi"),
+                F.col("toks").alias("tb"),
+                F.col("n_tok").alias("nb"),
+            ),
+            "id_hi",
+        )
+        .withColumn("n_inter", F.size(F.array_intersect("ta", "tb")))
+        .withColumn("n_small", F.least("na", "nb").cast("long"))
+    )
+    c = F.col("n_inter").cast("double") / F.col("n_small")
+    return verified.where(c >= 0.7).select(
+        "id_lo", "id_hi", "n_small", r4(c).alias("containment")
+    )

@@ -692,3 +692,72 @@ def q_emb_matryoshka_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("sum_mass_ppm"),
         F.sum(F.when(ratio >= 0.5, 1).otherwise(0)).alias("n_head_heavy"),
     )
+
+
+# --- blocked cosine range search (round 5) -------------------------------
+
+RANGE_TAU_1E4 = 3000  # cosine >= 0.30, compared in rounded integer units
+
+
+@register(
+    "q_sim_range_search",
+    oracle=f"""
+    WITH pairs AS (
+      SELECT a.label AS label, a.vec_id AS id_lo, b.vec_id AS id_hi,
+             list_cosine_similarity(
+               list_transform(a.embedding, x -> CAST(x AS DOUBLE)),
+               list_transform(b.embedding, x -> CAST(x AS DOUBLE))
+             ) AS sim
+      FROM embeddings a JOIN embeddings b
+        ON a.label = b.label AND a.vec_id < b.vec_id
+    )
+    SELECT label, id_lo, id_hi,
+           floor(sim * 10000 + 0.5) / 10000 AS sim
+    FROM pairs
+    WHERE floor(sim * 10000 + 0.5) >= {RANGE_TAU_1E4}
+    """,
+    tier="P1",
+    doc="Cosine RANGE search (all pairs with sim >= tau) — the "
+    "threshold twin of q_sim_cosine_topk and the primitive behind "
+    "semantic dedup sweeps ('drop everything closer than tau'), where "
+    "a top-k contract is wrong because duplicate counts per item vary. "
+    "Blocked: pairs are only computed WITHIN a label block "
+    "(applyInPandas per label -> one numpy gram matrix per group), so "
+    "no cross-block pair ever materializes — the same "
+    "compare-only-within-bucket shape as q_ann_srp_buckets/"
+    "q_ann_ivf_topk, with the label standing in for the LSH/IVF "
+    "bucket key an unlabeled corpus would derive. Thresholding "
+    "compares ROUNDED integer units (floor(sim*1e4+0.5) >= 3000) on "
+    "both engines so the boundary is bit-deterministic. 100 TB: one "
+    "shuffle on the block key; per-block O(m^2) compute bounded by "
+    "bucket size (the IVF/LSH lever), output rows only for matches.",
+)
+def q_sim_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    e = load_table(spark, sf_dir, "embeddings")
+
+    def pairs_in_block(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+        order = np.argsort(ids)
+        ids = ids[order]
+        mat = np.array(
+            [list(v) for v in pdf["embedding"].iloc[order]], dtype=np.float64
+        )
+        norms = np.sqrt((mat * mat).sum(axis=1))
+        sims = (mat @ mat.T) / np.outer(norms, norms)
+        units = np.floor(sims * 1e4 + 0.5)
+        lo, hi = np.triu_indices(len(ids), k=1)
+        keep = units[lo, hi] >= RANGE_TAU_1E4
+        return pd.DataFrame(
+            {
+                "label": pdf["label"].iloc[0],
+                "id_lo": ids[lo[keep]],
+                "id_hi": ids[hi[keep]],
+                "sim": units[lo[keep], hi[keep]] / 1e4,
+            }
+        )
+
+    return e.groupBy("label").applyInPandas(
+        pairs_in_block, schema="label int, id_lo long, id_hi long, sim double"
+    )

@@ -244,7 +244,15 @@ _BOOST_RANK = {n: i for i, n in enumerate(_PRIORITY_BOOST)}
 # rounds, but before rows-only and already-green entries. Repopulated
 # each round as operators land; the round-4 set graduated into the
 # general never-sampled pool (priority tier 1).
-_NEW_THIS_ROUND: frozenset[str] = frozenset()
+_NEW_THIS_ROUND: frozenset[str] = frozenset(
+    {
+        # round-5 additions
+        "q_mm_phash_dedup",
+        "q_neardup_containment",
+        "q_sim_range_search",
+        "q_corpus_upsample_epochs",
+    }
+)
 
 # Queries whose registration is conditional on an optional dependency:
 # they stay documented in SURVEY.md everywhere, but self-unregister in
