@@ -443,3 +443,51 @@ def test_dpp_prunes_fact_partitions_at_runtime(spark):
     df = all_specs()["q_join_dynamic_partition_pruning"].fn(spark, SF_T2)
     p = plan(df, "extended")
     assert "dynamicpruning" in p, p[:2000]
+
+
+def test_range_search_single_exchange_on_block_key(spark):
+    """The blocked range search must be ONE shuffle on the label block
+    key feeding FlatMapGroupsInPandas — any extra exchange or a
+    cross-block join would defeat the bucketing at scale."""
+    p = plan(all_specs()["q_sim_range_search"].fn(spark, SF_T2), "simple")
+    assert p.count("Exchange") == 1, p
+    assert "hashpartitioning(label" in p, p
+    assert "FlatMapGroupsInPandas" in p, p
+    assert "Join" not in p, p
+
+
+def test_phash_dedup_shuffles_hashes_not_payloads(spark):
+    """q_mm_phash_dedup's exchange must carry only (doc_id, phash) —
+    the binary payload column dies at the mapInPandas boundary. A
+    payload column in the exchange would shuffle the whole corpus's
+    image bytes at 100 TB."""
+    import re
+
+    p = plan(all_specs()["q_mm_phash_dedup"].fn(spark, SF_T2), "simple")
+    assert "hashpartitioning(phash" in p, p
+    # the mapInPandas OUTPUT schema (the columns that reach the
+    # exchange) must be exactly (doc_id, phash) — payload stays input-only
+    m = re.search(r"MapInPandas .*?, \[([^\]]*)\],", p)
+    assert m and "payload" not in m.group(1), p
+
+
+def test_containment_prefix_filter_bounds_the_join(spark):
+    """The containment candidate join must sit on top of the prefix
+    row-number filter (a window below the join), not a raw token
+    self-join: the window's rn <= prefix bound is what keeps hot
+    stopwords out of the join keys."""
+    df = all_specs()["q_neardup_containment"].fn(spark, SF_T2)
+    p = plan(df, "simple")
+    assert "row_number" in p, p
+    # verify step intersects bounded per-doc token sets AFTER the
+    # prefix-filtered candidate join (broadcast at toy scale, SMJ at 100 TB)
+    assert "array_intersect" in p, p
+
+
+def test_upsample_epochs_broadcasts_plan_table(spark):
+    """The 5-row epochs table must broadcast onto documents; the only
+    exchanges are aggregate rollups (no shuffle of the exploded
+    corpus on a join key)."""
+    p = plan(all_specs()["q_corpus_upsample_epochs"].fn(spark, SF_T2), "simple")
+    assert "BroadcastHashJoin" in p, p
+    assert "Generate explode" in p, p
