@@ -251,6 +251,7 @@ _NEW_THIS_ROUND: frozenset[str] = frozenset(
         "q_neardup_containment",
         "q_sim_range_search",
         "q_corpus_upsample_epochs",
+        "q_emb_pca_power",
     }
 )
 

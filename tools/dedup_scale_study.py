@@ -1,0 +1,169 @@
+"""Dedup-ladder scaling study — candidate growth vs corpus growth.
+
+The generic scale study (tools/scale_study.py) replicates FACT tables;
+it deliberately copies documents unscaled because replicating identical
+texts k-fold turns every document into a (k-1)-way exact duplicate and
+inflates every near-dup pair count quadratically — a different
+workload, not a bigger one (VERDICT r4 item 7 asks for the
+documents-side ladder done right).
+
+This tool grows the corpus with DISTINCT texts: replica r of doc d gets
+every token suffixed with ``_r<r>`` (and doc_id shifted by a stride),
+so each replica preserves the original corpus's internal near-dup
+structure exactly while sharing ZERO tokens/shingles across replicas.
+The honest scaling claim for a blocked/bucketed dedup operator is then:
+
+    corpus k×  =>  pairs/candidates k× (linear), wall-clock ~k×.
+
+Anything super-linear in OUTPUT ROWS means the blocking broke (e.g. a
+hot bucket spanning replicas); anything super-linear in TIME beyond
+sort costs means a shuffle or candidate set is growing quadratically.
+
+    python tools/dedup_scale_study.py [--reps 4 16] [--verify]
+
+``--verify`` DuckDB-checks the two cheapest hash rungs at the largest
+scale, so correctness at scale is proven, not assumed.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from sd2_drp_experimentgen_spark.plans import all_specs  # noqa: E402
+from sd2_drp_experimentgen_spark.schemas import TABLE_NAMES  # noqa: E402
+from sd2_drp_experimentgen_spark.session import get_spark  # noqa: E402
+
+BASE_SF = "/root/testdata/sf0.1"
+DOC_STRIDE = 10**7
+
+# The dedup ladder, cheap-to-expensive. Output rows are the measured
+# "candidate/pair set": minhash_bands emits banded bucket candidates,
+# lsh_refine the exact-verified survivors, winnow_pairs fingerprint
+# co-occurrence pairs, jaccard/containment the exact ppjoin-verified
+# pair sets.
+LADDER = [
+    "q_dedup_minhash_bands",
+    "q_dedup_lsh_refine",
+    "q_text_winnow_fingerprints",
+    "q_dedup_winnow_pairs",
+    "q_neardup_jaccard",
+    "q_neardup_containment",
+]
+
+VERIFY_AT_MAX = ["q_dedup_minhash_bands", "q_dedup_winnow_pairs"]
+
+
+def scaled_dir(rep: int) -> str:
+    root = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "..", ".scratch",
+        "scale_docs",
+    )
+    return os.path.abspath(os.path.join(root, f"x{rep}"))
+
+
+def build(spark, rep: int) -> str:
+    """Replicate documents rep-fold with DISTINCT texts; copy the other
+    tables unscaled so loaders and preflight see a complete fixture."""
+    out = scaled_dir(rep)
+    marker = os.path.join(out, "_BUILT")
+    if os.path.exists(marker):
+        return out
+    shutil.rmtree(out, ignore_errors=True)
+    os.makedirs(out)
+    reps = spark.range(rep).select(F.col("id").alias("rep"))
+    for t in TABLE_NAMES:
+        src = f"{BASE_SF}/{t}.parquet"
+        dst = os.path.join(out, f"{t}.parquet")
+        df = spark.read.parquet(src)
+        if t == "documents":
+            suffixed = F.array_join(
+                F.transform(
+                    F.split(F.col("text"), " "),
+                    lambda x: F.concat(x, F.lit("_r"), F.col("rep")),
+                ),
+                " ",
+            )
+            df = (
+                df.crossJoin(F.broadcast(reps))
+                .withColumn("doc_id", F.col("doc_id") + F.col("rep") * DOC_STRIDE)
+                .withColumn("text", suffixed)
+                .withColumn("n_chars", F.length("text"))
+                .drop("rep")
+            )
+        df.write.mode("overwrite").parquet(dst)
+    open(marker, "w").write("ok")
+    return out
+
+
+def run_query(spark, name: str, sf_dir: str, runs: int = 2):
+    fn = all_specs()[name].fn
+    rows = fn(spark, sf_dir).count()  # warm-up + candidate/pair count
+    best = float("inf")
+    for _ in range(runs):
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).count()
+        best = min(best, time.perf_counter() - t0)
+    return round(best, 3), rows
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--reps", nargs="*", type=int, default=[4, 16])
+    ap.add_argument("--verify", action="store_true")
+    args = ap.parse_args()
+
+    spark = get_spark(app_name="sd2drp-dedup-scale", shuffle_partitions=32)
+    result: dict = {"base": {}, "scales": {}}
+    for q in LADDER:
+        t, n = run_query(spark, q, BASE_SF)
+        result["base"][q] = {"sec": t, "rows": n}
+        print(f"x1   {q}: {t}s, {n} rows", flush=True)
+
+    for rep in args.reps:
+        d = build(spark, rep)
+        row = {}
+        for q in LADDER:
+            t, n = run_query(spark, q, d)
+            base = result["base"][q]
+            row[q] = {
+                "sec": t,
+                "rows": n,
+                "time_ratio": round(t / max(base["sec"], 1e-9), 1),
+                "rows_ratio": round(n / max(base["rows"], 1), 2),
+            }
+            print(
+                f"x{rep:<3} {q}: {t}s ({row[q]['time_ratio']}x time), "
+                f"{n} rows ({row[q]['rows_ratio']}x rows at {rep}x corpus)",
+                flush=True,
+            )
+        result["scales"][rep] = row
+
+        if args.verify and rep == max(args.reps):
+            from tools.verify_local import compare, duck_connect
+
+            con = duck_connect(d)
+            for q in VERIFY_AT_MAX:
+                spec = all_specs()[q]
+                ok, msg = compare(q, spec.fn(spark, d), con.sql(spec.oracle))
+                print(
+                    f"VERIFY x{rep} {q}: {'PASS' if ok else 'FAIL'} {msg}",
+                    flush=True,
+                )
+                if not ok:
+                    return 1
+
+    print(json.dumps(result))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

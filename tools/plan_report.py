@@ -64,6 +64,10 @@ REPORT = [
     ("q_tpch_q21_waiting_supplier", "EXISTS/NOT-EXISTS pair as two same-key rollups, no fact self-joins"),
     ("q_join_dynamic_partition_pruning", "dynamicpruningexpression in the fact scan PartitionFilters"),
     ("q_join_skew_salted", "ShuffledHashJoin on (key, salt); no broadcast"),
+    ("q_sim_range_search", "ONE exchange on the label block key into FlatMapGroupsInPandas; no join"),
+    ("q_mm_phash_dedup", "mapInPandas emits (doc_id, phash) only — payload bytes never reach the exchange"),
+    ("q_neardup_containment", "prefix row_number window below the candidate join; array_intersect verify on bounded sets"),
+    ("q_corpus_upsample_epochs", "5-row epochs table broadcast onto documents; explode stays narrow"),
 ]
 
 
