@@ -901,3 +901,124 @@ def q_emb_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("s div sc").alias("comp"),
         )
     return v
+
+
+# --- product quantization (round 5) --------------------------------------
+
+PQ_M = 4       # subspaces (64 dims -> 4 x 16)
+PQ_SUB = 16    # dims per subspace
+PQ_K = 16      # centroids per subspace (the vec_id < PQ_K vectors)
+
+
+def _pq_centroids(spark: SparkSession, sf_dir: str):
+    """(PQ_M, PQ_K, PQ_SUB) int64 centroid tensor from the PQ_K
+    lowest-id vectors, quantized to 1e-3 units. Collects exactly PQ_K
+    rows — a constant, data-size-independent codebook (the sanctioned
+    small-side pattern; at 100 TB a trained codebook is still KBs)."""
+    import numpy as np
+
+    rows = (
+        load_table(spark, sf_dir, "embeddings")
+        .where(F.col("vec_id") < PQ_K)
+        .orderBy("vec_id")
+        .select("embedding")
+        .collect()
+    )
+    mat = np.array([list(r[0]) for r in rows], dtype=np.float64)
+    quant = np.floor(mat * PCA_UNITS + 0.5).astype(np.int64)
+    return np.stack(
+        [quant[:, m * PQ_SUB : (m + 1) * PQ_SUB] for m in range(PQ_M)]
+    )
+
+
+@register(
+    "q_emb_pq_encode",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id, CAST(gs - 1 AS INTEGER) AS i,
+             CAST(floor(CAST(e AS DOUBLE) * {PCA_UNITS} + 0.5) AS BIGINT)
+               AS qv
+      FROM (
+        SELECT vec_id, unnest(embedding) AS e,
+               generate_subscripts(embedding, 1) AS gs
+        FROM embeddings
+      )
+    ),
+    cent AS (
+      SELECT vec_id AS k, i // {PQ_SUB} AS m, i % {PQ_SUB} AS d, qv AS cv
+      FROM q WHERE vec_id < {PQ_K}
+    ),
+    dist AS (
+      SELECT a.vec_id, c.m, c.k,
+             sum((a.qv - c.cv) * (a.qv - c.cv)) AS d2
+      FROM q a JOIN cent c
+        ON c.m = a.i // {PQ_SUB} AND c.d = a.i % {PQ_SUB}
+      GROUP BY a.vec_id, c.m, c.k
+    ),
+    best AS (
+      SELECT vec_id, m, k, d2,
+             row_number() OVER (PARTITION BY vec_id, m
+                                ORDER BY d2, k) AS rn
+      FROM dist
+    )
+    SELECT vec_id,
+           CAST(max(CASE WHEN m = 0 THEN k END) AS BIGINT) AS c0,
+           CAST(max(CASE WHEN m = 1 THEN k END) AS BIGINT) AS c1,
+           CAST(max(CASE WHEN m = 2 THEN k END) AS BIGINT) AS c2,
+           CAST(max(CASE WHEN m = 3 THEN k END) AS BIGINT) AS c3,
+           CAST(sum(d2) AS BIGINT) AS total_d2
+    FROM best WHERE rn = 1
+    GROUP BY vec_id
+    """,
+    tier="P1",
+    doc="Product-quantization encode — the ANN-family compression rung "
+    "next to IVF (q_ann_ivf_topk), SRP buckets and int8 quantization: "
+    "each 64-dim vector splits into 4 subvectors, each assigned to "
+    "the nearest of 16 deterministic codebook centroids (the lowest-id "
+    "vectors, quantized — no training RNG, so the code assignment is "
+    "a pure function of the data), yielding a 4-byte code + exact "
+    "integer reconstruction error. All distances are int64 sums of "
+    "squared 1e-3-unit differences; argmin ties break to the lowest "
+    "centroid id on both engines (numpy first-occurrence == SQL "
+    "row_number ORDER BY d2, k). Spark plan: the KB-sized codebook "
+    "broadcasts into an Arrow-batched mapInPandas — one data pass, no "
+    "shuffle at all (the encode is a projection); the oracle computes "
+    "the identical assignment relationally (explode -> join -> "
+    "row_number). At 100 TB, PQ codes are what make billion-scale ANN "
+    "memory-resident: 64 floats -> 4 bytes is 64x compression, and "
+    "the asymmetric-distance scan over codes is a table scan of the "
+    "code column only.",
+)
+def q_emb_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    cent = _pq_centroids(spark, sf_dir)
+    bc = spark.sparkContext.broadcast(cent)
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        c = bc.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            mat = np.array(
+                [list(v) for v in pdf["embedding"]], dtype=np.float64
+            )
+            quant = np.floor(mat * PCA_UNITS + 0.5).astype(np.int64)
+            out = {"vec_id": pdf["vec_id"].to_numpy(dtype=np.int64)}
+            total = np.zeros(len(pdf), dtype=np.int64)
+            for m in range(PQ_M):
+                sub = quant[:, m * PQ_SUB : (m + 1) * PQ_SUB]
+                diff = sub[:, None, :] - c[m][None, :, :]
+                d2 = (diff * diff).sum(axis=2)
+                k = d2.argmin(axis=1)  # first occurrence = lowest k
+                out[f"c{m}"] = k.astype(np.int64)
+                total += d2[np.arange(len(pdf)), k]
+            out["total_d2"] = total
+            yield pd.DataFrame(out)
+
+    return e.mapInPandas(
+        encode,
+        schema="vec_id long, c0 long, c1 long, c2 long, c3 long, "
+        "total_d2 long",
+    )

@@ -252,6 +252,7 @@ _NEW_THIS_ROUND: frozenset[str] = frozenset(
         "q_sim_range_search",
         "q_corpus_upsample_epochs",
         "q_emb_pca_power",
+        "q_emb_pq_encode",
     }
 )
 

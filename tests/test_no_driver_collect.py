@@ -22,6 +22,9 @@ OPERATORS_DIR = (
 ALLOWED = {
     # Gated on BROADCAST_MAX_ROWS; block-partitioned fallback beyond it.
     ("vectors.py", "_embeddings_matrix"),
+    # Collects exactly PQ_K (16) codebook rows — a constant-size
+    # codebook regardless of data volume (KBs at any scale).
+    ("vectors.py", "_pq_centroids"),
     # Collects exactly n_queries (20) rows — the small side by definition.
     ("ml.py", "q_ann_ivf_topk"),
     # pytest-only quality helper, never in a registered query's lineage.
