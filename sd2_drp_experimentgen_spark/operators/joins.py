@@ -1097,3 +1097,86 @@ def q_join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("asof_ts").cast("date").alias("asof_date"),
         )
     )
+
+
+@register(
+    "q_join_lateral_api",
+    oracle=f"""
+    SELECT c_custkey, c_mktsegment, t.o_orderkey,
+           {sql_units("t.o_totalprice", 2)} AS totalprice_cents
+    FROM customer,
+    LATERAL (
+      SELECT o_orderkey, o_totalprice FROM orders
+      WHERE o_custkey = c_custkey
+      ORDER BY o_totalprice DESC, o_orderkey LIMIT 2
+    ) t
+    """,
+    tier="P2",
+    doc="DataFrame.lateralJoin (new in Spark 4.0) — the DSL twin of "
+    "the SQL LATERAL subquery surface (q_sql_lateral_topk): per "
+    "customer, the top-2 orders by price via a correlated subquery "
+    "referencing the outer row with Column.outer(). Catalyst "
+    "decorrelates the per-row LIMIT into the same ranked-window "
+    "shape a hand-written q_win_rank_topn uses, so the API "
+    "convenience costs nothing at scale; the LIMIT sits under a "
+    "total order (price DESC, orderkey) so ties are deterministic. "
+    "Pins the API surface a reference user migrating correlated "
+    "queries expects to exist.",
+)
+def q_join_lateral_api(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.helpers import int_units
+
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    top2 = (
+        o.where(F.col("o_custkey") == F.col("c_custkey").outer())
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(2)
+        .select("o_orderkey", "o_totalprice")
+    )
+    return c.lateralJoin(top2).select(
+        "c_custkey",
+        "c_mktsegment",
+        "o_orderkey",
+        int_units(F.col("o_totalprice"), 2).alias("totalprice_cents"),
+    )
+
+
+@register(
+    "q_sql_pipe_syntax",
+    oracle="""
+    SELECT l_returnflag, count(*) AS n,
+           CAST(sum(CAST(floor((l_extendedprice * (1 - l_discount))
+                               * 10000 + 0.5) AS BIGINT)) AS BIGINT)
+             AS revenue_units
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate <  TIMESTAMP '1998-01-01'
+    GROUP BY l_returnflag
+    """,
+    tier="P2",
+    doc="SQL pipe syntax (|>, new in Spark 4.0): the same "
+    "filter -> EXTEND -> AGGREGATE computation as a pipeline of "
+    "stages, parsed by Spark's pipe dialect and planned identically "
+    "to the classic form (the oracle IS the classic form — the hash "
+    "match proves the dialects agree). Pipe syntax is the API "
+    "surface incremental-transform authors use; nothing about the "
+    "physical plan changes: predicate still pushes to the scan, "
+    "AGGREGATE still partial-aggregates map-side.",
+)
+def q_sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView(
+        "pipe_lineitem"
+    )
+    return spark.sql(
+        """
+        FROM pipe_lineitem
+        |> WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+             AND l_shipdate <  TIMESTAMP '1998-01-01'
+        |> EXTEND CAST(floor((l_extendedprice * (1 - l_discount))
+                             * 10000 + 0.5) AS BIGINT) AS rev_units
+        |> AGGREGATE count(*) AS n, sum(rev_units) AS revenue_units
+             GROUP BY l_returnflag
+        |> SELECT l_returnflag, n, revenue_units
+        """
+    )

@@ -253,6 +253,8 @@ _NEW_THIS_ROUND: frozenset[str] = frozenset(
         "q_corpus_upsample_epochs",
         "q_emb_pca_power",
         "q_emb_pq_encode",
+        "q_join_lateral_api",
+        "q_sql_pipe_syntax",
     }
 )
 
