@@ -307,3 +307,85 @@ def q_dedup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("n_docs") >= 2)
     )
+
+
+BFS_SEED_MAX = 10  # seed set: customer nodes with custkey < 10
+BFS_ROUNDS = 3
+
+
+def _bfs_round_sql(prev: str, out: str) -> str:
+    """One unrolled BFS frontier round: dist'(v) = min(dist(v),
+    min over in-neighbors u of dist(u) + 1) — pure integer min-agg."""
+    return f"""
+    {out} AS (
+      SELECT node, min(dist) AS dist FROM (
+        SELECT node, dist FROM {prev}
+        UNION ALL
+        SELECT e.dst AS node, d.dist + 1 AS dist
+        FROM {prev} d JOIN edges e ON e.src = d.node
+      ) GROUP BY node
+    )"""
+
+
+@register(
+    "q_graph_bfs_hops",
+    oracle=f"""
+    WITH {_PR_EDGES_SQL},
+    d0 AS (
+      SELECT node, 0 AS dist FROM nodes WHERE node < {BFS_SEED_MAX}
+    ),
+    {_bfs_round_sql('d0', 'd1')},
+    {_bfs_round_sql('d1', 'd2')},
+    {_bfs_round_sql('d2', 'd3')}
+    SELECT node, CAST(dist AS BIGINT) AS dist FROM d3
+    """,
+    tier="P1",
+    doc="Multi-source BFS (bounded-hop shortest paths) over the "
+    "bipartite customer<->supplier graph — the reachability twin of "
+    "q_graph_pagerank and the third iterative-graph rung next to "
+    "min-label components: seeds are the customer nodes with id < "
+    f"{BFS_SEED_MAX}; {BFS_ROUNDS} frontier-expansion rounds, each "
+    "ONE join (frontier to edges, shuffled on src) + ONE min-groupBy "
+    "— the exact round structure of Pregel-style BFS, where only "
+    "(node, dist) pairs ever shuffle. All arithmetic is integer "
+    "min/+1, so the unrolled-CTE oracle reproduces the distances "
+    "bit-for-bit. At 100 TB the frontier join co-partitions with the "
+    "(localCheckpoint-truncated) edge list and each round's shuffle "
+    "volume is bounded by the reached-set size, not the graph.",
+)
+def q_graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    pairs = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+        .distinct()
+    )
+    edges = (
+        pairs.select(
+            F.col("c").alias("src"), (F.col("s") + PR_SUPP_OFFSET).alias("dst")
+        )
+        .unionAll(
+            pairs.select(
+                (F.col("s") + PR_SUPP_OFFSET).alias("src"),
+                F.col("c").alias("dst"),
+            )
+        )
+        .localCheckpoint()
+    )
+    nodes = edges.select(F.col("src").alias("node")).distinct()
+    dist = nodes.where(F.col("node") < BFS_SEED_MAX).select(
+        "node", F.lit(0).cast("int").alias("dist")
+    )
+    for _ in range(BFS_ROUNDS):
+        expanded = (
+            dist.withColumnRenamed("node", "src")
+            .join(edges, "src")
+            .select(F.col("dst").alias("node"), (F.col("dist") + 1).alias("dist"))
+        )
+        dist = (
+            dist.unionAll(expanded)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+        )
+    return dist.select("node", F.col("dist").cast("long").alias("dist"))

@@ -255,6 +255,7 @@ _NEW_THIS_ROUND: frozenset[str] = frozenset(
         "q_emb_pq_encode",
         "q_join_lateral_api",
         "q_sql_pipe_syntax",
+        "q_graph_bfs_hops",
     }
 )
 
