@@ -630,3 +630,52 @@ def q_stream_sink_python_ds(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("value_units").alias("sum_value_units"),
         F.max("event_id").alias("max_event_id"),
     )
+
+
+def _documents_dir(sf_dir: str) -> str:
+    """Stage documents.parquet into a directory for FileStreamSource
+    (same convention as _events_dir)."""
+    import shutil
+
+    sf_tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    d = _scratch(f"stream_docs_{sf_tag}")
+    src = f"{sf_dir}/documents.parquet"
+    dst = os.path.join(d, "documents.parquet")
+    if not os.path.exists(dst) or os.path.getsize(dst) != os.path.getsize(src):
+        shutil.copyfile(src, dst)
+    return d
+
+
+@register(
+    "q_stream_ingest_dedup",
+    oracle="""
+    SELECT lang, count(DISTINCT md5(text)) AS n_unique
+    FROM documents
+    GROUP BY lang
+    """,
+    tier="P1",
+    doc="Dedup-on-ingest — the streaming rung of the corpus dedup "
+    "ladder: a LIVE Structured Streaming run (readStream over the "
+    "documents parquet, AvailableNow, memory sink) that chains TWO "
+    "stateful operators — dropDuplicates on (lang, content-hash) "
+    "suppressing re-ingested duplicates exactly-once across "
+    "micro-batches, then a complete-mode per-lang unique count. The "
+    "audit counts are survivor-independent (which physical row "
+    "survives is arrival-order-dependent; HOW MANY survive is not), "
+    "so an actual streaming execution hash-checks against plain SQL. "
+    "At 100 TB this is the ingestion-time filter that keeps an "
+    "append-only corpus unique without batch re-sweeps: state is one "
+    "16-byte hash per unique doc (RocksDB-backed on a cluster), and "
+    "the same shape extends to minhash-band keys for near-dup "
+    "suppression at ingest.",
+)
+def q_stream_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _documents_dir(sf_dir)
+    s = jobs._stream_session(spark)
+    schema = s.read.parquet(d).schema
+    raw = s.readStream.schema(schema).parquet(d)
+    deduped = raw.select(
+        "lang", F.md5(F.col("text").cast("binary")).alias("h")
+    ).dropDuplicates(["lang", "h"])
+    agg = deduped.groupBy("lang").agg(F.count(F.lit(1)).alias("n_unique"))
+    return jobs.run_to_memory(agg, "complete")

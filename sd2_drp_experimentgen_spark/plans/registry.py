@@ -256,6 +256,7 @@ _NEW_THIS_ROUND: frozenset[str] = frozenset(
         "q_join_lateral_api",
         "q_sql_pipe_syntax",
         "q_graph_bfs_hops",
+        "q_stream_ingest_dedup",
     }
 )
 
