@@ -491,3 +491,50 @@ def test_upsample_epochs_broadcasts_plan_table(spark):
     p = plan(all_specs()["q_corpus_upsample_epochs"].fn(spark, SF_T2), "simple")
     assert "BroadcastHashJoin" in p, p
     assert "Generate explode" in p, p
+
+
+def test_pq_encode_is_zero_shuffle_projection(spark):
+    """PQ encode must be a bare MapInPandas over the scan — zero
+    exchanges. Any shuffle would mean the encode stopped being a
+    projection (the property that makes it free at 100 TB)."""
+    p = plan(all_specs()["q_emb_pq_encode"].fn(spark, SF_T2), "simple")
+    assert "MapInPandas" in p, p
+    assert "Exchange" not in p, p
+
+
+def test_lateral_join_decorrelates_to_window_group_limit(spark):
+    """DataFrame.lateralJoin's correlated per-row LIMIT must be
+    decorrelated by Catalyst into the ranked-window shape
+    (WindowGroupLimit + row_number) — NOT executed as a per-row
+    rescan or nested loop."""
+    p = plan(all_specs()["q_join_lateral_api"].fn(spark, SF_T2), "simple")
+    assert "WindowGroupLimit" in p, p
+    assert "row_number" in p, p
+    assert "BroadcastNestedLoopJoin" not in p, p
+
+
+def test_pipe_syntax_pushes_filter_and_partial_aggregates(spark):
+    """The pipe dialect must plan exactly like the classic form:
+    shipdate range pushed to the parquet scan, partial (map-side)
+    aggregation below the exchange."""
+    p = plan(all_specs()["q_sql_pipe_syntax"].fn(spark, SF_T2))
+    assert "PushedFilters" in p and "l_shipdate" in p.split("PushedFilters")[1][:200], p
+    assert "partial_count" in p or "partial" in p, p
+
+
+def test_pca_gram_partials_combine_map_side(spark):
+    """The PCA gram aggregation must show partial_sum below its
+    exchange: each partition's 64x64 tile combines map-side, so the
+    shuffle is O(d^2 x partitions) regardless of row count."""
+    p = plan(all_specs()["q_emb_pca_power"].fn(spark, SF_T2), "simple")
+    assert "MapInPandas" in p, p
+    assert "partial_sum" in p, p
+
+
+def test_bfs_rounds_are_min_aggregates_not_nested_loops(spark):
+    """Every BFS frontier round must be an equi-join + min-groupBy
+    (partial_min map-side); a nested-loop expansion would explode at
+    any scale."""
+    p = plan(all_specs()["q_graph_bfs_hops"].fn(spark, SF_T2), "simple")
+    assert "partial_min" in p, p
+    assert "BroadcastNestedLoopJoin" not in p, p
