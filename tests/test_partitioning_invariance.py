@@ -30,6 +30,14 @@ SENSITIVE = [
     "q_emb_quantize_int8",    # vectorized quantization checksums
     "q_llm_corpus_pipeline",  # composed dedup/split/decontam/packing
     "q_sample_exact_k",       # global top-k by hash
+    # round-5 additions most at risk under layout changes:
+    "q_emb_pca_power",        # iterative fixed-point linear algebra —
+                              # gram partials merge in task order
+    "q_mm_phash_dedup",       # mapInPandas batch boundaries move
+    "q_sim_range_search",     # per-label numpy gram matrix, row order
+                              # inside each group changes with splits
+    "q_corpus_upsample_epochs",  # explode + md5-coin subset
+    "q_graph_bfs_hops",       # iterative frontier min-propagation
 ]
 
 
