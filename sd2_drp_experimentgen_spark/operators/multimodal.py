@@ -775,3 +775,132 @@ def q_mm_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cluster_size",
         F.count(F.lit(1)).over(Window.partitionBy("phash")),
     )
+
+
+@register(
+    "q_mm_corpus_pipeline",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, lang, n_chars, md5(text) AS hx,
+             (n_chars % 64 + 16) AS w, (doc_id % 48 + 16) AS h
+      FROM documents
+    ),
+    grid AS (
+      SELECT gy.g AS y, gx.g AS x
+      FROM generate_series(0, 7) gy(g) CROSS JOIN generate_series(0, 7) gx(g)
+    ),
+    gray AS (
+      SELECT doc_id, y, x,
+             {_gray_sql("(((y * h) // 8) * w + ((x * w) // 8)) * 3")} AS g
+      FROM d CROSS JOIN grid
+    ),
+    bits AS (
+      SELECT a.doc_id, a.y, a.x,
+             CASE WHEN a.g > b.g THEN 1 ELSE 0 END AS bit
+      FROM gray a
+      JOIN gray b ON b.doc_id = a.doc_id AND b.y = a.y AND b.x = a.x + 1
+      WHERE a.x < 7
+    ),
+    ph AS (
+      SELECT doc_id,
+             CAST(sum(bit * (CAST(1 AS BIGINT) << (y * 7 + x)))
+                  AS BIGINT) AS phash
+      FROM bits GROUP BY doc_id
+    ),
+    joined AS (
+      SELECT d.doc_id, d.lang, d.w * d.h AS n_px, ph.phash,
+             CASE WHEN d.n_chars BETWEEN 100 AND 1000 THEN 1 ELSE 0 END
+               AS quality_ok,
+             count(*) OVER (PARTITION BY d.lang, ph.phash)
+               AS cluster_size,
+             min(d.doc_id) OVER (PARTITION BY d.lang, ph.phash)
+               AS survivor_id
+      FROM d JOIN ph ON ph.doc_id = d.doc_id
+    )
+    SELECT lang,
+           count(*) AS n_docs,
+           CAST(count(DISTINCT phash) AS BIGINT) AS n_clusters,
+           CAST(sum(CASE WHEN cluster_size > 1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_dup_docs,
+           CAST(sum(CASE WHEN doc_id = survivor_id AND quality_ok = 1
+                         THEN n_px ELSE 0 END) AS BIGINT) AS kept_px
+    FROM joined
+    GROUP BY lang
+    """,
+    tier="P1",
+    doc="SIGNATURE multimodal curation pipeline — decode, perceptual-"
+    "hash dedup, quality gate, and data-card audit composed as ONE "
+    "plan: the real mapInPandas P6 decode emits (doc_id, phash, "
+    "n_px), joins back to document metadata, per-(lang, phash) "
+    "windows mark duplicate clusters and min-id survivors, a "
+    "metadata quality gate filters, and a per-lang rollup emits the "
+    "audit a media-corpus curation run hands downstream (docs, "
+    "unique images, duplicate members, surviving pixels). Payload "
+    "bytes cross exactly one Arrow boundary and never shuffle — the "
+    "exchanges carry (doc_id, 8-byte hash) pairs and partial "
+    "aggregates only. The oracle reproduces the ENTIRE pipeline "
+    "(hash included) in closed form from md5 hex, so a multi-stage "
+    "binary-decode pipeline is hash-verified end-to-end, the same "
+    "one-plan discipline as q_llm_corpus_pipeline and "
+    "q_gen_experiment_pipeline.",
+)
+def q_mm_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    src = media_table(spark, sf_dir)
+
+    def phash_px(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ids, hashes, px = [], [], []
+            for _, r in pdf.iterrows():
+                img = _decode_ppm(bytes(r["payload"]))
+                h, w, _ = img.shape
+                ys = (np.arange(8) * h) // 8
+                xs = (np.arange(8) * w) // 8
+                patch = img[np.ix_(ys, xs)].astype(np.int64)
+                gray = patch.sum(axis=2) // 3
+                bits = gray[:, :7] > gray[:, 1:]
+                weights = np.int64(1) << (
+                    np.arange(8)[:, None] * 7 + np.arange(7)[None, :]
+                )
+                ids.append(int(r["doc_id"]))
+                hashes.append(int((bits * weights).sum()))
+                px.append(int(h * w))
+            yield pd.DataFrame({"doc_id": ids, "phash": hashes, "n_px": px})
+
+    hashed = src.select("doc_id", "payload").mapInPandas(
+        phash_px, schema="doc_id long, phash long, n_px long"
+    )
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    w = Window.partitionBy("lang", "phash")
+    joined = (
+        hashed.join(docs, "doc_id")
+        .withColumn(
+            "quality_ok",
+            F.col("n_chars").between(100, 1000).cast("int"),
+        )
+        .withColumn("cluster_size", F.count(F.lit(1)).over(w))
+        .withColumn("survivor_id", F.min("doc_id").over(w))
+    )
+    return joined.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count_distinct("phash").alias("n_clusters"),
+        F.sum(F.when(F.col("cluster_size") > 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_dup_docs"),
+        F.sum(
+            F.when(
+                (F.col("doc_id") == F.col("survivor_id"))
+                & (F.col("quality_ok") == 1),
+                F.col("n_px"),
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("kept_px"),
+    )

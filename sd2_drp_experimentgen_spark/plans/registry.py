@@ -257,6 +257,7 @@ _NEW_THIS_ROUND: frozenset[str] = frozenset(
         "q_sql_pipe_syntax",
         "q_graph_bfs_hops",
         "q_stream_ingest_dedup",
+        "q_mm_corpus_pipeline",
     }
 )
 
