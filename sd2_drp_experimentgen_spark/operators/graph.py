@@ -389,3 +389,82 @@ def q_graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.min("dist").alias("dist"))
         )
     return dist.select("node", F.col("dist").cast("long").alias("dist"))
+
+
+@register(
+    "q_dedup_survivor_quality",
+    oracle=f"""
+    WITH RECURSIVE pairs AS ({_PAIRS_SQL}),
+    edges AS (
+      SELECT id_lo AS src, id_hi AS dst FROM pairs
+      UNION ALL
+      SELECT id_hi, id_lo FROM pairs
+    ),
+    reach(src, dst) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+    ),
+    labels AS (
+      SELECT src AS doc_id, min(dst) AS component_id
+      FROM reach GROUP BY src
+    ),
+    scored AS (
+      SELECT l.component_id, d.doc_id,
+             CASE WHEN d.n_chars BETWEEN 100 AND 1000
+                  THEN d.n_chars ELSE d.n_chars // 10 END AS score
+      FROM labels l JOIN documents d ON d.doc_id = l.doc_id
+    )
+    SELECT component_id,
+           count(*) AS n_docs,
+           CAST(arg_max(doc_id, score * 1000000000000 - doc_id)
+                AS BIGINT) AS survivor_id,
+           CAST(max(score) AS BIGINT) AS survivor_score,
+           CASE WHEN arg_max(doc_id, score * 1000000000000 - doc_id)
+                     <> component_id
+                THEN 1 ELSE 0 END AS policy_changed
+    FROM scored
+    GROUP BY component_id
+    HAVING count(*) >= 2
+    """,
+    tier="P1",
+    doc="Quality-based survivor selection — the curation policy rung "
+    "above q_dedup_components' min-id convention: within each near-"
+    "dup cluster, KEEP THE BEST document (an integer quality score — "
+    "in-band length, penalized out-of-band) instead of the lowest id, "
+    "via max_by over the composite integer key score*1e12 - doc_id "
+    "(max score, ties to the LOWEST id — the key is unique per doc, "
+    "so both engines' argmax agree bit-for-bit; at corpus scales "
+    "where doc_id approaches 1e12 the key widens or splits into a "
+    "struct ordering). policy_changed flags clusters where quality "
+    "picks a different survivor than min-id — the delta a curation "
+    "team reviews before switching policies. One join + one groupBy "
+    "past the component labels; at 100 TB survivor selection is a "
+    "decomposable argmax, partial-aggregated map-side like any sum.",
+)
+def q_dedup_survivor_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    labels = q_dedup_components(spark, sf_dir).select("doc_id", "component_id")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    score = F.when(
+        F.col("n_chars").between(100, 1000), F.col("n_chars")
+    ).otherwise(F.expr("n_chars div 10"))
+    j = labels.join(docs, "doc_id").withColumn("score", score)
+    key = F.col("score") * F.lit(1_000_000_000_000) - F.col("doc_id")
+    return (
+        j.groupBy("component_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.max_by("doc_id", key).cast("long").alias("survivor_id"),
+            F.max("score").cast("long").alias("survivor_score"),
+        )
+        .where(F.col("n_docs") >= 2)
+        .select(
+            "component_id",
+            "n_docs",
+            "survivor_id",
+            "survivor_score",
+            (F.col("survivor_id") != F.col("component_id"))
+            .cast("int")
+            .alias("policy_changed"),
+        )
+    )

@@ -258,6 +258,7 @@ _NEW_THIS_ROUND: frozenset[str] = frozenset(
         "q_graph_bfs_hops",
         "q_stream_ingest_dedup",
         "q_mm_corpus_pipeline",
+        "q_dedup_survivor_quality",
     }
 )
 
