@@ -1470,3 +1470,65 @@ def q_crm_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("monetary_units").alias("sum_monetary_units"),
         F.min("user_id").alias("sample_user"),
     )
+
+
+@register(
+    "q_etl_incremental_agg",
+    oracle=f"""
+    SELECT o_orderpriority,
+           count(*) AS n_orders,
+           {{sum_cents}} AS sum_cents,
+           CAST(max(o_orderkey) AS BIGINT) AS max_key,
+           CAST(floor(CAST({{sum_cents}} AS DOUBLE) / count(*) + 0.5)
+                AS BIGINT) AS avg_cents
+    FROM orders
+    GROUP BY o_orderpriority
+    """.replace("{sum_cents}",
+                "CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) "
+                "AS BIGINT)"),
+    tier="P1",
+    doc="Incremental view maintenance for decomposable aggregates: the "
+    "running per-priority rollup is maintained by FOLDING a delta "
+    "batch's partial aggregates into the existing base state (full "
+    "outer join on the group key; counts and integer-cent sums add, "
+    "maxes take greatest; derived ratios like avg are recomputed from "
+    "the merged partials, never merged themselves — the classic IVM "
+    "mistake). The oracle aggregates the ENTIRE input from scratch, "
+    "so the hash check IS the maintenance-correctness proof: "
+    "base ⊕ delta == recompute, bit-for-bit. At 100 TB this is how a "
+    "running rollup absorbs an arriving partition without re-scanning "
+    "history: work is O(delta + group cardinality), and the same fold "
+    "runs inside foreachBatch for the streaming variant "
+    "(q_stream_foreachbatch_upsert). Only decomposable state merges "
+    "this way — holistic aggregates need sketches (SCALE.md).",
+)
+def q_etl_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    # simulate history vs newly-arrived partition
+    base = o.where(F.col("o_orderkey") % 10 != 0)
+    delta = o.where(F.col("o_orderkey") % 10 == 0)
+
+    def partial(df: DataFrame, tag: str) -> DataFrame:
+        return df.groupBy("o_orderpriority").agg(
+            F.count(F.lit(1)).alias(f"n_{tag}"),
+            F.sum(int_units(F.col("o_totalprice"), 2)).alias(f"c_{tag}"),
+            F.max("o_orderkey").alias(f"m_{tag}"),
+        )
+
+    merged = partial(base, "b").join(
+        partial(delta, "d"), "o_orderpriority", "full_outer"
+    )
+    z = F.lit(0).cast("long")
+    n = F.coalesce("n_b", z) + F.coalesce("n_d", z)
+    c = F.coalesce("c_b", z) + F.coalesce("c_d", z)
+    return merged.select(
+        "o_orderpriority",
+        n.alias("n_orders"),
+        c.alias("sum_cents"),
+        F.greatest(
+            F.coalesce("m_b", F.lit(None)), F.coalesce("m_d", F.lit(None))
+        )
+        .cast("long")
+        .alias("max_key"),
+        F.floor(c.cast("double") / n + F.lit(0.5)).alias("avg_cents"),
+    )

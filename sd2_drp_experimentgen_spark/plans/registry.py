@@ -259,6 +259,7 @@ _NEW_THIS_ROUND: frozenset[str] = frozenset(
         "q_stream_ingest_dedup",
         "q_mm_corpus_pipeline",
         "q_dedup_survivor_quality",
+        "q_etl_incremental_agg",
     }
 )
 
