@@ -260,6 +260,7 @@ _NEW_THIS_ROUND: frozenset[str] = frozenset(
         "q_mm_corpus_pipeline",
         "q_dedup_survivor_quality",
         "q_etl_incremental_agg",
+        "q_etl_incremental_sketch",
     }
 )
 
