@@ -1180,3 +1180,50 @@ def q_sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
         |> SELECT l_returnflag, n, revenue_units
         """
     )
+
+
+@register(
+    "q_sql_scripting",
+    oracle="""
+    WITH t AS (
+      SELECT CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS ct
+      FROM documents
+    )
+    SELECT ct AS corpus_tokens,
+           CAST(ceil(1000000.0 / ct) AS BIGINT) AS epochs,
+           CAST(ceil(1000000.0 / ct) AS BIGINT) * ct AS covered_tokens
+    FROM t
+    """,
+    tier="P2",
+    doc="SQL scripting (BEGIN/END compound statements, Spark 4.0): a "
+    "control-flow script — DECLARE session-local variables, seed one "
+    "from a scalar subquery over the corpus, WHILE-loop until the "
+    "accumulated token budget is covered — returning the epochs plan "
+    "as its final SELECT. The script's loop arithmetic is pure "
+    "integer accumulation, so the closed-form oracle (ceil division) "
+    "reproduces it exactly; the hash match proves the scripting "
+    "dialect's variables and loop semantics agree with the algebraic "
+    "form. Scripting is the migration surface for stored-procedure-"
+    "style reference workloads; the data pass itself stays ONE "
+    "aggregate — control flow never loops over data.",
+)
+def q_sql_scripting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView(
+        "script_documents"
+    )
+    return spark.sql(
+        """
+        BEGIN
+          DECLARE ct BIGINT DEFAULT 0;
+          DECLARE covered BIGINT DEFAULT 0;
+          DECLARE epochs BIGINT DEFAULT 0;
+          SET ct = (SELECT sum(size(split(text, ' ')))
+                    FROM script_documents);
+          WHILE covered < 1000000 DO
+            SET covered = covered + ct;
+            SET epochs = epochs + 1;
+          END WHILE;
+          SELECT ct AS corpus_tokens, epochs, covered AS covered_tokens;
+        END
+        """
+    )

@@ -261,6 +261,7 @@ _NEW_THIS_ROUND: frozenset[str] = frozenset(
         "q_dedup_survivor_quality",
         "q_etl_incremental_agg",
         "q_etl_incremental_sketch",
+        "q_sql_scripting",
     }
 )
 
