@@ -383,3 +383,61 @@ def q_neardup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return verified.where(c >= 0.7).select(
         "id_lo", "id_hi", "n_small", r4(c).alias("containment")
     )
+
+
+FEATURE_HASH_DIM = 64  # buckets in the hashed feature space
+
+
+@register(
+    "q_text_feature_hashing",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, lang, unnest(string_split(text, ' ')) AS token
+      FROM documents
+    ),
+    bucketed AS (
+      SELECT lang, token,
+             CAST('0x' || substr(md5(token), 1, 4) AS BIGINT)
+               % {FEATURE_HASH_DIM} AS bucket
+      FROM tok
+    )
+    SELECT lang, CAST(bucket AS BIGINT) AS bucket,
+           count(*) AS tf,
+           CAST(count(DISTINCT token) AS BIGINT) AS n_distinct_tokens
+    FROM bucketed
+    GROUP BY lang, bucket
+    """,
+    tier="P1",
+    doc="Feature hashing (the 'hashing trick') — the fixed-dimension "
+    "featurizer behind fast quality classifiers and fastText-style "
+    "models: every token maps to one of 64 buckets via a stateless "
+    "hash (first 2 md5 bytes mod D — engine-independent, so the "
+    "oracle reproduces the exact bucketing), giving a bounded "
+    "per-language term-frequency matrix with NO vocabulary to build, "
+    "broadcast, or version. The n_distinct_tokens column makes the "
+    "collision rate observable (the dimension/collision tradeoff the "
+    "hashing trick accepts). 100 TB: vocabulary-free means no "
+    "global dictionary stage at all — the whole featurization is one "
+    "map + one (lang, bucket) groupBy whose output is D rows per "
+    "language regardless of corpus size; the same bucketing keys a "
+    "per-doc sparse vector for model input (q_mllib_train_pipeline's "
+    "assembler consumes the dense twin).",
+)
+def q_text_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "lang", F.explode(F.split(F.col("text"), " ")).alias("token")
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("token").cast("binary")), 1, 4), 16, 10)
+        .cast("long")
+        % FEATURE_HASH_DIM
+    )
+    return (
+        tok.withColumn("bucket", bucket)
+        .groupBy("lang", "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("tf"),
+            F.count_distinct("token").alias("n_distinct_tokens"),
+        )
+    )

@@ -262,6 +262,7 @@ _NEW_THIS_ROUND: frozenset[str] = frozenset(
         "q_etl_incremental_agg",
         "q_etl_incremental_sketch",
         "q_sql_scripting",
+        "q_text_feature_hashing",
     }
 )
 
