@@ -1022,3 +1022,79 @@ def q_emb_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema="vec_id long, c0 long, c1 long, c2 long, c3 long, "
         "total_d2 long",
     )
+
+
+KNN_K = 5  # neighbors per vector in the kNN graph
+
+
+@register(
+    "q_emb_knn_graph",
+    oracle=f"""
+    WITH pairs AS (
+      SELECT a.vec_id AS src, b.vec_id AS dst,
+             list_cosine_similarity(
+               list_transform(a.embedding, x -> CAST(x AS DOUBLE)),
+               list_transform(b.embedding, x -> CAST(x AS DOUBLE))
+             ) AS sim
+      FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+    ),
+    ranked AS (
+      SELECT src, dst,
+             floor(sim * 10000 + 0.5) / 10000 AS sim,
+             row_number() OVER (
+               PARTITION BY src
+               ORDER BY floor(sim * 10000 + 0.5) DESC, dst
+             ) AS rank
+      FROM pairs
+    )
+    SELECT src, CAST(rank AS BIGINT) AS rank, dst, sim
+    FROM ranked WHERE rank <= {KNN_K}
+    """,
+    tier="P1",
+    doc="kNN-graph construction (top-5 cosine neighbors per vector) — "
+    "the primitive under graph-based ANN indexes (HNSW/NSG layers "
+    "are refined kNN graphs) and under semantic-dedup clustering "
+    "(connected components over the kNN edges generalize "
+    "q_dedup_components to embeddings). Same execution doctrine as "
+    "q_sim_cosine_topk: per-partition numpy products against the "
+    "gated broadcast matrix, rounding applied INSIDE numpy with the "
+    "oracle's formula before ranking so ties resolve identically, "
+    "ordered (rank is part of the output, making the graph edge "
+    "list self-describing). 100 TB: above BROADCAST_MAX_ROWS the "
+    "same per-row top-k runs against block-partitioned products, "
+    "and an NN-descent refinement loop would iterate on this edge "
+    "list — each round a join+groupBy over (src, dst) pairs.",
+)
+def q_emb_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    ids, mat = _embeddings_matrix(spark, sf_dir)
+    norms = np.sqrt((mat * mat).sum(axis=1))
+    bc = spark.sparkContext.broadcast((ids, mat, norms))
+
+    def knn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        all_ids, all_mat, all_norms = bc.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            row_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            idx = np.searchsorted(all_ids, row_ids)
+            sims = (all_mat[idx] @ all_mat.T) / np.outer(
+                all_norms[idx], all_norms
+            )
+            out = {"src": [], "rank": [], "dst": [], "sim": []}
+            for r, vid in enumerate(row_ids):
+                cand = np.floor(sims[r] * 1e4 + 0.5)
+                mask = all_ids != vid
+                c_ids, c_sims = all_ids[mask], cand[mask]
+                order = np.lexsort((c_ids, -c_sims))[:KNN_K]
+                out["src"].extend([vid] * len(order))
+                out["rank"].extend(range(1, len(order) + 1))
+                out["dst"].extend(c_ids[order])
+                out["sim"].extend(c_sims[order] / 1e4)
+            yield pd.DataFrame(out)
+
+    src = load_table(spark, sf_dir, "embeddings").select("vec_id")
+    return src.mapInPandas(
+        knn, schema="src long, rank long, dst long, sim double"
+    )

@@ -263,6 +263,7 @@ _NEW_THIS_ROUND: frozenset[str] = frozenset(
         "q_etl_incremental_sketch",
         "q_sql_scripting",
         "q_text_feature_hashing",
+        "q_emb_knn_graph",
     }
 )
 
