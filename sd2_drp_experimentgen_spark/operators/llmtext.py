@@ -1971,3 +1971,74 @@ def q_corpus_upsample_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("n_docs_out", F.lit(0)).alias("n_docs_out"),
         F.coalesce("out_tokens", F.lit(0)).alias("out_tokens"),
     )
+
+
+@register(
+    "q_pack_loss_mask",
+    oracle=f"""
+    WITH sized AS (
+      SELECT doc_id, lang,
+             len(string_split(text, ' ')) AS n_tokens,
+             sum(len(string_split(text, ' '))) OVER (
+               PARTITION BY lang ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS cum
+      FROM documents
+    )
+    SELECT lang,
+           CAST((cum - n_tokens) // {PACK_BUDGET} AS BIGINT) AS seq_id,
+           count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+           CAST(count(*) - 1 AS BIGINT) AS n_boundary_masked,
+           CAST(sum(n_tokens) - count(*) AS BIGINT) AS n_loss_positions,
+           CAST((sum(n_tokens) * sum(n_tokens)
+                 - sum(n_tokens * n_tokens)) // 2 AS BIGINT)
+             AS n_cross_doc_pairs_blocked
+    FROM sized
+    GROUP BY lang, (cum - n_tokens) // {PACK_BUDGET}
+    """,
+    tier="P1",
+    doc="Packing with LOSS-MASK accounting — what the trainer actually "
+    "consumes beyond q_pack_sequences' layout: per packed sequence, "
+    "the boundary positions masked out of the loss (one per "
+    "document after the first), the supervised positions "
+    "(sum_tokens - n_docs: each doc's first token has no preceding "
+    "context), and the cross-document attention pairs BLOCKED by "
+    "document-causal masking ((T² - Σtᵢ²)/2 — the attention-FLOP "
+    "saving that motivates block-diagonal attention in packed "
+    "training). All integer arithmetic over the same single "
+    "window+groupBy construction as the packer, so the mask "
+    "accounting is hash-exact and costs no extra pass. 100 TB: one "
+    "per-lang sort/shuffle shared by layout AND mask computation; "
+    "the emitted table IS the data card's tokens-supervised column.",
+)
+def q_pack_loss_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    n_tok = F.size(F.split(F.col("text"), " "))
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    sized = d.select(
+        "lang",
+        n_tok.alias("n_tokens"),
+        F.sum(n_tok).over(w).alias("cum"),
+    )
+    seq = ((F.col("cum") - F.col("n_tokens")) / F.lit(PACK_BUDGET)).cast(
+        "long"
+    )
+    t = F.sum("n_tokens")
+    n = F.count(F.lit(1))
+    return sized.groupBy("lang", seq.alias("seq_id")).agg(
+        n.alias("n_docs"),
+        t.alias("sum_tokens"),
+        (n - 1).cast("long").alias("n_boundary_masked"),
+        (t - n).cast("long").alias("n_loss_positions"),
+        F.expr(
+            "(sum(n_tokens) * sum(n_tokens) "
+            "- sum(n_tokens * n_tokens)) div 2"
+        ).alias("n_cross_doc_pairs_blocked"),
+    )

@@ -264,6 +264,7 @@ _NEW_THIS_ROUND: frozenset[str] = frozenset(
         "q_sql_scripting",
         "q_text_feature_hashing",
         "q_emb_knn_graph",
+        "q_pack_loss_mask",
     }
 )
 
