@@ -353,6 +353,20 @@ def _band_candidates(bands: DataFrame) -> DataFrame:
 def _sql_minhash_bands() -> str:
     """DuckDB twin of the banded-MinHash construction below: ONE md5
     per shingle, 16 minhashes derived as (h1 + i*h2) mod P."""
+    return _sql_minhash_bands_cte() + """
+    SELECT band_idx, band_sig,
+           count(*) AS n_docs,
+           min(doc_id) AS min_doc_id
+    FROM bands
+    GROUP BY band_idx, band_sig
+    HAVING count(*) >= 2
+    """
+
+
+def _sql_minhash_bands_cte() -> str:
+    """The WITH-clause prefix (sh/hh/mh/bands CTEs) of the banded-
+    MinHash SQL twin, shared by the batch bands oracle and the
+    streaming ingest-suppression oracle."""
     split = "string_split(text, ' ')"
     shingle = (
         f"{split}[i] || ' ' || {split}[i + 1] || ' ' || {split}[i + 2]"
@@ -396,12 +410,6 @@ def _sql_minhash_bands() -> str:
     bands AS (
       {bands}
     )
-    SELECT band_idx, band_sig,
-           count(*) AS n_docs,
-           min(doc_id) AS min_doc_id
-    FROM bands
-    GROUP BY band_idx, band_sig
-    HAVING count(*) >= 2
     """
 
 

@@ -679,3 +679,52 @@ def q_stream_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).dropDuplicates(["lang", "h"])
     agg = deduped.groupBy("lang").agg(F.count(F.lit(1)).alias("n_unique"))
     return jobs.run_to_memory(agg, "complete")
+
+
+def _ingest_neardup_oracle() -> str:
+    """SQL twin built from llmtext's shared banded-MinHash CTE (llmtext
+    loads before this module in registry order, and importing it here
+    directly is cycle-free — it depends only on the registry)."""
+    from .llmtext import _sql_minhash_bands_cte
+
+    return _sql_minhash_bands_cte() + """
+    SELECT band_idx, CAST(count(DISTINCT band_sig) AS BIGINT) AS n_buckets
+    FROM bands
+    GROUP BY band_idx
+    """
+
+
+@register(
+    "q_stream_ingest_neardup",
+    oracle=_ingest_neardup_oracle(),
+    tier="P1",
+    doc="NEAR-dup suppression at ingest — the banded-MinHash rung of "
+    "the streaming dedup story q_stream_ingest_dedup opens: the same "
+    "LIVE run (readStream over documents, AvailableNow, memory sink) "
+    "computes the full 16-hash Carter-Wegman MinHash signature and "
+    "4x4 band keys as PURE COLUMN PROJECTIONS on the stream (the "
+    "batch construction is reused verbatim — nothing about "
+    "signatures is batch-specific), then dropDuplicates on "
+    "(band_idx, band_sig) suppresses any later arrival that LSH-"
+    "collides with an already-admitted document, and a complete-mode "
+    "rollup counts surviving buckets per band. Which doc is admitted "
+    "first is arrival-order-dependent; HOW MANY buckets survive is "
+    "not, so the actual streaming execution hash-checks against the "
+    "batch SQL twin. At 100 TB the dedup state is one 16-byte key "
+    "per admitted bucket per band — the ingest-time near-dup filter "
+    "run as a standing query.",
+)
+def q_stream_ingest_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .llmtext import _band_frame, _minhash_signatures
+
+    d = _documents_dir(sf_dir)
+    s = jobs._stream_session(spark)
+    schema = s.read.parquet(d).schema
+    raw = s.readStream.schema(schema).parquet(d)
+    bands = _band_frame(_minhash_signatures(raw))
+    uniq = bands.dropDuplicates(["band_idx", "band_sig"])
+    agg = uniq.groupBy("band_idx").agg(
+        F.count(F.lit(1)).alias("n_buckets")
+    )
+    return jobs.run_to_memory(agg, "complete")
+

@@ -265,6 +265,7 @@ _NEW_THIS_ROUND: frozenset[str] = frozenset(
         "q_text_feature_hashing",
         "q_emb_knn_graph",
         "q_pack_loss_mask",
+        "q_stream_ingest_neardup",
     }
 )
 
