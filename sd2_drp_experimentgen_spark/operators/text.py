@@ -441,3 +441,138 @@ def q_text_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count_distinct("token").alias("n_distinct_tokens"),
         )
     )
+
+
+@register(
+    "q_dedup_threshold_curve",
+    oracle="""
+    WITH dt AS (
+      SELECT DISTINCT doc_id, source, token
+      FROM (SELECT doc_id, source, unnest(string_split(text, ' ')) AS token
+            FROM documents)
+    ), sizes AS (
+      SELECT doc_id, count(*) AS n_tok FROM dt GROUP BY doc_id
+    ), inter AS (
+      SELECT a.doc_id AS id_lo, b.doc_id AS id_hi, a.source AS source,
+             count(*) AS n_inter
+      FROM dt a JOIN dt b
+        ON a.token = b.token AND a.source = b.source
+       AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id, a.source
+    ), j AS (
+      SELECT source,
+             CAST(n_inter AS DOUBLE)
+               / (sa.n_tok + sb.n_tok - n_inter) AS jac
+      FROM inter
+      JOIN sizes sa ON sa.doc_id = id_lo
+      JOIN sizes sb ON sb.doc_id = id_hi
+    )
+    SELECT s.source,
+           CAST(coalesce(sum(CASE WHEN jac >= 0.6 THEN 1 END), 0) AS BIGINT)
+             AS n_pairs_06,
+           CAST(coalesce(sum(CASE WHEN jac >= 0.7 THEN 1 END), 0) AS BIGINT)
+             AS n_pairs_07,
+           CAST(coalesce(sum(CASE WHEN jac >= 0.8 THEN 1 END), 0) AS BIGINT)
+             AS n_pairs_08,
+           CAST(coalesce(sum(CASE WHEN jac >= 0.9 THEN 1 END), 0) AS BIGINT)
+             AS n_pairs_09
+    FROM (SELECT DISTINCT source FROM documents) s
+    LEFT JOIN j ON j.source = s.source
+    GROUP BY s.source
+    """,
+    tier="P1",
+    doc="Dedup threshold tuning curve — the artifact that decides J "
+    "before a corpus-wide dedup pass: per source block, near-dup "
+    "pair counts at J >= 0.6/0.7/0.8/0.9 from ONE candidate "
+    "generation (the ppjoin prefix filter runs once at the LOOSEST "
+    "threshold, which is lossless for every tighter one — the curve "
+    "costs no more than a single-threshold run). All thresholds "
+    "compare an exact integer-ratio divide, so the curve is "
+    "bit-deterministic. 100 TB: this is the sweep a data team runs "
+    "on a sample to pick the production threshold; the plan is the "
+    "q_neardup_jaccard plan with four conditional counts folded "
+    "into the final rollup.",
+)
+def q_dedup_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    dt = d.select(
+        "doc_id", "source", F.explode(F.split(F.col("text"), " ")).alias("token")
+    ).distinct()
+    tok_df = dt.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    ranked = (
+        dt.join(tok_df, "token")
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("doc_id").orderBy("df", "token")
+            ),
+        )
+        .withColumn(
+            "n_tok", F.count(F.lit(1)).over(Window.partitionBy("doc_id"))
+        )
+    )
+    # prefix for the loosest threshold 0.6: n - ceil(0.6n) + 1
+    pre = ranked.where(
+        F.col("rn") <= F.col("n_tok") - F.expr("(3 * n_tok + 4) div 5") + 1
+    ).select("doc_id", "source", "token")
+    cand = (
+        pre.alias("a")
+        .join(
+            pre.alias("b"),
+            (F.col("a.token") == F.col("b.token"))
+            & (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_lo"),
+            F.col("b.doc_id").alias("id_hi"),
+            F.col("a.source").alias("source"),
+        )
+        .distinct()
+    )
+    toksets = dt.groupBy("doc_id").agg(
+        F.collect_set("token").alias("toks"), F.count(F.lit(1)).alias("n_tok")
+    )
+    verified = (
+        cand.join(
+            toksets.select(
+                F.col("doc_id").alias("id_lo"),
+                F.col("toks").alias("ta"),
+                F.col("n_tok").alias("na"),
+            ),
+            "id_lo",
+        )
+        .join(
+            toksets.select(
+                F.col("doc_id").alias("id_hi"),
+                F.col("toks").alias("tb"),
+                F.col("n_tok").alias("nb"),
+            ),
+            "id_hi",
+        )
+        .withColumn("n_inter", F.size(F.array_intersect("ta", "tb")))
+    )
+    jac = F.col("n_inter").cast("double") / (
+        F.col("na") + F.col("nb") - F.col("n_inter")
+    )
+    def at(t):
+        return F.sum(F.when(jac >= t, 1).otherwise(0)).cast("long")
+
+    counts = verified.groupBy("source").agg(
+        at(0.6).alias("n_pairs_06"),
+        at(0.7).alias("n_pairs_07"),
+        at(0.8).alias("n_pairs_08"),
+        at(0.9).alias("n_pairs_09"),
+    )
+    # anchor on the FULL source list: a source whose candidate set is
+    # empty (or all below 0.6) must still appear with zero counts —
+    # row presence must not depend on the prefix filter's recall
+    sources = d.select("source").distinct()
+    z = F.lit(0).cast("long")
+    return sources.join(counts, "source", "left").select(
+        "source",
+        *[
+            F.coalesce(c, z).alias(c)
+            for c in ("n_pairs_06", "n_pairs_07", "n_pairs_08", "n_pairs_09")
+        ],
+    )

@@ -266,6 +266,7 @@ _NEW_THIS_ROUND: frozenset[str] = frozenset(
         "q_emb_knn_graph",
         "q_pack_loss_mask",
         "q_stream_ingest_neardup",
+        "q_dedup_threshold_curve",
     }
 )
 
