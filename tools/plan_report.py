@@ -68,6 +68,14 @@ REPORT = [
     ("q_mm_phash_dedup", "mapInPandas emits (doc_id, phash) only — payload bytes never reach the exchange"),
     ("q_neardup_containment", "prefix row_number window below the candidate join; array_intersect verify on bounded sets"),
     ("q_corpus_upsample_epochs", "5-row epochs table broadcast onto documents; explode stays narrow"),
+    ("q_emb_pca_power", "per-partition int64 gram tiles combine map-side (partial_sum); iterations are 64-row joins"),
+    ("q_emb_pq_encode", "zero exchanges: the PQ encode is a bare MapInPandas projection"),
+    ("q_join_lateral_api", "correlated LIMIT decorrelated to WindowGroupLimit + row_number; no nested loop"),
+    ("q_graph_bfs_hops", "frontier rounds are equi-join + partial_min aggregates; (node,dist) pairs only"),
+    ("q_emb_knn_graph", "per-partition numpy top-k against the gated broadcast matrix; edge rows only"),
+    ("q_etl_incremental_agg", "delta partials fold via full-outer join on the group key; no history re-scan"),
+    ("q_mm_corpus_pipeline", "one plan: decode mapInPandas -> (lang,phash) windows -> rollup; payloads never shuffle"),
+    ("q_dedup_threshold_curve", "one candidate generation at the loosest threshold; four conditional counts in the rollup"),
 ]
 
 
