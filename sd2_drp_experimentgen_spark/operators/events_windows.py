@@ -767,3 +767,65 @@ def q_event_funnel_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("conversion_bps"),
     )
+
+
+@register(
+    "q_events_seq_examples",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, event_type, ts, event_id,
+             lag(event_type, 1) OVER w AS prev1,
+             lag(event_type, 2) OVER w AS prev2,
+             lag(event_type, 3) OVER w AS prev3
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT prev3 || '>' || prev2 || '>' || prev1 AS context,
+           event_type AS label,
+           count(*) AS n_examples,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM ordered
+    WHERE prev3 IS NOT NULL
+    GROUP BY context, label
+    """,
+    tier="P1",
+    doc="Sequence-training-example generation from event logs — the "
+    "SEQUENTIAL counterpart of the tabular q_train_features_wide: "
+    "each event becomes one (context, label) example where the "
+    "context is the user's previous 3 event types (lag window over "
+    "the per-user total order) and the label is the current type; "
+    "the rollup is the transition table a next-event model (or an "
+    "n-gram behavioral LM) trains on, with per-cell support counts "
+    "and distinct-user counts (the leakage check: a cell supported "
+    "by one user is memorization, not signal). One per-user "
+    "sort/shuffle shared by all three lags; output cardinality is "
+    "bounded by |types|^4 regardless of event volume — at 100 TB "
+    "the examples themselves would be written from the same window "
+    "projection (one pass), and this table is its audit.",
+)
+def q_events_seq_examples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..sources.tables import load_events
+
+    ev = load_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    lagged = ev.select(
+        "user_id",
+        F.col("event_type").alias("label"),
+        F.lag("event_type", 1).over(w).alias("prev1"),
+        F.lag("event_type", 2).over(w).alias("prev2"),
+        F.lag("event_type", 3).over(w).alias("prev3"),
+    ).where(F.col("prev3").isNotNull())
+    return (
+        lagged.select(
+            F.concat_ws(">", "prev3", "prev2", "prev1").alias("context"),
+            "label",
+            "user_id",
+        )
+        .groupBy("context", "label")
+        .agg(
+            F.count(F.lit(1)).alias("n_examples"),
+            F.count_distinct("user_id").alias("n_users"),
+        )
+    )

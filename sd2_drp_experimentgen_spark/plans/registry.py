@@ -267,6 +267,7 @@ _NEW_THIS_ROUND: frozenset[str] = frozenset(
         "q_pack_loss_mask",
         "q_stream_ingest_neardup",
         "q_dedup_threshold_curve",
+        "q_events_seq_examples",
     }
 )
 
