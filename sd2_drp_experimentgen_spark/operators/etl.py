@@ -1600,3 +1600,76 @@ def q_etl_incremental_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         in_bound(F.col("est_merged")).alias("merged_in_bound"),
         in_bound(F.col("est_full")).alias("full_in_bound"),
     )
+
+
+@register(
+    "q_dq_reconcile_totals",
+    oracle="""
+    WITH line_sums AS (
+      SELECT l_orderkey,
+             sum(CAST(floor((l_extendedprice * (1 - l_discount)
+                             * (1 + l_tax)) * 1000000 + 0.5) AS BIGINT))
+               AS charge_units
+      FROM lineitem GROUP BY l_orderkey
+    ),
+    recon AS (
+      SELECT o_orderpriority,
+             CAST(floor(o_totalprice * 1000000 + 0.5) AS BIGINT)
+               AS header_units,
+             charge_units
+      FROM orders JOIN line_sums ON l_orderkey = o_orderkey
+    )
+    SELECT o_orderpriority,
+           count(*) AS n_orders,
+           CAST(sum(CASE WHEN abs(header_units - charge_units) <= 10000
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_reconciled,
+           CAST(sum(CASE WHEN abs(header_units - charge_units) > 10000
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_mismatched,
+           CAST(max(abs(header_units - charge_units)) AS BIGINT)
+             AS max_abs_diff_units
+    FROM recon
+    GROUP BY o_orderpriority
+    """,
+    tier="P1",
+    doc="Cross-table financial reconciliation — the data-quality verb "
+    "the dq family (expectations/outliers/anomaly) lacked: every "
+    "order header's total is recomputed from its line items "
+    "(price x (1-disc) x (1+tax), the TPC-H charge formula) and "
+    "compared in EXACT 1e-6 integer units with a one-cent tolerance; "
+    "the per-priority rollup counts reconciled vs mismatched headers "
+    "and the worst absolute discrepancy. Per-row unit conversion is "
+    "a 3-factor IEEE product evaluated in the same literal order on "
+    "both engines, then integer sums — order-independent at any "
+    "partitioning. 100 TB: one fact-fact join on the order key (or "
+    "zero shuffles on the bucketed layout), partial-aggregated "
+    "counts; this is the nightly audit between an ingest table and "
+    "its source-of-truth rollup.",
+)
+def q_dq_reconcile_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    charge = int_units(
+        F.col("l_extendedprice")
+        * (F.lit(1) - F.col("l_discount"))
+        * (F.lit(1) + F.col("l_tax")),
+        6,
+    )
+    line_sums = li.groupBy("l_orderkey").agg(
+        F.sum(charge).alias("charge_units")
+    )
+    recon = o.join(line_sums, o.o_orderkey == line_sums.l_orderkey).select(
+        "o_orderpriority",
+        int_units(F.col("o_totalprice"), 6).alias("header_units"),
+        "charge_units",
+    )
+    diff = F.abs(F.col("header_units") - F.col("charge_units"))
+    return recon.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.when(diff <= 10000, 1).otherwise(0))
+        .cast("long")
+        .alias("n_reconciled"),
+        F.sum(F.when(diff > 10000, 1).otherwise(0))
+        .cast("long")
+        .alias("n_mismatched"),
+        F.max(diff).cast("long").alias("max_abs_diff_units"),
+    )

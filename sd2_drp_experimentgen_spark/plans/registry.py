@@ -268,6 +268,7 @@ _NEW_THIS_ROUND: frozenset[str] = frozenset(
         "q_stream_ingest_neardup",
         "q_dedup_threshold_curve",
         "q_events_seq_examples",
+        "q_dq_reconcile_totals",
     }
 )
 
