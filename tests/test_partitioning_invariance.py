@@ -38,6 +38,9 @@ SENSITIVE = [
                               # inside each group changes with splits
     "q_corpus_upsample_epochs",  # explode + md5-coin subset
     "q_graph_bfs_hops",       # iterative frontier min-propagation
+    "q_dedup_threshold_curve",  # four thresholds over one ppjoin pass
+    "q_events_seq_examples",  # lag windows + bounded rollup
+    "q_text_feature_hashing",  # stateless bucketing, partial counts
 ]
 
 
