@@ -57,6 +57,9 @@ LADDER = [
     "q_dedup_winnow_pairs",
     "q_neardup_jaccard",
     "q_neardup_containment",
+    # round-5 rungs
+    "q_dedup_threshold_curve",
+    "q_mm_phash_dedup",
 ]
 
 VERIFY_AT_MAX = ["q_dedup_minhash_bands", "q_dedup_winnow_pairs"]
