@@ -502,3 +502,49 @@ def q_win_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_at_peak"
         ),
     )
+
+
+@register(
+    "q_win_nth_cume",
+    oracle="""
+    SELECT o_orderkey,
+           o_orderstatus,
+           nth_value(o_orderkey, 3) OVER (
+             PARTITION BY o_orderstatus
+             ORDER BY o_totalprice DESC, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+           ) AS third_key,
+           floor(cume_dist() OVER (
+             PARTITION BY o_orderstatus
+             ORDER BY o_totalprice DESC, o_orderkey
+           ) * 1000000 + 0.5) / 1000000 AS cume
+    FROM orders
+    """,
+    tier="P2",
+    doc="nth_value + cume_dist — the two window navigation/ranking "
+    "functions the battery (rank/ntile/first/last/lag/lead/"
+    "percent_rank) had not yet exercised: the 3rd-highest-price "
+    "order key per status via an explicit full-partition ROWS frame, "
+    "and each row's cumulative distribution. The window order ends "
+    "in the unique key so both are tie-deterministic; cume_dist is "
+    "a ratio of two exact integers (rank position / partition "
+    "count), rounded 6dp identically on both engines. Same "
+    "one-sort-per-partition execution as every ranked window.",
+)
+def q_win_nth_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.helpers import r6
+
+    o = load_table(spark, sf_dir, "orders")
+    order = [F.desc("o_totalprice"), F.asc("o_orderkey")]
+    w_full = (
+        Window.partitionBy("o_orderstatus")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    w = Window.partitionBy("o_orderstatus").orderBy(*order)
+    return o.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.nth_value("o_orderkey", 3).over(w_full).alias("third_key"),
+        r6(F.cume_dist().over(w)).alias("cume"),
+    )

@@ -269,6 +269,7 @@ _NEW_THIS_ROUND: frozenset[str] = frozenset(
         "q_dedup_threshold_curve",
         "q_events_seq_examples",
         "q_dq_reconcile_totals",
+        "q_win_nth_cume",
     }
 )
 
