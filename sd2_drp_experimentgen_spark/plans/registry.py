@@ -270,6 +270,7 @@ _NEW_THIS_ROUND: frozenset[str] = frozenset(
         "q_events_seq_examples",
         "q_dq_reconcile_totals",
         "q_win_nth_cume",
+        "q_join_asof_nearest",
     }
 )
 
