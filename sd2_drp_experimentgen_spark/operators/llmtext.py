@@ -2050,3 +2050,78 @@ def q_pack_loss_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
             "- sum(n_tokens * n_tokens)) div 2"
         ).alias("n_cross_doc_pairs_blocked"),
     )
+
+
+@register(
+    "q_text_html_strip",
+    oracle="""
+    WITH wrapped AS (
+      SELECT doc_id, lang, text,
+             '<div class="doc" id="d' || CAST(doc_id AS VARCHAR)
+               || '"><h1>' || lang || '</h1><p>'
+               || replace(text, ' and ', ' &amp; ')
+               || '</p><br/></div>' AS html
+      FROM documents
+    ),
+    stripped AS (
+      SELECT doc_id, lang, text, html,
+             replace(regexp_replace(html, '<[^>]+>', '', 'g'),
+                     '&amp;', '&') AS clean
+      FROM wrapped
+    )
+    SELECT lang,
+           count(*) AS n_docs,
+           CAST(sum(length(html)) AS BIGINT) AS sum_chars_html,
+           CAST(sum(length(clean)) AS BIGINT) AS sum_chars_clean,
+           CAST(sum(CASE WHEN clean = lang ||
+                              replace(text, ' and ', ' & ')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_roundtrip_ok
+    FROM stripped
+    GROUP BY lang
+    """,
+    tier="P1",
+    doc="HTML boilerplate stripping — the web-corpus cleaning verb "
+    "(trafilatura's regex tier): documents are deterministically "
+    "wrapped in markup (div/h1/p structure + an &amp; entity "
+    "encoding), then cleaned by tag removal + entity decoding, and "
+    "the per-lang audit proves EXACT recovery — n_roundtrip_ok "
+    "counts documents whose cleaned text equals the expected "
+    "original (the h1 heading text legitimately survives extraction, "
+    "mirroring real extractors keeping headings), alongside the "
+    "markup-overhead byte accounting. regexp_replace with the "
+    "conservative '<[^>]+>' tag pattern behaves identically in "
+    "Java regex and RE2, which the hash check proves rather than "
+    "assumes. 100 TB: cleaning is a pure projection — no shuffle "
+    "until the audit rollup; the same plan with a real extractor "
+    "swaps one regex for a mapInPandas parser.",
+)
+def q_text_html_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    html = F.concat(
+        F.lit('<div class="doc" id="d'),
+        F.col("doc_id").cast("string"),
+        F.lit('"><h1>'),
+        F.col("lang"),
+        F.lit("</h1><p>"),
+        F.regexp_replace(F.col("text"), " and ", " &amp; "),
+        F.lit("</p><br/></div>"),
+    )
+    wrapped = d.select("lang", "text", html.alias("html"))
+    clean = F.regexp_replace(
+        F.regexp_replace(F.col("html"), "<[^>]+>", ""), "&amp;", "&"
+    )
+    expected = F.concat(
+        F.col("lang"), F.regexp_replace(F.col("text"), " and ", " & ")
+    )
+    stripped = wrapped.select(
+        "lang",
+        F.length("html").alias("n_html"),
+        F.length(clean).alias("n_clean"),
+        (clean == expected).cast("int").alias("ok"),
+    )
+    return stripped.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_html").cast("long").alias("sum_chars_html"),
+        F.sum("n_clean").cast("long").alias("sum_chars_clean"),
+        F.sum("ok").cast("long").alias("n_roundtrip_ok"),
+    )

@@ -271,6 +271,7 @@ _NEW_THIS_ROUND: frozenset[str] = frozenset(
         "q_dq_reconcile_totals",
         "q_win_nth_cume",
         "q_join_asof_nearest",
+        "q_text_html_strip",
     }
 )
 
