@@ -1579,8 +1579,16 @@ def q_etl_incremental_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(sk(delta, "d"), "o_orderpriority", "full_outer")
         .select(
             "o_orderpriority",
+            # A priority present in only ONE side leaves the other
+            # sketch NULL, and hll_union(sk, NULL) is NULL — coalesce
+            # to the surviving sketch so merged_in_bound can never go
+            # NULL against the oracle's hard-coded true (ADVICE r5).
             F.hll_sketch_estimate(
-                F.hll_union("sk_b", "sk_d", True)
+                F.coalesce(
+                    F.hll_union("sk_b", "sk_d", True),
+                    F.col("sk_b"),
+                    F.col("sk_d"),
+                )
             ).alias("est_merged"),
         )
     )

@@ -706,9 +706,9 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_tok.alias("n_tokens"),
         F.sum(n_tok).over(w).alias("cum"),
     )
-    seq = ((F.col("cum") - F.col("n_tokens")) / F.lit(PACK_BUDGET)).cast(
-        "long"
-    )
+    # exact integer division (Spark `div` == DuckDB `//`, repo rule —
+    # never a double divide + cast; ADVICE r5)
+    seq = F.expr(f"(cum - n_tokens) div {PACK_BUDGET}")
     return sized.groupBy("lang", seq.alias("seq_id")).agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tokens").alias("sum_tokens"),
@@ -1950,7 +1950,9 @@ def q_corpus_upsample_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(ep), "lang")
         .withColumn(
             "n_copies",
-            (F.col("e") / 100).cast("long")
+            # exact integer division (Spark `div` == DuckDB `//`, repo
+            # rule — never a double divide + cast; ADVICE r5)
+            F.expr("e div 100")
             + F.when(coin * 100 < (F.col("e") % 100) * 256, 1).otherwise(0),
         )
     )
@@ -2035,9 +2037,9 @@ def q_pack_loss_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_tok.alias("n_tokens"),
         F.sum(n_tok).over(w).alias("cum"),
     )
-    seq = ((F.col("cum") - F.col("n_tokens")) / F.lit(PACK_BUDGET)).cast(
-        "long"
-    )
+    # exact integer division (Spark `div` == DuckDB `//`, repo rule —
+    # never a double divide + cast; ADVICE r5)
+    seq = F.expr(f"(cum - n_tokens) div {PACK_BUDGET}")
     t = F.sum("n_tokens")
     n = F.count(F.lit(1))
     return sized.groupBy("lang", seq.alias("seq_id")).agg(

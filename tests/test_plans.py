@@ -445,15 +445,22 @@ def test_dpp_prunes_fact_partitions_at_runtime(spark):
     assert "dynamicpruning" in p, p[:2000]
 
 
-def test_range_search_single_exchange_on_block_key(spark):
-    """The blocked range search must be ONE shuffle on the label block
-    key feeding FlatMapGroupsInPandas — any extra exchange or a
-    cross-block join would defeat the bucketing at scale."""
+def test_range_search_sub_blocked_cells(spark):
+    """Sub-blocked range search (r6 skew guard, VERDICT r5 wrong-#3):
+    row-level payload must shuffle exactly on the (label, sb) CELL key
+    into collect_list — bounding every task's gram at SUB_BLOCK_ROWS²
+    even under label skew — and the pair enumeration must join
+    collapsed cells, never row-level vectors (a row-level pair join
+    would materialize n² rows). The gram itself runs in MapInPandas
+    over cell pairs."""
+    import re
+
     p = plan(all_specs()["q_sim_range_search"].fn(spark, SF_T2), "simple")
-    assert p.count("Exchange") == 1, p
-    assert "hashpartitioning(label" in p, p
-    assert "FlatMapGroupsInPandas" in p, p
-    assert "Join" not in p, p
+    assert "MapInPandas" in p and "pairs_in_cell" in p, p
+    # payload exchange keyed by the composite cell key, not label alone
+    assert re.search(r"hashpartitioning\(label#\d+, sb#\d+", p), p
+    assert "collect_list" in p, p
+    assert "FlatMapGroupsInPandas" not in p, p
 
 
 def test_phash_dedup_shuffles_hashes_not_payloads(spark):

@@ -137,19 +137,32 @@ def test_mllib_pipeline_auc(spark):
 
 
 def test_ann_ivf_recall_vs_bruteforce(spark):
+    """r6 hash promotion: the query now emits a per-query audit row
+    (exact top-1 + recall@10 witness). Cross-check the embedded exact
+    companion against the independent brute-force library path, and
+    assert every witness holds (the oracle hard-codes recall_ok=true,
+    so a recall regression is a hash fail — this test catches it with
+    a readable message first)."""
     from sd2_drp_experimentgen_spark.operators.vectors import (
         cosine_topk_for_queries,
     )
 
     specs = all_specs()
-    ivf = specs["q_ann_ivf_topk"].fn(spark, SF_T2)
-    ivf_rows = ivf.collect()
-    query_ids = sorted({r["query_id"] for r in ivf_rows})
-    brute = cosine_topk_for_queries(spark, SF_T2, query_ids, k=10)
-    truth = {(r["query_id"], r["neighbor_id"]) for r in brute.collect()}
-    got = {(r["query_id"], r["neighbor_id"]) for r in ivf_rows}
-    recall = len(truth & got) / len(truth)
-    assert recall >= 0.8, f"IVF recall@10 = {recall:.2f}"
+    rows = specs["q_ann_ivf_topk"].fn(spark, SF_T2).collect()
+    assert len(rows) == 20
+    assert all(r["n_ivf"] == 10 for r in rows)
+    assert all(r["recall_ok"] for r in rows), [
+        r["query_id"] for r in rows if not r["recall_ok"]
+    ]
+    query_ids = sorted(r["query_id"] for r in rows)
+    brute = cosine_topk_for_queries(spark, SF_T2, query_ids, k=1)
+    top1 = {
+        r["query_id"]: (r["neighbor_id"], r["sim"]) for r in brute.collect()
+    }
+    for r in rows:
+        nb, sim = top1[r["query_id"]]
+        assert r["exact_top1"] == nb
+        assert abs(r["exact_top1_sim"] - sim) < 1e-12
 
 
 def test_multimodal_deterministic(spark):

@@ -29,3 +29,38 @@ def test_nn_blocked_matches_broadcast(spark, monkeypatch):
     blocked = _rows(vectors.q_dedup_embedding_nn(spark, SF_T2))
     assert blocked == fast
     assert len(blocked) == len({r[0] for r in blocked})  # one NN per vector
+
+
+def test_knn_graph_blocked_matches_broadcast(spark, monkeypatch):
+    """VERDICT r5 wrong-#1: q_emb_knn_graph shipped without the gate.
+    The gate + blocked fallback must be bit-identical to the broadcast
+    path (same quantize-before-rank discipline)."""
+    from sd2_drp_experimentgen_spark.operators import vectors
+
+    fast = _rows(vectors.q_emb_knn_graph(spark, SF_T2))
+    monkeypatch.setattr(vectors, "BROADCAST_MAX_ROWS", 0)
+    blocked = _rows(vectors.q_emb_knn_graph(spark, SF_T2))
+    assert blocked == fast
+    per_src = {}
+    for src, rank, _dst, _sim in blocked:
+        per_src.setdefault(src, []).append(rank)
+    assert all(sorted(v) == list(range(1, len(v) + 1)) for v in per_src.values())
+
+
+def test_range_search_sub_blocking_is_result_invariant(spark, monkeypatch):
+    """VERDICT r5 wrong-#3: a hot label must not become one quadratic
+    task. Forcing SUB_BLOCK_ROWS tiny splits every label into many
+    cells (>1 task per label) without changing the emitted pair set."""
+    from sd2_drp_experimentgen_spark.operators import vectors
+
+    base = _rows(vectors.q_sim_range_search(spark, SF_T2))
+    monkeypatch.setattr(vectors, "SUB_BLOCK_ROWS", 7)
+    split = _rows(vectors.q_sim_range_search(spark, SF_T2))
+    assert split == base
+    blocks = (
+        vectors._range_blocks(spark, SF_T2)
+        .groupBy("label")
+        .count()
+        .collect()
+    )
+    assert blocks and all(r["count"] > 1 for r in blocks)

@@ -62,7 +62,17 @@ LADDER = [
     "q_mm_phash_dedup",
 ]
 
-VERIFY_AT_MAX = ["q_dedup_minhash_bands", "q_dedup_winnow_pairs"]
+# Hash-verified at the largest built corpus (VERDICT r5 next-round #5
+# extended the set beyond the two cheapest rungs: containment,
+# lsh_refine and the fixed-cardinality threshold curve are cheap to
+# oracle because their outputs stay pair- or curve-sized).
+VERIFY_AT_MAX = [
+    "q_dedup_minhash_bands",
+    "q_dedup_winnow_pairs",
+    "q_neardup_containment",
+    "q_dedup_lsh_refine",
+    "q_dedup_threshold_curve",
+]
 
 
 def scaled_dir(rep: int) -> str:
