@@ -468,3 +468,71 @@ def q_dedup_survivor_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("policy_changed"),
         )
     )
+
+
+@register(
+    "q_graph_triangle_count",
+    oracle=f"""
+    WITH pairs AS ({_PAIRS_SQL}),
+    tri AS (
+      SELECT e1.id_lo AS a, e1.id_hi AS b, e2.id_hi AS c
+      FROM pairs e1
+      JOIN pairs e2 ON e2.id_lo = e1.id_lo AND e2.id_hi > e1.id_hi
+      JOIN pairs e3 ON e3.id_lo = e1.id_hi AND e3.id_hi = e2.id_hi
+    ),
+    member AS (
+      SELECT a AS doc_id FROM tri
+      UNION ALL SELECT b FROM tri
+      UNION ALL SELECT c FROM tri
+    )
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_triangles
+    FROM member GROUP BY doc_id
+    """,
+    tier="P1",
+    doc="Triangle counting over the J>=0.6 near-dup pair graph — the "
+    "transitivity diagnostic of a dedup candidate set: a true "
+    "duplicate CLUSTER is near-clique (many triangles), while a "
+    "chain of borderline pairs has none, so per-document triangle "
+    "participation separates solid dup groups from transitive-"
+    "closure accidents before any survivor decision. Algorithm is "
+    "the MPC-standard oriented wedge join: edges are kept once in "
+    "id order (id_lo < id_hi), wedges (a<b, a<c, b<c) form by one "
+    "self-join on the lower endpoint, and one more join against the "
+    "edge set closes them — every triangle is counted exactly once "
+    "with no direction explosion. Per-node counts come from "
+    "exploding each triangle's three corners into a groupBy. At "
+    "100 TB the id orientation is replaced by DEGREE orientation "
+    "(orient each edge toward the higher-degree endpoint) so a hub "
+    "node's wedge fan-out is bounded by its forward degree — the "
+    "standard skew guard for web-scale triangle counting; the join "
+    "shape is identical. Edges (two longs) are all that shuffles; "
+    "the candidate-pair generation reuses q_neardup_jaccard's "
+    "ppjoin prefix filter.",
+)
+def q_graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .text import q_neardup_jaccard
+
+    e = (
+        q_neardup_jaccard(spark, sf_dir)
+        .select("id_lo", "id_hi")
+        .localCheckpoint()  # computed once, joined three times
+    )
+    wedges = (
+        e.alias("e1")
+        .join(e.alias("e2"), F.col("e2.id_lo") == F.col("e1.id_lo"))
+        .where(F.col("e2.id_hi") > F.col("e1.id_hi"))
+        .select(
+            F.col("e1.id_lo").alias("a"),
+            F.col("e1.id_hi").alias("b"),
+            F.col("e2.id_hi").alias("c"),
+        )
+    )
+    tri = wedges.join(
+        e.alias("e3"),
+        (F.col("e3.id_lo") == F.col("b")) & (F.col("e3.id_hi") == F.col("c")),
+    ).select("a", "b", "c")
+    return (
+        tri.select(F.explode(F.array("a", "b", "c")).alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )

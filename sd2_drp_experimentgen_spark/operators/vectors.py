@@ -568,13 +568,23 @@ def _sql_srp_bucket() -> str:
     "independent scheme that needs no training pass.",
 )
 def q_ann_srp_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    per = _srp_per_vec(spark, sf_dir)
+    return per.groupBy("srp_bucket").agg(
+        F.count(F.lit(1)).alias("n_vecs"), F.min("vec_id").alias("min_vec_id")
+    )
+
+
+def _srp_per_vec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, srp_bucket) — the per-vector SRP LSH assignment shared
+    by q_ann_srp_buckets and the NN-descent seed graph.
+
+    Arrow-batched numpy path per the module doctrine (interpreted
+    per-element HOFs cost ~10x here): float64 quantization uses the
+    exact IEEE expression the oracle evaluates — (x/scale)*127 + 0.5
+    elementwise, floor — so the int64 matmul against the ±1
+    hyperplanes is bit-identical to the SQL construction."""
     import numpy as np
 
-    # Arrow-batched numpy path per the module doctrine (interpreted
-    # per-element HOFs cost ~10x here): float64 quantization uses the
-    # exact IEEE expression the oracle evaluates — (x/scale)*127 + 0.5
-    # elementwise, floor — so the int64 matmul against the ±1
-    # hyperplanes is bit-identical to the SQL construction.
     signs = np.array(_srp_signs(), dtype=np.int64)  # (SRP_BITS, EMB_DIM)
     weights = 1 << np.arange(SRP_BITS, dtype=np.int64)
 
@@ -595,10 +605,7 @@ def q_ann_srp_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    per = e.mapInPandas(bucketize, schema="vec_id long, srp_bucket int")
-    return per.groupBy("srp_bucket").agg(
-        F.count(F.lit(1)).alias("n_vecs"), F.min("vec_id").alias("min_vec_id")
-    )
+    return e.mapInPandas(bucketize, schema="vec_id long, srp_bucket int")
 
 
 def cosine_topk_for_queries(
@@ -1238,4 +1245,191 @@ def q_emb_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = load_table(spark, sf_dir, "embeddings").select("vec_id")
     return src.mapInPandas(
         knn, schema="src long, rank long, dst long, sim double"
+    )
+
+
+# --- NN-descent refinement over the SRP-seeded graph (round 6) ----------
+
+NND_SEED_K = 3  # seed neighbors per vector (within SRP bucket)
+NND_K = 3       # output neighbors per vector after one descent round
+
+
+def _score_pairs(spark: SparkSession, sf_dir: str, pairs: DataFrame) -> DataFrame:
+    """(src, dst) candidate pairs -> (src, dst, sim_u) with sim_u the
+    oracle's integer-quantized cosine floor(sim*1e4+0.5). Pair-based
+    scoring: each side's embedding arrives via an equi-join on vec_id
+    (the shuffle moves one vector per pair occurrence, never a matrix
+    broadcast), and the cosine evaluates vectorized in numpy over each
+    Arrow batch — the candidate set is graph-sparse (O(n·k²)), so this
+    is the scale path NN-descent is famous for."""
+    import numpy as np
+
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    j = (
+        pairs.join(
+            e.select(
+                F.col("vec_id").alias("src"), F.col("embedding").alias("emb_a")
+            ),
+            "src",
+        )
+        .join(
+            e.select(
+                F.col("vec_id").alias("dst"), F.col("embedding").alias("emb_b")
+            ),
+            "dst",
+        )
+        .select("src", "dst", "emb_a", "emb_b")
+    )
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            a = np.array(pdf["emb_a"].tolist(), dtype=np.float64)
+            b = np.array(pdf["emb_b"].tolist(), dtype=np.float64)
+            s = (a * b).sum(axis=1) / (
+                np.sqrt((a * a).sum(axis=1)) * np.sqrt((b * b).sum(axis=1))
+            )
+            yield pd.DataFrame(
+                {
+                    "src": pdf["src"],
+                    "dst": pdf["dst"],
+                    "sim_u": np.floor(s * 1e4 + 0.5).astype(np.int64),
+                }
+            )
+
+    return j.mapInPandas(score, schema="src long, dst long, sim_u long")
+
+
+def _nnd_topk(scored: DataFrame, k: int) -> DataFrame:
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("src").orderBy(F.desc("sim_u"), F.asc("dst"))
+    return scored.withColumn("rank", F.row_number().over(w)).where(
+        F.col("rank") <= k
+    )
+
+
+@register(
+    "q_emb_nn_descent",
+    oracle=f"""
+    WITH qv AS (
+      SELECT vec_id, {_sql_q_vec()} AS q
+      FROM (
+        SELECT vec_id, embedding,
+               list_max(list_transform(embedding,
+                 x -> abs(CAST(x AS DOUBLE)))) AS scale
+        FROM embeddings
+      )
+    ),
+    b AS (SELECT vec_id, {_sql_srp_bucket()} AS bucket FROM qv),
+    seed_pairs AS (
+      SELECT a.vec_id AS src, c.vec_id AS dst
+      FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id <> c.vec_id
+    ),
+    seed_scored AS (
+      SELECT sp.src, sp.dst,
+             floor(list_cosine_similarity(
+               list_transform(ea.embedding, x -> CAST(x AS DOUBLE)),
+               list_transform(eb.embedding, x -> CAST(x AS DOUBLE))
+             ) * 10000 + 0.5) AS sim_u
+      FROM seed_pairs sp
+      JOIN embeddings ea ON ea.vec_id = sp.src
+      JOIN embeddings eb ON eb.vec_id = sp.dst
+    ),
+    seed_topk AS (
+      SELECT src, dst FROM (
+        SELECT src, dst,
+               row_number() OVER (PARTITION BY src
+                                  ORDER BY sim_u DESC, dst) AS rn
+        FROM seed_scored
+      ) WHERE rn <= {NND_SEED_K}
+    ),
+    undirected AS (
+      SELECT DISTINCT u, v FROM (
+        SELECT src AS u, dst AS v FROM seed_topk
+        UNION ALL SELECT dst, src FROM seed_topk
+      )
+    ),
+    cand AS (
+      SELECT DISTINCT src, dst FROM (
+        SELECT e1.u AS src, e2.v AS dst
+        FROM undirected e1 JOIN undirected e2 ON e2.u = e1.v
+        WHERE e2.v <> e1.u
+        UNION ALL
+        SELECT u, v FROM undirected
+      )
+    ),
+    scored AS (
+      SELECT c.src, c.dst,
+             floor(list_cosine_similarity(
+               list_transform(ea.embedding, x -> CAST(x AS DOUBLE)),
+               list_transform(eb.embedding, x -> CAST(x AS DOUBLE))
+             ) * 10000 + 0.5) AS sim_u
+      FROM cand c
+      JOIN embeddings ea ON ea.vec_id = c.src
+      JOIN embeddings eb ON eb.vec_id = c.dst
+    )
+    SELECT src, CAST(rank AS BIGINT) AS rank, dst, sim_u / 10000 AS sim
+    FROM (
+      SELECT src, dst, sim_u,
+             row_number() OVER (PARTITION BY src
+                                ORDER BY sim_u DESC, dst) AS rank
+      FROM scored
+    ) WHERE rank <= {NND_K}
+    """,
+    tier="P1",
+    doc="One NN-descent refinement round — the graph-ANN construction "
+    "loop (NN-descent / HNSW layer building) expressed relationally: "
+    "seed each vector's neighbor list from its SRP LSH bucket "
+    "(q_ann_srp_buckets' data-independent assignment, integer-exact "
+    "cross-engine), then apply the NN-descent step 'my neighbor's "
+    "neighbors are my candidates' — symmetrize the seed graph, "
+    "propose all 2-hop endpoints plus the seed edges, re-score with "
+    "the quantized cosine, keep top-3 per vector. No all-pairs "
+    "product ever forms: candidate volume is O(n*k^2) graph-sparse "
+    "pairs, each scored by joining the two endpoint vectors "
+    "(pair-based mapInPandas numpy, no matrix broadcast — the gate "
+    "question doesn't even arise). Quantize-then-rank tie discipline "
+    "as q_sim_cosine_topk. At 100 TB this loop iterated to a fixed "
+    "point IS how billion-scale kNN graphs are built (NN-descent "
+    "converges in ~5 rounds); per round the shuffles are two "
+    "edge-list self-joins and one groupBy(src) top-k, all keyed by "
+    "vector id, and the LSH seed bounds round-0 candidate skew.",
+)
+def q_emb_nn_descent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    per = _srp_per_vec(spark, sf_dir)
+    seed_pairs = (
+        per.alias("a")
+        .join(per.alias("c"), F.col("a.srp_bucket") == F.col("c.srp_bucket"))
+        .where(F.col("a.vec_id") != F.col("c.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("src"), F.col("c.vec_id").alias("dst")
+        )
+    )
+    seed_topk = _nnd_topk(
+        _score_pairs(spark, sf_dir, seed_pairs), NND_SEED_K
+    ).select("src", "dst")
+    undirected = (
+        seed_topk.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+        .unionAll(
+            seed_topk.select(F.col("dst").alias("u"), F.col("src").alias("v"))
+        )
+        .distinct()
+        .localCheckpoint()  # joined twice below; seed scan runs once
+    )
+    two_hop = (
+        undirected.alias("e1")
+        .join(undirected.alias("e2"), F.col("e2.u") == F.col("e1.v"))
+        .where(F.col("e2.v") != F.col("e1.u"))
+        .select(F.col("e1.u").alias("src"), F.col("e2.v").alias("dst"))
+    )
+    cand = two_hop.unionAll(
+        undirected.select(F.col("u").alias("src"), F.col("v").alias("dst"))
+    ).distinct()
+    return _nnd_topk(_score_pairs(spark, sf_dir, cand), NND_K).select(
+        "src",
+        F.col("rank").cast("long").alias("rank"),
+        "dst",
+        (F.col("sim_u") / 1e4).alias("sim"),
     )

@@ -279,7 +279,9 @@ _BOOST_RANK = {n: i for i, n in enumerate(_PRIORITY_BOOST)}
 # round-6 _PRIORITY_BOOST window above.
 _NEW_THIS_ROUND: frozenset[str] = frozenset(
     {
-        # round-6 additions land here as they are implemented
+        # round-6 additions
+        "q_graph_triangle_count",
+        "q_emb_nn_descent",
     }
 )
 
