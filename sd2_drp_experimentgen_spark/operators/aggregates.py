@@ -1555,3 +1555,144 @@ def q_agg_period_over_period(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("long"),
         ).alias("growth_bps"),
     )
+
+
+BLOOM_BITS = 4096
+BLOOM_HASHES = 3
+
+
+def _bloom_pos_sql(key: str, i: int) -> str:
+    return (
+        f"CAST('0x' || substr(md5('bf{i}-' || CAST({key} AS VARCHAR)),"
+        f" 1, 12) AS BIGINT) % {BLOOM_BITS}"
+    )
+
+
+@register(
+    "q_agg_bloom_membership",
+    oracle=f"""
+    WITH base AS (
+      SELECT DISTINCT o_custkey FROM orders WHERE o_orderkey % 10 <> 0
+    ),
+    probes AS (
+      SELECT DISTINCT o_custkey FROM orders WHERE o_orderkey % 10 = 0
+    ),
+    bits AS (
+      SELECT DISTINCT pos FROM (
+        SELECT {_bloom_pos_sql('o_custkey', 0)} AS pos FROM base
+        UNION ALL SELECT {_bloom_pos_sql('o_custkey', 1)} FROM base
+        UNION ALL SELECT {_bloom_pos_sql('o_custkey', 2)} FROM base
+      )
+    ),
+    probe_pos AS (
+      SELECT DISTINCT o_custkey, pos FROM (
+        SELECT o_custkey, {_bloom_pos_sql('o_custkey', 0)} AS pos FROM probes
+        UNION ALL SELECT o_custkey, {_bloom_pos_sql('o_custkey', 1)} FROM probes
+        UNION ALL SELECT o_custkey, {_bloom_pos_sql('o_custkey', 2)} FROM probes
+      )
+    ),
+    verdicts AS (
+      SELECT pp.o_custkey,
+             count(*) AS n_pos,
+             count(b.pos) AS n_present,
+             count(*) = count(b.pos) AS maybe,
+             EXISTS (SELECT 1 FROM base ba
+                     WHERE ba.o_custkey = pp.o_custkey) AS is_member
+      FROM probe_pos pp LEFT JOIN bits b ON b.pos = pp.pos
+      GROUP BY pp.o_custkey
+    )
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM base) AS n_base_keys,
+           (SELECT CAST(count(*) AS BIGINT) FROM bits) AS n_bits_set,
+           CAST(count(*) AS BIGINT) AS n_probes,
+           CAST(sum(CASE WHEN maybe THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_maybe,
+           CAST(sum(CASE WHEN NOT maybe THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_definitely_new,
+           CAST(sum(CASE WHEN maybe AND NOT is_member THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_false_positives,
+           CAST(sum(CASE WHEN NOT maybe AND is_member THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_false_negatives
+    FROM verdicts
+    """,
+    tier="P1",
+    doc="Bloom-filter membership — the runtime-filter primitive under "
+    "Spark's own bloom-join pruning and every 'have we crawled this "
+    f"key before' ingest gate, built exactly: a {BLOOM_BITS}-bit "
+    f"filter over the base custkeys ({BLOOM_HASHES} md5-derived hash "
+    "positions per key, the repo's integer-exact hash family), then "
+    "every delta custkey probed — maybe iff ALL its positions are "
+    "set. The emitted audit carries the filter's whole truth table: "
+    "bit fill, maybe/definitely-new split, measured FALSE POSITIVES "
+    "against exact membership, and the structurally-zero false "
+    "negatives — so the hash check proves both the construction AND "
+    "the bloom guarantee. Everything is bounded relational algebra: "
+    "bit positions are (key, int) pairs, the 'filter' is a DISTINCT "
+    "position table, probing is a left join on pos. At 100 TB the "
+    "bit table broadcasts (4 KB) and the probe side never shuffles — "
+    "exactly how a bloom runtime filter prunes a fact scan before an "
+    "expensive join; the md5 family makes it reproducible on any "
+    "engine, which rand()-seeded filters are not.",
+)
+def q_agg_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    base = o.where(F.col("o_orderkey") % 10 != 0).select("o_custkey").distinct()
+    probes = (
+        o.where(F.col("o_orderkey") % 10 == 0).select("o_custkey").distinct()
+    )
+
+    def pos(i: int):
+        h = F.md5(
+            F.concat(F.lit(f"bf{i}-"), F.col("o_custkey").cast("string"))
+        )
+        return F.conv(F.substring(h, 1, 12), 16, 10).cast("long") % BLOOM_BITS
+
+    def positions(df: DataFrame) -> DataFrame:
+        return df.select(
+            "o_custkey",
+            F.explode(
+                F.array(*[pos(i) for i in range(BLOOM_HASHES)])
+            ).alias("pos"),
+        ).distinct()
+
+    bits = positions(base).select("pos").distinct()
+    probe_pos = positions(probes)
+    present = probe_pos.join(
+        F.broadcast(bits.withColumn("hit", F.lit(1))), "pos", "left"
+    )
+    member = probes.join(
+        base.withColumn("m", F.lit(True)), "o_custkey", "left"
+    ).select("o_custkey", F.coalesce("m", F.lit(False)).alias("is_member"))
+    verdicts = (
+        present.groupBy("o_custkey")
+        .agg(
+            (F.count(F.lit(1)) == F.sum(F.coalesce("hit", F.lit(0)))).alias(
+                "maybe"
+            )
+        )
+        .join(member, "o_custkey")
+    )
+    summary = verdicts.agg(
+        F.count(F.lit(1)).alias("n_probes"),
+        F.sum(F.when(F.col("maybe"), 1).otherwise(0)).alias("n_maybe"),
+        F.sum(F.when(~F.col("maybe"), 1).otherwise(0)).alias(
+            "n_definitely_new"
+        ),
+        F.sum(
+            F.when(F.col("maybe") & ~F.col("is_member"), 1).otherwise(0)
+        ).alias("n_false_positives"),
+        F.sum(
+            F.when(~F.col("maybe") & F.col("is_member"), 1).otherwise(0)
+        ).alias("n_false_negatives"),
+    )
+    counts = base.agg(F.count(F.lit(1)).alias("n_base_keys")).crossJoin(
+        bits.agg(F.count(F.lit(1)).alias("n_bits_set"))
+    )
+    return counts.crossJoin(F.broadcast(summary)).select(
+        "n_base_keys",
+        "n_bits_set",
+        "n_probes",
+        "n_maybe",
+        "n_definitely_new",
+        "n_false_positives",
+        "n_false_negatives",
+    )

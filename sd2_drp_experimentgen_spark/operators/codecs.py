@@ -226,3 +226,93 @@ def q_codec_tz_local_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
     return local.groupBy("tz", "local_hour").agg(
         F.count(F.lit(1)).alias("n")
     )
+
+
+@register(
+    "q_dedup_url_canonical",
+    oracle="""
+    WITH raw AS (
+      SELECT doc_id,
+             'HTTPS://' || upper(source) || '.Example.COM:443/' || lang
+               || '/page/' || CAST(doc_id % 40 AS VARCHAR)
+               || '/?utm_source=feed&utm_campaign=c' || CAST(doc_id AS VARCHAR)
+               || '&ref=home&utm_medium=x' AS url
+      FROM documents
+    ),
+    canon AS (
+      SELECT doc_id,
+             lower('https://' || upper(source) || '.Example.COM') ||
+             '/' || lang || '/page/' || CAST(doc_id % 40 AS VARCHAR)
+               || '?ref=home' AS curl
+      FROM raw JOIN documents USING (doc_id)
+    )
+    SELECT curl,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(min(doc_id) AS BIGINT) AS canonical_doc
+    FROM canon
+    GROUP BY curl
+    HAVING count(*) > 1
+    """,
+    tier="P1",
+    doc="URL canonicalization + dedup — the first dedup rung of every "
+    "web crawl (CommonCrawl-style pipelines drop URL-duplicate "
+    "fetches before any content hashing): deterministic dirty URLs "
+    "(mixed-case scheme/host, explicit default :443 port, tracking "
+    "utm_* parameters, trailing slash) are canonicalized by "
+    "lowercasing scheme+host, dropping the default port, stripping "
+    "utm_* query parameters while PRESERVING meaningful ones (ref), "
+    "and removing the trailing slash — then grouped, keeping groups "
+    "with >1 page and electing min(doc_id) as the canonical fetch. "
+    "Spark side does the real parse (parse_url HOST/PATH/QUERY + "
+    "regexp_replace on the query string, all JVM-side Column ops); "
+    "the oracle constructs the expected canonical form from the raw "
+    "columns directly, so the hash proves the normalizer EXTRACTS "
+    "correctly, not merely that two engines share a regex. Pure "
+    "projection + one groupBy(curl): at 100 TB this is the map-side "
+    "pass in front of the content-hash dedup ladder, and the curl "
+    "key is what the crawl frontier partitions on.",
+)
+def q_dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source"
+    )
+    url = F.concat(
+        F.lit("HTTPS://"),
+        F.upper("source"),
+        F.lit(".Example.COM:443/"),
+        F.col("lang"),
+        F.lit("/page/"),
+        (F.col("doc_id") % 40).cast("string"),
+        F.lit("/?utm_source=feed&utm_campaign=c"),
+        F.col("doc_id").cast("string"),
+        F.lit("&ref=home&utm_medium=x"),
+    )
+    w = d.select("doc_id", url.alias("url"))
+    host = F.lower(F.parse_url("url", F.lit("HOST")))
+    path = F.regexp_replace(
+        F.parse_url("url", F.lit("PATH")), F.lit("/$"), F.lit("")
+    )
+    # strip utm_* params from the query string, keep the rest
+    query = F.parse_url("url", F.lit("QUERY"))
+    kept = F.array_join(
+        F.filter(
+            F.split(query, "&"),
+            lambda kv: ~kv.startswith("utm_"),
+        ),
+        "&",
+    )
+    curl = F.concat(
+        F.lit("https://"),
+        host,
+        path,
+        F.when(kept != "", F.concat(F.lit("?"), kept)).otherwise(F.lit("")),
+    )
+    return (
+        w.select("doc_id", curl.alias("curl"))
+        .groupBy("curl")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("canonical_doc"),
+        )
+        .where(F.col("n_docs") > 1)
+    )

@@ -1681,3 +1681,182 @@ def q_dq_reconcile_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_mismatched"),
         F.max(diff).cast("long").alias("max_abs_diff_units"),
     )
+
+
+@register(
+    "q_etl_incremental_join",
+    oracle="""
+    WITH rb AS (SELECT * FROM orders   WHERE o_orderkey % 10 <> 0),
+    rd AS (SELECT * FROM orders   WHERE o_orderkey % 10 = 0),
+    sb AS (SELECT * FROM lineitem WHERE l_linenumber % 2 = 1),
+    sd AS (SELECT * FROM lineitem WHERE l_linenumber % 2 = 0),
+    assembled AS (
+      SELECT o_orderpriority, l_extendedprice, l_discount
+      FROM rb JOIN sb ON o_orderkey = l_orderkey
+      UNION ALL
+      SELECT o_orderpriority, l_extendedprice, l_discount
+      FROM rb JOIN sd ON o_orderkey = l_orderkey
+      UNION ALL
+      SELECT o_orderpriority, l_extendedprice, l_discount
+      FROM rd JOIN sb ON o_orderkey = l_orderkey
+      UNION ALL
+      SELECT o_orderpriority, l_extendedprice, l_discount
+      FROM rd JOIN sd ON o_orderkey = l_orderkey
+    ),
+    incr AS (
+      SELECT o_orderpriority,
+             count(*) AS n_incr,
+             CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100
+                                 + 0.5) AS BIGINT)) AS BIGINT) AS rev_incr
+      FROM assembled GROUP BY o_orderpriority
+    ),
+    full_j AS (
+      SELECT o_orderpriority,
+             count(*) AS n_full,
+             CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100
+                                 + 0.5) AS BIGINT)) AS BIGINT) AS rev_full
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      GROUP BY o_orderpriority
+    )
+    SELECT f.o_orderpriority,
+           CAST(f.n_full AS BIGINT) AS n_full,
+           CAST(i.n_incr AS BIGINT) AS n_incr,
+           f.rev_full, i.rev_incr,
+           (f.n_full = i.n_incr AND f.rev_full = i.rev_incr) AS ivm_ok
+    FROM full_j f JOIN incr i USING (o_orderpriority)
+    """,
+    tier="P1",
+    doc="Incremental view maintenance for JOINS — the delta-join "
+    "decomposition that lets a materialized join view absorb new "
+    "arrivals on BOTH sides without re-joining history: with "
+    "R = Rb∪Rd and S = Sb∪Sd, the maintained view adds exactly "
+    "Rb⋈Sd + Rd⋈Sb + Rd⋈Sd to the stored Rb⋈Sb (here Rd = every "
+    "10th order, Sd = even line numbers — deltas on both sides). "
+    "Both engines compute the 4-way assembly AND the from-scratch "
+    "join; the emitted per-priority counts + integer-cent revenues "
+    "from both paths plus the ivm_ok equality witness make the hash "
+    "check the decomposition proof: assembled == recompute, "
+    "bit-for-bit. Spark plan: all four part-joins shuffle on the "
+    "SAME key (o_orderkey = l_orderkey), so at 100 TB the three "
+    "delta terms are O(|delta| + matching base partitions) — with "
+    "the base sides bucketed by the join key the maintenance never "
+    "re-shuffles history, which is the entire point of IVM; the "
+    "streaming twin of this decomposition is the stream-stream join "
+    "state store (q_stream_stream_join).",
+)
+def q_etl_incremental_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_extendedprice", "l_discount"
+    )
+    rb = o.where(F.col("o_orderkey") % 10 != 0)
+    rd = o.where(F.col("o_orderkey") % 10 == 0)
+    sb = li.where(F.col("l_linenumber") % 2 == 1)
+    sd = li.where(F.col("l_linenumber") % 2 == 0)
+
+    def part(r: DataFrame, s: DataFrame) -> DataFrame:
+        return r.join(s, r.o_orderkey == s.l_orderkey).select(
+            "o_orderpriority", "l_extendedprice", "l_discount"
+        )
+
+    assembled = (
+        part(rb, sb)
+        .unionAll(part(rb, sd))
+        .unionAll(part(rd, sb))
+        .unionAll(part(rd, sd))
+    )
+    rev = int_units(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")), 2
+    )
+
+    def rollup(df: DataFrame, n_name: str, rev_name: str) -> DataFrame:
+        return df.groupBy("o_orderpriority").agg(
+            F.count(F.lit(1)).alias(n_name),
+            F.sum(rev).alias(rev_name),
+        )
+
+    incr = rollup(assembled, "n_incr", "rev_incr")
+    full_j = rollup(part(o, li), "n_full", "rev_full")
+    return full_j.join(incr, "o_orderpriority").select(
+        "o_orderpriority",
+        "n_full",
+        "n_incr",
+        "rev_full",
+        "rev_incr",
+        (
+            (F.col("n_full") == F.col("n_incr"))
+            & (F.col("rev_full") == F.col("rev_incr"))
+        ).alias("ivm_ok"),
+    )
+
+
+@register(
+    "q_stat_pmi_cells",
+    oracle="""
+    WITH obs AS (
+      SELECT lang, source, count(*) AS o
+      FROM documents GROUP BY lang, source
+    ),
+    margins AS (
+      SELECT lang, source, o,
+             sum(o) OVER (PARTITION BY lang) AS n_lang,
+             sum(o) OVER (PARTITION BY source) AS n_source,
+             sum(o) OVER () AS grand
+      FROM obs
+    )
+    SELECT lang, source,
+           CAST(o AS BIGINT) AS observed,
+           CAST(n_lang AS BIGINT) AS n_lang,
+           CAST(n_source AS BIGINT) AS n_source,
+           CAST(floor(ln((CAST(o AS DOUBLE) * grand)
+                         / (CAST(n_lang AS DOUBLE) * n_source))
+                      * 1000000 + 0.5) AS BIGINT) AS pmi_x1e6
+    FROM margins
+    """,
+    tier="P2",
+    doc="Pointwise mutual information table (lang x source over the "
+    "document corpus) — the association screen for corpus "
+    "composition: PMI > 0 marks a source over-representing a "
+    "language vs independence, the signal behind mixture rebalancing "
+    "(q_mix_temperature) and contamination hunts. Emitted PER CELL "
+    "like q_stat_chi_square_cells and for the same reason: each "
+    "cell's PMI is a fixed chain of IEEE ops (one ln of a ratio of "
+    "exact integer products, scaled to ppm) while the aggregate MI "
+    "would fold doubles in engine-dependent order — the analyst "
+    "weights the published cells by o/grand to get MI. One shuffle "
+    "for the counts; margins are windows over the tiny cell table. "
+    "At 100 TB the cell table stays |langs|x|sources| regardless of "
+    "corpus size.",
+)
+def q_stat_pmi_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents").select("lang", "source")
+    obs = d.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("o"))
+    withm = obs.select(
+        "lang",
+        "source",
+        "o",
+        F.sum("o").over(Window.partitionBy("lang")).alias("n_lang"),
+        F.sum("o").over(Window.partitionBy("source")).alias("n_source"),
+        F.sum("o").over(Window.partitionBy()).alias("grand"),
+    )
+    return withm.select(
+        "lang",
+        "source",
+        F.col("o").alias("observed"),
+        "n_lang",
+        "n_source",
+        F.floor(
+            F.log(
+                (F.col("o").cast("double") * F.col("grand"))
+                / (F.col("n_lang").cast("double") * F.col("n_source"))
+            )
+            * F.lit(1000000)
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("pmi_x1e6"),
+    )

@@ -829,3 +829,85 @@ def q_events_seq_examples(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count_distinct("user_id").alias("n_users"),
         )
     )
+
+
+@register(
+    "q_ts_seasonality_profile",
+    oracle="""
+    WITH u AS (
+      SELECT EXTRACT(hour FROM ts) AS hour_of_day,
+             (EXTRACT(isodow FROM ts) - 1) >= 5 AS is_weekend,
+             CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS units
+      FROM events
+    ),
+    cell AS (
+      SELECT hour_of_day, is_weekend,
+             count(*) AS n_events,
+             CAST(sum(units) AS BIGINT) AS sum_units
+      FROM u GROUP BY hour_of_day, is_weekend
+    ),
+    tot AS (
+      SELECT count(*) AS n_g, CAST(sum(units) AS BIGINT) AS sum_g FROM u
+    )
+    SELECT CAST(hour_of_day AS BIGINT) AS hour_of_day, is_weekend,
+           CAST(n_events AS BIGINT) AS n_events, sum_units,
+           floor((CAST(sum_units AS DOUBLE) / 1000000 / n_events)
+                 * 1000000 + 0.5) / 1000000 AS mean_value,
+           CAST(floor((CAST(sum_units AS DOUBLE) / n_events)
+                      / (CAST(sum_g AS DOUBLE) / n_g)
+                      * 1000000 + 0.5) AS BIGINT) AS seasonal_idx_x1e6
+    FROM cell CROSS JOIN tot
+    """,
+    tier="P1",
+    doc="Calendar-seasonality profile — the S component of an STL-lite "
+    "decomposition over the event stream: per (hour-of-day, "
+    "weekend/weekday) cell, event volume, exact integer value mass, "
+    "mean, and the seasonal index (cell mean / global mean, ppm) "
+    "that a forecaster or anomaly detector divides out before "
+    "looking at residuals. Determinism recipe: per-row 1e-6 integer "
+    "units (int_units pattern) so every SUM is exact and "
+    "order-independent; the index is computed from the four exact "
+    "integers with the identical IEEE divide/divide/floor expression "
+    "on both engines — never a float sum, never a mean of means. "
+    "Spark weekday() == DuckDB isodow-1 (the documented cross-engine "
+    "dow convention, scalars.py). One groupBy over a projection plus "
+    "a broadcast of the 1-row global — at 100 TB the profile is a "
+    "constant-size (48-cell) rollup whatever the event volume, and "
+    "the same two-level exact-partials shape maintains incrementally "
+    "(q_etl_incremental_agg's fold).",
+)
+def q_ts_seasonality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.helpers import int_units, r6
+
+    ev = load_events(spark, sf_dir)
+    u = ev.select(
+        F.hour("ts").cast("long").alias("hour_of_day"),
+        (F.weekday("ts") >= 5).alias("is_weekend"),
+        int_units("value", 6).alias("units"),
+    )
+    cell = u.groupBy("hour_of_day", "is_weekend").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("units").alias("sum_units"),
+    )
+    tot = u.agg(
+        F.count(F.lit(1)).alias("n_g"), F.sum("units").alias("sum_g")
+    )
+    return cell.crossJoin(F.broadcast(tot)).select(
+        "hour_of_day",
+        "is_weekend",
+        "n_events",
+        "sum_units",
+        r6(
+            F.col("sum_units").cast("double")
+            / F.lit(1000000)
+            / F.col("n_events")
+        ).alias("mean_value"),
+        F.floor(
+            (F.col("sum_units").cast("double") / F.col("n_events"))
+            / (F.col("sum_g").cast("double") / F.col("n_g"))
+            * F.lit(1000000)
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("seasonal_idx_x1e6"),
+    )

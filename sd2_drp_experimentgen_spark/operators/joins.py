@@ -1330,3 +1330,100 @@ def q_join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("adiff div 1000000").alias("diff_s"),
         "dir",
     )
+
+
+@register(
+    "q_link_entity_blocking",
+    oracle="""
+    WITH dirty AS (
+      SELECT s_suppkey AS dirty_id, s_nationkey,
+             s_suppkey % 25 AS blk,
+             replace(lower(s_name), '#', ' no.') AS d_name
+      FROM supplier
+    ),
+    clean AS (
+      SELECT s_suppkey AS clean_id, s_nationkey,
+             s_suppkey % 25 AS blk,
+             lower(s_name) AS c_name
+      FROM supplier
+    ),
+    scored AS (
+      SELECT d.dirty_id, c.clean_id,
+             levenshtein(d.d_name, c.c_name) AS dist
+      FROM dirty d JOIN clean c
+        ON d.s_nationkey = c.s_nationkey AND d.blk = c.blk
+    ),
+    best AS (
+      SELECT dirty_id, clean_id, dist,
+             row_number() OVER (PARTITION BY dirty_id
+                                ORDER BY dist, clean_id) AS rn
+      FROM scored
+    )
+    SELECT dirty_id,
+           clean_id AS matched_id,
+           CAST(dist AS BIGINT) AS best_distance,
+           dist <= 8 AS is_matched,
+           clean_id = dirty_id AS is_correct
+    FROM best WHERE rn = 1
+    """,
+    tier="P1",
+    doc="Entity resolution / record linkage via block-score-resolve — "
+    "the Fellegi-Sunter pipeline shape every master-data and "
+    "training-data joinery needs: a dirtied registry (deterministic "
+    "corruption: '#' -> ' no.', lowercased — the q_str_edit_distance "
+    "trick) is re-linked to the clean registry by (1) BLOCKING on "
+    "(nation, key mod 25) so candidate pairs are per-block quadratic "
+    "instead of global-quadratic, (2) SCORING candidates with "
+    "levenshtein (built into both engines), (3) RESOLVING one best "
+    "match per dirty record (row_number over distance, id tiebreak) "
+    "with an accept threshold and a ground-truth correctness flag. "
+    "At 100 TB blocking IS the scale story — candidates are "
+    "sum-of-block² not n², the same confinement as "
+    "q_sim_range_search's cells, and a production system swaps the "
+    "mod-key for a phonetic/sorted-neighborhood key with identical "
+    "plan shape: one shuffle on the block key, a window per dirty "
+    "id. The edit-distance scorer stays JVM-side (no UDF).",
+)
+def q_link_entity_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    s = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey"
+    )
+    dirty = s.select(
+        F.col("s_suppkey").alias("dirty_id"),
+        "s_nationkey",
+        (F.col("s_suppkey") % 25).alias("blk"),
+        F.replace(
+            F.lower("s_name"), F.lit("#"), F.lit(" no.")
+        ).alias("d_name"),
+    )
+    clean = s.select(
+        F.col("s_suppkey").alias("clean_id"),
+        F.col("s_nationkey").alias("c_nationkey"),
+        (F.col("s_suppkey") % 25).alias("c_blk"),
+        F.lower("s_name").alias("c_name"),
+    )
+    scored = dirty.join(
+        clean,
+        (F.col("s_nationkey") == F.col("c_nationkey"))
+        & (F.col("blk") == F.col("c_blk")),
+    ).select(
+        "dirty_id",
+        "clean_id",
+        F.levenshtein("d_name", "c_name").cast("long").alias("dist"),
+    )
+    w = Window.partitionBy("dirty_id").orderBy(
+        F.asc("dist"), F.asc("clean_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "dirty_id",
+            F.col("clean_id").alias("matched_id"),
+            F.col("dist").alias("best_distance"),
+            (F.col("dist") <= 8).alias("is_matched"),
+            (F.col("clean_id") == F.col("dirty_id")).alias("is_correct"),
+        )
+    )

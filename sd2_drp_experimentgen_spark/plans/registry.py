@@ -282,6 +282,12 @@ _NEW_THIS_ROUND: frozenset[str] = frozenset(
         # round-6 additions
         "q_graph_triangle_count",
         "q_emb_nn_descent",
+        "q_etl_incremental_join",
+        "q_link_entity_blocking",
+        "q_ts_seasonality_profile",
+        "q_stat_pmi_cells",
+        "q_dedup_url_canonical",
+        "q_agg_bloom_membership",
     }
 )
 
