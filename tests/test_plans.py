@@ -545,3 +545,58 @@ def test_bfs_rounds_are_min_aggregates_not_nested_loops(spark):
     p = plan(all_specs()["q_graph_bfs_hops"].fn(spark, SF_T2), "simple")
     assert "partial_min" in p, p
     assert "BroadcastNestedLoopJoin" not in p, p
+
+
+def test_incremental_join_shares_one_key(spark):
+    """q_etl_incremental_join's four part-joins must all be equi-joins
+    on the SAME key (o_orderkey = l_orderkey) — that key sharing is
+    what lets bucketed base tables absorb deltas without re-shuffling
+    history. Any theta/cross join here is a decomposition bug."""
+    p = plan(all_specs()["q_etl_incremental_join"].fn(spark, SF_T2), "simple")
+    assert "NestedLoop" not in p and "CartesianProduct" not in p, p
+    assert "o_orderkey" in p and "l_orderkey" in p, p
+
+
+def test_bloom_bits_broadcast_not_shuffled(spark):
+    """q_agg_bloom_membership must broadcast the KB-sized bit table to
+    the probe side — shuffling probes against a 4096-row relation
+    would invert the runtime-filter pattern the operator models."""
+    p = plan(all_specs()["q_agg_bloom_membership"].fn(spark, SF_T2), "simple")
+    assert "BroadcastHashJoin" in p, p
+
+
+def test_nn_descent_no_matrix_broadcast(spark):
+    """q_emb_nn_descent scores candidate pairs by joining endpoint
+    vectors — the full embedding matrix must never be collected or
+    broadcast (the whole point of graph-sparse candidate proposal).
+    Guarded structurally: the plan has MapInPandas scorers fed by
+    equi-joins on vec ids, and the AST guard (test_no_driver_collect)
+    proves no collect; here we pin that scoring joins stay equi-joins."""
+    p = plan(all_specs()["q_emb_nn_descent"].fn(spark, SF_T2), "simple")
+    assert "MapInPandas" in p, p
+    assert "CartesianProduct" not in p and "NestedLoop" not in p, p
+
+
+def test_triangle_count_join_keys(spark):
+    """Triangle closure must join on edge endpoints (equi), never
+    enumerate all pairs: wedge join on the shared lower endpoint plus
+    the closing (b, c) equi-join."""
+    p = plan(all_specs()["q_graph_triangle_count"].fn(spark, SF_T2), "simple")
+    assert "CartesianProduct" not in p and "NestedLoop" not in p, p
+
+
+def test_url_canonical_is_projection_plus_one_aggregate(spark):
+    """URL canonicalization must stay a pure projection until the ONE
+    groupBy(curl) — a join or extra exchange in a crawl rung-0 pass
+    would be pure overhead at web scale."""
+    p = plan(all_specs()["q_dedup_url_canonical"].fn(spark, SF_T2), "simple")
+    assert "Join" not in p, p
+    assert p.count("Exchange") == 1, p
+
+
+def test_seasonality_two_level_exact_partials(spark):
+    """q_ts_seasonality_profile: one shuffle for the 48-cell rollup,
+    the 1-row global broadcast back — never a window over row data."""
+    p = plan(all_specs()["q_ts_seasonality_profile"].fn(spark, SF_T2), "simple")
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p, p
+    assert "Window" not in p, p
