@@ -1696,3 +1696,179 @@ def q_agg_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_false_positives",
         "n_false_negatives",
     )
+
+
+# Per-feature integer unit scales for the scaler fit. Chosen so the
+# int64 SUM OF SQUARES stays far below 2^63 at any plausible scale:
+# price in whole dollars (1e5 max -> sq 1e10; 1e8 rows -> 1e18), the
+# small-domain rates at 1e4 units (1e3 max -> sq 1e6).
+SCALER_FEATURES = [
+    ("l_quantity", 1),
+    ("l_extendedprice", 1),
+    ("l_discount", 10_000),
+    ("l_tax", 10_000),
+]
+
+
+@register(
+    "q_ml_feature_scaler_fit",
+    oracle="""
+    WITH u AS (
+      SELECT feature, units FROM (
+        SELECT 'l_quantity' AS feature,
+               CAST(floor(l_quantity * 1 + 0.5) AS BIGINT) AS units
+        FROM lineitem
+        UNION ALL
+        SELECT 'l_extendedprice',
+               CAST(floor(l_extendedprice * 1 + 0.5) AS BIGINT)
+        FROM lineitem
+        UNION ALL
+        SELECT 'l_discount',
+               CAST(floor(l_discount * 10000 + 0.5) AS BIGINT)
+        FROM lineitem
+        UNION ALL
+        SELECT 'l_tax', CAST(floor(l_tax * 10000 + 0.5) AS BIGINT)
+        FROM lineitem
+      )
+    )
+    SELECT feature,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(min(units) AS BIGINT) AS min_units,
+           CAST(max(units) AS BIGINT) AS max_units,
+           CAST(sum(units) AS BIGINT) AS sum_units,
+           CAST(sum(units * units) AS BIGINT) AS sum_sq_units,
+           floor((CAST(sum(units) AS DOUBLE) / count(*)) * 1000000 + 0.5)
+             / 1000000 AS mean_units,
+           floor(sqrt(CAST(sum(units * units) AS DOUBLE) / count(*)
+                      - (CAST(sum(units) AS DOUBLE) / count(*))
+                        * (CAST(sum(units) AS DOUBLE) / count(*)))
+                 * 1000000 + 0.5) / 1000000 AS std_units
+    FROM u GROUP BY feature
+    """,
+    tier="P1",
+    doc="Feature-scaler FIT — the standardization/min-max parameter "
+    "table every training pipeline materializes before normalizing "
+    "features (StandardScaler/MinMaxScaler fit, persisted as a tiny "
+    "artifact the serving path reuses): per feature the count, "
+    "extrema, exact first and second moments, mean and population "
+    "std. Determinism recipe: each feature quantizes to a "
+    "documented integer unit scale chosen so SUM(units²) stays in "
+    "int64 headroom at 100 TB row counts (dollars for price, 1e-4 "
+    "units for rates) — both moments are then exact "
+    "order-independent integer sums, and mean/std are fixed IEEE "
+    "chains (divide, multiply, sqrt) from those exact ints, never a "
+    "float aggregation. The unpivot is a stack projection; one "
+    "groupBy(feature) over 4n rows, map-side combined — a single "
+    "pass whatever the table size, and the emitted table is "
+    "KB-sized. Per-feature unit scales are part of the fitted "
+    "artifact, exactly like a real scaler's.",
+)
+def q_ml_feature_scaler_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    stacked = li.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(name).alias("feature"),
+                        F.floor(F.col(name) * scale + F.lit(0.5))
+                        .cast("long")
+                        .alias("units"),
+                    )
+                    for name, scale in SCALER_FEATURES
+                ]
+            )
+        ).alias("s")
+    ).select("s.feature", "s.units")
+    n = F.count(F.lit(1))
+    su = F.sum("units")
+    sq = F.sum(F.col("units") * F.col("units"))
+    mean = su.cast("double") / n
+    return stacked.groupBy("feature").agg(
+        n.alias("n"),
+        F.min("units").alias("min_units"),
+        F.max("units").alias("max_units"),
+        su.alias("sum_units"),
+        sq.alias("sum_sq_units"),
+        (F.floor(mean * F.lit(1000000) + F.lit(0.5)) / F.lit(1000000)).alias(
+            "mean_units"
+        ),
+        (
+            F.floor(
+                F.sqrt(sq.cast("double") / n - mean * mean)
+                * F.lit(1000000)
+                + F.lit(0.5)
+            )
+            / F.lit(1000000)
+        ).alias("std_units"),
+    )
+
+
+@register(
+    "q_ml_quantile_binning",
+    oracle="""
+    WITH edges AS (
+      SELECT percentile_disc(0.2) WITHIN GROUP (ORDER BY o_totalprice) AS e1,
+             percentile_disc(0.4) WITHIN GROUP (ORDER BY o_totalprice) AS e2,
+             percentile_disc(0.6) WITHIN GROUP (ORDER BY o_totalprice) AS e3,
+             percentile_disc(0.8) WITHIN GROUP (ORDER BY o_totalprice) AS e4
+      FROM orders
+    ),
+    binned AS (
+      SELECT CASE WHEN o_totalprice <= e1 THEN 0
+                  WHEN o_totalprice <= e2 THEN 1
+                  WHEN o_totalprice <= e3 THEN 2
+                  WHEN o_totalprice <= e4 THEN 3
+                  ELSE 4 END AS bin,
+             o_totalprice
+      FROM orders CROSS JOIN edges
+    )
+    SELECT CAST(bin AS BIGINT) AS bin,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           floor(min(o_totalprice) * 100 + 0.5) / 100 AS lo,
+           floor(max(o_totalprice) * 100 + 0.5) / 100 AS hi
+    FROM binned GROUP BY bin
+    """,
+    tier="P1",
+    doc="Equal-frequency (quantile) binning FIT + APPLY — the "
+    "QuantileDiscretizer artifact: 5 bins of o_totalprice with edges "
+    "at the exact 20/40/60/80th percentile_disc ORDER STATISTICS. "
+    "Discrete percentiles are actual data values (no interpolation "
+    "arithmetic), so the edges are bit-identical across engines by "
+    "construction, the bin assignment is pure comparison, and the "
+    "per-bin counts + [lo, hi] ranges hash-check exactly — the "
+    "contrast with interpolated/approximate percentiles (see "
+    "q_agg_percentile / q_agg_approx_percentile) is deliberate. "
+    "Plan: one percentile aggregate (Spark sorts within the "
+    "aggregate buffer), the 1-row edge table broadcast into a "
+    "projection, one groupBy(bin). At 100 TB the fit step switches "
+    "to approx_percentile with documented error (the KLL/sketch "
+    "family) while the apply stays identical — the artifact "
+    "contract (edges table) does not change.",
+)
+def q_ml_quantile_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select("o_totalprice")
+    edges = o.agg(
+        *[
+            F.expr(
+                f"percentile_disc({p}) WITHIN GROUP (ORDER BY o_totalprice)"
+            ).alias(f"e{i}")
+            for i, p in enumerate([0.2, 0.4, 0.6, 0.8], start=1)
+        ]
+    )
+    binned = o.crossJoin(F.broadcast(edges)).select(
+        F.when(F.col("o_totalprice") <= F.col("e1"), 0)
+        .when(F.col("o_totalprice") <= F.col("e2"), 1)
+        .when(F.col("o_totalprice") <= F.col("e3"), 2)
+        .when(F.col("o_totalprice") <= F.col("e4"), 3)
+        .otherwise(4)
+        .cast("long")
+        .alias("bin"),
+        "o_totalprice",
+    )
+    r2 = lambda c: F.floor(c * 100 + F.lit(0.5)) / 100  # noqa: E731
+    return binned.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        r2(F.min("o_totalprice")).alias("lo"),
+        r2(F.max("o_totalprice")).alias("hi"),
+    )

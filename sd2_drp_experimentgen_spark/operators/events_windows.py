@@ -911,3 +911,94 @@ def q_ts_seasonality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("seasonal_idx_x1e6"),
     )
+
+
+@register(
+    "q_win_session_cap",
+    oracle="""
+    WITH gapped AS (
+      SELECT user_id, event_id, epoch_us(ts) AS us,
+             CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                    OR epoch_us(ts) - lag(epoch_us(ts)) OVER w
+                       > 1800 * 1000000
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sessions AS (
+      SELECT user_id, event_id, us,
+             sum(is_new) OVER (PARTITION BY user_id ORDER BY us, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS session_idx
+      FROM gapped
+    ),
+    capped AS (
+      SELECT user_id, session_idx, us,
+             (us - min(us) OVER (PARTITION BY user_id, session_idx))
+               // CAST(7200000000 AS BIGINT) AS sub_idx
+      FROM sessions
+    )
+    SELECT user_id,
+           CAST(session_idx AS BIGINT) AS session_idx,
+           CAST(sub_idx AS BIGINT) AS sub_idx,
+           count(*) AS n_events,
+           (max(us) - min(us)) // 1000000 AS dur_s
+    FROM capped
+    GROUP BY user_id, session_idx, sub_idx
+    """,
+    tier="P1",
+    doc="Capped sessionization — the gap-session operator with a "
+    "maximum-duration cap (the billing/abuse-control variant: an "
+    "idle gap closes a session AND a marathon session is split at "
+    "2 h so no session key accumulates unbounded state): 30-min gap "
+    "sessions via the lag+cumsum construction, then each session's "
+    "events split into fixed 2 h sub-windows anchored at the "
+    "session's first event (offset div — exact integer "
+    "microseconds, cross-engine). Every sub-session's duration is "
+    "structurally < 2 h, which is precisely the bound a streaming "
+    "state store needs to evict deterministically "
+    "(q_stream_session_30m's session_window carries the same gap "
+    "semantics; the cap is what production adds). One per-user "
+    "sort shared by the lag, cumsum, and session-start windows — "
+    "no extra shuffle for the cap.",
+)
+def q_win_session_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_events(spark, sf_dir)
+    us = F.unix_micros(F.col("ts"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = 1800 * 1_000_000
+    gapped = ev.select(
+        "user_id",
+        "event_id",
+        us.alias("us"),
+        F.when(
+            F.lag(us).over(w).isNull() | ((us - F.lag(us).over(w)) > gap_us), 1
+        )
+        .otherwise(0)
+        .alias("is_new"),
+    )
+    wc = (
+        Window.partitionBy("user_id")
+        .orderBy("us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    sessions = gapped.select(
+        "user_id",
+        "us",
+        "event_id",
+        F.sum("is_new").over(wc).alias("session_idx"),
+    )
+    ws = Window.partitionBy("user_id", "session_idx")
+    capped = sessions.select(
+        "user_id",
+        "session_idx",
+        "us",
+        F.expr(f"(us - min(us) OVER (PARTITION BY user_id, session_idx))"
+               f" div {7200 * 1_000_000}").alias("sub_idx"),
+    )
+    return capped.groupBy("user_id", "session_idx", "sub_idx").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.expr("(max(us) - min(us)) div 1000000").alias("dur_s"),
+    )

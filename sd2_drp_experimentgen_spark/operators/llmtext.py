@@ -2127,3 +2127,107 @@ def q_text_html_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_clean").cast("long").alias("sum_chars_clean"),
         F.sum("ok").cast("long").alias("n_roundtrip_ok"),
     )
+
+
+NEG_SAMPLES_K = 4
+
+
+@register(
+    "q_train_negative_samples",
+    oracle=f"""
+    WITH nn AS (SELECT count(*) AS n FROM documents),
+    anchors AS (
+      SELECT d.doc_id, d.lang AS anchor_lang, j.j,
+             (d.doc_id + 1 +
+              CAST('0x' || substr(md5('neg-' || CAST(d.doc_id AS VARCHAR)
+                                      || '-' || CAST(j.j AS VARCHAR)),
+                                  1, 12) AS BIGINT) % (nn.n - 1)
+             ) % nn.n AS neg_id
+      FROM documents d
+      CROSS JOIN (SELECT unnest(generate_series(0, {NEG_SAMPLES_K - 1}))
+                    AS j) j
+      CROSS JOIN nn
+    )
+    SELECT a.anchor_lang, d2.lang AS neg_lang,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(count(DISTINCT a.doc_id) AS BIGINT) AS n_anchor_docs,
+           CAST(sum(CASE WHEN a.neg_id = a.doc_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_self_collisions
+    FROM anchors a JOIN documents d2 ON d2.doc_id = a.neg_id
+    GROUP BY a.anchor_lang, d2.lang
+    """,
+    tier="P1",
+    doc="Deterministic negative sampling — the contrastive-training "
+    "data op (every embedding/retrieval trainer pairs each anchor "
+    f"with K={NEG_SAMPLES_K} negatives): negative j of a document is "
+    "doc_id + 1 + (md5(doc, j) mod N-1) mod N — the md5-ring "
+    "construction makes the draw uniform-ish, REPRODUCIBLE on any "
+    "engine/partitioning (rand() is neither), and structurally "
+    "self-collision-free (the +1 and mod N-1 exclude step 0, "
+    "witnessed by the emitted always-zero n_self_collisions). The "
+    "audit grain is the (anchor_lang, neg_lang) mixing matrix — "
+    "what a trainer inspects to confirm negatives aren't "
+    "accidentally in-class-only. Spark plan: the K-fold expansion "
+    "is a posexplode projection, the negative's attributes arrive "
+    "by ONE equi-join on neg_id (at 100 TB: the anchors shuffle "
+    "once on neg_id; with documents bucketed by doc_id the join "
+    "co-locates), and the N scalar broadcasts from a 1-row "
+    "aggregate — no collect. In-batch negatives (the other common "
+    "scheme) are this same join with the ring replaced by the "
+    "batch's own ids.",
+)
+def q_train_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    nn = d.agg(F.count(F.lit(1)).alias("n"))
+    anchors = (
+        d.select(
+            "doc_id",
+            F.col("lang").alias("anchor_lang"),
+            F.explode(
+                F.array(*[F.lit(j) for j in range(NEG_SAMPLES_K)])
+            ).alias("j"),
+        )
+        .crossJoin(F.broadcast(nn))
+        .select(
+            "doc_id",
+            "anchor_lang",
+            (
+                (
+                    F.col("doc_id")
+                    + 1
+                    + F.conv(
+                        F.substring(
+                            F.md5(
+                                F.concat(
+                                    F.lit("neg-"),
+                                    F.col("doc_id").cast("string"),
+                                    F.lit("-"),
+                                    F.col("j").cast("string"),
+                                )
+                            ),
+                            1,
+                            12,
+                        ),
+                        16,
+                        10,
+                    ).cast("long")
+                    % (F.col("n") - 1)
+                )
+                % F.col("n")
+            ).alias("neg_id"),
+        )
+    )
+    negs = d.select(
+        F.col("doc_id").alias("neg_id"), F.col("lang").alias("neg_lang")
+    )
+    return (
+        anchors.join(negs, "neg_id")
+        .groupBy("anchor_lang", "neg_lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.count_distinct("doc_id").alias("n_anchor_docs"),
+            F.sum(
+                F.when(F.col("neg_id") == F.col("doc_id"), 1).otherwise(0)
+            ).alias("n_self_collisions"),
+        )
+    )

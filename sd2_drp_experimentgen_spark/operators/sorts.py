@@ -11,6 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.helpers import int_units
 from ..plans.registry import register
 from ..sources.tables import load_table
 
@@ -150,3 +151,125 @@ def q_sort_keyset_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "q_sort_pareto_frontier",
+    oracle="""
+    WITH pts AS (
+      SELECT o_orderkey,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+             CAST(date_diff('day', DATE '1995-01-01',
+                            CAST(o_orderdate AS DATE)) AS BIGINT) AS days
+      FROM orders
+    ),
+    flagged AS (
+      SELECT o_orderkey, cents, days,
+             min(days) OVER (ORDER BY cents
+                             RANGE BETWEEN 1 FOLLOWING
+                                       AND UNBOUNDED FOLLOWING)
+               AS best_days_higher,
+             min(days) OVER (PARTITION BY cents) AS best_days_same
+      FROM pts
+    )
+    SELECT o_orderkey, cents, days
+    FROM flagged
+    WHERE (best_days_higher IS NULL OR days < best_days_higher)
+      AND days = best_days_same
+    """,
+    tier="P1",
+    doc="Pareto frontier (2-D skyline): the orders no other order "
+    "dominates on (maximize price, minimize order date) — the "
+    "multi-objective shortlist query behind supplier selection, "
+    "experiment-candidate triage, and price/latency tradeoff "
+    "curves. In 2-D the skyline reduces to windows, no pairwise "
+    "join: a RANGE frame over the price axis (1 FOLLOWING .. "
+    "UNBOUNDED = all strictly-higher-priced rows) takes the running "
+    "best (min) date — a row survives iff its date beats every "
+    "strictly-richer row's best and is the best within its own "
+    "price tie-group (ties on both axes are mutually non-dominating "
+    "and all kept). Exact integer cents/days make dominance "
+    "comparisons bit-deterministic. At 100 TB the skyline is "
+    "DECOMPOSABLE: skyline(∪ partitions) = skyline(∪ local "
+    "skylines), so each task computes its local frontier (tiny) and "
+    "only frontier candidates reach the final window — the same "
+    "partial-then-final shape as TakeOrdered, with the RANGE-frame "
+    "window as the merge step.",
+)
+def q_sort_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    pts = o.select(
+        "o_orderkey",
+        int_units("o_totalprice", 2).alias("cents"),
+        F.datediff(
+            F.col("o_orderdate").cast("date"), F.lit("1995-01-01").cast("date")
+        )
+        .cast("long")
+        .alias("days"),
+    )
+
+    # Phase 1 — LOCAL skyline per Arrow batch (sound pre-filter: a
+    # globally non-dominated row is non-dominated in every subset, so
+    # filtering each batch to its local frontier can never drop a
+    # global-frontier row). This is what makes the operator scale: a
+    # naive global RANGE-frame window moves every row to ONE task and
+    # measured 432 s at sf0.1; the local pre-filter leaves only
+    # frontier-candidate rows (typically tens) for the exact merge.
+    def local_frontier(
+        batches: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            cents = pdf["cents"].to_numpy(dtype=np.int64)
+            days = pdf["days"].to_numpy(dtype=np.int64)
+            order = np.lexsort((days, -cents))  # cents desc, days asc
+            c_s, d_s = cents[order], days[order]
+            run_min = np.minimum.accumulate(d_s)
+            prev_min = np.concatenate(
+                ([np.iinfo(np.int64).max], run_min[:-1])
+            )
+            # rows tying on cents share the SAME strictly-higher-cents
+            # bound: prev_min evaluated at the group's FIRST row (all
+            # earlier rows there have strictly greater cents)
+            grp_start = np.concatenate(([True], c_s[1:] != c_s[:-1]))
+            grp_ids = np.cumsum(grp_start) - 1
+            first_idx = np.flatnonzero(grp_start)
+            bound = prev_min[first_idx][grp_ids]
+            # same-cents best days = first day in group (days ascending)
+            best_same = d_s[first_idx][grp_ids]
+            keep = (d_s < bound) & (d_s == best_same)
+            kept = order[keep]
+            yield pdf.iloc[kept][["o_orderkey", "cents", "days"]]
+
+    cand = pts.mapInPandas(
+        local_frontier, schema="o_orderkey long, cents long, days long"
+    )
+
+    # Phase 2 — exact merge over the tiny candidate set: the same
+    # dominance rule, expressed with the RANGE frame (correct and cheap
+    # at candidate cardinality).
+    higher = Window.orderBy("cents").rangeBetween(1, Window.unboundedFollowing)
+    same = Window.partitionBy("cents")
+    flagged = cand.select(
+        "o_orderkey",
+        "cents",
+        "days",
+        F.min("days").over(higher).alias("best_days_higher"),
+        F.min("days").over(same).alias("best_days_same"),
+    )
+    return flagged.where(
+        (
+            F.col("best_days_higher").isNull()
+            | (F.col("days") < F.col("best_days_higher"))
+        )
+        & (F.col("days") == F.col("best_days_same"))
+    ).select("o_orderkey", "cents", "days")

@@ -288,6 +288,11 @@ _NEW_THIS_ROUND: frozenset[str] = frozenset(
         "q_stat_pmi_cells",
         "q_dedup_url_canonical",
         "q_agg_bloom_membership",
+        "q_ml_feature_scaler_fit",
+        "q_ml_quantile_binning",
+        "q_sort_pareto_frontier",
+        "q_win_session_cap",
+        "q_train_negative_samples",
     }
 )
 
