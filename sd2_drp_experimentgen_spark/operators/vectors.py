@@ -1433,3 +1433,142 @@ def q_emb_nn_descent(spark: SparkSession, sf_dir: str) -> DataFrame:
         "dst",
         (F.col("sim_u") / 1e4).alias("sim"),
     )
+
+
+# --- PQ asymmetric-distance search (round 6) ----------------------------
+
+ADC_K = 10          # neighbors per query
+ADC_N_QUERIES = 20  # query set = the 20 lowest vec_ids (as q_ann_ivf_topk)
+
+
+@register(
+    "q_ann_pq_adc_topk",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id, CAST(gs - 1 AS INTEGER) AS i,
+             CAST(floor(CAST(e AS DOUBLE) * {PCA_UNITS} + 0.5) AS BIGINT)
+               AS qv
+      FROM (
+        SELECT vec_id, unnest(embedding) AS e,
+               generate_subscripts(embedding, 1) AS gs
+        FROM embeddings
+      )
+    ),
+    cent AS (
+      SELECT vec_id AS k, i // {PQ_SUB} AS m, i % {PQ_SUB} AS d, qv AS cv
+      FROM q WHERE vec_id < {PQ_K}
+    ),
+    dist AS (
+      SELECT a.vec_id, c.m, c.k,
+             sum((a.qv - c.cv) * (a.qv - c.cv)) AS d2
+      FROM q a JOIN cent c
+        ON c.m = a.i // {PQ_SUB} AND c.d = a.i % {PQ_SUB}
+      GROUP BY a.vec_id, c.m, c.k
+    ),
+    codes AS (
+      SELECT vec_id, m, k FROM (
+        SELECT vec_id, m, k,
+               row_number() OVER (PARTITION BY vec_id, m
+                                  ORDER BY d2, k) AS rn
+        FROM dist
+      ) WHERE rn = 1
+    ),
+    queries AS (
+      SELECT vec_id AS query_id FROM embeddings
+      ORDER BY vec_id LIMIT {ADC_N_QUERIES}
+    ),
+    lut AS (
+      SELECT d.vec_id AS query_id, d.m, d.k, d.d2
+      FROM dist d JOIN queries ON d.vec_id = queries.query_id
+    ),
+    adc AS (
+      SELECT l.query_id, co.vec_id, CAST(sum(l.d2) AS BIGINT) AS adc_d2
+      FROM codes co JOIN lut l ON l.m = co.m AND l.k = co.k
+      GROUP BY l.query_id, co.vec_id
+    ),
+    ranked AS (
+      SELECT query_id, vec_id, adc_d2,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY adc_d2, vec_id) AS rn
+      FROM adc WHERE vec_id <> query_id
+    )
+    SELECT query_id, CAST(rn AS BIGINT) AS rank, vec_id, adc_d2
+    FROM ranked WHERE rn <= {ADC_K}
+    """,
+    tier="P1",
+    doc="PQ asymmetric-distance search (ADC) — the step that makes "
+    "billion-scale ANN memory-resident: queries are never quantized; "
+    "each query precomputes a (subspace x centroid) distance lookup "
+    "table against the PQ codebook, and every database vector's "
+    "approximate distance is just 4 table lookups summed over its "
+    "4-byte code (q_emb_pq_encode's output). Every quantity is exact "
+    "int64 (1e-3-unit squared distances), so the hash check needs no "
+    "witness — the full FAISS-style IVF+PQ stack is now covered "
+    "end-to-end: cells (q_ann_ivf_topk), codes (q_emb_pq_encode), "
+    "ADC scan (this). Spark plan: codes melt to (vec_id, m, k) rows, "
+    "the 1 280-row LUT broadcasts, one equi-join + groupBy(query, "
+    "vec) sums the 4 terms, row_number takes top-10 — the scan "
+    "touches ONLY the code column, which is the entire point of PQ "
+    "(64 floats -> 4 bytes, so a 100 TB vector corpus scans as "
+    "~1.5 TB of codes, embarrassingly parallel, no vector data "
+    "moving). LUT construction is itself relational (posexplode of "
+    "the 20 query vectors x the 16-vector codebook), no collect.",
+)
+def q_ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    codes = q_emb_pq_encode(spark, sf_dir).select(
+        "vec_id", F.expr("stack(4, 0, c0, 1, c1, 2, c2, 3, c3) AS (m, k)")
+    )
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    qids = (
+        e.select("vec_id").orderBy("vec_id").limit(ADC_N_QUERIES)
+    ).select(F.col("vec_id").alias("query_id"))
+
+    def flat(df: DataFrame, id_alias: str) -> DataFrame:
+        return df.select(
+            F.col("vec_id").alias(id_alias),
+            F.posexplode("embedding").alias("i", "x"),
+        ).select(
+            id_alias,
+            F.expr(f"i div {PQ_SUB}").alias("m"),
+            (F.col("i") % PQ_SUB).alias("d"),
+            F.floor(F.col("x").cast("double") * PCA_UNITS + F.lit(0.5))
+            .cast("long")
+            .alias("u"),
+        )
+
+    qflat = flat(
+        e.join(F.broadcast(qids), e.vec_id == qids.query_id).select(
+            "vec_id", "embedding"
+        ),
+        "qid",
+    )
+    centflat = flat(e.where(F.col("vec_id") < PQ_K), "k")
+    lut = (
+        qflat.join(
+            centflat.select(
+                F.col("k"), F.col("m").alias("cm"), F.col("d").alias("cd"),
+                F.col("u").alias("cu"),
+            ),
+            (F.col("m") == F.col("cm")) & (F.col("d") == F.col("cd")),
+        )
+        .groupBy(F.col("qid").alias("query_id"), "m", "k")
+        .agg(
+            F.sum(
+                (F.col("u") - F.col("cu")) * (F.col("u") - F.col("cu"))
+            ).alias("d2")
+        )
+    )
+    adc = (
+        codes.join(F.broadcast(lut), ["m", "k"])
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum("d2").alias("adc_d2"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("adc_d2"), F.asc("vec_id"))
+    return (
+        adc.where(F.col("vec_id") != F.col("query_id"))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= ADC_K)
+        .select("query_id", "rank", "vec_id", "adc_d2")
+    )

@@ -293,6 +293,7 @@ _NEW_THIS_ROUND: frozenset[str] = frozenset(
         "q_sort_pareto_frontier",
         "q_win_session_cap",
         "q_train_negative_samples",
+        "q_ann_pq_adc_topk",
     }
 )
 
