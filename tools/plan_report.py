@@ -76,6 +76,16 @@ REPORT = [
     ("q_etl_incremental_agg", "delta partials fold via full-outer join on the group key; no history re-scan"),
     ("q_mm_corpus_pipeline", "one plan: decode mapInPandas -> (lang,phash) windows -> rollup; payloads never shuffle"),
     ("q_dedup_threshold_curve", "one candidate generation at the loosest threshold; four conditional counts in the rollup"),
+    # --- round 6 additions ---
+    ("q_sim_range_search", "payload shuffles once keyed (label, sb); pair enumeration joins collapsed cells, never rows"),
+    ("q_graph_triangle_count", "oriented wedge join: two equi-joins on edge endpoints, no cartesian"),
+    ("q_emb_nn_descent", "graph-sparse candidates scored by pair joins + MapInPandas; no matrix broadcast"),
+    ("q_etl_incremental_join", "all four part-joins share the o_orderkey=l_orderkey key; no theta/cross join"),
+    ("q_agg_bloom_membership", "4096-row bit table broadcasts to the probe side (the runtime-filter shape)"),
+    ("q_sort_pareto_frontier", "local skyline MapInPandas pre-filter; RANGE-frame merge only over candidates"),
+    ("q_ann_pq_adc_topk", "scan touches only the 4-byte code columns; 1280-row LUT broadcasts"),
+    ("q_dedup_url_canonical", "pure projection until the single groupBy(curl) exchange"),
+    ("q_ts_seasonality_profile", "48-cell rollup + 1-row global broadcast; no row-level window"),
 ]
 
 
