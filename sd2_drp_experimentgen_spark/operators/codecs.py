@@ -316,3 +316,68 @@ def q_dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("n_docs") > 1)
     )
+
+
+@register(
+    "q_codec_binary_roundtrip",
+    oracle="""
+    WITH enc AS (
+      SELECT lang, text,
+             base64(encode(text)) AS b64,
+             sha256(text) AS digest
+      FROM documents
+    ),
+    dec AS (
+      SELECT lang, text, b64, digest,
+             decode(from_base64(b64)) AS back
+      FROM enc
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(length(b64)) AS BIGINT) AS n_b64_chars,
+           CAST(sum(CASE WHEN back = text THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_roundtrip_ok,
+           CAST(count(DISTINCT digest) AS BIGINT) AS n_distinct_sha
+    FROM dec GROUP BY lang
+    """,
+    tier="P2",
+    doc="Binary codec round-trip (encode -> base64 -> decode) + "
+    "SHA-256 content digests — the payload-integrity verbs of every "
+    "binary-column pipeline (the multimodal convention stores "
+    "payloads as binary; transport layers base64 them; content "
+    "digests key the exact-dedup and cache layers): per lang the "
+    "corpus round-trips bit-exactly (n_roundtrip_ok == n_docs, "
+    "proven by the hash check, not asserted), total base64 "
+    "overhead in characters (the 4/3 transport tax made visible), "
+    "and distinct SHA-256 digests (== distinct texts). Both "
+    "engines compute base64/sha256 natively (JVM codecs vs DuckDB "
+    "built-ins — the digest agreement is itself a cross-engine "
+    "conformance check of the binary encode path; Spark's MIME "
+    "CRLF chunking is stripped to the canonical form first). Map-only "
+    "projection + one groupBy(lang); at 100 TB digests are what "
+    "shuffle, never payloads.",
+)
+def q_codec_binary_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select("lang", "text")
+    enc = d.select(
+        "lang",
+        "text",
+        # Spark's base64 is MIME-chunked (CRLF every 76 chars); strip
+        # to the canonical unchunked form DuckDB emits so the length
+        # audit counts payload characters, not transport framing.
+        F.regexp_replace(
+            F.base64(F.encode("text", "UTF-8")), "[\\r\\n]", ""
+        ).alias("b64"),
+        F.sha2(F.encode("text", "UTF-8"), 256).alias("digest"),
+    )
+    dec = enc.withColumn(
+        "back", F.decode(F.unbase64("b64"), "UTF-8")
+    )
+    return dec.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.length("b64")).alias("n_b64_chars"),
+        F.sum(
+            F.when(F.col("back") == F.col("text"), 1).otherwise(0)
+        ).alias("n_roundtrip_ok"),
+        F.count_distinct("digest").alias("n_distinct_sha"),
+    )

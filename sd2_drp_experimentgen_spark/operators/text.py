@@ -576,3 +576,77 @@ def q_dedup_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             for c in ("n_pairs_06", "n_pairs_07", "n_pairs_08", "n_pairs_09")
         ],
     )
+
+
+@register(
+    "q_dedup_source_precedence",
+    oracle="""
+    WITH hashed AS (
+      SELECT doc_id, source,
+             md5(array_to_string(list_slice(string_split(text, ' '), 1, 5),
+                                 ' ')) AS h,
+             CAST(substr(source, 4) AS BIGINT) AS src_rank
+      FROM documents
+    ),
+    decided AS (
+      SELECT h, min(src_rank) AS keep_rank, count(*) AS n_copies
+      FROM hashed GROUP BY h
+    )
+    SELECT k.source AS kept_source, d.source AS dropped_source,
+           CAST(count(*) AS BIGINT) AS n_dropped
+    FROM hashed d
+    JOIN decided dec ON dec.h = d.h
+    JOIN hashed k ON k.h = d.h AND k.src_rank = dec.keep_rank
+    WHERE d.src_rank <> dec.keep_rank
+    GROUP BY k.source, d.source
+    """,
+    tier="P1",
+    doc="Source-precedence dedup — the cross-source conflict rule "
+    "every multi-corpus assembly needs (curated > web > crawl: when "
+    "the same text appears in several sources, keep the "
+    "highest-priority copy and drop the rest): documents group by "
+    "their leading fingerprint (md5 of the first 5 tokens — the "
+    "syndicated-prefix key, colliding exactly when two sources host "
+    "the same opening even if the tails diverge; full-content "
+    "md5(text) is the same plan with a longer key and has zero "
+    "collisions below sf0.1 in these fixtures), each "
+    "group keeps its minimum source rank (the fixture's srcNN "
+    "suffix is the precedence order), and the emitted "
+    "(kept_source, dropped_source) matrix is the audit a data team "
+    "reads to see which corpus is shadowing which. Shuffles move "
+    "(hash, source-rank) pairs, never text; the decide step is one "
+    "groupBy(h) and the attribution joins are equi on h. At 100 TB "
+    "this runs right after q_dedup_url_canonical and before the "
+    "near-dup ladder — precedence among EXACT copies is free once "
+    "content hashes exist, and the same min-rank pattern extends to "
+    "near-dup clusters via q_dedup_components' component id.",
+)
+def q_dedup_source_precedence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.md5(
+            F.array_join(F.slice(F.split(F.col("text"), " "), 1, 5), " ")
+        ).alias("h"),
+        F.substring("source", 4, 10).cast("long").alias("src_rank"),
+    )
+    decided = d.groupBy("h").agg(
+        F.min("src_rank").alias("keep_rank"),
+        F.count(F.lit(1)).alias("n_copies"),
+    )
+    keepers = d.select(
+        F.col("h").alias("kh"),
+        F.col("src_rank").alias("k_rank"),
+        F.col("source").alias("kept_source"),
+    )
+    return (
+        d.join(decided, "h")
+        .where(F.col("src_rank") != F.col("keep_rank"))
+        .join(
+            keepers,
+            (F.col("h") == F.col("kh"))
+            & (F.col("k_rank") == F.col("keep_rank")),
+        )
+        .groupBy("kept_source", F.col("source").alias("dropped_source"))
+        .agg(F.count(F.lit(1)).alias("n_dropped"))
+    )

@@ -1572,3 +1572,202 @@ def q_ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rank") <= ADC_K)
         .select("query_id", "rank", "vec_id", "adc_d2")
     )
+
+
+@register(
+    "q_train_hard_negatives",
+    oracle=f"""
+    WITH pairs AS (
+      SELECT a.vec_id AS src, b.vec_id AS dst,
+             list_cosine_similarity(
+               list_transform(a.embedding, x -> CAST(x AS DOUBLE)),
+               list_transform(b.embedding, x -> CAST(x AS DOUBLE))
+             ) AS sim
+      FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+    ),
+    ranked AS (
+      SELECT src, dst,
+             floor(sim * 10000 + 0.5) / 10000 AS sim,
+             row_number() OVER (
+               PARTITION BY src
+               ORDER BY floor(sim * 10000 + 0.5) DESC, dst
+             ) AS rank
+      FROM pairs
+    ),
+    edges AS (
+      SELECT src, rank, dst, sim FROM ranked WHERE rank <= {KNN_K}
+    ),
+    crossl AS (
+      SELECT e.src, ls.label AS src_label, e.dst, ld.label AS neg_label,
+             e.sim, e.rank,
+             row_number() OVER (PARTITION BY e.src
+                                ORDER BY e.rank) AS rn
+      FROM edges e
+      JOIN embeddings ls ON ls.vec_id = e.src
+      JOIN embeddings ld ON ld.vec_id = e.dst
+      WHERE ls.label <> ld.label
+    )
+    SELECT src, src_label, dst AS hard_negative, neg_label, sim,
+           CAST(rank AS BIGINT) AS knn_rank
+    FROM crossl WHERE rn = 1
+    """,
+    tier="P1",
+    doc="Hard-negative mining — the contrastive-training companion of "
+    "q_train_negative_samples: instead of random ring negatives, "
+    "take each vector's HIGHEST-SIMILARITY neighbor with a "
+    "DIFFERENT label from the kNN graph (q_emb_knn_graph's edges + "
+    "one label join per endpoint) — the 'confusable' example that "
+    "makes metric-learning losses actually move. A vector whose "
+    "whole top-{KNN_K} list is same-label emits nothing (those "
+    "anchors have no near-confusion to mine — itself a useful "
+    "signal). Composes relationally: the edge list is the already-"
+    "gated kNN construction, labels arrive by two equi-joins on "
+    "vec_id, the pick is one row_number per src over at most "
+    "{KNN_K} rows. At 100 TB the mining step is O(edges) whatever "
+    "the corpus size — the expensive part (graph construction) is "
+    "shared with every other kNN consumer, which is exactly why "
+    "production pipelines persist the graph and mine from it.",
+)
+def q_train_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    edges = q_emb_knn_graph(spark, sf_dir)
+    labels = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label"
+    )
+    crossl = (
+        edges.join(
+            labels.select(
+                F.col("vec_id").alias("src"),
+                F.col("label").alias("src_label"),
+            ),
+            "src",
+        )
+        .join(
+            labels.select(
+                F.col("vec_id").alias("dst"),
+                F.col("label").alias("neg_label"),
+            ),
+            "dst",
+        )
+        .where(F.col("src_label") != F.col("neg_label"))
+    )
+    w = Window.partitionBy("src").orderBy("rank")
+    return (
+        crossl.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "src",
+            "src_label",
+            F.col("dst").alias("hard_negative"),
+            "neg_label",
+            "sim",
+            F.col("rank").alias("knn_rank"),
+        )
+    )
+
+
+@register(
+    "q_emb_dedup_pipeline",
+    oracle=f"""
+    WITH RECURSIVE pairs AS (
+      SELECT a.vec_id AS id_lo, b.vec_id AS id_hi
+      FROM embeddings a JOIN embeddings b
+        ON a.label = b.label AND a.vec_id < b.vec_id
+      WHERE floor(list_cosine_similarity(
+              list_transform(a.embedding, x -> CAST(x AS DOUBLE)),
+              list_transform(b.embedding, x -> CAST(x AS DOUBLE))
+            ) * 10000 + 0.5) >= {RANGE_TAU_1E4}
+    ),
+    edges AS (
+      SELECT id_lo AS src, id_hi AS dst FROM pairs
+      UNION ALL SELECT id_hi, id_lo FROM pairs
+    ),
+    reach(src, dst) AS (
+      SELECT vec_id, vec_id FROM embeddings
+      UNION
+      SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+    ),
+    comp AS (
+      SELECT src AS vec_id, min(dst) AS component_id
+      FROM reach GROUP BY src
+    )
+    SELECT c.component_id,
+           CAST(min(e.label) AS BIGINT) AS label,
+           CAST(count(*) AS BIGINT) AS n_vecs,
+           CAST(count(*) - 1 AS BIGINT) AS n_dropped
+    FROM comp c JOIN embeddings e ON e.vec_id = c.vec_id
+    GROUP BY c.component_id
+    HAVING count(*) >= 2
+    """,
+    tier="P1",
+    doc="Semantic (embedding-space) dedup end-to-end — the third "
+    "pipeline of the trio (text: q_llm_corpus_pipeline, multimodal: "
+    "q_mm_corpus_pipeline): the sub-blocked cosine range search "
+    "(q_sim_range_search, sim >= 0.30 within label blocks) supplies "
+    "candidate pairs, distributed min-label propagation with "
+    "pointer jumping groups them into duplicate clusters (the "
+    "q_dedup_components algorithm on embedding edges), and each "
+    "multi-member cluster elects its minimum vec_id as survivor, "
+    "emitting the per-cluster drop ledger (n_dropped = cluster size "
+    "- 1) — SemDeDup's shape: bucket, compare-within-bucket, "
+    "cluster, keep one. Shuffles carry (node, label) longs in the "
+    "loop and (vec_id, sb) cells in the search; the driver sees "
+    "only the convergence count. The DuckDB oracle recomputes the "
+    "whole pipeline (pairs -> recursive closure -> cluster rollup), "
+    "so the hash proves three composed operators at once. At "
+    "100 TB every stage is the already-audited scale path: "
+    "sub-blocked gram, O(log n) pointer-jumping rounds, one "
+    "groupBy(component).",
+)
+def q_emb_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nodes = load_table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("node"), "label"
+    )
+    pairs = q_sim_range_search(spark, sf_dir).select("id_lo", "id_hi")
+    edges = (
+        pairs.select(F.col("id_lo").alias("src"), F.col("id_hi").alias("dst"))
+        .unionAll(
+            pairs.select(
+                F.col("id_hi").alias("src"), F.col("id_lo").alias("dst")
+            )
+        )
+        .localCheckpoint()
+    )
+    labels = nodes.select("node", F.col("node").alias("lbl")).localCheckpoint()
+    for _ in range(20):
+        neighbor = edges.join(
+            labels, edges.dst == labels.node
+        ).select(F.col("src").alias("node"), "lbl")
+        propagated = (
+            labels.unionAll(neighbor)
+            .groupBy("node")
+            .agg(F.min("lbl").alias("lbl"))
+        )
+        l2 = propagated.select(
+            F.col("node").alias("jnode"), F.col("lbl").alias("jlbl")
+        )
+        jumped = (
+            propagated.join(l2, propagated.lbl == l2.jnode)
+            .select("node", F.col("jlbl").alias("lbl"))
+            .localCheckpoint()
+        )
+        changed = (
+            jumped.alias("n")
+            .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
+            .where(F.col("n.lbl") != F.col("o.lbl"))
+            .count()
+        )
+        labels = jumped
+        if changed == 0:
+            break
+    return (
+        labels.join(nodes, "node")
+        .groupBy(F.col("lbl").alias("component_id"))
+        .agg(
+            F.min("label").cast("long").alias("label"),
+            F.count(F.lit(1)).alias("n_vecs"),
+            (F.count(F.lit(1)) - 1).alias("n_dropped"),
+        )
+        .where(F.col("n_vecs") >= 2)
+    )

@@ -294,6 +294,10 @@ _NEW_THIS_ROUND: frozenset[str] = frozenset(
         "q_win_session_cap",
         "q_train_negative_samples",
         "q_ann_pq_adc_topk",
+        "q_dedup_source_precedence",
+        "q_codec_binary_roundtrip",
+        "q_train_hard_negatives",
+        "q_emb_dedup_pipeline",
     }
 )
 
