@@ -1872,3 +1872,171 @@ def q_ml_quantile_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
         r2(F.min("o_totalprice")).alias("lo"),
         r2(F.max("o_totalprice")).alias("hi"),
     )
+
+
+@register(
+    "q_ml_auc_rank",
+    oracle="""
+    WITH u AS (
+      SELECT n_chars AS score,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+      FROM documents
+    ),
+    h AS (
+      SELECT score,
+             CAST(sum(pos) AS BIGINT) AS pos_s,
+             CAST(count(*) - sum(pos) AS BIGINT) AS neg_s
+      FROM u GROUP BY score
+    ),
+    c AS (
+      SELECT score, pos_s, neg_s,
+             CAST(sum(neg_s) OVER (ORDER BY score
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND CURRENT ROW) - neg_s AS BIGINT)
+               AS neg_before
+      FROM h
+    )
+    SELECT CAST(sum(pos_s) AS BIGINT) AS n_pos,
+           CAST(sum(neg_s) AS BIGINT) AS n_neg,
+           CAST(sum(pos_s * (2 * neg_before + neg_s)) AS BIGINT) AS u2,
+           floor(CAST(sum(pos_s * (2 * neg_before + neg_s)) AS DOUBLE)
+                 / (2.0 * sum(pos_s) * sum(neg_s)) * 1000000 + 0.5)
+             / 1000000 AS auc
+    FROM c
+    """,
+    tier="P1",
+    doc="Exact ROC-AUC via the Mann-Whitney rank-sum identity — the "
+    "model-eval aggregate every training pipeline runs on scored "
+    "holdouts ('does n_chars separate lang=en docs?'). NOT computed "
+    "by ranking rows: the score column is first collapsed to a "
+    "per-distinct-score histogram of (positive, negative) counts — "
+    "a plain map-side-combined groupBy — and AUC is recovered from "
+    "the histogram's prefix sums: 2U = sum_s pos_s*(2*neg_before_s "
+    "+ neg_s) (the tie term neg_s gives the standard 1/2 credit "
+    "without any fractional arithmetic). All counts are exact "
+    "int64; the only float op is the final single divide, an "
+    "identical IEEE expression on both engines. At 100 TB the "
+    "window runs over |distinct scores| rows (bounded, e.g. 313 "
+    "here), not |rows| — the global sort a naive rank-based AUC "
+    "needs never happens.",
+)
+def q_ml_auc_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    u = d.select(
+        F.col("n_chars").cast("long").alias("score"),
+        F.when(F.col("lang") == "en", 1).otherwise(0).cast("long").alias("pos"),
+    )
+    h = u.groupBy("score").agg(
+        F.sum("pos").alias("pos_s"),
+        (F.count(F.lit(1)) - F.sum("pos")).alias("neg_s"),
+    )
+    w = Window.orderBy("score").rowsBetween(Window.unboundedPreceding, 0)
+    c = h.withColumn("neg_before", F.sum("neg_s").over(w) - F.col("neg_s"))
+    u2 = F.sum(
+        F.col("pos_s") * (F.lit(2) * F.col("neg_before") + F.col("neg_s"))
+    )
+    n_pos = F.sum("pos_s")
+    n_neg = F.sum("neg_s")
+    return c.agg(
+        n_pos.alias("n_pos"),
+        n_neg.alias("n_neg"),
+        u2.alias("u2"),
+        F.floor(
+            u2.cast("double")
+            / (F.lit(2.0) * n_pos * n_neg)
+            * F.lit(1000000)
+            + F.lit(0.5)
+        ).cast("double").alias("_f"),
+    ).select(
+        "n_pos",
+        "n_neg",
+        "u2",
+        (F.col("_f") / F.lit(1000000)).alias("auc"),
+    )
+
+
+@register(
+    "q_ml_target_encoding",
+    oracle="""
+    WITH u AS (
+      SELECT o_orderpriority AS category,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+      FROM orders
+    ),
+    cat AS (
+      SELECT category,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(cents) AS BIGINT) AS sum_cents,
+             CAST(min(cents) AS BIGINT) AS min_x,
+             CAST(max(cents) AS BIGINT) AS max_x
+      FROM u GROUP BY category
+    ),
+    g AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_g,
+             CAST(sum(cents) AS BIGINT) AS s_g
+      FROM u
+    )
+    SELECT category, n, sum_cents,
+           floor((CAST(sum_cents - max_x AS DOUBLE) / (n - 1))
+                 * 10000 + 0.5) / 10000 AS loo_min_cents,
+           floor((CAST(sum_cents - min_x AS DOUBLE) / (n - 1))
+                 * 10000 + 0.5) / 10000 AS loo_max_cents,
+           floor(((CAST(sum_cents AS DOUBLE)
+                   + 100.0 * (CAST(s_g AS DOUBLE) / n_g))
+                  / (n + 100))
+                 * 10000 + 0.5) / 10000 AS enc_smooth_cents
+    FROM cat CROSS JOIN g
+    """,
+    tier="P1",
+    doc="Target encoding FIT — the categorical-feature encoder table "
+    "(category -> smoothed target mean) a training pipeline "
+    "materializes once and joins onto both train and serve paths. "
+    "Per category: exact integer-cents target mass, the smoothed "
+    "encoding (sum + m*global_mean)/(n + m) with prior weight "
+    "m=100, and the leave-one-out envelope [min,max] of the per-row "
+    "LOO encodings (S - x_i)/(n-1) — computed WITHOUT a per-row "
+    "pass, since the extreme LOO values are reached at the extreme "
+    "targets (monotone in x_i), so min/max aggregates suffice. The "
+    "mean of the LOO encodings is algebraically S/n (plain mean), "
+    "which is why the envelope, not the mean, is the useful "
+    "leakage-audit output. All inputs to the three IEEE divides are "
+    "exact int64 sums; one groupBy plus a broadcast 1-row global — "
+    "the encoder table stays |categories|-sized at any data scale.",
+)
+def q_ml_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    u = o.select(
+        F.col("o_orderpriority").alias("category"),
+        int_units("o_totalprice", 2).alias("cents"),
+    )
+    cat = u.groupBy("category").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cents").alias("sum_cents"),
+        F.min("cents").alias("min_x"),
+        F.max("cents").alias("max_x"),
+    )
+    g = u.agg(
+        F.count(F.lit(1)).alias("n_g"), F.sum("cents").alias("s_g")
+    )
+    return cat.crossJoin(F.broadcast(g)).select(
+        "category",
+        "n",
+        "sum_cents",
+        r4(
+            (F.col("sum_cents") - F.col("max_x")).cast("double")
+            / (F.col("n") - F.lit(1))
+        ).alias("loo_min_cents"),
+        r4(
+            (F.col("sum_cents") - F.col("min_x")).cast("double")
+            / (F.col("n") - F.lit(1))
+        ).alias("loo_max_cents"),
+        r4(
+            (
+                F.col("sum_cents").cast("double")
+                + F.lit(100.0) * (F.col("s_g").cast("double") / F.col("n_g"))
+            )
+            / (F.col("n") + F.lit(100))
+        ).alias("enc_smooth_cents"),
+    )

@@ -1860,3 +1860,77 @@ def q_stat_pmi_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("pmi_x1e6"),
     )
+
+
+@register(
+    "q_ml_kfold_assign",
+    oracle="""
+    WITH a AS (
+      SELECT doc_id, lang, n_chars,
+             CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 12)
+                  AS BIGINT) % 5 AS fold
+      FROM documents
+    ),
+    g AS (SELECT CAST(count(*) AS BIGINT) AS n_g FROM a)
+    SELECT CAST(fold AS BIGINT) AS fold,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+           CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_en,
+           CAST(min(doc_id) AS BIGINT) AS min_doc,
+           CAST(max(doc_id) AS BIGINT) AS max_doc,
+           CAST(floor(CAST(count(*) AS DOUBLE) / n_g * 1000000 + 0.5)
+                AS BIGINT) AS share_ppm
+    FROM a CROSS JOIN g
+    GROUP BY fold, n_g
+    ORDER BY fold
+    """,
+    tier="P1",
+    doc="Deterministic k-fold cross-validation assignment (k=5) by "
+    "48-bit md5 hash of the stable doc id — the CV-split companion "
+    "to q_split_train_val_test: fold membership is reproducible on "
+    "any engine/partitioning and stable under corpus growth (a doc "
+    "never migrates folds when data is appended, unlike rand() "
+    "folds). Emits the per-fold audit row a training harness checks "
+    "before fitting: size, exact char mass, positive-class count "
+    "(lang=en), id range, and the fold's corpus share in ppm (the "
+    "balance check — ~200000 each). Map-only hash + one "
+    "map-side-combined groupBy over 5 groups; the broadcast 1-row "
+    "global supplies the share denominator. Same shape at 100 TB.",
+)
+def q_ml_kfold_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    fold = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 12), 16, 10)
+        .cast("long")
+        % 5
+    )
+    a = d.select(
+        fold.alias("fold"), "lang", "n_chars", "doc_id"
+    )
+    g = a.agg(F.count(F.lit(1)).alias("n_g"))
+    return (
+        a.crossJoin(F.broadcast(g))
+        .groupBy("fold", "n_g")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.sum(F.when(F.col("lang") == "en", 1).otherwise(0))
+            .cast("long")
+            .alias("n_en"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+            F.floor(
+                F.count(F.lit(1)).cast("double")
+                / F.first("n_g")
+                * F.lit(1000000)
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("share_ppm"),
+        )
+        .select(
+            "fold", "n_docs", "sum_chars", "n_en", "min_doc", "max_doc",
+            "share_ppm",
+        )
+    )

@@ -1002,3 +1002,203 @@ def q_win_session_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.expr("(max(us) - min(us)) div 1000000").alias("dur_s"),
     )
+
+
+@register(
+    "q_ts_changepoint_cusum",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(ts AS DATE) AS day,
+             CAST(count(*) AS BIGINT) AS n_day
+      FROM events GROUP BY 1
+    ),
+    t AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_days,
+             CAST(sum(n_day) AS BIGINT) AS total
+      FROM d
+    ),
+    c AS (
+      SELECT day, n_day,
+             CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS k,
+             CAST(sum(n_day) OVER (ORDER BY day
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND CURRENT ROW) AS BIGINT) AS prefix
+      FROM d
+    )
+    SELECT day, n_day, k,
+           CAST(n_days * prefix - k * total AS BIGINT) AS cusum_scaled,
+           CAST(abs(n_days * prefix - k * total) AS BIGINT) AS abs_cusum
+    FROM c CROSS JOIN t
+    ORDER BY abs_cusum DESC, day
+    LIMIT 5
+    """,
+    tier="P1",
+    doc="CUSUM changepoint scan over the daily event-volume series — "
+    "the drift detector a data-quality monitor runs on ingest "
+    "volume (max |cumulative deviation from the global mean| marks "
+    "the most likely level-shift day). Determinism recipe: the "
+    "textbook CUSUM prefix_k - k*mean is scaled by n_days so "
+    "cusum_scaled = n*prefix_k - k*total stays EXACT int64 — no "
+    "float mean ever enters; |values| <= n*total bounds headroom. "
+    "Top-5 by |CUSUM| with day tiebreak = a total order. Plan: "
+    "map-side-combined daily rollup (the only pass over raw "
+    "events), then the window + argmax run over |days| rows — "
+    "constant-sized at any event volume, same shape as "
+    "q_ts_seasonality_profile's rollup-then-analyze.",
+)
+def q_ts_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_events(spark, sf_dir)
+    d = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.count(F.lit(1)).alias("n_day")
+    )
+    t = d.agg(
+        F.count(F.lit(1)).alias("n_days"), F.sum("n_day").alias("total")
+    )
+    w = Window.orderBy("day")
+    c = d.select(
+        "day",
+        "n_day",
+        F.row_number().over(w).cast("long").alias("k"),
+        F.sum("n_day")
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("prefix"),
+    )
+    cusum = (
+        F.col("n_days") * F.col("prefix") - F.col("k") * F.col("total")
+    )
+    return (
+        c.crossJoin(F.broadcast(t))
+        .select(
+            "day",
+            "n_day",
+            "k",
+            cusum.alias("cusum_scaled"),
+            F.abs(cusum).alias("abs_cusum"),
+        )
+        .orderBy(F.desc("abs_cusum"), F.asc("day"))
+        .limit(5)
+    )
+
+
+@register(
+    "q_ts_autocorrelation",
+    oracle="""
+    WITH b AS (
+      SELECT date_trunc('hour', ts) AS hr, CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1
+    ),
+    bounds AS (SELECT min(hr) AS lo, max(hr) AS hi FROM b),
+    grid AS (
+      SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hr
+      FROM bounds
+    ),
+    s AS (
+      SELECT g.hr, COALESCE(b.n, 0) AS x,
+             CAST(row_number() OVER (ORDER BY g.hr) AS BIGINT) AS i
+      FROM grid g LEFT JOIN b ON b.hr = g.hr
+    ),
+    lags AS (SELECT unnest([1, 2, 3, 4, 5, 6]) AS lag_h),
+    pairs AS (
+      SELECT l.lag_h, a.x AS x, b2.x AS y
+      FROM lags l
+      JOIN s a ON TRUE
+      JOIN s b2 ON b2.i = a.i + l.lag_h
+    )
+    SELECT CAST(lag_h AS BIGINT) AS lag_h,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(sum(x) AS BIGINT) AS sx,
+           CAST(sum(y) AS BIGINT) AS sy,
+           CAST(sum(x * x) AS BIGINT) AS sxx,
+           CAST(sum(y * y) AS BIGINT) AS syy,
+           CAST(sum(x * y) AS BIGINT) AS sxy,
+           floor((CAST(count(*) * sum(x * y) - sum(x) * sum(y) AS DOUBLE)
+                  / sqrt(CAST(count(*) * sum(x * x) - sum(x) * sum(x)
+                              AS DOUBLE)
+                         * CAST(count(*) * sum(y * y) - sum(y) * sum(y)
+                                AS DOUBLE)))
+                 * 1000000 + 0.5) / 1000000 AS acf
+    FROM pairs GROUP BY lag_h ORDER BY lag_h
+    """,
+    tier="P1",
+    doc="Autocorrelation function (lags 1-6 h) of the hourly "
+    "event-count series — the periodicity probe (daily rhythm, "
+    "burst persistence) a forecaster runs before model choice. "
+    "The raw stream collapses to a DENSE hourly grid first "
+    "(sequence-explode fills silent hours with 0 — skipping gaps "
+    "would misalign every lag), then each lag's Pearson r comes "
+    "from the five exact int64 sums over aligned pairs via the "
+    "textbook product-moment identity; numerator and both "
+    "variance terms stay in int64 (counts bounded per hour), "
+    "cast to double only for the final sqrt/divide — the "
+    "identical IEEE chain both engines. Plan: one "
+    "map-side-combined rollup over raw events; everything after "
+    "runs on |hours| rows (720 here; still tiny at years of "
+    "data). The lag join is an integer equi-join on the hour "
+    "index i = i + lag, 6x|hours| pairs total.",
+)
+def q_ts_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_events(spark, sf_dir)
+    b = ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("hr")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    bounds = b.agg(F.min("hr").alias("lo"), F.max("hr").alias("hi"))
+    grid = bounds.select(
+        F.explode(
+            F.sequence("lo", "hi", F.expr("interval 1 hour"))
+        ).alias("hr")
+    )
+    s = (
+        grid.join(b, "hr", "left")
+        .select("hr", F.coalesce("n", F.lit(0)).alias("x"))
+        .withColumn(
+            "i", F.row_number().over(Window.orderBy("hr")).cast("long")
+        )
+    )
+    lags = spark.range(1, 7).select(F.col("id").alias("lag_h"))
+    a = s.alias("a")
+    b2 = s.alias("b2")
+    pairs = (
+        a.crossJoin(F.broadcast(lags))
+        .join(
+            b2,
+            F.col("b2.i") == F.col("a.i") + F.col("lag_h"),
+        )
+        .select("lag_h", F.col("a.x").alias("x"), F.col("b2.x").alias("y"))
+    )
+    n = F.count(F.lit(1))
+    sx, sy = F.sum("x"), F.sum("y")
+    sxx = F.sum(F.col("x") * F.col("x"))
+    syy = F.sum(F.col("y") * F.col("y"))
+    sxy = F.sum(F.col("x") * F.col("y"))
+    return (
+        pairs.groupBy("lag_h")
+        .agg(
+            n.alias("n_pairs"),
+            sx.alias("sx"),
+            sy.alias("sy"),
+            sxx.alias("sxx"),
+            syy.alias("syy"),
+            sxy.alias("sxy"),
+            (
+                F.floor(
+                    (
+                        (n * sxy - sx * sy).cast("double")
+                        / F.sqrt(
+                            (n * sxx - sx * sx).cast("double")
+                            * (n * syy - sy * sy).cast("double")
+                        )
+                    )
+                    * F.lit(1000000)
+                    + F.lit(0.5)
+                )
+                / F.lit(1000000)
+            ).alias("acf"),
+        )
+        .select(
+            "lag_h", "n_pairs", "sx", "sy", "sxx", "syy", "sxy", "acf"
+        )
+    )

@@ -536,3 +536,94 @@ def q_graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_triangles"))
     )
+
+
+@register(
+    "q_graph_common_neighbors",
+    oracle="""
+    WITH e AS (SELECT DISTINCT user_id, event_type FROM events),
+    deg AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n_users
+      FROM e GROUP BY event_type
+    ),
+    p AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             CAST(count(*) AS BIGINT) AS common_users
+      FROM e a JOIN e b
+        ON a.user_id = b.user_id AND a.event_type < b.event_type
+      GROUP BY 1, 2
+    )
+    SELECT type_a, type_b, common_users,
+           da.n_users AS n_users_a, db.n_users AS n_users_b,
+           floor(CAST(common_users AS DOUBLE)
+                 / (da.n_users + db.n_users - common_users)
+                 * 10000 + 0.5) / 10000 AS jaccard
+    FROM p
+    JOIN deg da ON da.event_type = p.type_a
+    JOIN deg db ON db.event_type = p.type_b
+    ORDER BY type_a, type_b
+    """,
+    tier="P1",
+    doc="Common-neighbor link prediction over the bipartite "
+    "user/event-type graph: for every unordered pair of event "
+    "types, the count of users touching both and the Jaccard "
+    "similarity of their user sets — the co-occurrence/'users who "
+    "did A also did B' affinity matrix behind recommendation and "
+    "taxonomy-merge decisions. Plan: DISTINCT edge projection, "
+    "self-join on user_id (per-user pair fan-out is deg(u) choose "
+    "2, bounded by |types|=5 here), groupBy pair, then the "
+    "KB-sized degree table broadcast twice for the Jaccard "
+    "denominator. Exact int64 counts; one IEEE divide rounded "
+    "4dp. At 100 TB the guard is the per-user degree cap "
+    "(drop/clip users touching >K types before the self-join — "
+    "the q_link_entity_blocking skew discipline); output stays "
+    "|types|^2-bounded regardless of event volume.",
+)
+def q_graph_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.tables import load_events
+
+    e = (
+        load_events(spark, sf_dir)
+        .select("user_id", "event_type")
+        .distinct()
+    )
+    deg = e.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_users"))
+    a = e.alias("a")
+    b = e.alias("b")
+    p = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("common_users"))
+    )
+    da = F.broadcast(deg.select(F.col("event_type").alias("type_a"),
+                                F.col("n_users").alias("n_users_a")))
+    db = F.broadcast(deg.select(F.col("event_type").alias("type_b"),
+                                F.col("n_users").alias("n_users_b")))
+    from ..functions.helpers import r4
+
+    return (
+        p.join(da, "type_a")
+        .join(db, "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            "common_users",
+            "n_users_a",
+            "n_users_b",
+            r4(
+                F.col("common_users").cast("double")
+                / (
+                    F.col("n_users_a")
+                    + F.col("n_users_b")
+                    - F.col("common_users")
+                )
+            ).alias("jaccard"),
+        )
+    )

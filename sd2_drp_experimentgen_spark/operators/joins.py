@@ -1427,3 +1427,48 @@ def q_link_entity_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("clean_id") == F.col("dirty_id")).alias("is_correct"),
         )
     )
+
+
+@register(
+    "q_sql_qualify",
+    oracle="""
+    SELECT o_orderpriority, o_orderkey,
+           CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+           CAST(row_number() OVER w AS BIGINT) AS rn
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority
+                 ORDER BY floor(o_totalprice * 100 + 0.5) DESC, o_orderkey)
+    QUALIFY rn <= 3
+    ORDER BY o_orderpriority, rn
+    """,
+    tier="P2",
+    doc="QUALIFY-clause surface (DuckDB/Snowflake/BigQuery syntax): "
+    "top-3 orders per priority by integer cents. Spark SQL has no "
+    "QUALIFY keyword; the identical semantics are the canonical "
+    "filter-over-window subquery, which Catalyst plans as exactly "
+    "the same Window + Filter the QUALIFY engines produce — this "
+    "operator documents the 1:1 rewrite a migrating user applies. "
+    "rank ties broken by o_orderkey for a total order; cents are "
+    "exact int64 so the DESC sort is cross-engine deterministic. "
+    "At scale: per-partition window, no global sort; with a large "
+    "group count the window shuffle is the only exchange, and "
+    "rn<=3 cuts cardinality before anything else touches it.",
+)
+def q_sql_qualify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("v_orders")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, o_orderkey, cents, rn
+        FROM (
+          SELECT o_orderpriority, o_orderkey,
+                 CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+                 CAST(row_number() OVER (
+                   PARTITION BY o_orderpriority
+                   ORDER BY floor(o_totalprice * 100 + 0.5) DESC,
+                            o_orderkey) AS BIGINT) AS rn
+          FROM v_orders
+        )
+        WHERE rn <= 3
+        ORDER BY o_orderpriority, rn
+        """
+    )

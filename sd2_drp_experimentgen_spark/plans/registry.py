@@ -298,6 +298,13 @@ _NEW_THIS_ROUND: frozenset[str] = frozenset(
         "q_codec_binary_roundtrip",
         "q_train_hard_negatives",
         "q_emb_dedup_pipeline",
+        "q_ml_auc_rank",
+        "q_ml_target_encoding",
+        "q_ml_kfold_assign",
+        "q_sql_qualify",
+        "q_ts_changepoint_cusum",
+        "q_ts_autocorrelation",
+        "q_graph_common_neighbors",
     }
 )
 
