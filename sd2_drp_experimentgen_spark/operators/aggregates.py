@@ -2040,3 +2040,150 @@ def q_ml_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("n") + F.lit(100))
         ).alias("enc_smooth_cents"),
     )
+
+
+@register(
+    "q_ml_confusion_threshold",
+    oracle="""
+    WITH u AS (
+      SELECT CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END AS pred,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS actual
+      FROM documents
+    )
+    SELECT CAST(sum(pred * actual) AS BIGINT) AS tp,
+           CAST(sum(pred * (1 - actual)) AS BIGINT) AS fp,
+           CAST(sum((1 - pred) * actual) AS BIGINT) AS fn,
+           CAST(sum((1 - pred) * (1 - actual)) AS BIGINT) AS tn,
+           floor(CAST(sum(pred * actual) + sum((1 - pred) * (1 - actual))
+                      AS DOUBLE) / count(*) * 1000000 + 0.5) / 1000000
+             AS accuracy,
+           floor(CAST(sum(pred * actual) AS DOUBLE)
+                 / (sum(pred * actual) + sum(pred * (1 - actual)))
+                 * 1000000 + 0.5) / 1000000 AS precision_,
+           floor(CAST(sum(pred * actual) AS DOUBLE)
+                 / (sum(pred * actual) + sum((1 - pred) * actual))
+                 * 1000000 + 0.5) / 1000000 AS recall_,
+           floor(CAST(2 * sum(pred * actual) AS DOUBLE)
+                 / (2 * sum(pred * actual) + sum(pred * (1 - actual))
+                    + sum((1 - pred) * actual))
+                 * 1000000 + 0.5) / 1000000 AS f1
+    FROM u
+    """,
+    tier="P1",
+    doc="Classifier confusion matrix + threshold metrics at a fixed "
+    "operating point (n_chars >= 300 predicts lang=en) — the "
+    "eval-harness companion to q_ml_auc_rank: TP/FP/FN/TN exact "
+    "int64 counts in ONE pass (indicator products, no joins), and "
+    "accuracy/precision/recall/F1 each as a SINGLE IEEE divide of "
+    "exact integers (F1 via 2tp/(2tp+fp+fn) — never the "
+    "2PR/(P+R) chain of already-rounded ratios). precision_/"
+    "recall_ trailing underscore avoids reserved-word collisions. "
+    "Map-side-combined global aggregate; constant output at any "
+    "scale.",
+)
+def q_ml_confusion_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    u = d.select(
+        F.when(F.col("n_chars") >= 300, 1).otherwise(0).cast("long")
+        .alias("pred"),
+        F.when(F.col("lang") == "en", 1).otherwise(0).cast("long")
+        .alias("actual"),
+    )
+    tp = F.sum(F.col("pred") * F.col("actual"))
+    fp = F.sum(F.col("pred") * (F.lit(1) - F.col("actual")))
+    fn = F.sum((F.lit(1) - F.col("pred")) * F.col("actual"))
+    tn = F.sum((F.lit(1) - F.col("pred")) * (F.lit(1) - F.col("actual")))
+    n = F.count(F.lit(1))
+
+    def r6d(x):
+        return F.floor(x * F.lit(1000000) + F.lit(0.5)) / F.lit(1000000)
+
+    return u.agg(
+        tp.alias("tp"),
+        fp.alias("fp"),
+        fn.alias("fn"),
+        tn.alias("tn"),
+        r6d((tp + tn).cast("double") / n).alias("accuracy"),
+        r6d(tp.cast("double") / (tp + fp)).alias("precision_"),
+        r6d(tp.cast("double") / (tp + fn)).alias("recall_"),
+        r6d((F.lit(2) * tp).cast("double") / (F.lit(2) * tp + fp + fn))
+        .alias("f1"),
+    )
+
+
+@register(
+    "q_ml_calibration_bins",
+    oracle="""
+    WITH g AS (
+      SELECT CAST(min(n_chars) AS BIGINT) AS mn,
+             CAST(max(n_chars) AS BIGINT) AS mx
+      FROM documents
+    ),
+    u AS (
+      SELECT (CAST(n_chars AS BIGINT) - mn) * 10 // (mx - mn + 1) AS bin,
+             CAST(n_chars AS BIGINT) AS score,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+      FROM documents CROSS JOIN g
+    )
+    SELECT CAST(bin AS BIGINT) AS bin,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(pos) AS BIGINT) AS n_pos,
+           CAST(sum(score) AS BIGINT) AS sum_score,
+           floor(CAST(sum(pos) AS DOUBLE) / count(*) * 1000000 + 0.5)
+             / 1000000 AS pos_rate,
+           floor(CAST(sum(score) AS DOUBLE) / count(*) * 10000 + 0.5)
+             / 10000 AS mean_score
+    FROM u GROUP BY bin ORDER BY bin
+    """,
+    tier="P1",
+    doc="Calibration / reliability table — the per-bin (observed "
+    "positive rate vs mean score) rollup behind a reliability "
+    "diagram and ECE computation, over 10 fixed-width score bins "
+    "spanning the observed [min,max]. Determinism recipe: the bin "
+    "id is EXACT integer arithmetic (score-mn)*10 div (mx-mn+1) — "
+    "Spark div == DuckDB // (both truncate; operands nonnegative), "
+    "so no float binning boundary exists to disagree on; per-bin "
+    "rate and mean are single IEEE divides of exact int64 sums. "
+    "Plan: broadcast 1-row [min,max] global, then one map-side-"
+    "combined 10-group rollup — two passes total at any scale.",
+)
+def q_ml_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    g = d.agg(
+        F.min("n_chars").cast("long").alias("mn"),
+        F.max("n_chars").cast("long").alias("mx"),
+    )
+    u = d.crossJoin(F.broadcast(g)).select(
+        F.expr("(CAST(n_chars AS BIGINT) - mn) * 10 div (mx - mn + 1)")
+        .alias("bin"),
+        F.col("n_chars").cast("long").alias("score"),
+        F.when(F.col("lang") == "en", 1).otherwise(0).cast("long")
+        .alias("pos"),
+    )
+    return (
+        u.groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("pos").alias("n_pos"),
+            F.sum("score").alias("sum_score"),
+            (
+                F.floor(
+                    F.sum("pos").cast("double")
+                    / F.count(F.lit(1))
+                    * F.lit(1000000)
+                    + F.lit(0.5)
+                )
+                / F.lit(1000000)
+            ).alias("pos_rate"),
+            (
+                F.floor(
+                    F.sum("score").cast("double")
+                    / F.count(F.lit(1))
+                    * F.lit(10000)
+                    + F.lit(0.5)
+                )
+                / F.lit(10000)
+            ).alias("mean_score"),
+        )
+        .orderBy("bin")
+    )

@@ -1934,3 +1934,104 @@ def q_ml_kfold_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
             "share_ppm",
         )
     )
+
+
+BENFORD_P = {
+    1: 0.3010299956639812,
+    2: 0.17609125905568124,
+    3: 0.12493873660829992,
+    4: 0.09691001300805642,
+    5: 0.07918124604762482,
+    6: 0.06694678963061322,
+    7: 0.05799194697768673,
+    8: 0.05115252244738129,
+    9: 0.04575749056067514,
+}
+# e-notation forces DuckDB to parse the literal as DOUBLE (a plain
+# decimal literal becomes DECIMAL(18,17) and overflows in the chi2
+# arithmetic); the parsed value is the identical IEEE-754 nearest.
+_BENFORD_SQL_CASE = "CASE digit " + " ".join(
+    f"WHEN {d} THEN {p:.17e}" for d, p in BENFORD_P.items()
+) + " END"
+
+
+@register(
+    "q_dq_benford",
+    oracle=f"""
+    WITH u AS (
+      SELECT CAST(substring(CAST(CAST(floor(o_totalprice * 100 + 0.5)
+                                       AS BIGINT) AS VARCHAR), 1, 1)
+                  AS BIGINT) AS digit
+      FROM orders
+    ),
+    h AS (
+      SELECT digit, CAST(count(*) AS BIGINT) AS n_obs
+      FROM u GROUP BY digit
+    ),
+    g AS (SELECT CAST(sum(n_obs) AS BIGINT) AS n_g FROM h)
+    SELECT digit, n_obs,
+           CAST(floor(CAST(n_obs AS DOUBLE) / n_g * 1000000 + 0.5)
+                AS BIGINT) AS obs_ppm,
+           CAST(floor(({_BENFORD_SQL_CASE}) * 1000000 + 0.5) AS BIGINT)
+             AS expected_ppm,
+           floor((CAST(n_obs AS DOUBLE) - n_g * ({_BENFORD_SQL_CASE}))
+                 * (CAST(n_obs AS DOUBLE) - n_g * ({_BENFORD_SQL_CASE}))
+                 / (n_g * ({_BENFORD_SQL_CASE}))
+                 * 1000000 + 0.5) / 1000000 AS chi2_term
+    FROM h CROSS JOIN g
+    ORDER BY digit
+    """,
+    tier="P1",
+    doc="Benford first-digit conformance test on order amounts — the "
+    "fraud/data-fabrication screen auditors run on financial "
+    "columns: observed first-significant-digit distribution vs the "
+    "Benford expectation log10(1+1/d), with the per-digit chi-square "
+    "contribution. Determinism recipe: the digit comes from the "
+    "integer-cents string (scaling by 100 never changes the leading "
+    "significant digit), counts are exact int64, and the Benford "
+    "probabilities are DECIMAL LITERALS baked identically into both "
+    "engines (never engine log10 — libm vs JVM log could differ a "
+    "ULP); every chi2 term is then the same pure IEEE chain. "
+    "Map-side-combined 9-group rollup + broadcast 1-row total; "
+    "constant-size output at any scale.",
+)
+def q_dq_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    u = o.select(
+        F.substring(int_units("o_totalprice", 2).cast("string"), 1, 1)
+        .cast("long")
+        .alias("digit")
+    )
+    h = u.groupBy("digit").agg(F.count(F.lit(1)).alias("n_obs"))
+    g = h.agg(F.sum("n_obs").alias("n_g"))
+    p = F.create_map(
+        *[F.lit(x) for kv in BENFORD_P.items() for x in kv]
+    )[F.col("digit")]
+    exp_cnt = F.col("n_g") * p
+    return (
+        h.crossJoin(F.broadcast(g))
+        .select(
+            "digit",
+            "n_obs",
+            F.floor(
+                F.col("n_obs").cast("double") / F.col("n_g") * F.lit(1000000)
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("obs_ppm"),
+            F.floor(p * F.lit(1000000) + F.lit(0.5))
+            .cast("long")
+            .alias("expected_ppm"),
+            (
+                F.floor(
+                    (F.col("n_obs").cast("double") - exp_cnt)
+                    * (F.col("n_obs").cast("double") - exp_cnt)
+                    / exp_cnt
+                    * F.lit(1000000)
+                    + F.lit(0.5)
+                )
+                / F.lit(1000000)
+            ).alias("chi2_term"),
+        )
+        .orderBy("digit")
+    )

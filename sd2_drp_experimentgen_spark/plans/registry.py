@@ -305,6 +305,9 @@ _NEW_THIS_ROUND: frozenset[str] = frozenset(
         "q_ts_changepoint_cusum",
         "q_ts_autocorrelation",
         "q_graph_common_neighbors",
+        "q_dq_benford",
+        "q_ml_confusion_threshold",
+        "q_ml_calibration_bins",
     }
 )
 
