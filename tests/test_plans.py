@@ -600,3 +600,55 @@ def test_seasonality_two_level_exact_partials(spark):
     p = plan(all_specs()["q_ts_seasonality_profile"].fn(spark, SF_T2), "simple")
     assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p, p
     assert "Window" not in p, p
+
+
+def test_auc_window_runs_on_histogram_not_rows(spark):
+    """q_ml_auc_rank must collapse rows to the per-score histogram
+    BEFORE the global prefix window: the aggregate (partial+final)
+    sits below the Window node, so the single-partition window sees
+    |distinct scores| rows, never |rows|."""
+    p = plan(all_specs()["q_ml_auc_rank"].fn(spark, SF_T2), "simple")
+    assert "Window" in p, p
+    # the single-partition exchange feeding the window sits ABOVE the
+    # score-keyed histogram aggregate in the printed tree: the window
+    # input is the collapsed histogram, not the raw document rows
+    assert "SinglePartition" in p, p
+    assert p.index("SinglePartition") < p.index("keys=[score"), p
+
+
+def test_target_encoding_global_is_broadcast(spark):
+    """The 1-row global (n_g, s_g) must reach categories via a
+    broadcast, and the category rollup must combine map-side."""
+    p = plan(all_specs()["q_ml_target_encoding"].fn(spark, SF_T2), "simple")
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p, p
+    assert "SortMergeJoin" not in p, p
+    assert p.count("HashAggregate") >= 2, p
+
+
+def test_common_neighbors_degree_join_broadcasts(spark):
+    """Degree lookup tables are KB-sized: both Jaccard-denominator
+    joins must be broadcast hash joins, never shuffled merges."""
+    p = plan(all_specs()["q_graph_common_neighbors"].fn(spark, SF_T2),
+             "simple")
+    assert p.count("BroadcastHashJoin") >= 2, p
+    assert "SortMergeJoin" not in p, p
+
+
+def test_changepoint_rolls_up_before_window(spark):
+    """Raw events collapse to the |days| rollup before the CUSUM
+    window: partial aggregation must appear below the Window node."""
+    p = plan(all_specs()["q_ts_changepoint_cusum"].fn(spark, SF_T2),
+             "simple")
+    assert "Window" in p, p
+    assert "partial_count" in p, p
+    assert p.index("Window") < p.index("partial_count"), p
+
+
+def test_calibration_scan_prunes_columns(spark):
+    """The binning pass needs (n_chars, lang) only — text must not be
+    read from the documents scan."""
+    p = plan(all_specs()["q_ml_calibration_bins"].fn(spark, SF_T2))
+    scans = [l for l in p.splitlines()
+             if "ReadSchema" in l and "documents" in p]
+    assert scans, p
+    assert not any("text" in l for l in scans), scans
