@@ -41,6 +41,12 @@ SENSITIVE = [
     "q_dedup_threshold_curve",  # four thresholds over one ppjoin pass
     "q_events_seq_examples",  # lag windows + bounded rollup
     "q_text_feature_hashing",  # stateless bucketing, partial counts
+    # round-6 batch-4/5 additions most at risk:
+    "q_ml_auc_rank",          # histogram partials merge order + global
+                              # prefix window
+    "q_ts_autocorrelation",   # gap-fill grid + integer lag join, float
+                              # sqrt chain from int sums
+    "q_graph_common_neighbors",  # distinct-edge self-join fan-out
 ]
 
 
