@@ -86,6 +86,13 @@ REPORT = [
     ("q_ann_pq_adc_topk", "scan touches only the 4-byte code columns; 1280-row LUT broadcasts"),
     ("q_dedup_url_canonical", "pure projection until the single groupBy(curl) exchange"),
     ("q_ts_seasonality_profile", "48-cell rollup + 1-row global broadcast; no row-level window"),
+    ("q_ml_auc_rank", "score-histogram partial+final agg below the single-partition prefix window"),
+    ("q_ml_target_encoding", "category rollup map-side combined; 1-row global broadcast for smoothing"),
+    ("q_ts_changepoint_cusum", "daily rollup below the |days|-sized CUSUM window; raw events touched once"),
+    ("q_ts_autocorrelation", "hourly rollup + gap-fill sequence; integer lag equi-join over |hours| rows"),
+    ("q_graph_common_neighbors", "distinct-edge self-join; KB degree tables broadcast twice"),
+    ("q_ml_calibration_bins", "broadcast [min,max] extent; exact integer-div binning in one 10-group rollup"),
+    ("q_dq_benford", "9-group digit rollup + 1-row total broadcast; chi2 from literals, no engine log10"),
 ]
 
 
