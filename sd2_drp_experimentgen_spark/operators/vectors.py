@@ -1771,3 +1771,166 @@ def q_emb_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("n_vecs") >= 2)
     )
+
+
+@register(
+    "q_emb_silhouette",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id, label,
+             list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5)
+                         AS BIGINT)) AS xi
+      FROM embeddings
+    ),
+    t AS (
+      SELECT vec_id, label, unnest(xi) AS e,
+             generate_subscripts(xi, 1) AS gs
+      FROM q
+    ),
+    sums AS (
+      SELECT label AS clabel, gs AS dim, CAST(sum(e) AS BIGINT) AS s
+      FROM t GROUP BY label, gs
+    ),
+    nl AS (
+      SELECT label AS clabel, CAST(count(*) AS BIGINT) AS n_l
+      FROM q GROUP BY label
+    ),
+    pairs AS (
+      SELECT t.vec_id, t.label AS own, s.clabel,
+             CAST(sum((n.n_l * t.e - s.s) * (n.n_l * t.e - s.s))
+                  AS BIGINT) AS num,
+             any_value(n.n_l) AS n_l
+      FROM t
+      JOIN sums s ON s.dim = t.gs
+      JOIN nl n ON n.clabel = s.clabel
+      GROUP BY t.vec_id, t.label, s.clabel
+    ),
+    d AS (
+      SELECT vec_id, own, clabel,
+             CAST(num AS DOUBLE) / (n_l * n_l) AS d2
+      FROM pairs
+    ),
+    ab AS (
+      SELECT vec_id, own,
+             max(CASE WHEN clabel = own THEN d2 END) AS a2,
+             min(CASE WHEN clabel <> own THEN d2 END) AS b2
+      FROM d GROUP BY vec_id, own
+    ),
+    sil AS (
+      SELECT own,
+             CAST(floor((sqrt(b2) - sqrt(a2))
+                        / greatest(sqrt(a2), sqrt(b2))
+                        * 1000000 + 0.5) AS BIGINT) AS s_int
+      FROM ab
+    )
+    SELECT CAST(own AS BIGINT) AS label,
+           CAST(count(*) AS BIGINT) AS n_vecs,
+           CAST(sum(s_int) AS BIGINT) AS sum_s_x1e6,
+           CAST(floor(CAST(sum(s_int) AS DOUBLE) / count(*) + 0.5)
+                AS BIGINT) AS mean_s_x1e6
+    FROM sil GROUP BY own ORDER BY label
+    """,
+    tier="P1",
+    doc="Centroid silhouette — the cluster-quality score a semantic-"
+    "dedup/clustering pipeline reports per label: for each vector, "
+    "a = distance to its own label centroid, b = distance to the "
+    "nearest other centroid, s = (b-a)/max(a,b); emitted as "
+    "per-label counts and exact micro-unit sums. Determinism "
+    "recipe: embeddings quantize to 1e-6 integer units, so each "
+    "per-dim centroid is the exact rational S_d/n_l and every "
+    "squared distance is the EXACT int64 sum over dims of "
+    "(n_l*x_d - S_d)^2 / n_l^2 — no cross-row float summation "
+    "anywhere (the only float ops are the per-row sqrt/divide "
+    "chain, identical IEEE both engines, then a per-row 1e6 "
+    "quantization BEFORE the cross-row sum, which is again exact "
+    "int64). int64 headroom: (n_l*|x|*1e6)^2*64 needs n_l <~ 5e3 "
+    "at unit scale; at larger cluster sizes drop to 1e4 units or "
+    "take the diff in double — documented, not silent. Spark "
+    "plan: per-(label,dim) exact sums roll up map-side, rebuild "
+    "into a 10-row (n_l, S-array) table broadcast to every "
+    "vector; the per-vector distance to all 10 centroids is a "
+    "zip_with/aggregate fold INSIDE the row (JVM higher-order "
+    "functions, fixed dim order) — vectors never shuffle, no "
+    "explode-by-label blowup, output is |labels|-sized.",
+)
+def q_emb_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.select(
+        "vec_id",
+        "label",
+        F.transform(
+            "embedding",
+            lambda x: F.floor(x.cast("double") * F.lit(1000000) + F.lit(0.5))
+            .cast("long"),
+        ).alias("xi"),
+    )
+    t = q.select("label", F.posexplode("xi").alias("dim", "e"))
+    sums = t.groupBy(F.col("label").alias("clabel"), "dim").agg(
+        F.sum("e").alias("s")
+    )
+    nl = q.groupBy(F.col("label").alias("clabel")).agg(
+        F.count(F.lit(1)).alias("n_l")
+    )
+    cent = (
+        sums.groupBy("clabel")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("dim", "s"))
+            ).alias("ds")
+        )
+        .select(
+            "clabel", F.col("ds.s").alias("sarr")
+        )
+        .join(nl, "clabel")
+    )
+    pairs = q.crossJoin(F.broadcast(cent)).select(
+        "vec_id",
+        F.col("label").alias("own"),
+        "clabel",
+        (
+            F.aggregate(
+                F.zip_with(
+                    "xi",
+                    "sarr",
+                    lambda x, s: (F.col("n_l") * x - s)
+                    * (F.col("n_l") * x - s),
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, v: acc + v,
+            ).cast("double")
+            / (F.col("n_l") * F.col("n_l"))
+        ).alias("d2"),
+    )
+    ab = pairs.groupBy("vec_id", "own").agg(
+        F.max(F.when(F.col("clabel") == F.col("own"), F.col("d2"))).alias(
+            "a2"
+        ),
+        F.min(F.when(F.col("clabel") != F.col("own"), F.col("d2"))).alias(
+            "b2"
+        ),
+    )
+    sil = ab.select(
+        "own",
+        F.floor(
+            (F.sqrt("b2") - F.sqrt("a2"))
+            / F.greatest(F.sqrt("a2"), F.sqrt("b2"))
+            * F.lit(1000000)
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("s_int"),
+    )
+    return (
+        sil.groupBy(F.col("own").cast("long").alias("label"))
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.sum("s_int").alias("sum_s_x1e6"),
+            F.floor(
+                F.sum("s_int").cast("double") / F.count(F.lit(1)) + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("mean_s_x1e6"),
+        )
+        .orderBy("label")
+    )

@@ -308,6 +308,7 @@ _NEW_THIS_ROUND: frozenset[str] = frozenset(
         "q_dq_benford",
         "q_ml_confusion_threshold",
         "q_ml_calibration_bins",
+        "q_emb_silhouette",
     }
 )
 
