@@ -2035,3 +2035,154 @@ def q_dq_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("digit")
     )
+
+
+@register(
+    "q_etl_incremental_auc",
+    oracle="""
+    WITH u AS (
+      SELECT n_chars AS score,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos,
+             doc_id % 10 = 0 AS is_delta
+      FROM documents
+    ),
+    hb AS (
+      SELECT score, CAST(sum(pos) AS BIGINT) AS pos_s,
+             CAST(count(*) - sum(pos) AS BIGINT) AS neg_s
+      FROM u WHERE NOT is_delta GROUP BY score
+    ),
+    hd AS (
+      SELECT score, CAST(sum(pos) AS BIGINT) AS pos_s,
+             CAST(count(*) - sum(pos) AS BIGINT) AS neg_s
+      FROM u WHERE is_delta GROUP BY score
+    ),
+    merged AS (
+      SELECT COALESCE(hb.score, hd.score) AS score,
+             CAST(COALESCE(hb.pos_s, 0) + COALESCE(hd.pos_s, 0)
+                  AS BIGINT) AS pos_s,
+             CAST(COALESCE(hb.neg_s, 0) + COALESCE(hd.neg_s, 0)
+                  AS BIGINT) AS neg_s
+      FROM hb FULL OUTER JOIN hd ON hb.score = hd.score
+    ),
+    hf AS (
+      SELECT score, CAST(sum(pos) AS BIGINT) AS pos_s,
+             CAST(count(*) - sum(pos) AS BIGINT) AS neg_s
+      FROM u GROUP BY score
+    ),
+    am AS (
+      SELECT CAST(sum(pos_s) AS BIGINT) AS n_pos,
+             CAST(sum(neg_s) AS BIGINT) AS n_neg,
+             CAST(sum(pos_s * (2 * nb + neg_s)) AS BIGINT) AS u2
+      FROM (SELECT pos_s, neg_s,
+                   sum(neg_s) OVER (ORDER BY score
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW) - neg_s AS nb
+            FROM merged)
+    ),
+    af AS (
+      SELECT CAST(sum(pos_s) AS BIGINT) AS n_pos,
+             CAST(sum(neg_s) AS BIGINT) AS n_neg,
+             CAST(sum(pos_s * (2 * nb + neg_s)) AS BIGINT) AS u2
+      FROM (SELECT pos_s, neg_s,
+                   sum(neg_s) OVER (ORDER BY score
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW) - neg_s AS nb
+            FROM hf)
+    )
+    SELECT am.n_pos, am.n_neg,
+           am.u2 AS u2_merged,
+           af.u2 AS u2_scratch,
+           floor(CAST(am.u2 AS DOUBLE) / (2.0 * am.n_pos * am.n_neg)
+                 * 1000000 + 0.5) / 1000000 AS auc,
+           am.u2 = af.u2 AND am.n_pos = af.n_pos
+             AND am.n_neg = af.n_neg AS in_sync
+    FROM am CROSS JOIN af
+    """,
+    tier="P1",
+    doc="Incrementally-maintained AUC — the eval-metric analogue of "
+    "q_etl_incremental_agg: the stored state is the per-score "
+    "(pos, neg) histogram (AUC's exact sufficient statistic, tiny "
+    "at |distinct scores| rows), a delta batch (doc_id%10=0) folds "
+    "in via ONE full-outer join + coalesce-sum — no re-scan of "
+    "history — and the refreshed AUC is recomputed from the merged "
+    "histogram's prefix sums. Because the statistic is exact "
+    "int64, merged-vs-scratch equality is a hard witness (emitted "
+    "as in_sync, compared by the oracle), unlike sketch folds "
+    "where only bounded error can be asserted "
+    "(q_etl_incremental_sketch). At 100 TB: nightly eval over a "
+    "growing holdout touches only the day's delta; the histogram "
+    "state is KB-sized and the fold is a KB-sized join.",
+)
+def q_etl_incremental_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    u = d.select(
+        F.col("n_chars").cast("long").alias("score"),
+        F.when(F.col("lang") == "en", 1).otherwise(0).cast("long")
+        .alias("pos"),
+        (F.col("doc_id") % 10 == 0).alias("is_delta"),
+    )
+
+    def hist(df):
+        return df.groupBy("score").agg(
+            F.sum("pos").alias("pos_s"),
+            (F.count(F.lit(1)) - F.sum("pos")).alias("neg_s"),
+        )
+
+    hb = hist(u.where(~F.col("is_delta")))
+    hd = hist(u.where(F.col("is_delta")))
+    merged = (
+        hb.alias("b")
+        .join(hd.alias("d"), F.col("b.score") == F.col("d.score"), "full_outer")
+        .select(
+            F.coalesce(F.col("b.score"), F.col("d.score")).alias("score"),
+            (
+                F.coalesce(F.col("b.pos_s"), F.lit(0))
+                + F.coalesce(F.col("d.pos_s"), F.lit(0))
+            ).alias("pos_s"),
+            (
+                F.coalesce(F.col("b.neg_s"), F.lit(0))
+                + F.coalesce(F.col("d.neg_s"), F.lit(0))
+            ).alias("neg_s"),
+        )
+    )
+    hf = hist(u)
+
+    def auc_stats(h):
+        w = Window.orderBy("score").rowsBetween(Window.unboundedPreceding, 0)
+        c = h.withColumn("nb", F.sum("neg_s").over(w) - F.col("neg_s"))
+        return c.agg(
+            F.sum("pos_s").alias("n_pos"),
+            F.sum("neg_s").alias("n_neg"),
+            F.sum(
+                F.col("pos_s") * (F.lit(2) * F.col("nb") + F.col("neg_s"))
+            ).alias("u2"),
+        )
+
+    am = auc_stats(merged)
+    af = auc_stats(hf).select(
+        F.col("n_pos").alias("f_pos"),
+        F.col("n_neg").alias("f_neg"),
+        F.col("u2").alias("u2_scratch"),
+    )
+    return am.crossJoin(af).select(
+        "n_pos",
+        "n_neg",
+        F.col("u2").alias("u2_merged"),
+        "u2_scratch",
+        (
+            F.floor(
+                F.col("u2").cast("double")
+                / (F.lit(2.0) * F.col("n_pos") * F.col("n_neg"))
+                * F.lit(1000000)
+                + F.lit(0.5)
+            )
+            / F.lit(1000000)
+        ).alias("auc"),
+        (
+            (F.col("u2") == F.col("u2_scratch"))
+            & (F.col("n_pos") == F.col("f_pos"))
+            & (F.col("n_neg") == F.col("f_neg"))
+        ).alias("in_sync"),
+    )

@@ -1472,3 +1472,63 @@ def q_sql_qualify(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY o_orderpriority, rn
         """
     )
+
+
+@register(
+    "q_sql_unpivot_clause",
+    oracle="""
+    SELECT measure,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(v) AS BIGINT) AS sum_units,
+           CAST(min(v) AS BIGINT) AS min_units,
+           CAST(max(v) AS BIGINT) AS max_units
+    FROM (
+      SELECT CAST(floor(l_quantity * 100 + 0.5) AS BIGINT) AS qty_cents,
+             CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+               AS price_cents,
+             CAST(floor(l_discount * 10000 + 0.5) AS BIGINT) AS disc_x1e4,
+             CAST(floor(l_tax * 10000 + 0.5) AS BIGINT) AS tax_x1e4
+      FROM lineitem
+    ) UNPIVOT (v FOR measure IN (qty_cents, price_cents, disc_x1e4,
+                                 tax_x1e4))
+    GROUP BY measure
+    ORDER BY measure
+    """,
+    tier="P2",
+    doc="SQL-standard UNPIVOT clause surface (Spark 3.4+ and DuckDB "
+    "both parse the `UNPIVOT (v FOR measure IN (...))` form "
+    "natively — this is the clause twin of q_unpivot_stack's "
+    "stack() expression): four integer-unit measures unpivoted to "
+    "(measure, v) rows then integrity-rolled-up per measure. "
+    "Integer units per the scaler-fit convention keep every "
+    "aggregate exact. Plan-wise UNPIVOT is Expand — each input "
+    "row emits 4 narrow rows BEFORE the map-side partial "
+    "aggregate, so the shuffle carries 4 groups' partials, not "
+    "4x the table.",
+)
+def q_sql_unpivot_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView(
+        "v_lineitem_unpivot"
+    )
+    return spark.sql(
+        """
+        SELECT measure,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(v) AS BIGINT) AS sum_units,
+               CAST(min(v) AS BIGINT) AS min_units,
+               CAST(max(v) AS BIGINT) AS max_units
+        FROM (
+          SELECT CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)
+                   AS qty_cents,
+                 CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                   AS price_cents,
+                 CAST(floor(l_discount * 10000 + 0.5) AS BIGINT)
+                   AS disc_x1e4,
+                 CAST(floor(l_tax * 10000 + 0.5) AS BIGINT) AS tax_x1e4
+          FROM v_lineitem_unpivot
+        ) UNPIVOT (v FOR measure IN (qty_cents, price_cents, disc_x1e4,
+                                     tax_x1e4))
+        GROUP BY measure
+        ORDER BY measure
+        """
+    )

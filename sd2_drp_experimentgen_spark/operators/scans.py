@@ -829,3 +829,53 @@ def q_source_csv_multiline(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_tokens"
         ),
     )
+
+
+@register(
+    "q_source_json_roundtrip",
+    oracle="""
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+           CAST(sum(length(text)) AS BIGINT) AS sum_text_len,
+           CAST(min(doc_id) AS BIGINT) AS min_doc,
+           CAST(max(doc_id) AS BIGINT) AS max_doc
+    FROM documents
+    GROUP BY lang
+    """,
+    tier="P2",
+    doc="JSON-lines source round-trip: documents are written as "
+    "newline-delimited JSON (the interchange format most LLM "
+    "corpus tooling emits) and read back with an EXPLICIT schema, "
+    "then integrity-aggregated per lang; the oracle runs the same "
+    "rollup on the original parquet, so any encode/decode drift "
+    "(string escaping, integer widening, column loss) breaks the "
+    "hash. Explicit read schema matters twice at scale: schema "
+    "inference costs a full extra pass over 100 TB, and inferred "
+    "types can widen per-file (a doc_id that looks float in one "
+    "shard). JSONL is splittable, so the read parallelizes per "
+    "128 MB split like any text source.",
+)
+def q_source_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import types as T
+
+    path = _scratch(sf_dir, "json_docs")
+    d = load_table(spark, sf_dir, "documents")
+    d.write.mode("overwrite").json(path)
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("source", T.StringType()),
+            T.StructField("n_chars", T.LongType()),
+        ]
+    )
+    back = spark.read.schema(schema).json(path)
+    return back.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.sum(F.length("text")).alias("sum_text_len"),
+        F.min("doc_id").alias("min_doc"),
+        F.max("doc_id").alias("max_doc"),
+    )

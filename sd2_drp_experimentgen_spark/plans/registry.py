@@ -309,6 +309,9 @@ _NEW_THIS_ROUND: frozenset[str] = frozenset(
         "q_ml_confusion_threshold",
         "q_ml_calibration_bins",
         "q_emb_silhouette",
+        "q_source_json_roundtrip",
+        "q_sql_unpivot_clause",
+        "q_etl_incremental_auc",
     }
 )
 
