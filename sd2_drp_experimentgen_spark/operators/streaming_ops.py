@@ -728,3 +728,89 @@ def q_stream_ingest_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return jobs.run_to_memory(agg, "complete")
 
+
+
+@register(
+    "q_stream_eval_auc",
+    oracle="""
+    WITH u AS (
+      SELECT n_chars AS score,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+      FROM documents
+    ),
+    h AS (
+      SELECT score, CAST(sum(pos) AS BIGINT) AS pos_s,
+             CAST(count(*) - sum(pos) AS BIGINT) AS neg_s
+      FROM u GROUP BY score
+    ),
+    c AS (
+      SELECT pos_s, neg_s,
+             sum(neg_s) OVER (ORDER BY score
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) - neg_s AS nb
+      FROM h
+    )
+    SELECT CAST(sum(pos_s) AS BIGINT) AS n_pos,
+           CAST(sum(neg_s) AS BIGINT) AS n_neg,
+           CAST(sum(pos_s * (2 * nb + neg_s)) AS BIGINT) AS u2,
+           floor(CAST(sum(pos_s * (2 * nb + neg_s)) AS DOUBLE)
+                 / (2.0 * sum(pos_s) * sum(neg_s)) * 1000000 + 0.5)
+             / 1000000 AS auc
+    FROM c
+    """,
+    tier="P1",
+    doc="LIVE streaming AUC maintenance — the standing-query rung of "
+    "the eval-metric family (q_ml_auc_rank batch, "
+    "q_etl_incremental_auc micro-batch fold, this one a real "
+    "Structured Streaming run): readStream over the documents "
+    "parquet (AvailableNow) maintains the per-score (pos, neg) "
+    "histogram as a complete-mode stateful aggregate — Spark's "
+    "state store IS the sufficient statistic, updated per "
+    "micro-batch with no history re-scan — and the AUC "
+    "finalization (prefix sums over |distinct scores| rows) runs "
+    "as a tiny batch epilogue on the sink table, exactly how a "
+    "metrics dashboard reads a state-backed view. The histogram "
+    "state is exact int64 and arrival-order-independent, so the "
+    "actual streaming execution hash-checks against plain SQL. "
+    "At 100 TB: holdout scores stream in as they are produced; "
+    "state is |distinct scores| rows however many examples "
+    "arrive.",
+)
+def q_stream_eval_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = _documents_dir(sf_dir)
+    s = jobs._stream_session(spark)
+    schema = s.read.parquet(d).schema
+    raw = s.readStream.schema(schema).parquet(d)
+    hist = (
+        raw.select(
+            F.col("n_chars").cast("long").alias("score"),
+            F.when(F.col("lang") == "en", 1).otherwise(0).cast("long")
+            .alias("pos"),
+        )
+        .groupBy("score")
+        .agg(
+            F.sum("pos").alias("pos_s"),
+            (F.count(F.lit(1)) - F.sum("pos")).alias("neg_s"),
+        )
+    )
+    h = jobs.run_to_memory(hist, "complete")
+    w = Window.orderBy("score").rowsBetween(Window.unboundedPreceding, 0)
+    c = h.withColumn("nb", F.sum("neg_s").over(w) - F.col("neg_s"))
+    u2 = F.sum(F.col("pos_s") * (F.lit(2) * F.col("nb") + F.col("neg_s")))
+    n_pos, n_neg = F.sum("pos_s"), F.sum("neg_s")
+    return c.agg(
+        n_pos.alias("n_pos"),
+        n_neg.alias("n_neg"),
+        u2.alias("u2"),
+        (
+            F.floor(
+                u2.cast("double")
+                / (F.lit(2.0) * n_pos * n_neg)
+                * F.lit(1000000)
+                + F.lit(0.5)
+            )
+            / F.lit(1000000)
+        ).alias("auc"),
+    )

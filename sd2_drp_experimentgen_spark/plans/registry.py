@@ -312,6 +312,7 @@ _NEW_THIS_ROUND: frozenset[str] = frozenset(
         "q_source_json_roundtrip",
         "q_sql_unpivot_clause",
         "q_etl_incremental_auc",
+        "q_stream_eval_auc",
     }
 )
 
