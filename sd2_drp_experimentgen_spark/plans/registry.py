@@ -313,6 +313,7 @@ _NEW_THIS_ROUND: frozenset[str] = frozenset(
         "q_sql_unpivot_clause",
         "q_etl_incremental_auc",
         "q_stream_eval_auc",
+        "q_agg_higher_moments",
     }
 )
 
