@@ -2186,3 +2186,108 @@ def q_etl_incremental_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("n_neg") == F.col("f_neg"))
         ).alias("in_sync"),
     )
+
+
+@register(
+    "q_dq_drift_chisq",
+    oracle="""
+    WITH u AS (
+      SELECT o_orderpriority AS category,
+             CASE WHEN year(o_orderdate) <= 1997 THEN 0 ELSE 1 END
+               AS period
+      FROM orders
+    ),
+    cell AS (
+      SELECT category,
+             CAST(sum(CASE WHEN period = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_ref,
+             CAST(sum(CASE WHEN period = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_cur
+      FROM u GROUP BY category
+    ),
+    tot AS (
+      SELECT CAST(sum(n_ref) AS BIGINT) AS t_ref,
+             CAST(sum(n_cur) AS BIGINT) AS t_cur
+      FROM cell
+    )
+    SELECT category, n_ref, n_cur,
+           floor(CAST((n_ref + n_cur) * t_ref AS DOUBLE)
+                 / (t_ref + t_cur) * 10000 + 0.5) / 10000 AS exp_ref,
+           floor(CAST((n_ref + n_cur) * t_cur AS DOUBLE)
+                 / (t_ref + t_cur) * 10000 + 0.5) / 10000 AS exp_cur,
+           floor(((CAST(n_ref AS DOUBLE)
+                   - CAST((n_ref + n_cur) * t_ref AS DOUBLE)
+                     / (t_ref + t_cur))
+                  * (CAST(n_ref AS DOUBLE)
+                     - CAST((n_ref + n_cur) * t_ref AS DOUBLE)
+                       / (t_ref + t_cur))
+                  / (CAST((n_ref + n_cur) * t_ref AS DOUBLE)
+                     / (t_ref + t_cur))
+                  + (CAST(n_cur AS DOUBLE)
+                     - CAST((n_ref + n_cur) * t_cur AS DOUBLE)
+                       / (t_ref + t_cur))
+                    * (CAST(n_cur AS DOUBLE)
+                       - CAST((n_ref + n_cur) * t_cur AS DOUBLE)
+                         / (t_ref + t_cur))
+                    / (CAST((n_ref + n_cur) * t_cur AS DOUBLE)
+                       / (t_ref + t_cur)))
+                 * 1000000 + 0.5) / 1000000 AS chi2_term
+    FROM cell CROSS JOIN tot
+    ORDER BY category
+    """,
+    tier="P1",
+    doc="Train/serve distribution-drift test — the chi-square "
+    "homogeneity check a feature store runs between a reference "
+    "period (orders <= 1997) and the current period (>= 1998) over "
+    "a categorical feature: per category the observed counts both "
+    "periods, the homogeneity-expected counts (row_total * "
+    "col_total / grand, the 2xK contingency expectation), and the "
+    "category's combined chi-square contribution (sum over both "
+    "period cells). Exact int64 counts; expectations and terms are "
+    "identical IEEE chains (int products stay in int64 before the "
+    "single cast). One map-side-combined groupBy + a broadcast "
+    "1-row total; K-row output at any scale. The drift monitor "
+    "companion to q_dq_benford (conformance) and q_dq_anomaly_"
+    "zscore (level shifts).",
+)
+def q_dq_drift_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    u = o.select(
+        F.col("o_orderpriority").alias("category"),
+        F.when(F.year("o_orderdate") <= 1997, 0).otherwise(1).alias("period"),
+    )
+    cell = u.groupBy("category").agg(
+        F.sum(F.when(F.col("period") == 0, 1).otherwise(0)).cast("long")
+        .alias("n_ref"),
+        F.sum(F.when(F.col("period") == 1, 1).otherwise(0)).cast("long")
+        .alias("n_cur"),
+    )
+    tot = cell.agg(
+        F.sum("n_ref").alias("t_ref"), F.sum("n_cur").alias("t_cur")
+    )
+    row = F.col("n_ref") + F.col("n_cur")
+    g = F.col("t_ref") + F.col("t_cur")
+    exp_ref = (row * F.col("t_ref")).cast("double") / g
+    exp_cur = (row * F.col("t_cur")).cast("double") / g
+
+    def r4d(x):
+        return F.floor(x * F.lit(10000) + F.lit(0.5)) / F.lit(10000)
+
+    def r6d(x):
+        return F.floor(x * F.lit(1000000) + F.lit(0.5)) / F.lit(1000000)
+
+    d_ref = F.col("n_ref").cast("double") - exp_ref
+    d_cur = F.col("n_cur").cast("double") - exp_cur
+    return (
+        cell.crossJoin(F.broadcast(tot))
+        .select(
+            "category",
+            "n_ref",
+            "n_cur",
+            r4d(exp_ref).alias("exp_ref"),
+            r4d(exp_cur).alias("exp_cur"),
+            r6d(d_ref * d_ref / exp_ref + d_cur * d_cur / exp_cur)
+            .alias("chi2_term"),
+        )
+        .orderBy("category")
+    )

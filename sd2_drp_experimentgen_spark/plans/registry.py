@@ -314,6 +314,7 @@ _NEW_THIS_ROUND: frozenset[str] = frozenset(
         "q_etl_incremental_auc",
         "q_stream_eval_auc",
         "q_agg_higher_moments",
+        "q_dq_drift_chisq",
     }
 )
 
