@@ -1934,3 +1934,123 @@ def q_emb_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+@register(
+    "q_emb_outlier_distance",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id, label,
+             list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5)
+                         AS BIGINT)) AS xi
+      FROM embeddings
+    ),
+    t AS (
+      SELECT vec_id, label, unnest(xi) AS e,
+             generate_subscripts(xi, 1) AS gs
+      FROM q
+    ),
+    sums AS (
+      SELECT label, gs AS dim, CAST(sum(e) AS BIGINT) AS s
+      FROM t GROUP BY label, gs
+    ),
+    nl AS (
+      SELECT label, CAST(count(*) AS BIGINT) AS n_l FROM q GROUP BY label
+    ),
+    d AS (
+      SELECT t.vec_id, t.label,
+             CAST(sum((n.n_l * t.e - s.s) * (n.n_l * t.e - s.s))
+                  AS BIGINT) AS d2_num,
+             any_value(n.n_l) AS n_l
+      FROM t
+      JOIN sums s ON s.label = t.label AND s.dim = t.gs
+      JOIN nl n ON n.label = t.label
+      GROUP BY t.vec_id, t.label
+    )
+    SELECT CAST(label AS BIGINT) AS label,
+           CAST(vec_id AS BIGINT) AS vec_id,
+           d2_num, CAST(n_l AS BIGINT) AS n_l,
+           CAST(rnk AS BIGINT) AS rnk
+    FROM (
+      SELECT label, vec_id, d2_num, n_l,
+             row_number() OVER (PARTITION BY label
+                                ORDER BY d2_num DESC, vec_id) AS rnk
+      FROM d
+    )
+    WHERE rnk <= 5
+    ORDER BY label, rnk
+    """,
+    tier="P1",
+    doc="Embedding outlier mining — the top-5 farthest-from-centroid "
+    "vectors per label, the mislabeled-example / anomaly candidate "
+    "list a curation pipeline reviews (the distance-argmax "
+    "companion to q_emb_silhouette, sharing its exact-integer "
+    "construction): d2_num = sum_d (n_l*x_d - S_d)^2 is EXACT "
+    "int64 (scaled squared distance to the label centroid "
+    "S_d/n_l), so the per-label top-5 ranking involves NO floats "
+    "at all — cross-engine determinism is structural, ties broken "
+    "by vec_id. Spark plan: the per-(label,dim) exact sums rebuild "
+    "into a broadcast |labels|-row table, the per-vector distance "
+    "folds inside the row (zip_with/aggregate), and the ranked "
+    "window is per-label partitioned — WindowGroupLimit prunes to "
+    "5 rows per label before any full sort.",
+)
+def q_emb_outlier_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.select(
+        "vec_id",
+        "label",
+        F.transform(
+            "embedding",
+            lambda x: F.floor(x.cast("double") * F.lit(1000000) + F.lit(0.5))
+            .cast("long"),
+        ).alias("xi"),
+    )
+    t = q.select("label", F.posexplode("xi").alias("dim", "e"))
+    sums = t.groupBy("label", "dim").agg(F.sum("e").alias("s"))
+    nl = q.groupBy("label").agg(F.count(F.lit(1)).alias("n_l"))
+    cent = (
+        sums.groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("dim", "s"))).alias("ds"))
+        .select("label", F.col("ds.s").alias("sarr"))
+        .join(nl, "label")
+        .withColumnRenamed("label", "clabel")
+    )
+    d = (
+        q.join(
+            F.broadcast(cent), F.col("label") == F.col("clabel")
+        )
+        .select(
+            "vec_id",
+            "label",
+            F.aggregate(
+                F.zip_with(
+                    "xi",
+                    "sarr",
+                    lambda x, s: (F.col("n_l") * x - s)
+                    * (F.col("n_l") * x - s),
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, v: acc + v,
+            ).alias("d2_num"),
+            "n_l",
+        )
+    )
+    w = Window.partitionBy("label").orderBy(
+        F.desc("d2_num"), F.asc("vec_id")
+    )
+    return (
+        d.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .where(F.col("rnk") <= 5)
+        .select(
+            F.col("label").cast("long").alias("label"),
+            F.col("vec_id").cast("long").alias("vec_id"),
+            "d2_num",
+            "n_l",
+            "rnk",
+        )
+        .orderBy("label", "rnk")
+    )

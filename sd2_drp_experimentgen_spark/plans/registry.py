@@ -315,6 +315,8 @@ _NEW_THIS_ROUND: frozenset[str] = frozenset(
         "q_stream_eval_auc",
         "q_agg_higher_moments",
         "q_dq_drift_chisq",
+        "q_emb_outlier_distance",
+        "q_ml_gini_stump",
     }
 )
 
