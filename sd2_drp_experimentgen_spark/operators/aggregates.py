@@ -2445,3 +2445,183 @@ def q_ml_gini_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(1)
         .drop("_key")
     )
+
+
+@register(
+    "q_ml_pr_curve_points",
+    oracle="""
+    WITH u AS (
+      SELECT n_chars AS score,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+      FROM documents
+    ),
+    h AS (
+      SELECT score, CAST(sum(pos) AS BIGINT) AS pos_s,
+             CAST(count(*) - sum(pos) AS BIGINT) AS neg_s
+      FROM u GROUP BY score
+    ),
+    c AS (
+      SELECT score,
+             CAST(sum(pos_s) OVER w AS BIGINT) AS pge,
+             CAST(sum(neg_s) OVER w AS BIGINT) AS nge
+      FROM h
+      WINDOW w AS (ORDER BY score DESC ROWS BETWEEN UNBOUNDED
+                   PRECEDING AND CURRENT ROW)
+    ),
+    tot AS (SELECT CAST(sum(pos_s) AS BIGINT) AS p FROM h)
+    SELECT CAST(score AS BIGINT) AS threshold,
+           pge AS tp, nge AS fp,
+           CAST(p - pge AS BIGINT) AS fn,
+           floor(CAST(pge AS DOUBLE) / (pge + nge) * 1000000 + 0.5)
+             / 1000000 AS precision_,
+           floor(CAST(pge AS DOUBLE) / p * 1000000 + 0.5)
+             / 1000000 AS recall_
+    FROM c CROSS JOIN tot
+    ORDER BY threshold
+    """,
+    tier="P1",
+    doc="Full precision-recall curve — one (precision, recall) point "
+    "per distinct threshold 'predict positive iff score >= t', the "
+    "operating-characteristic table behind threshold selection "
+    "(q_ml_confusion_threshold freezes ONE of these rows). The "
+    "descending prefix sums over the per-score histogram give "
+    "every point's exact int64 TP/FP/FN in a single window pass — "
+    "|distinct scores| rows of output however many examples, "
+    "precision/recall each one IEEE divide. Same "
+    "sufficient-statistic discipline as the AUC: the curve costs "
+    "one groupBy + one bounded window, never a per-threshold "
+    "re-scan (the naive form is |thresholds| passes over the "
+    "table).",
+)
+def q_ml_pr_curve_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    u = d.select(
+        F.col("n_chars").cast("long").alias("score"),
+        F.when(F.col("lang") == "en", 1).otherwise(0).cast("long")
+        .alias("pos"),
+    )
+    h = u.groupBy("score").agg(
+        F.sum("pos").alias("pos_s"),
+        (F.count(F.lit(1)) - F.sum("pos")).alias("neg_s"),
+    )
+    w = Window.orderBy(F.desc("score")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    c = h.select(
+        "score",
+        F.sum("pos_s").over(w).alias("pge"),
+        F.sum("neg_s").over(w).alias("nge"),
+    )
+    tot = h.agg(F.sum("pos_s").alias("p"))
+
+    def r6d(x):
+        return F.floor(x * F.lit(1000000) + F.lit(0.5)) / F.lit(1000000)
+
+    return (
+        c.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("score").alias("threshold"),
+            F.col("pge").alias("tp"),
+            F.col("nge").alias("fp"),
+            (F.col("p") - F.col("pge")).alias("fn"),
+            r6d(F.col("pge").cast("double") / (F.col("pge") + F.col("nge")))
+            .alias("precision_"),
+            r6d(F.col("pge").cast("double") / F.col("p")).alias("recall_"),
+        )
+        .orderBy("threshold")
+    )
+
+
+@register(
+    "q_ml_ks_statistic",
+    oracle="""
+    WITH u AS (
+      SELECT n_chars AS score,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+      FROM documents
+    ),
+    h AS (
+      SELECT score, CAST(sum(pos) AS BIGINT) AS pos_s,
+             CAST(count(*) - sum(pos) AS BIGINT) AS neg_s
+      FROM u GROUP BY score
+    ),
+    c AS (
+      SELECT score,
+             CAST(sum(pos_s) OVER w AS BIGINT) AS pl,
+             CAST(sum(neg_s) OVER w AS BIGINT) AS nl
+      FROM h
+      WINDOW w AS (ORDER BY score ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND CURRENT ROW)
+    ),
+    tot AS (
+      SELECT CAST(sum(pos_s) AS BIGINT) AS p,
+             CAST(sum(neg_s) AS BIGINT) AS n
+      FROM h
+    )
+    SELECT CAST(score AS BIGINT) AS threshold,
+           CAST(abs(pl * n - nl * p) AS BIGINT) AS ks_num,
+           p AS n_pos, n AS n_neg,
+           floor(CAST(abs(pl * n - nl * p) AS DOUBLE) / (p * n)
+                 * 1000000 + 0.5) / 1000000 AS ks
+    FROM c CROSS JOIN tot
+    ORDER BY CAST(abs(pl * n - nl * p) AS BIGINT) DESC, threshold
+    LIMIT 1
+    """,
+    tier="P1",
+    doc="Kolmogorov-Smirnov separation statistic — max over thresholds "
+    "of |F_pos(t) - F_neg(t)|, the credit-scoring/model-separation "
+    "metric reported beside AUC. The CDF difference is kept as the "
+    "EXACT integer cross-product |pl*n - nl*p| (common denominator "
+    "p*n), so the argmax over thresholds is a pure int64 ordering "
+    "with threshold tiebreak — no float enters until the single "
+    "final divide. Same bounded-histogram plan as its siblings: "
+    "one groupBy at |distinct scores|, one prefix window, "
+    "TakeOrdered(1). int64 headroom: pl*n needs pos*neg counts "
+    "below ~3e9 each; beyond that scale the divide moves inside "
+    "(documented, not silent).",
+)
+def q_ml_ks_statistic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    u = d.select(
+        F.col("n_chars").cast("long").alias("score"),
+        F.when(F.col("lang") == "en", 1).otherwise(0).cast("long")
+        .alias("pos"),
+    )
+    h = u.groupBy("score").agg(
+        F.sum("pos").alias("pos_s"),
+        (F.count(F.lit(1)) - F.sum("pos")).alias("neg_s"),
+    )
+    w = Window.orderBy("score").rowsBetween(Window.unboundedPreceding, 0)
+    c = h.select(
+        "score",
+        F.sum("pos_s").over(w).alias("pl"),
+        F.sum("neg_s").over(w).alias("nl"),
+    )
+    tot = h.agg(F.sum("pos_s").alias("p"), F.sum("neg_s").alias("n"))
+    ks_num = F.abs(
+        F.col("pl") * F.col("n") - F.col("nl") * F.col("p")
+    )
+    return (
+        c.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("score").alias("threshold"),
+            ks_num.alias("ks_num"),
+            F.col("p").alias("n_pos"),
+            F.col("n").alias("n_neg"),
+            (
+                F.floor(
+                    ks_num.cast("double")
+                    / (F.col("p") * F.col("n"))
+                    * F.lit(1000000)
+                    + F.lit(0.5)
+                )
+                / F.lit(1000000)
+            ).alias("ks"),
+        )
+        .orderBy(F.desc("ks_num"), F.asc("threshold"))
+        .limit(1)
+    )

@@ -317,6 +317,8 @@ _NEW_THIS_ROUND: frozenset[str] = frozenset(
         "q_dq_drift_chisq",
         "q_emb_outlier_distance",
         "q_ml_gini_stump",
+        "q_ml_pr_curve_points",
+        "q_ml_ks_statistic",
     }
 )
 
