@@ -652,3 +652,39 @@ def test_calibration_scan_prunes_columns(spark):
              if "ReadSchema" in l and "documents" in p]
     assert scans, p
     assert not any("text" in l for l in scans), scans
+
+
+def test_silhouette_broadcasts_centroid_table(spark):
+    """The 10-row (n_l, S-array) centroid table must broadcast onto
+    vectors; the distance fold happens inside the row, so no
+    SortMergeJoin may appear anywhere in the plan."""
+    p = plan(all_specs()["q_emb_silhouette"].fn(spark, SF_T2), "simple")
+    assert "BroadcastHashJoin" in p or "BroadcastNestedLoopJoin" in p, p
+    assert "SortMergeJoin" not in p, p
+
+
+def test_outlier_ranking_uses_window_group_limit(spark):
+    """Per-label top-5 by exact integer distance: WindowGroupLimit
+    must prune to 5 rows per label below the rank filter."""
+    p = plan(all_specs()["q_emb_outlier_distance"].fn(spark, SF_T2),
+             "simple")
+    assert "WindowGroupLimit" in p, p
+    assert "SortMergeJoin" not in p, p
+
+
+def test_ks_statistic_is_takeordered_over_histogram(spark):
+    """KS argmax: TakeOrderedAndProject(1) over the bounded histogram,
+    with the histogram aggregate below the prefix window."""
+    p = plan(all_specs()["q_ml_ks_statistic"].fn(spark, SF_T2), "simple")
+    assert "TakeOrderedAndProject" in p, p
+    assert "SinglePartition" in p, p
+    assert p.index("SinglePartition") < p.index("keys=[score"), p
+
+
+def test_pr_curve_window_runs_on_histogram(spark):
+    """The PR curve's descending prefix window consumes the per-score
+    histogram, never the raw document rows."""
+    p = plan(all_specs()["q_ml_pr_curve_points"].fn(spark, SF_T2),
+             "simple")
+    assert "SinglePartition" in p, p
+    assert p.index("SinglePartition") < p.index("keys=[score"), p
