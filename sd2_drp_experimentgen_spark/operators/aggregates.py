@@ -2625,3 +2625,208 @@ def q_ml_ks_statistic(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("ks_num"), F.asc("threshold"))
         .limit(1)
     )
+
+
+@register(
+    "q_ml_lift_gains",
+    oracle="""
+    WITH u AS (
+      SELECT n_chars AS score,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+      FROM documents
+    ),
+    h AS (
+      SELECT score, CAST(count(*) AS BIGINT) AS n_s,
+             CAST(sum(pos) AS BIGINT) AS pos_s
+      FROM u GROUP BY score
+    ),
+    c AS (
+      SELECT score, n_s, pos_s,
+             CAST(sum(n_s) OVER w AS BIGINT) AS cum_n,
+             CAST(sum(pos_s) OVER w AS BIGINT) AS cum_pos
+      FROM h
+      WINDOW w AS (ORDER BY score DESC ROWS BETWEEN UNBOUNDED
+                   PRECEDING AND CURRENT ROW)
+    ),
+    tot AS (
+      SELECT CAST(sum(n_s) AS BIGINT) AS n_g,
+             CAST(sum(pos_s) AS BIGINT) AS p_g
+      FROM h
+    ),
+    dec AS (
+      SELECT (cum_n - 1) * 10 // n_g AS decile,
+             n_s, pos_s, cum_n, cum_pos, n_g, p_g
+      FROM c CROSS JOIN tot
+    )
+    SELECT CAST(decile AS BIGINT) AS decile,
+           CAST(sum(n_s) AS BIGINT) AS n_rows,
+           CAST(sum(pos_s) AS BIGINT) AS n_pos,
+           CAST(max(cum_n) AS BIGINT) AS cum_rows,
+           CAST(max(cum_pos) AS BIGINT) AS cum_pos,
+           floor(CAST(max(cum_pos) AS DOUBLE) / max(p_g)
+                 * 1000000 + 0.5) / 1000000 AS gain,
+           floor((CAST(max(cum_pos) AS DOUBLE) / max(cum_n))
+                 / (CAST(max(p_g) AS DOUBLE) / max(n_g))
+                 * 1000000 + 0.5) / 1000000 AS lift
+    FROM dec GROUP BY decile ORDER BY decile
+    """,
+    tier="P1",
+    doc="Cumulative gains / lift table — the campaign-targeting "
+    "report ('contact the top-k-scored decile, capture what share "
+    "of positives?') over score-descending deciles: each distinct "
+    "score group lands in the decile where its cumulative row "
+    "range ENDS ((cum_n-1)*10 div N — exact integer arithmetic, "
+    "whole tie-groups never split, Spark div == DuckDB //), then "
+    "per decile exact counts, the cumulative capture rate (gain) "
+    "and lift vs the base rate, each one IEEE chain from int64 "
+    "sums. Same bounded-histogram plan as the PR curve: one "
+    "groupBy at |distinct scores|, one prefix window, a 10-group "
+    "rollup.",
+)
+def q_ml_lift_gains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    u = d.select(
+        F.col("n_chars").cast("long").alias("score"),
+        F.when(F.col("lang") == "en", 1).otherwise(0).cast("long")
+        .alias("pos"),
+    )
+    h = u.groupBy("score").agg(
+        F.count(F.lit(1)).alias("n_s"), F.sum("pos").alias("pos_s")
+    )
+    w = Window.orderBy(F.desc("score")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    c = h.select(
+        "score",
+        "n_s",
+        "pos_s",
+        F.sum("n_s").over(w).alias("cum_n"),
+        F.sum("pos_s").over(w).alias("cum_pos"),
+    )
+    tot = h.agg(F.sum("n_s").alias("n_g"), F.sum("pos_s").alias("p_g"))
+    dec = c.crossJoin(F.broadcast(tot)).select(
+        F.expr("(cum_n - 1) * 10 div n_g").alias("decile"),
+        "n_s", "pos_s", "cum_n", "cum_pos", "n_g", "p_g",
+    )
+
+    def r6d(x):
+        return F.floor(x * F.lit(1000000) + F.lit(0.5)) / F.lit(1000000)
+
+    return (
+        dec.groupBy("decile")
+        .agg(
+            F.sum("n_s").alias("n_rows"),
+            F.sum("pos_s").alias("n_pos"),
+            F.max("cum_n").alias("cum_rows"),
+            F.max("cum_pos").alias("cum_pos"),
+            r6d(
+                F.max("cum_pos").cast("double") / F.max("p_g")
+            ).alias("gain"),
+            r6d(
+                (F.max("cum_pos").cast("double") / F.max("cum_n"))
+                / (F.max("p_g").cast("double") / F.max("n_g"))
+            ).alias("lift"),
+        )
+        .orderBy("decile")
+    )
+
+
+@register(
+    "q_stat_spearman",
+    oracle="""
+    WITH b AS (
+      SELECT date_trunc('hour', ts) AS hr,
+             CAST(count(*) AS BIGINT) AS x,
+             CAST(sum(CAST(floor(value * 1000000 + 0.5) AS BIGINT))
+                  AS BIGINT) AS y
+      FROM events GROUP BY 1
+    ),
+    r AS (
+      SELECT hr,
+             CAST(2 * rank() OVER (ORDER BY x)
+                  + count(*) OVER (PARTITION BY x) - 1 AS BIGINT) AS rx2,
+             CAST(2 * rank() OVER (ORDER BY y)
+                  + count(*) OVER (PARTITION BY y) - 1 AS BIGINT) AS ry2
+      FROM b
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(rx2 * ry2) AS BIGINT) AS sxy2,
+           CAST(sum(rx2 * rx2) AS BIGINT) AS sxx2,
+           CAST(sum(ry2 * ry2) AS BIGINT) AS syy2,
+           floor((CAST(count(*) * sum(rx2 * ry2)
+                       - sum(rx2) * sum(ry2) AS DOUBLE)
+                  / sqrt(CAST(count(*) * sum(rx2 * rx2)
+                              - sum(rx2) * sum(rx2) AS DOUBLE)
+                         * CAST(count(*) * sum(ry2 * ry2)
+                                - sum(ry2) * sum(ry2) AS DOUBLE)))
+                 * 1000000 + 0.5) / 1000000 AS spearman_rho
+    FROM r
+    """,
+    tier="P1",
+    doc="Spearman rank correlation between hourly event volume and "
+    "hourly value mass — the monotone-association test (robust to "
+    "outliers and nonlinearity, unlike Pearson on raw values) a "
+    "metrics pipeline runs between activity and revenue series. "
+    "Determinism recipe: rho = Pearson over AVERAGE ranks with "
+    "tie correction, and 2*avg_rank = 2*min_rank + tie_count - 1 "
+    "keeps every rank an exact INTEGER (the q_ml_auc_rank tie "
+    "trick) — the doubled scale cancels in the correlation, so "
+    "all five sums are exact int64 and the only float ops are the "
+    "final product-moment divide and one sqrt (double multiply "
+    "inside sqrt: the int64 products would overflow, documented). "
+    "Plan: one map-side hourly rollup over raw events, then ranks "
+    "+ moments over the |hours|-bounded series.",
+)
+def q_stat_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..sources.tables import load_events
+
+    ev = load_events(spark, sf_dir)
+    b = ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("hr")).agg(
+        F.count(F.lit(1)).alias("x"),
+        F.sum(
+            F.floor(F.col("value") * F.lit(1000000) + F.lit(0.5)).cast("long")
+        ).alias("y"),
+    )
+    r = b.select(
+        (
+            F.lit(2) * F.rank().over(Window.orderBy("x"))
+            + F.count(F.lit(1)).over(Window.partitionBy("x"))
+            - F.lit(1)
+        )
+        .cast("long")
+        .alias("rx2"),
+        (
+            F.lit(2) * F.rank().over(Window.orderBy("y"))
+            + F.count(F.lit(1)).over(Window.partitionBy("y"))
+            - F.lit(1)
+        )
+        .cast("long")
+        .alias("ry2"),
+    )
+    n = F.count(F.lit(1))
+    sx, sy = F.sum("rx2"), F.sum("ry2")
+    sxy = F.sum(F.col("rx2") * F.col("ry2"))
+    sxx = F.sum(F.col("rx2") * F.col("rx2"))
+    syy = F.sum(F.col("ry2") * F.col("ry2"))
+    return r.agg(
+        n.alias("n"),
+        sxy.alias("sxy2"),
+        sxx.alias("sxx2"),
+        syy.alias("syy2"),
+        (
+            F.floor(
+                (n * sxy - sx * sy).cast("double")
+                / F.sqrt(
+                    (n * sxx - sx * sx).cast("double")
+                    * (n * syy - sy * sy).cast("double")
+                )
+                * F.lit(1000000)
+                + F.lit(0.5)
+            )
+            / F.lit(1000000)
+        ).alias("spearman_rho"),
+    )

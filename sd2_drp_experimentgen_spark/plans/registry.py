@@ -319,6 +319,8 @@ _NEW_THIS_ROUND: frozenset[str] = frozenset(
         "q_ml_gini_stump",
         "q_ml_pr_curve_points",
         "q_ml_ks_statistic",
+        "q_ml_lift_gains",
+        "q_stat_spearman",
     }
 )
 
