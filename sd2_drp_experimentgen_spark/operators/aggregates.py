@@ -2830,3 +2830,135 @@ def q_stat_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.lit(1000000)
         ).alias("spearman_rho"),
     )
+
+
+@register(
+    "q_stat_welch_ttest",
+    oracle="""
+    WITH u AS (
+      SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS grp,
+             CAST(n_chars AS BIGINT) AS x
+      FROM documents
+    ),
+    m AS (
+      SELECT grp,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS s1,
+             CAST(sum(x * x) AS BIGINT) AS s2
+      FROM u GROUP BY grp
+    ),
+    w AS (
+      SELECT max(CASE WHEN grp = 1 THEN n END) AS n1,
+             max(CASE WHEN grp = 1 THEN s1 END) AS sa1,
+             max(CASE WHEN grp = 1 THEN s2 END) AS sa2,
+             max(CASE WHEN grp = 0 THEN n END) AS n0,
+             max(CASE WHEN grp = 0 THEN s1 END) AS sb1,
+             max(CASE WHEN grp = 0 THEN s2 END) AS sb2
+      FROM m
+    )
+    SELECT CAST(n1 AS BIGINT) AS n_en,
+           CAST(n0 AS BIGINT) AS n_other,
+           floor((CAST(sa1 AS DOUBLE) / n1) * 10000 + 0.5) / 10000
+             AS mean_en,
+           floor((CAST(sb1 AS DOUBLE) / n0) * 10000 + 0.5) / 10000
+             AS mean_other,
+           floor((CAST(sa1 AS DOUBLE) / n1 - CAST(sb1 AS DOUBLE) / n0)
+                 / sqrt((CAST(sa2 AS DOUBLE) / n1
+                         - (CAST(sa1 AS DOUBLE) / n1)
+                           * (CAST(sa1 AS DOUBLE) / n1))
+                        / (n1 - 1)
+                        + (CAST(sb2 AS DOUBLE) / n0
+                           - (CAST(sb1 AS DOUBLE) / n0)
+                             * (CAST(sb1 AS DOUBLE) / n0))
+                          / (n0 - 1))
+                 * 1000000 + 0.5) / 1000000 AS t_stat,
+           floor(((CAST(sa2 AS DOUBLE) / n1
+                   - (CAST(sa1 AS DOUBLE) / n1)
+                     * (CAST(sa1 AS DOUBLE) / n1)) / (n1 - 1)
+                  + (CAST(sb2 AS DOUBLE) / n0
+                     - (CAST(sb1 AS DOUBLE) / n0)
+                       * (CAST(sb1 AS DOUBLE) / n0)) / (n0 - 1))
+                 * ((CAST(sa2 AS DOUBLE) / n1
+                     - (CAST(sa1 AS DOUBLE) / n1)
+                       * (CAST(sa1 AS DOUBLE) / n1)) / (n1 - 1)
+                    + (CAST(sb2 AS DOUBLE) / n0
+                       - (CAST(sb1 AS DOUBLE) / n0)
+                         * (CAST(sb1 AS DOUBLE) / n0)) / (n0 - 1))
+                 / (((CAST(sa2 AS DOUBLE) / n1
+                      - (CAST(sa1 AS DOUBLE) / n1)
+                        * (CAST(sa1 AS DOUBLE) / n1)) / (n1 - 1))
+                    * ((CAST(sa2 AS DOUBLE) / n1
+                        - (CAST(sa1 AS DOUBLE) / n1)
+                          * (CAST(sa1 AS DOUBLE) / n1)) / (n1 - 1))
+                    / (n1 - 1)
+                    + ((CAST(sb2 AS DOUBLE) / n0
+                        - (CAST(sb1 AS DOUBLE) / n0)
+                          * (CAST(sb1 AS DOUBLE) / n0)) / (n0 - 1))
+                      * ((CAST(sb2 AS DOUBLE) / n0
+                          - (CAST(sb1 AS DOUBLE) / n0)
+                            * (CAST(sb1 AS DOUBLE) / n0)) / (n0 - 1))
+                      / (n0 - 1))
+                 * 10000 + 0.5) / 10000 AS welch_df
+    FROM w
+    """,
+    tier="P1",
+    doc="Welch's unequal-variance t-test — 'is mean doc length "
+    "different for en vs non-en?', the A/B-test aggregate run "
+    "without the equal-variance assumption: group means, the t "
+    "statistic, and the Welch-Satterthwaite effective degrees of "
+    "freedom. Determinism recipe: per-group exact int64 moment "
+    "sums (n, s1, s2) from ONE map-side-combined pass; sample "
+    "variances, t, and df are fixed IEEE chains from those six "
+    "integers — the variance term se_i = (E[x^2] - E[x]^2)/(n-1) "
+    "is written with the identical expression nesting on both "
+    "engines so every intermediate double agrees bit-for-bit. "
+    "Constant-size output at any scale; the 2-group pivot is a "
+    "1-row conditional aggregate, no join.",
+)
+def q_stat_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    u = d.select(
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("grp"),
+        F.col("n_chars").cast("long").alias("x"),
+    )
+    m = u.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("s1"),
+        F.sum(F.col("x") * F.col("x")).alias("s2"),
+    )
+    w = m.agg(
+        F.max(F.when(F.col("grp") == 1, F.col("n"))).alias("n1"),
+        F.max(F.when(F.col("grp") == 1, F.col("s1"))).alias("sa1"),
+        F.max(F.when(F.col("grp") == 1, F.col("s2"))).alias("sa2"),
+        F.max(F.when(F.col("grp") == 0, F.col("n"))).alias("n0"),
+        F.max(F.when(F.col("grp") == 0, F.col("s1"))).alias("sb1"),
+        F.max(F.when(F.col("grp") == 0, F.col("s2"))).alias("sb2"),
+    )
+    ma = F.col("sa1").cast("double") / F.col("n1")
+    mb = F.col("sb1").cast("double") / F.col("n0")
+    va = (F.col("sa2").cast("double") / F.col("n1") - ma * ma) / (
+        F.col("n1") - 1
+    )
+    vb = (F.col("sb2").cast("double") / F.col("n0") - mb * mb) / (
+        F.col("n0") - 1
+    )
+
+    def rq(x, p):
+        return F.floor(x * F.lit(p) + F.lit(0.5)) / F.lit(p)
+
+    return w.select(
+        F.col("n1").alias("n_en"),
+        F.col("n0").alias("n_other"),
+        rq(ma, 10000).alias("mean_en"),
+        rq(mb, 10000).alias("mean_other"),
+        rq((ma - mb) / F.sqrt(va + vb), 1000000).alias("t_stat"),
+        rq(
+            (va + vb)
+            * (va + vb)
+            / (
+                va * va / (F.col("n1") - 1)
+                + vb * vb / (F.col("n0") - 1)
+            ),
+            10000,
+        ).alias("welch_df"),
+    )

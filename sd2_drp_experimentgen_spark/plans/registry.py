@@ -321,6 +321,7 @@ _NEW_THIS_ROUND: frozenset[str] = frozenset(
         "q_ml_ks_statistic",
         "q_ml_lift_gains",
         "q_stat_spearman",
+        "q_stat_welch_ttest",
     }
 )
 
