@@ -93,6 +93,16 @@ REPORT = [
     ("q_graph_common_neighbors", "distinct-edge self-join; KB degree tables broadcast twice"),
     ("q_ml_calibration_bins", "broadcast [min,max] extent; exact integer-div binning in one 10-group rollup"),
     ("q_dq_benford", "9-group digit rollup + 1-row total broadcast; chi2 from literals, no engine log10"),
+    ("q_emb_silhouette", "10-row centroid table broadcast; distance folds inside the row — vectors never shuffle"),
+    ("q_emb_outlier_distance", "exact-int distance ranking; WindowGroupLimit prunes to 5 per label"),
+    ("q_ml_gini_stump", "all thresholds scored from one histogram window; TakeOrdered(1) argmin"),
+    ("q_ml_pr_curve_points", "descending prefix window over the histogram; |scores| output rows"),
+    ("q_ml_ks_statistic", "exact integer cross-product argmax; TakeOrdered(1) over the bounded histogram"),
+    ("q_ml_lift_gains", "integer-div decile assignment; 10-group rollup over the prefix-summed histogram"),
+    ("q_stat_spearman", "hourly rollup then integer doubled-ranks; moments over |hours| rows"),
+    ("q_stat_welch_ttest", "one-pass moment sums; 1-row conditional pivot, no join"),
+    ("q_etl_incremental_auc", "delta histogram folds via one full-outer coalesce-sum join; no history re-scan"),
+    ("q_stream_eval_auc", "stateful complete-mode histogram on a live stream; batch epilogue finalizes AUC"),
 ]
 
 
