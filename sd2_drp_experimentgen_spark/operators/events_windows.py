@@ -1202,3 +1202,85 @@ def q_ts_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
             "lag_h", "n_pairs", "sx", "sy", "sxx", "syy", "sxy", "acf"
         )
     )
+
+
+@register(
+    "q_ts_stl_residuals",
+    oracle="""
+    WITH hr AS (
+      SELECT date_trunc('hour', ts) AS slot,
+             CAST(count(*) AS BIGINT) AS n_h
+      FROM events GROUP BY 1
+    ),
+    keyed AS (
+      SELECT slot, n_h,
+             EXTRACT(hour FROM slot) AS hod,
+             (EXTRACT(isodow FROM slot) - 1) >= 5 AS is_weekend
+      FROM hr
+    ),
+    cell AS (
+      SELECT hod, is_weekend,
+             CAST(sum(n_h) AS BIGINT) AS cell_total,
+             CAST(count(*) AS BIGINT) AS cell_slots
+      FROM keyed GROUP BY hod, is_weekend
+    )
+    SELECT k.slot AS slot_hour,
+           CAST(k.hod AS BIGINT) AS hod,
+           k.is_weekend,
+           k.n_h,
+           c.cell_total, c.cell_slots,
+           CAST(k.n_h * 1000000 * c.cell_slots // c.cell_total
+                AS BIGINT) AS residual_ppm
+    FROM keyed k
+    JOIN cell c ON c.hod = k.hod AND c.is_weekend = k.is_weekend
+    ORDER BY abs(k.n_h * 1000000 * c.cell_slots // c.cell_total
+                 - 1000000) DESC, k.slot
+    LIMIT 5
+    """,
+    tier="P1",
+    doc="Deseasonalized anomaly scan — the residual step of the "
+    "STL-lite decomposition q_ts_seasonality_profile opens: each "
+    "hour slot's event count is divided by its calendar cell's "
+    "(hour-of-day x weekend) expected count, and the top-5 most "
+    "anomalous slots by |residual - 1| are reported — the 'this "
+    "hour was 3x its normal self' alert that a raw z-score misses "
+    "when the baseline itself is periodic. Determinism recipe: the "
+    "residual is the EXACT integer n_h*1e6*cell_slots div "
+    "cell_total (Spark div == DuckDB //), so ranking and "
+    "tie-breaking (slot asc) never touch a float. Plan: one "
+    "map-side hourly rollup over raw events, a 48-cell broadcast "
+    "join, TakeOrdered(5) — raw events are touched once.",
+)
+def q_ts_stl_residuals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_events(spark, sf_dir)
+    hr = ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("slot")).agg(
+        F.count(F.lit(1)).alias("n_h")
+    )
+    keyed = hr.select(
+        "slot",
+        "n_h",
+        F.hour("slot").cast("long").alias("hod"),
+        (F.weekday("slot") >= 5).alias("is_weekend"),
+    )
+    cell = keyed.groupBy("hod", "is_weekend").agg(
+        F.sum("n_h").alias("cell_total"),
+        F.count(F.lit(1)).alias("cell_slots"),
+    )
+    j = keyed.join(F.broadcast(cell), ["hod", "is_weekend"])
+    residual = F.expr("n_h * 1000000 * cell_slots div cell_total")
+    return (
+        j.select(
+            F.col("slot").alias("slot_hour"),
+            "hod",
+            "is_weekend",
+            "n_h",
+            "cell_total",
+            "cell_slots",
+            residual.cast("long").alias("residual_ppm"),
+        )
+        .orderBy(
+            F.abs(F.col("residual_ppm") - F.lit(1000000)).desc(),
+            F.asc("slot_hour"),
+        )
+        .limit(5)
+    )

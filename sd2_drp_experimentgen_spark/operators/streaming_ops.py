@@ -814,3 +814,109 @@ def q_stream_eval_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.lit(1000000)
         ).alias("auc"),
     )
+
+
+@register(
+    "q_stream_drift_monitor",
+    oracle="""
+    WITH u AS (
+      SELECT event_type,
+             CASE WHEN event_id % 2 = 0 THEN 0 ELSE 1 END AS period
+      FROM events
+    ),
+    cell AS (
+      SELECT event_type,
+             CAST(sum(CASE WHEN period = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_ref,
+             CAST(sum(CASE WHEN period = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_cur
+      FROM u GROUP BY event_type
+    ),
+    tot AS (
+      SELECT CAST(sum(n_ref) AS BIGINT) AS t_ref,
+             CAST(sum(n_cur) AS BIGINT) AS t_cur
+      FROM cell
+    )
+    SELECT event_type, n_ref, n_cur,
+           floor(((CAST(n_ref AS DOUBLE)
+                   - CAST((n_ref + n_cur) * t_ref AS DOUBLE)
+                     / (t_ref + t_cur))
+                  * (CAST(n_ref AS DOUBLE)
+                     - CAST((n_ref + n_cur) * t_ref AS DOUBLE)
+                       / (t_ref + t_cur))
+                  / (CAST((n_ref + n_cur) * t_ref AS DOUBLE)
+                     / (t_ref + t_cur))
+                  + (CAST(n_cur AS DOUBLE)
+                     - CAST((n_ref + n_cur) * t_cur AS DOUBLE)
+                       / (t_ref + t_cur))
+                    * (CAST(n_cur AS DOUBLE)
+                       - CAST((n_ref + n_cur) * t_cur AS DOUBLE)
+                         / (t_ref + t_cur))
+                    / (CAST((n_ref + n_cur) * t_cur AS DOUBLE)
+                       / (t_ref + t_cur)))
+                 * 1000000 + 0.5) / 1000000 AS chi2_term
+    FROM cell CROSS JOIN tot
+    ORDER BY event_type
+    """,
+    tier="P1",
+    doc="LIVE streaming drift monitor — q_dq_drift_chisq run as a "
+    "standing query: a real Structured Streaming run (readStream "
+    "over the events parquet, AvailableNow, memory sink) maintains "
+    "the 2xK contingency cells (event-type counts split into "
+    "reference/current cohorts by event_id parity — a deterministic "
+    "cohort tag, unlike a wall-clock split which would make the "
+    "oracle time-dependent) as a complete-mode stateful aggregate; "
+    "the chi-square homogeneity finalization runs as a batch "
+    "epilogue over the K-row sink table, exactly how an alerting "
+    "dashboard reads drift state. Counts are exact int64 and "
+    "arrival-order-independent, so the live execution hash-checks "
+    "against plain SQL. State is K rows however many events "
+    "arrive — the standing-query twin of the batch drift test.",
+)
+def q_stream_drift_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev_dir = _events_dir(sf_dir)
+    s = jobs._stream_session(spark)
+    raw = jobs.stream_events(s, ev_dir)
+    cell = (
+        raw.select(
+            "event_type",
+            F.when(F.col("event_id") % 2 == 0, 0).otherwise(1)
+            .alias("period"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.sum(F.when(F.col("period") == 0, 1).otherwise(0))
+            .cast("long")
+            .alias("n_ref"),
+            F.sum(F.when(F.col("period") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_cur"),
+        )
+    )
+    cells = jobs.run_to_memory(cell, "complete")
+    tot = cells.agg(
+        F.sum("n_ref").alias("t_ref"), F.sum("n_cur").alias("t_cur")
+    )
+    row = F.col("n_ref") + F.col("n_cur")
+    g = F.col("t_ref") + F.col("t_cur")
+    exp_ref = (row * F.col("t_ref")).cast("double") / g
+    exp_cur = (row * F.col("t_cur")).cast("double") / g
+    d_ref = F.col("n_ref").cast("double") - exp_ref
+    d_cur = F.col("n_cur").cast("double") - exp_cur
+    return (
+        cells.crossJoin(F.broadcast(tot))
+        .select(
+            "event_type",
+            "n_ref",
+            "n_cur",
+            (
+                F.floor(
+                    (d_ref * d_ref / exp_ref + d_cur * d_cur / exp_cur)
+                    * F.lit(1000000)
+                    + F.lit(0.5)
+                )
+                / F.lit(1000000)
+            ).alias("chi2_term"),
+        )
+        .orderBy("event_type")
+    )

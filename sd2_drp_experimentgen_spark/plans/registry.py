@@ -322,6 +322,8 @@ _NEW_THIS_ROUND: frozenset[str] = frozenset(
         "q_ml_lift_gains",
         "q_stat_spearman",
         "q_stat_welch_ttest",
+        "q_ts_stl_residuals",
+        "q_stream_drift_monitor",
     }
 )
 
