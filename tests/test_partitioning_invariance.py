@@ -47,6 +47,10 @@ SENSITIVE = [
     "q_ts_autocorrelation",   # gap-fill grid + integer lag join, float
                               # sqrt chain from int sums
     "q_graph_common_neighbors",  # distinct-edge self-join fan-out
+    "q_emb_silhouette",       # exact-int centroid distances + per-row
+                              # sqrt chain quantized before the rollup
+    "q_stat_spearman",        # doubled-rank windows over the hourly
+                              # rollup, float only in the final chain
 ]
 
 
