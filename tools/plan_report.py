@@ -103,6 +103,8 @@ REPORT = [
     ("q_stat_welch_ttest", "one-pass moment sums; 1-row conditional pivot, no join"),
     ("q_etl_incremental_auc", "delta histogram folds via one full-outer coalesce-sum join; no history re-scan"),
     ("q_stream_eval_auc", "stateful complete-mode histogram on a live stream; batch epilogue finalizes AUC"),
+    ("q_ts_stl_residuals", "hourly rollup + 48-cell broadcast; exact-int residual ranking, TakeOrdered(5)"),
+    ("q_sql_unpivot_clause", "native UNPIVOT plans as Expand feeding a map-side partial aggregate"),
 ]
 
 
