@@ -650,3 +650,199 @@ def q_dedup_source_precedence(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("kept_source", F.col("source").alias("dropped_source"))
         .agg(F.count(F.lit(1)).alias("n_dropped"))
     )
+
+
+@register(
+    "q_corpus_overlap_matrix",
+    oracle="""
+    WITH sh AS (
+      SELECT DISTINCT source,
+             md5(string_split(text, ' ')[i] || ' '
+                 || string_split(text, ' ')[i + 1] || ' '
+                 || string_split(text, ' ')[i + 2] || ' '
+                 || string_split(text, ' ')[i + 3] || ' '
+                 || string_split(text, ' ')[i + 4]) AS h
+      FROM documents,
+           unnest(generate_series(1,
+                  len(string_split(text, ' ')) - 4)) AS t(i)
+      WHERE len(string_split(text, ' ')) >= 5
+    ),
+    tot AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n_shingles
+      FROM sh GROUP BY source
+    ),
+    p AS (
+      SELECT a.source AS src_a, b.source AS src_b,
+             CAST(count(*) AS BIGINT) AS shared
+      FROM sh a JOIN sh b
+        ON a.h = b.h AND a.source < b.source
+      GROUP BY 1, 2
+    )
+    SELECT src_a, src_b, shared,
+           ta.n_shingles AS n_a, tb.n_shingles AS n_b,
+           floor(CAST(shared AS DOUBLE)
+                 / least(ta.n_shingles, tb.n_shingles)
+                 * 1000000 + 0.5) / 1000000 AS overlap_coef
+    FROM p
+    JOIN tot ta ON ta.source = p.src_a
+    JOIN tot tb ON tb.source = p.src_b
+    ORDER BY src_a, src_b
+    """,
+    tier="P1",
+    doc="Cross-source contamination matrix — for every pair of corpus "
+    "sources, the count of shared distinct 5-token shingle hashes "
+    "and the overlap coefficient shared/min(|A|,|B|): the "
+    "corpus-governance rollup ('how much of source X is already in "
+    "source Y?') that decides source precedence and dedup budgets "
+    "BEFORE any per-document pass (q_dedup_source_precedence then "
+    "acts per document; q_decontaminate_ngrams is the train/test "
+    "special case). Per-source DISTINCT collapses each shingle to "
+    "one row before the self-join, so the join carries 16-byte "
+    "hashes with fan-out bounded by |sources| per hash; output is "
+    "|sources| choose 2. Exact int64 counts; one IEEE divide.",
+)
+def q_corpus_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.helpers import r6
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "source", F.split("text", " ").alias("w")
+    ).where(F.size("w") >= 5)
+    sh = (
+        toks.select(
+            "source",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(w) - 5), "
+                    "i -> md5(concat_ws(' ', w[i], w[i+1], w[i+2], "
+                    "w[i+3], w[i+4])))"
+                )
+            ).alias("h"),
+        )
+        .distinct()
+    )
+    tot = sh.groupBy("source").agg(F.count(F.lit(1)).alias("n_shingles"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    p = (
+        a.join(
+            b,
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("src_a"),
+            F.col("b.source").alias("src_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    ta = F.broadcast(tot.select(F.col("source").alias("src_a"),
+                                F.col("n_shingles").alias("n_a")))
+    tb = F.broadcast(tot.select(F.col("source").alias("src_b"),
+                                F.col("n_shingles").alias("n_b")))
+    return (
+        p.join(ta, "src_a")
+        .join(tb, "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            "shared",
+            "n_a",
+            "n_b",
+            r6(
+                F.col("shared").cast("double")
+                / F.least("n_a", "n_b")
+            ).alias("overlap_coef"),
+        )
+        .orderBy("src_a", "src_b")
+    )
+
+
+@register(
+    "q_text_vocab_growth",
+    oracle="""
+    WITH mx AS (
+      SELECT CAST(max(doc_id) AS BIGINT) AS max_id FROM documents
+    ),
+    first_seen AS (
+      SELECT token, CAST(min(doc_id) AS BIGINT) AS fs
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+            FROM documents)
+      GROUP BY token
+    ),
+    newv AS (
+      SELECT fs * 10 // (max_id + 1) AS decile,
+             CAST(count(*) AS BIGINT) AS new_tokens
+      FROM first_seen CROSS JOIN mx
+      GROUP BY 1
+    ),
+    docs AS (
+      SELECT doc_id * 10 // (max_id + 1) AS decile,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n_chars) AS BIGINT) AS sum_chars
+      FROM documents CROSS JOIN mx
+      GROUP BY 1
+    )
+    SELECT CAST(d.decile AS BIGINT) AS decile,
+           d.n_docs,
+           CAST(sum(d.n_docs) OVER w AS BIGINT) AS cum_docs,
+           COALESCE(v.new_tokens, 0) AS new_tokens,
+           CAST(sum(COALESCE(v.new_tokens, 0)) OVER w AS BIGINT)
+             AS cum_vocab
+    FROM docs d LEFT JOIN newv v ON v.decile = d.decile
+    WINDOW w AS (ORDER BY d.decile ROWS BETWEEN UNBOUNDED PRECEDING
+                 AND CURRENT ROW)
+    ORDER BY decile
+    """,
+    tier="P1",
+    doc="Vocabulary growth curve (Heaps' law) — cumulative distinct "
+    "vocabulary as the corpus grows through 10 id-space deciles, "
+    "the corpus-health curve that says whether more data still "
+    "buys new types (tokenizer coverage planning, dedup sanity: a "
+    "flat tail on a 'growing' corpus means the new data is "
+    "copies). Computed WITHOUT re-scanning any prefix: each "
+    "token's FIRST-SEEN doc id (a min aggregate) assigns it to "
+    "the decile where it enters the vocabulary, and the cumulative "
+    "curve is a prefix sum over the 10-row rollup — one tokenize "
+    "pass total, versus the naive 10 passes with growing DISTINCT "
+    "scopes. Decile ids via exact integer div of the id space "
+    "(Spark div == DuckDB //). Exact int64 everywhere; no floats "
+    "at all.",
+)
+def q_text_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    mx = d.agg(F.max("doc_id").cast("long").alias("max_id"))
+    first_seen = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.min("doc_id").cast("long").alias("fs"))
+    )
+    newv = (
+        first_seen.crossJoin(F.broadcast(mx))
+        .groupBy(F.expr("fs * 10 div (max_id + 1)").alias("decile"))
+        .agg(F.count(F.lit(1)).alias("new_tokens"))
+    )
+    docs = (
+        d.crossJoin(F.broadcast(mx))
+        .groupBy(F.expr("doc_id * 10 div (max_id + 1)").alias("decile"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+    )
+    w = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        docs.join(newv, "decile", "left")
+        .select(
+            F.col("decile").cast("long").alias("decile"),
+            "n_docs",
+            F.sum("n_docs").over(w).alias("cum_docs"),
+            F.coalesce("new_tokens", F.lit(0)).alias("new_tokens"),
+            F.sum(F.coalesce("new_tokens", F.lit(0)))
+            .over(w)
+            .alias("cum_vocab"),
+        )
+        .orderBy("decile")
+    )

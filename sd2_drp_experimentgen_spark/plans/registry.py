@@ -324,6 +324,8 @@ _NEW_THIS_ROUND: frozenset[str] = frozenset(
         "q_stat_welch_ttest",
         "q_ts_stl_residuals",
         "q_stream_drift_monitor",
+        "q_corpus_overlap_matrix",
+        "q_text_vocab_growth",
     }
 )
 
