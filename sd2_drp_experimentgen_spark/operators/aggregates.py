@@ -2962,3 +2962,88 @@ def q_stat_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
             10000,
         ).alias("welch_df"),
     )
+
+
+@register(
+    "q_ml_auc_by_group",
+    oracle="""
+    WITH u AS (
+      SELECT source AS grp, n_chars AS score,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+      FROM documents
+    ),
+    h AS (
+      SELECT grp, score,
+             CAST(sum(pos) AS BIGINT) AS pos_s,
+             CAST(count(*) - sum(pos) AS BIGINT) AS neg_s
+      FROM u GROUP BY grp, score
+    ),
+    c AS (
+      SELECT grp, pos_s, neg_s,
+             CAST(sum(neg_s) OVER (PARTITION BY grp ORDER BY score
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND CURRENT ROW) - neg_s AS BIGINT)
+               AS nb
+      FROM h
+    )
+    SELECT grp,
+           CAST(sum(pos_s) AS BIGINT) AS n_pos,
+           CAST(sum(neg_s) AS BIGINT) AS n_neg,
+           CAST(sum(pos_s * (2 * nb + neg_s)) AS BIGINT) AS u2,
+           floor(CAST(sum(pos_s * (2 * nb + neg_s)) AS DOUBLE)
+                 / (2.0 * sum(pos_s) * sum(neg_s)) * 1000000 + 0.5)
+             / 1000000 AS auc
+    FROM c GROUP BY grp ORDER BY grp
+    """,
+    tier="P1",
+    doc="Sliced (per-segment) AUC — the fairness/cohort eval every "
+    "model report needs beside the global number: the exact "
+    "Mann-Whitney histogram construction of q_ml_auc_rank computed "
+    "per source group in ONE pass, with the prefix window "
+    "PARTITIONED by group (so unlike the global AUC there is no "
+    "single-partition window at all — each group's histogram sorts "
+    "independently, the fully parallel shape). A segment whose AUC "
+    "collapses while the global holds is the classic hidden-"
+    "regression signature. Exact int64 2U per group; one divide "
+    "per output row.",
+)
+def q_ml_auc_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    u = d.select(
+        F.col("source").alias("grp"),
+        F.col("n_chars").cast("long").alias("score"),
+        F.when(F.col("lang") == "en", 1).otherwise(0).cast("long")
+        .alias("pos"),
+    )
+    h = u.groupBy("grp", "score").agg(
+        F.sum("pos").alias("pos_s"),
+        (F.count(F.lit(1)) - F.sum("pos")).alias("neg_s"),
+    )
+    w = (
+        Window.partitionBy("grp")
+        .orderBy("score")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    c = h.withColumn("nb", F.sum("neg_s").over(w) - F.col("neg_s"))
+    u2 = F.sum(F.col("pos_s") * (F.lit(2) * F.col("nb") + F.col("neg_s")))
+    n_pos, n_neg = F.sum("pos_s"), F.sum("neg_s")
+    return (
+        c.groupBy("grp")
+        .agg(
+            n_pos.alias("n_pos"),
+            n_neg.alias("n_neg"),
+            u2.alias("u2"),
+            (
+                F.floor(
+                    u2.cast("double")
+                    / (F.lit(2.0) * n_pos * n_neg)
+                    * F.lit(1000000)
+                    + F.lit(0.5)
+                )
+                / F.lit(1000000)
+            ).alias("auc"),
+        )
+        .orderBy("grp")
+    )

@@ -846,3 +846,102 @@ def q_text_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("decile")
     )
+
+
+@register(
+    "q_corpus_novelty_curve",
+    oracle="""
+    WITH mx AS (
+      SELECT CAST(max(doc_id) AS BIGINT) AS max_id FROM documents
+    ),
+    sh AS (
+      SELECT doc_id,
+             md5(string_split(text, ' ')[i] || ' '
+                 || string_split(text, ' ')[i + 1] || ' '
+                 || string_split(text, ' ')[i + 2] || ' '
+                 || string_split(text, ' ')[i + 3] || ' '
+                 || string_split(text, ' ')[i + 4]) AS h
+      FROM documents,
+           unnest(generate_series(1,
+                  len(string_split(text, ' ')) - 4)) AS t(i)
+      WHERE len(string_split(text, ' ')) >= 5
+    ),
+    first_seen AS (
+      SELECT h, CAST(min(doc_id) AS BIGINT) AS fs
+      FROM sh GROUP BY h
+    ),
+    per_dec AS (
+      SELECT sh.doc_id * 10 // (max_id + 1) AS decile,
+             count(*) AS n_shingles,
+             CAST(sum(CASE WHEN f.fs = sh.doc_id
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_first
+      FROM sh JOIN first_seen f ON f.h = sh.h
+      CROSS JOIN mx
+      GROUP BY 1
+    )
+    SELECT CAST(decile AS BIGINT) AS decile,
+           CAST(n_shingles AS BIGINT) AS n_shingles,
+           n_first AS n_novel,
+           CAST(floor(CAST(n_first AS DOUBLE) / n_shingles
+                      * 1000000 + 0.5) AS BIGINT) AS novelty_ppm
+    FROM per_dec ORDER BY decile
+    """,
+    tier="P1",
+    doc="Marginal novelty curve — per id-space decile, the share of "
+    "its 5-token shingle OCCURRENCES whose first appearance in the "
+    "whole corpus is in that very document ('is new data still new, "
+    "or are we re-ingesting?'): the decision input for stopping "
+    "collection or raising dedup aggressiveness, and the "
+    "shingle-level companion of q_text_vocab_growth's type-level "
+    "curve. A shingle occurrence counts as novel iff its corpus-"
+    "wide min(doc_id) equals its own doc — one min-aggregate + one "
+    "equi-join on the 16-byte hash, never a prefix re-scan per "
+    "decile. Exact int64 counts; the ppm share is one exact-int "
+    "divide per output row (10 rows at any corpus size).",
+)
+def q_corpus_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    mx = d.agg(F.max("doc_id").cast("long").alias("max_id"))
+    sh = (
+        d.select("doc_id", F.split("text", " ").alias("w"))
+        .where(F.size("w") >= 5)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(w) - 5), "
+                    "i -> md5(concat_ws(' ', w[i], w[i+1], w[i+2], "
+                    "w[i+3], w[i+4])))"
+                )
+            ).alias("h"),
+        )
+    )
+    first_seen = sh.groupBy("h").agg(
+        F.min("doc_id").cast("long").alias("fs")
+    )
+    per_dec = (
+        sh.join(first_seen, "h")
+        .crossJoin(F.broadcast(mx))
+        .groupBy(F.expr("doc_id * 10 div (max_id + 1)").alias("decile"))
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(
+                F.when(F.col("fs") == F.col("doc_id"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_novel"),
+        )
+    )
+    return per_dec.select(
+        F.col("decile").cast("long").alias("decile"),
+        "n_shingles",
+        "n_novel",
+        F.floor(
+            F.col("n_novel").cast("double")
+            / F.col("n_shingles")
+            * F.lit(1000000)
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("novelty_ppm"),
+    ).orderBy("decile")

@@ -326,6 +326,8 @@ _NEW_THIS_ROUND: frozenset[str] = frozenset(
         "q_stream_drift_monitor",
         "q_corpus_overlap_matrix",
         "q_text_vocab_growth",
+        "q_ml_auc_by_group",
+        "q_corpus_novelty_curve",
     }
 )
 
