@@ -688,3 +688,30 @@ def test_pr_curve_window_runs_on_histogram(spark):
              "simple")
     assert "SinglePartition" in p, p
     assert p.index("SinglePartition") < p.index("keys=[score"), p
+
+
+def test_sliced_auc_has_no_single_partition_window(spark):
+    """q_ml_auc_by_group partitions the prefix window by group — the
+    plan must contain NO SinglePartition exchange anywhere (the
+    global AUC's one bottleneck disappears in the sliced form)."""
+    p = plan(all_specs()["q_ml_auc_by_group"].fn(spark, SF_T2), "simple")
+    assert "Window" in p, p
+    assert "SinglePartition" not in p, p
+
+
+def test_overlap_matrix_joins_on_hash_only(spark):
+    """The source-pair self-join must carry (source, h) rows — text
+    must not survive past the shingle projection."""
+    p = plan(all_specs()["q_corpus_overlap_matrix"].fn(spark, SF_T2))
+    read_schema = [l for l in p.splitlines() if "ReadSchema" in l]
+    assert read_schema, p
+    # documents scan reads source+text only (shingles derived in-plan)
+    assert any("text" in l for l in read_schema), p
+    assert not any("n_chars" in l or "doc_id" in l for l in read_schema), p
+
+
+def test_vocab_growth_single_tokenize(spark):
+    """One Generate (explode) only: the Heaps curve must not re-scan
+    or re-tokenize per decile."""
+    p = plan(all_specs()["q_text_vocab_growth"].fn(spark, SF_T2), "simple")
+    assert p.count("Generate explode") == 1, p
