@@ -105,6 +105,10 @@ REPORT = [
     ("q_stream_eval_auc", "stateful complete-mode histogram on a live stream; batch epilogue finalizes AUC"),
     ("q_ts_stl_residuals", "hourly rollup + 48-cell broadcast; exact-int residual ranking, TakeOrdered(5)"),
     ("q_sql_unpivot_clause", "native UNPIVOT plans as Expand feeding a map-side partial aggregate"),
+    ("q_ml_auc_by_group", "group-partitioned prefix window — zero SinglePartition exchanges"),
+    ("q_corpus_overlap_matrix", "per-source DISTINCT shingles; self-join carries 16-byte hashes"),
+    ("q_text_vocab_growth", "single tokenize explode; first-seen min-agg + 10-row prefix rollup"),
+    ("q_stream_drift_monitor", "live 2xK contingency state; chi2 epilogue over the K-row sink"),
 ]
 
 
