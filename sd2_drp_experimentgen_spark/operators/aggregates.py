@@ -3047,3 +3047,163 @@ def q_ml_auc_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("grp")
     )
+
+
+@register(
+    "q_ml_cost_threshold",
+    oracle="""
+    WITH u AS (
+      SELECT n_chars AS score,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+      FROM documents
+    ),
+    h AS (
+      SELECT score, CAST(sum(pos) AS BIGINT) AS pos_s,
+             CAST(count(*) - sum(pos) AS BIGINT) AS neg_s
+      FROM u GROUP BY score
+    ),
+    c AS (
+      SELECT score,
+             CAST(sum(pos_s) OVER w AS BIGINT) AS pge,
+             CAST(sum(neg_s) OVER w AS BIGINT) AS nge
+      FROM h
+      WINDOW w AS (ORDER BY score DESC ROWS BETWEEN UNBOUNDED
+                   PRECEDING AND CURRENT ROW)
+    ),
+    tot AS (SELECT CAST(sum(pos_s) AS BIGINT) AS p FROM h)
+    SELECT CAST(score AS BIGINT) AS threshold,
+           nge AS fp, CAST(p - pge AS BIGINT) AS fn,
+           CAST(1 * nge + 5 * (p - pge) AS BIGINT) AS total_cost
+    FROM c CROSS JOIN tot
+    ORDER BY 1 * nge + 5 * (p - pge), score
+    LIMIT 1
+    """,
+    tier="P1",
+    doc="Cost-optimal operating point — argmin over thresholds of the "
+    "asymmetric misclassification cost 1*FP + 5*FN (the fraud/"
+    "moderation setting where a miss costs 5x a false alarm), "
+    "chosen from the same descending-prefix histogram as the PR "
+    "curve: every candidate's FP/FN are exact int64, so the cost "
+    "is an exact integer and the argmin is a pure integer ordering "
+    "with threshold tiebreak — the whole sweep never touches a "
+    "float. One groupBy at |distinct scores| + one bounded window "
+    "+ TakeOrdered(1); the cost weights are part of the operator "
+    "contract like the scaler's unit scales.",
+)
+def q_ml_cost_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    u = d.select(
+        F.col("n_chars").cast("long").alias("score"),
+        F.when(F.col("lang") == "en", 1).otherwise(0).cast("long")
+        .alias("pos"),
+    )
+    h = u.groupBy("score").agg(
+        F.sum("pos").alias("pos_s"),
+        (F.count(F.lit(1)) - F.sum("pos")).alias("neg_s"),
+    )
+    w = Window.orderBy(F.desc("score")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    c = h.select(
+        "score",
+        F.sum("pos_s").over(w).alias("pge"),
+        F.sum("neg_s").over(w).alias("nge"),
+    )
+    tot = h.agg(F.sum("pos_s").alias("p"))
+    cost = F.lit(1) * F.col("nge") + F.lit(5) * (F.col("p") - F.col("pge"))
+    return (
+        c.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("score").alias("threshold"),
+            F.col("nge").alias("fp"),
+            (F.col("p") - F.col("pge")).alias("fn"),
+            cost.alias("total_cost"),
+        )
+        .orderBy(F.asc("total_cost"), F.asc("threshold"))
+        .limit(1)
+    )
+
+
+@register(
+    "q_ml_mcnemar",
+    oracle="""
+    WITH u AS (
+      SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+             CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END AS pa,
+             CASE WHEN len(string_split(text, ' ')) >= 55 THEN 1
+                  ELSE 0 END AS pb
+      FROM documents
+    )
+    SELECT CAST(sum(CASE WHEN pa = y AND pb = y THEN 1 ELSE 0 END)
+                AS BIGINT) AS both_right,
+           CAST(sum(CASE WHEN pa = y AND pb <> y THEN 1 ELSE 0 END)
+                AS BIGINT) AS only_a,
+           CAST(sum(CASE WHEN pa <> y AND pb = y THEN 1 ELSE 0 END)
+                AS BIGINT) AS only_b,
+           CAST(sum(CASE WHEN pa <> y AND pb <> y THEN 1 ELSE 0 END)
+                AS BIGINT) AS both_wrong,
+           floor((CAST(sum(CASE WHEN pa = y AND pb <> y THEN 1 ELSE 0
+                           END)
+                       - sum(CASE WHEN pa <> y AND pb = y THEN 1 ELSE 0
+                             END) AS DOUBLE))
+                 * (CAST(sum(CASE WHEN pa = y AND pb <> y THEN 1 ELSE 0
+                             END)
+                         - sum(CASE WHEN pa <> y AND pb = y THEN 1
+                               ELSE 0 END) AS DOUBLE))
+                 / (sum(CASE WHEN pa = y AND pb <> y THEN 1 ELSE 0 END)
+                    + sum(CASE WHEN pa <> y AND pb = y THEN 1 ELSE 0
+                          END))
+                 * 1000000 + 0.5) / 1000000 AS mcnemar_chi2
+    FROM u
+    """,
+    tier="P1",
+    doc="McNemar's paired-classifier test — 'is classifier A (char "
+    "threshold) actually better than classifier B (token-count "
+    "threshold) on the SAME examples?': the 2x2 agreement matrix "
+    "(both right / only A / only B / both wrong) and the McNemar "
+    "chi-square (b-c)^2/(b+c) over the discordant cells — the "
+    "correct paired test where two independent accuracy numbers "
+    "mislead. ONE indicator pass builds all four cells as exact "
+    "int64 sums; the statistic is a single IEEE chain. Constant "
+    "output at any scale; the eval-harness companion to the "
+    "per-classifier metrics (q_ml_confusion_threshold).",
+)
+def q_ml_mcnemar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    u = d.select(
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"),
+        F.when(F.col("n_chars") >= 300, 1).otherwise(0).alias("pa"),
+        F.when(F.size(F.split("text", " ")) >= 55, 1).otherwise(0)
+        .alias("pb"),
+    )
+    both_right = F.sum(
+        F.when((F.col("pa") == F.col("y")) & (F.col("pb") == F.col("y")), 1)
+        .otherwise(0)
+    ).cast("long")
+    only_a = F.sum(
+        F.when((F.col("pa") == F.col("y")) & (F.col("pb") != F.col("y")), 1)
+        .otherwise(0)
+    ).cast("long")
+    only_b = F.sum(
+        F.when((F.col("pa") != F.col("y")) & (F.col("pb") == F.col("y")), 1)
+        .otherwise(0)
+    ).cast("long")
+    both_wrong = F.sum(
+        F.when((F.col("pa") != F.col("y")) & (F.col("pb") != F.col("y")), 1)
+        .otherwise(0)
+    ).cast("long")
+    diff = only_a.cast("double") - only_b.cast("double")
+    return u.agg(
+        both_right.alias("both_right"),
+        only_a.alias("only_a"),
+        only_b.alias("only_b"),
+        both_wrong.alias("both_wrong"),
+        (
+            F.floor(
+                diff * diff / (only_a + only_b) * F.lit(1000000) + F.lit(0.5)
+            )
+            / F.lit(1000000)
+        ).alias("mcnemar_chi2"),
+    )

@@ -328,6 +328,8 @@ _NEW_THIS_ROUND: frozenset[str] = frozenset(
         "q_text_vocab_growth",
         "q_ml_auc_by_group",
         "q_corpus_novelty_curve",
+        "q_ml_cost_threshold",
+        "q_ml_mcnemar",
     }
 )
 
