@@ -2056,3 +2056,151 @@ def q_emb_outlier_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label", "rnk")
     )
+
+
+# DCG@10 weights floor(1e6/log2(i+1)+0.5) and their prefix sums, baked
+# as integer literals so ranking quality is exact-int on both engines
+# (never an engine log2).
+NDCG_W_PPM = [1000000, 630930, 500000, 430677, 386853,
+              356207, 333333, 315465, 301030, 289065]
+NDCG_CUMW_PPM = [1000000, 1630930, 2130930, 2561607, 2948460,
+                 3304667, 3638000, 3953465, 4254495, 4543560]
+
+
+@register(
+    "q_emb_ndcg_at10",
+    oracle=f"""
+    WITH q8 AS (
+      SELECT vec_id, label, {_sql_q_vec()} AS q
+      FROM (
+        SELECT vec_id, label, embedding,
+               list_max(list_transform(embedding,
+                 x -> abs(CAST(x AS DOUBLE)))) AS scale
+        FROM embeddings
+      )
+    ),
+    qry AS (SELECT * FROM q8 WHERE vec_id % 100 = 0),
+    pairs AS (
+      SELECT a.vec_id AS qid, a.label AS qlabel,
+             b.vec_id AS nid, b.label AS nlabel,
+             CAST(list_sum(list_transform(generate_series(1, {EMB_DIM}),
+                  i -> a.q[i] * b.q[i])) AS BIGINT) AS dot
+      FROM qry a JOIN q8 b ON b.vec_id <> a.vec_id
+    ),
+    ranked AS (
+      SELECT qid, qlabel, nlabel,
+             row_number() OVER (PARTITION BY qid
+                                ORDER BY dot DESC, nid) AS rnk
+      FROM pairs
+    ),
+    rtot AS (
+      SELECT qid,
+             CAST(sum(CASE WHEN nlabel = qlabel THEN 1 ELSE 0 END)
+                  AS BIGINT) AS r_total
+      FROM ranked GROUP BY qid
+    ),
+    dcg AS (
+      SELECT qid,
+             CAST(sum(CASE WHEN nlabel = qlabel
+                  THEN ([{", ".join(str(w) for w in NDCG_W_PPM)}]::BIGINT[])[rnk]
+                  ELSE 0 END) AS BIGINT) AS dcg_ppm,
+             CAST(sum(CASE WHEN nlabel = qlabel THEN 1 ELSE 0 END)
+                  AS BIGINT) AS hits10
+      FROM ranked WHERE rnk <= 10 GROUP BY qid
+    )
+    SELECT CAST(d.qid AS BIGINT) AS qid, r.r_total, d.hits10, d.dcg_ppm,
+           ([{", ".join(str(c) for c in NDCG_CUMW_PPM)}]::BIGINT[])
+             [least(r.r_total, 10)] AS idcg_ppm,
+           floor(CAST(d.dcg_ppm AS DOUBLE)
+                 / ([{", ".join(str(c) for c in NDCG_CUMW_PPM)}]::BIGINT[])
+                     [least(r.r_total, 10)]
+                 * 1000000 + 0.5) / 1000000 AS ndcg10
+    FROM dcg d JOIN rtot r ON r.qid = d.qid
+    ORDER BY qid
+    """,
+    tier="P1",
+    doc="NDCG@10 of the int8-ANN ranking — the ranking-quality metric "
+    "for the similarity stack: for each probe query (vec_id%100=0, "
+    "the sanctioned bounded query set), neighbors are ranked by the "
+    "EXACT INTEGER int8-quantized dot product (the ranking an int8 "
+    "ANN index actually serves, deterministic on both engines with "
+    "nid tiebreak), relevance = same label, and DCG/IDCG use "
+    "1/log2(i+1) weights BAKED as ppm integer literals (never an "
+    "engine log2) — so DCG, IDCG, and the argsort are all exact "
+    "int64, with one final divide per query. At 100 TB the probe "
+    "set stays fixed-size and the per-query candidate scan is the "
+    "ANN index's own retrieval path; this operator is the offline "
+    "quality gate run after each index build "
+    "(q_emb_quantize_int8 -> index -> this).",
+)
+def q_emb_ndcg_at10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "embeddings")
+    scale, q = _quant_cols()
+    q8 = e.select("vec_id", "label", q.alias("q"))
+    qry = q8.where(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("qid"),
+        F.col("label").alias("qlabel"),
+        F.col("q").alias("qq"),
+    )
+    pairs = (
+        q8.join(F.broadcast(qry), F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "qlabel",
+            F.col("vec_id").alias("nid"),
+            F.col("label").alias("nlabel"),
+            F.aggregate(
+                F.zip_with("qq", "q", lambda a, b: a * b),
+                F.lit(0).cast("long"),
+                lambda acc, v: acc + v,
+            ).alias("dot"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("dot"), F.asc("nid"))
+    ranked = pairs.withColumn("rnk", F.row_number().over(w))
+    rel = F.when(F.col("nlabel") == F.col("qlabel"), 1).otherwise(0)
+    warr = F.array(*[F.lit(x) for x in NDCG_W_PPM])
+    carr = F.array(*[F.lit(x) for x in NDCG_CUMW_PPM])
+    rtot = ranked.groupBy("qid").agg(
+        F.sum(rel).cast("long").alias("r_total")
+    )
+    dcg = (
+        ranked.where(F.col("rnk") <= 10)
+        .groupBy("qid")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("nlabel") == F.col("qlabel"),
+                    F.element_at(warr, F.col("rnk").cast("int")),
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("dcg_ppm"),
+            F.sum(rel).cast("long").alias("hits10"),
+        )
+    )
+    idcg = F.element_at(
+        carr, F.least(F.col("r_total"), F.lit(10)).cast("int")
+    )
+    return (
+        dcg.join(rtot, "qid")
+        .select(
+            F.col("qid").cast("long").alias("qid"),
+            "r_total",
+            "hits10",
+            "dcg_ppm",
+            idcg.alias("idcg_ppm"),
+            (
+                F.floor(
+                    F.col("dcg_ppm").cast("double")
+                    / idcg
+                    * F.lit(1000000)
+                    + F.lit(0.5)
+                )
+                / F.lit(1000000)
+            ).alias("ndcg10"),
+        )
+        .orderBy("qid")
+    )

@@ -330,6 +330,7 @@ _NEW_THIS_ROUND: frozenset[str] = frozenset(
         "q_corpus_novelty_curve",
         "q_ml_cost_threshold",
         "q_ml_mcnemar",
+        "q_emb_ndcg_at10",
     }
 )
 
