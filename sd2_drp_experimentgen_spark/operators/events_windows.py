@@ -1284,3 +1284,97 @@ def q_ts_stl_residuals(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .limit(5)
     )
+
+
+@register(
+    "q_win_bollinger_breakouts",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             CAST(sum(CAST(floor(o_totalprice + 0.5) AS BIGINT))
+                  AS BIGINT) AS dollars
+      FROM orders GROUP BY 1
+    ),
+    r AS (
+      SELECT day, dollars,
+             CAST(row_number() OVER w AS BIGINT) AS rn,
+             CAST(sum(dollars) OVER (w ROWS BETWEEN 6 PRECEDING
+                                     AND CURRENT ROW) AS BIGINT) AS s7,
+             CAST(sum(dollars * dollars) OVER (w ROWS BETWEEN
+                                               6 PRECEDING
+                                               AND CURRENT ROW)
+                  AS BIGINT) AS q7
+      FROM d
+      WINDOW w AS (ORDER BY day)
+    ),
+    b AS (
+      SELECT day, dollars, s7, q7,
+             CAST(s7 AS DOUBLE) / 7 AS mu,
+             sqrt(CAST(q7 AS DOUBLE) / 7
+                  - (CAST(s7 AS DOUBLE) / 7)
+                    * (CAST(s7 AS DOUBLE) / 7)) AS sigma
+      FROM r WHERE rn >= 7
+    )
+    SELECT day, dollars,
+           floor(mu * 100 + 0.5) / 100 AS mean7,
+           floor(sigma * 100 + 0.5) / 100 AS sigma7,
+           dollars > mu + 2 * sigma AS breakout_up
+    FROM b
+    WHERE dollars > mu + 2 * sigma OR dollars < mu - 2 * sigma
+    ORDER BY day
+    """,
+    tier="P1",
+    doc="Bollinger-band breakout detection on the daily revenue "
+    "series — the rolling mean +/- 2 sigma channel (7-day window) "
+    "with the days that pierce it, the volatility-aware alternative "
+    "to a fixed threshold alert. Determinism recipe: the rolling "
+    "first/second moments are EXACT int64 window sums over integer "
+    "cents (never a streaming float variance), so mu/sigma are the "
+    "identical IEEE divide/sqrt chain on both engines and the "
+    "band comparison is deterministic; rows before the 7th day are "
+    "excluded (partial windows would make sigma ill-defined). "
+    "Plan: map-side daily rollup over raw orders, then one ordered "
+    "window over |days| rows — the raw table is touched once, the "
+    "window state is 7 int64 pairs however large the fact table.",
+)
+def q_win_bollinger_breakouts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..functions.helpers import int_units
+    from ..sources.tables import load_table
+
+    o = load_table(spark, sf_dir, "orders")
+    d = o.groupBy(F.col("o_orderdate").cast("date").alias("day")).agg(
+        F.sum(int_units("o_totalprice", 0)).alias("dollars")
+    )
+    w = Window.orderBy("day")
+    w7 = w.rowsBetween(-6, 0)
+    r = d.select(
+        "day",
+        "dollars",
+        F.row_number().over(w).alias("rn"),
+        F.sum("dollars").over(w7).alias("s7"),
+        F.sum(F.col("dollars") * F.col("dollars")).over(w7).alias("q7"),
+    ).where(F.col("rn") >= 7)
+    mu = F.col("s7").cast("double") / F.lit(7)
+    sigma = F.sqrt(
+        F.col("q7").cast("double") / F.lit(7) - mu * mu
+    )
+
+    def r2d(x):
+        return F.floor(x * F.lit(100) + F.lit(0.5)) / F.lit(100)
+
+    return (
+        r.where(
+            (F.col("dollars") > mu + F.lit(2) * sigma)
+            | (F.col("dollars") < mu - F.lit(2) * sigma)
+        )
+        .select(
+            "day",
+            "dollars",
+            r2d(mu).alias("mean7"),
+            r2d(sigma).alias("sigma7"),
+            (F.col("dollars") > mu + F.lit(2) * sigma).alias("breakout_up"),
+        )
+        .orderBy("day")
+    )

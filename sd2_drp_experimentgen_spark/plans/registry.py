@@ -331,6 +331,7 @@ _NEW_THIS_ROUND: frozenset[str] = frozenset(
         "q_ml_cost_threshold",
         "q_ml_mcnemar",
         "q_emb_ndcg_at10",
+        "q_win_bollinger_breakouts",
     }
 )
 
