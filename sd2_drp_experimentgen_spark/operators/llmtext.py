@@ -2231,3 +2231,245 @@ def q_train_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("n_self_collisions"),
         )
     )
+
+
+# RAG / training-context chunking: fixed token-window chunks with
+# overlap. C/S chosen so the 10-99-token fixture docs yield 1-4 chunks.
+CHUNK_TOKENS = 32
+CHUNK_STRIDE = 24
+
+
+@register(
+    "q_text_chunk_overlap",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks,
+             len(string_split(text, ' ')) AS n
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, toks, n,
+             CASE WHEN n <= {CHUNK_TOKENS} THEN 1
+                  ELSE 1 + (n - {CHUNK_TOKENS} + {CHUNK_STRIDE - 1})
+                           // {CHUNK_STRIDE} END AS n_chunks
+      FROM t
+    ),
+    e AS (
+      SELECT doc_id, toks, n, unnest(range(0, n_chunks)) AS k FROM c
+    )
+    SELECT doc_id,
+           CAST(k AS BIGINT) AS chunk_idx,
+           CAST(1 + k * {CHUNK_STRIDE} AS BIGINT) AS start_tok,
+           CAST(least({CHUNK_TOKENS}, n - (1 + k * {CHUNK_STRIDE}) + 1)
+                AS BIGINT) AS n_tok,
+           md5(array_to_string(
+                 list_slice(toks, 1 + k * {CHUNK_STRIDE},
+                            least(1 + k * {CHUNK_STRIDE}
+                                  + {CHUNK_TOKENS - 1}, n)),
+                 ' ')) AS chunk_md5
+    FROM e
+    """,
+    tier="P1",
+    doc="RAG/pretraining context chunking: split every document's "
+    f"token stream into {CHUNK_TOKENS}-token windows with stride "
+    f"{CHUNK_STRIDE} (8-token overlap), emitting one row per chunk "
+    "with its md5 content fingerprint — the chunker that feeds both "
+    "retrieval indexing and packed-context training, with the "
+    "fingerprint enabling chunk-level exact dedup downstream. "
+    "Chunk count is closed-form (1 + ceil((n-C)/S) via exact integer "
+    "div, so both engines enumerate identical windows); the final "
+    "window is the short tail, never dropped. Determinism: token "
+    "slicing + md5 only — zero float ops. Plan: pure narrow "
+    "projection + explode; no shuffle anywhere — chunking 100 TB "
+    "parallelizes embarrassingly, and only (doc_id, idx, md5) rows "
+    "ever need to shuffle in a downstream dedup, never chunk text.",
+)
+def q_text_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    C, S = CHUNK_TOKENS, CHUNK_STRIDE
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    base = d.select(
+        "doc_id", toks.alias("toks"), F.size(toks).cast("long").alias("n")
+    )
+    n_chunks = F.when(F.col("n") <= C, F.lit(1).cast("long")).otherwise(
+        F.lit(1) + F.expr(f"(n - {C} + {S - 1}) div {S}")
+    )
+    e = base.select(
+        "doc_id",
+        "toks",
+        "n",
+        F.explode(
+            F.sequence(F.lit(0).cast("long"), n_chunks - F.lit(1))
+        ).alias("k"),
+    )
+    start = F.lit(1) + F.col("k") * F.lit(S)
+    return e.select(
+        "doc_id",
+        F.col("k").alias("chunk_idx"),
+        start.cast("long").alias("start_tok"),
+        F.least(F.lit(C).cast("long"), F.col("n") - start + F.lit(1))
+        .cast("long")
+        .alias("n_tok"),
+        F.md5(
+            F.array_join(F.slice(F.col("toks"), start, F.lit(C)), " ")
+        ).alias("chunk_md5"),
+    )
+
+
+VOCAB_TOP_K = 16
+
+
+@register(
+    "q_text_vocab_coverage",
+    oracle=f"""
+    WITH tok AS (
+      SELECT source, unnest(string_split(text, ' ')) AS token
+      FROM documents
+    ),
+    cnt AS (SELECT token, count(*) AS n FROM tok GROUP BY token),
+    vocab AS (
+      SELECT token FROM (
+        SELECT token,
+               row_number() OVER (ORDER BY n DESC, token) AS r
+        FROM cnt
+      ) WHERE r <= {VOCAB_TOP_K}
+    )
+    SELECT t.source,
+           CAST(count(*) AS BIGINT) AS total_tokens,
+           CAST(sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS oov_tokens,
+           CAST(count(DISTINCT CASE WHEN v.token IS NULL
+                                    THEN t.token END)
+                AS BIGINT) AS oov_distinct,
+           {sql_r("CAST(sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END)"
+                  " AS DOUBLE) / count(*)")} AS oov_rate
+    FROM tok t LEFT JOIN vocab v ON t.token = v.token
+    GROUP BY t.source
+    """,
+    tier="P1",
+    doc="Tokenizer vocabulary coverage: build the top-"
+    f"{VOCAB_TOP_K} corpus vocabulary (count desc, token asc — a "
+    "total order, so the cut is deterministic at any scale), then "
+    "per source report total tokens, out-of-vocabulary tokens, "
+    "distinct OOV types, and the OOV rate — the coverage audit run "
+    "before freezing a tokenizer on a new corpus mix. Exact int64 "
+    "counts; the rate is one IEEE divide of two exact ints, rounded "
+    "4dp. Plan: token counts aggregate map-side before the shuffle; "
+    "the row_number window runs over the AGGREGATED vocabulary "
+    "(|V| rows, not the corpus); the vocab table is KBs and is "
+    "broadcast to the token stream — the corpus-sized side never "
+    "shuffles for the membership join, and the final rollup is one "
+    "groupBy over |sources| keys.",
+)
+def q_text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..functions.helpers import r4
+
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "source", F.explode(F.split(F.col("text"), " ")).alias("token")
+    )
+    cnt = tok.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
+    vocab = (
+        cnt.withColumn(
+            "r",
+            F.row_number().over(Window.orderBy(F.desc("n"), F.asc("token"))),
+        )
+        .where(F.col("r") <= VOCAB_TOP_K)
+        .select("token", F.lit(1).alias("in_vocab"))
+    )
+    flagged = tok.join(F.broadcast(vocab), "token", "left")
+    oov = F.when(F.col("in_vocab").isNull(), 1).otherwise(0)
+    return flagged.groupBy("source").agg(
+        F.count(F.lit(1)).alias("total_tokens"),
+        F.sum(oov).alias("oov_tokens"),
+        F.count_distinct(
+            F.when(F.col("in_vocab").isNull(), F.col("token"))
+        ).alias("oov_distinct"),
+        r4(
+            F.sum(oov).cast("double") / F.count(F.lit(1))
+        ).alias("oov_rate"),
+    )
+
+
+@register(
+    "q_train_curriculum",
+    oracle="""
+    WITH cuts AS (
+      SELECT quantile_disc(n_chars, 0.2) AS c1,
+             quantile_disc(n_chars, 0.4) AS c2,
+             quantile_disc(n_chars, 0.6) AS c3,
+             quantile_disc(n_chars, 0.8) AS c4
+      FROM documents
+    ),
+    b AS (
+      SELECT doc_id, n_chars,
+             1 + CAST(n_chars > c1 AS INT) + CAST(n_chars > c2 AS INT)
+               + CAST(n_chars > c3 AS INT) + CAST(n_chars > c4 AS INT)
+               AS bucket,
+             md5(CAST(doc_id AS VARCHAR)) AS shuffle_key
+      FROM documents, cuts
+    ),
+    r AS (
+      SELECT doc_id, n_chars, bucket, shuffle_key,
+             row_number() OVER (PARTITION BY bucket
+                                ORDER BY shuffle_key, doc_id) AS pos
+      FROM b
+    )
+    SELECT CAST(bucket AS BIGINT) AS bucket,
+           CAST(pos AS BIGINT) AS pos_in_bucket,
+           doc_id, n_chars
+    FROM r WHERE pos <= 8
+    """,
+    tier="P1",
+    doc="Curriculum-learning schedule: bucket documents easy-to-hard "
+    "into 5 difficulty tiers by length, deterministically shuffle "
+    "WITHIN each tier (md5(doc_id) — the repo's standard seedless "
+    "shuffle), and emit the first 8 docs of each tier. Tier "
+    "boundaries are percentile_disc(0.2/0.4/0.6/0.8) cutpoints — "
+    "an AGGREGATE, not a global rank: unlike ntile (which would "
+    "force a single-partition window over the corpus), the "
+    "cutpoint table is 1 row, broadcast, and bucketing is a pure "
+    "projection, so the plan scales to any corpus size. The "
+    "per-tier row_number window partitions by bucket (5 bounded "
+    "partitions of the shuffle-key sort). percentile_disc selects "
+    "actual data values by rank — no interpolation arithmetic to "
+    "drift cross-engine; everything else is int compares + md5.",
+)
+def q_train_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    cuts = d.agg(
+        *[
+            F.expr(
+                f"percentile_disc({q}) WITHIN GROUP (ORDER BY n_chars)"
+            ).alias(f"c{i}")
+            for i, q in enumerate((0.2, 0.4, 0.6, 0.8), start=1)
+        ]
+    )
+    bucket = (
+        F.lit(1)
+        + (F.col("n_chars") > F.col("c1")).cast("int")
+        + (F.col("n_chars") > F.col("c2")).cast("int")
+        + (F.col("n_chars") > F.col("c3")).cast("int")
+        + (F.col("n_chars") > F.col("c4")).cast("int")
+    )
+    b = d.crossJoin(F.broadcast(cuts)).select(
+        "doc_id",
+        "n_chars",
+        bucket.alias("bucket"),
+        F.md5(F.col("doc_id").cast("string")).alias("shuffle_key"),
+    )
+    w = Window.partitionBy("bucket").orderBy("shuffle_key", "doc_id")
+    return (
+        b.withColumn("pos", F.row_number().over(w))
+        .where(F.col("pos") <= 8)
+        .select(
+            F.col("bucket").cast("long").alias("bucket"),
+            F.col("pos").cast("long").alias("pos_in_bucket"),
+            "doc_id",
+            "n_chars",
+        )
+    )

@@ -332,6 +332,9 @@ _NEW_THIS_ROUND: frozenset[str] = frozenset(
         "q_ml_mcnemar",
         "q_emb_ndcg_at10",
         "q_win_bollinger_breakouts",
+        "q_text_chunk_overlap",
+        "q_text_vocab_coverage",
+        "q_train_curriculum",
     }
 )
 
