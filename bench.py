@@ -40,6 +40,15 @@ HEADLINE = [
     "q_train_features_wide",
     "q_tfidf_top_terms",
     "q_dedup_embedding_nn",
+    # LLM-data-pipeline headliners (VERDICT r6 item 6): the signature
+    # compositions and the post-gate kNN graph get a per-round
+    # regression tripwire of their own — the original 15 predate the
+    # whole LLM layer.
+    "q_llm_corpus_pipeline",
+    "q_dedup_lsh_refine",
+    "q_mm_corpus_pipeline",
+    "q_emb_knn_graph",
+    "q_ml_auc_rank",
 ]
 
 

@@ -104,6 +104,31 @@ def _load() -> None:
 # fresh sample.
 _DRIVER_VERIFIED = frozenset(
     {
+        # --- round 6 (CORRECTNESS_r06.json, 47 hash greens + 3
+        # rows-only rows, 0 fails — the full r6 window; exactly the
+        # r6 _PRIORITY_BOOST) ---
+        "q_agg_count_min_sketch", "q_agg_histogram_numeric",
+        "q_agg_hll_sketch_merge", "q_agg_kll_quantiles",
+        "q_agg_theta_sketch_ops", "q_ann_ivf_topk",
+        "q_corpus_upsample_epochs", "q_dedup_minhash_estimate",
+        "q_dedup_threshold_curve", "q_dedup_winnow_pairs",
+        "q_dq_expectations", "q_dq_outlier_fences", "q_dq_reconcile_totals",
+        "q_emb_knn_graph", "q_emb_pq_encode", "q_etl_incremental_agg",
+        "q_etl_incremental_bookmark", "q_etl_incremental_sketch",
+        "q_etl_snapshot_diff", "q_join_asof_forward", "q_join_asof_nearest",
+        "q_join_asof_tolerance", "q_join_lateral_api",
+        "q_mllib_cross_validation", "q_mm_audio_features",
+        "q_mm_corpus_pipeline", "q_mm_frame_sample", "q_mm_image_features",
+        "q_mm_phash_dedup", "q_mm_video_stride_verified",
+        "q_neardup_containment", "q_pack_loss_mask", "q_pack_sequences",
+        "q_sim_range_search", "q_source_binaryfile",
+        "q_sql_exists_in_subqueries", "q_sql_group_by_all",
+        "q_sql_identifier_clause", "q_sql_parameterized",
+        "q_sql_pipe_syntax", "q_sql_scripting", "q_sql_session_variables",
+        "q_sql_udf_declared", "q_text_bigram_lm_score",
+        "q_text_feature_hashing", "q_text_html_strip",
+        "q_text_langid_confusion", "q_text_pii_redact", "q_text_span_dup",
+        "q_text_winnow_fingerprints",
         # --- round 5 (CORRECTNESS_r05.json, 47 hash greens + 3
         # rows-only rows, 0 fails — the full r5 window) ---
         "q_graph_pagerank", "q_sink_json_spec", "q_agg_period_over_period",
@@ -194,149 +219,100 @@ _DRIVER_VERIFIED = frozenset(
 )
 
 
-# Must-sample-first queries for the round-6 driver window, in order
-# (VERDICT r5 "next round" item 1): all 50 land in the never-sampled
-# pool (93 members entering r6) plus the queries REWRITTEN this round
-# (the _DRIVER_VERIFIED caveat — a green row predating a rewrite is
-# stale evidence):
-#   tier A — the 4 rows-only operators with ZERO driver evidence;
-#   tier B — queries modified in round 6 (knn-graph gate, range-search
-#            sub-blocking, pq codebook ids, exact integer division,
-#            sketch-union coalesce; q_pack_sequences is the one
-#            already-green member, re-boosted per the caveat);
-#   tier C — multimodal family; tier D — sketch family;
-#   tier E — incremental-ETL / data-quality family;
-#   tier F — dedup/text long tail; tier G — as-of extensions + the
-#            SQL-surface battery.
-# Exactly 50 entries = one driver window; the 44 remaining
-# never-sampled queries verify next via the tier-1 ordering below.
+# Must-sample-first queries for the round-7 driver window, in order
+# (VERDICT r6 "next round" items 1+5): round 7 is the
+# verification-drain round — operator additions are FROZEN until the
+# never-sampled backlog (99 entering r7) fits one driver window. The
+# 50 entries below are 49 never-sampled queries plus the one query
+# REWRITTEN this round (q_crm_rfm_segments — its r5 green predates
+# the distributed-ntile rewrite, so per the _DRIVER_VERIFIED caveat
+# it must re-sample):
+#   tier A — rewritten/fixed this round (ADVICE guards + the rfm
+#            distributed-ntile rewrite);
+#   tier B — the remaining post-r6-window additions;
+#   tier C — the ML-eval family (aggregates.py:1924+);
+#   tier D — statistics / time-series;
+#   tier E — the streaming long tail;
+#   tier F — the embedding/vector long tail.
+# The 50 queries left over verify next round via the tier-1 ordering
+# below — one more full window, after which every registered query
+# has a driver row.
+# RE-BOOST QUEUE for r9+ (plan-only perf changes in r7, outputs
+# verified hash-identical vs DuckDB at sf0.01+sf0.1 but driver greens
+# predate the new plans): q_dedup_lsh_refine, q_dedup_minhash_bands,
+# q_dedup_minhash_estimate, q_llm_corpus_pipeline (fan_out +
+# groupBy-collect _band_candidates). Deliberately NOT in this window:
+# first-time driver rows for never-sampled queries outrank re-proving
+# existing greens (VERDICT r6 item 2), and r8 is already exactly full.
 _PRIORITY_BOOST = (
-    # tier A: rows-only, zero driver evidence
-    "q_ann_ivf_topk",
-    "q_mllib_cross_validation",
-    "q_mm_image_features",
-    "q_mm_frame_sample",
-    # tier B: modified in round 6
-    "q_emb_knn_graph",
-    "q_sim_range_search",
-    "q_emb_pq_encode",
-    "q_corpus_upsample_epochs",
-    "q_pack_loss_mask",
-    "q_etl_incremental_sketch",
-    "q_pack_sequences",
-    # tier C: multimodal
-    "q_mm_phash_dedup",
-    "q_mm_corpus_pipeline",
-    "q_mm_audio_features",
-    "q_mm_video_stride_verified",
-    "q_source_binaryfile",
-    # tier D: sketches
-    "q_agg_hll_sketch_merge",
-    "q_agg_count_min_sketch",
-    "q_agg_theta_sketch_ops",
-    "q_agg_kll_quantiles",
-    "q_agg_histogram_numeric",
-    # tier E: incremental ETL / data quality
-    "q_etl_incremental_bookmark",
-    "q_etl_incremental_agg",
-    "q_etl_snapshot_diff",
-    "q_dq_reconcile_totals",
-    "q_dq_expectations",
-    "q_dq_outlier_fences",
-    # tier F: dedup/text long tail
-    "q_neardup_containment",
-    "q_dedup_threshold_curve",
-    "q_dedup_winnow_pairs",
-    "q_text_winnow_fingerprints",
-    "q_dedup_minhash_estimate",
-    "q_text_span_dup",
-    "q_text_pii_redact",
-    "q_text_bigram_lm_score",
-    "q_text_langid_confusion",
-    "q_text_feature_hashing",
-    # tier G: as-of extensions + SQL-surface battery
-    "q_join_asof_forward",
-    "q_join_asof_tolerance",
-    "q_join_asof_nearest",
-    "q_sql_pipe_syntax",
-    "q_sql_scripting",
-    "q_join_lateral_api",
-    "q_sql_identifier_clause",
-    "q_sql_udf_declared",
-    "q_sql_parameterized",
-    "q_sql_session_variables",
-    "q_sql_group_by_all",
-    "q_sql_exists_in_subqueries",
-    "q_text_html_strip",
+    # tier A: rewritten or guard-fixed in round 7
+    "q_crm_rfm_segments",
+    "q_emb_ndcg_at10",
+    "q_ml_mcnemar",
+    "q_ml_target_encoding",
+    "q_train_hard_negatives",
+    # tier B: post-r6-window additions (never sampled)
+    "q_ml_cost_threshold",
+    "q_win_bollinger_breakouts",
+    "q_text_chunk_overlap",
+    "q_text_vocab_coverage",
+    "q_train_curriculum",
+    # tier C: ML-eval family
+    "q_ml_auc_rank",
+    "q_ml_auc_by_group",
+    "q_ml_confusion_threshold",
+    "q_ml_calibration_bins",
+    "q_ml_gini_stump",
+    "q_ml_pr_curve_points",
+    "q_ml_ks_statistic",
+    "q_ml_lift_gains",
+    "q_ml_kfold_assign",
+    "q_ml_feature_scaler_fit",
+    "q_ml_quantile_binning",
+    "q_etl_incremental_auc",
+    # tier D: statistics / time-series
+    "q_stat_spearman",
+    "q_stat_welch_ttest",
+    "q_stat_pmi_cells",
+    "q_stat_chi_square_cells",
+    "q_agg_higher_moments",
+    "q_dq_benford",
+    "q_dq_drift_chisq",
+    "q_ts_seasonality_profile",
+    "q_ts_changepoint_cusum",
+    "q_ts_autocorrelation",
+    "q_ts_stl_residuals",
+    # tier E: streaming long tail
+    "q_stream_eval_auc",
+    "q_stream_drift_monitor",
+    "q_stream_chained_windows",
+    "q_state_reader",
+    "q_stream_foreachbatch_upsert",
+    "q_stream_python_source",
+    "q_stream_static_join",
+    "q_stream_ohlc_watermarked",
+    "q_stream_join_left_outer",
+    "q_stream_ingest_dedup",
+    "q_stream_ingest_neardup",
+    # tier F: embedding/vector long tail
+    "q_emb_nn_descent",
+    "q_ann_pq_adc_topk",
+    "q_emb_dedup_pipeline",
+    "q_emb_silhouette",
+    "q_emb_outlier_distance",
+    "q_emb_pca_power",
 )
 _BOOST_RANK = {n: i for i, n in enumerate(_PRIORITY_BOOST)}
 
 # Queries added THIS round (never seen by any driver). They verify
 # AFTER the never-sampled backlog of hash-checkable queries from prior
-# rounds, but before rows-only and already-green entries. Repopulated
-# each round as operators land; the round-5 set graduated into the
-# general never-sampled pool (priority tier 1) and largely into the
-# round-6 _PRIORITY_BOOST window above.
-_NEW_THIS_ROUND: frozenset[str] = frozenset(
-    {
-        # round-6 additions
-        "q_graph_triangle_count",
-        "q_emb_nn_descent",
-        "q_etl_incremental_join",
-        "q_link_entity_blocking",
-        "q_ts_seasonality_profile",
-        "q_stat_pmi_cells",
-        "q_dedup_url_canonical",
-        "q_agg_bloom_membership",
-        "q_ml_feature_scaler_fit",
-        "q_ml_quantile_binning",
-        "q_sort_pareto_frontier",
-        "q_win_session_cap",
-        "q_train_negative_samples",
-        "q_ann_pq_adc_topk",
-        "q_dedup_source_precedence",
-        "q_codec_binary_roundtrip",
-        "q_train_hard_negatives",
-        "q_emb_dedup_pipeline",
-        "q_ml_auc_rank",
-        "q_ml_target_encoding",
-        "q_ml_kfold_assign",
-        "q_sql_qualify",
-        "q_ts_changepoint_cusum",
-        "q_ts_autocorrelation",
-        "q_graph_common_neighbors",
-        "q_dq_benford",
-        "q_ml_confusion_threshold",
-        "q_ml_calibration_bins",
-        "q_emb_silhouette",
-        "q_source_json_roundtrip",
-        "q_sql_unpivot_clause",
-        "q_etl_incremental_auc",
-        "q_stream_eval_auc",
-        "q_agg_higher_moments",
-        "q_dq_drift_chisq",
-        "q_emb_outlier_distance",
-        "q_ml_gini_stump",
-        "q_ml_pr_curve_points",
-        "q_ml_ks_statistic",
-        "q_ml_lift_gains",
-        "q_stat_spearman",
-        "q_stat_welch_ttest",
-        "q_ts_stl_residuals",
-        "q_stream_drift_monitor",
-        "q_corpus_overlap_matrix",
-        "q_text_vocab_growth",
-        "q_ml_auc_by_group",
-        "q_corpus_novelty_curve",
-        "q_ml_cost_threshold",
-        "q_ml_mcnemar",
-        "q_emb_ndcg_at10",
-        "q_win_bollinger_breakouts",
-        "q_text_chunk_overlap",
-        "q_text_vocab_coverage",
-        "q_train_curriculum",
-    }
-)
+# rounds, but before rows-only and already-green entries. EMPTY in
+# round 7: operator additions are frozen (VERDICT r6 item 2) until the
+# never-sampled backlog fits one driver window — the r6 additions now
+# sit in the general never-sampled pool (tier 1), half in this round's
+# _PRIORITY_BOOST window and the remaining 50 forming the r8 window by
+# registration order.
+_NEW_THIS_ROUND: frozenset[str] = frozenset()
 
 # Queries whose registration is conditional on an optional dependency:
 # they stay documented in SURVEY.md everywhere, but self-unregister in

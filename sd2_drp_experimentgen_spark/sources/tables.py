@@ -159,3 +159,45 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             "4.x refuses to read without this conf",
         )
     return normalize_events_ts(_cached_read(spark, path))
+
+
+# A scan this small arrives as ONE task (parquet cannot split inside a
+# row group), which serializes any compute-bound expression chain
+# (e.g. per-shingle md5 + 16 minhash passes) on a single core. Above
+# this threshold the scan already has enough native splits and the
+# fan-out is an exact no-op — the guard keeps the extra text shuffle
+# out of the 100 TB path, where rebalancing the raw corpus would be a
+# full extra pass.
+FAN_OUT_MAX_BYTES = 256 << 20
+
+
+def _table_bytes(sf_dir: str, name: str) -> int:
+    path = f"{sf_dir}/{name}.parquet"
+    try:
+        if os.path.isdir(path):
+            return sum(
+                os.path.getsize(os.path.join(path, f))
+                for f in os.listdir(path)
+                if f.endswith(".parquet")
+            )
+        return os.path.getsize(path)
+    except OSError:
+        return FAN_OUT_MAX_BYTES  # unknown layout: assume big, no-op
+
+
+def fan_out(
+    df: DataFrame,
+    spark: SparkSession,
+    sf_dir: str,
+    name: str = "documents",
+    key: str = "doc_id",
+) -> DataFrame:
+    """Hash-repartition a compute-bound scan to the session's default
+    parallelism when the backing file is too small to split (file-size
+    probe only — os.stat, no job, no plan materialization). Values are
+    untouched; this is purely a parallelism fix for single-row-group
+    fixtures, measured 4.5 s -> ~0.3 s on the sf0.1 minhash signature
+    chain (one task -> 32)."""
+    if _table_bytes(sf_dir, name) >= FAN_OUT_MAX_BYTES:
+        return df
+    return df.repartition(spark.sparkContext.defaultParallelism, F.col(key))

@@ -42,7 +42,8 @@ REPORT = [
     ("q_scd2_dimension", "lag/lead windows reuse a single custkey sort"),
     ("q_histogram_fixed_bins", "1-row extent aggregate broadcast into the binning scan"),
     ("q_sql_q3_shipping", "both date predicates pushed to scans; TakeOrderedAndProject top-10"),
-    ("q_dedup_lsh_refine", "self-join on band signatures only; Jaccard refine joins texts solely for candidate pairs"),
+    ("q_dedup_lsh_refine", "bucket groupBy on band signatures (one signature evaluation, no self-join); Jaccard refine joins texts solely for candidate pairs"),
+    ("q_crm_rfm_segments", "exact distributed ntile: every Window bucket-partitioned, offsets from a broadcast count self-join, no ntile/global sort"),
     ("q_interval_sweepline", "union of boundary points + one per-user window sort — no interval self-join"),
     ("q_layout_zorder", "z-value projection + RangePartitioning exchange + per-partition sort before the write"),
     ("q_decontaminate_ngrams", "train side dedupes to distinct shingles; LeftSemi join on 16-byte hashes"),
