@@ -67,16 +67,38 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+KMEANS_DIM = 64  # fixture embedding width (matches vectors.EMB_DIM)
+
+
 @register(
     "q_kmeans_embeddings",
-    oracle=None,
+    oracle="""
+    SELECT label,
+           CAST(count(*) AS BIGINT) AS n_vectors,
+           true AS purity_ok,
+           true AS inertia_ok
+    FROM embeddings
+    GROUP BY label
+    """,
     tier="P2",
-    doc="KMeans k=10 (fixed seed) over the embedding vectors; emits "
-    "cluster sizes (cluster ids are init-dependent, sizes are the "
-    "stable observable). Self-test: above-chance purity + inertia far "
-    "below the single-cluster baseline + seed determinism. "
-    "MLlib KMeans is the distributed path: per-partition assignment + "
-    "tree-aggregated centroid updates.",
+    doc="KMeans k=10 (fixed seed) over the embedding vectors. Promoted "
+    "to a HASH check in round 7 (VERDICT r6 #8) via the sketch-family "
+    "pattern (same as q_ann_ivf_topk in r6): the emitted rows carry the "
+    "EXACT per-label vector counts (SQL-expressible companion) plus two "
+    "deterministic witness booleans oracled as literals — "
+    "purity_ok: majority-label purity of the fixed-seed clustering is "
+    ">= 0.12 (chance level 1/k = 0.10; measured 0.174 / 0.154 / 0.1325 "
+    "at sf0.001/0.01/0.1 — the fixture's labels are only weakly "
+    "geometrically separable, SURVEY §2 #60), computed as an exact "
+    "integer comparison 10000*sum(majority counts) >= 1200*n; "
+    "inertia_ok: KMeans training cost <= 0.98 * single-cluster "
+    "baseline SSE (measured ratios 0.914-0.944), baseline computed "
+    "in-plan as sum||x||^2 - sum_d S_d^2 / n — no driver collect "
+    "anywhere; cluster ids stay OUT of the hash so centroid-init drift "
+    "cannot flip it while quality holds. Self-test (pytest): purity "
+    "margin + inertia + seed determinism. MLlib KMeans is the "
+    "distributed path: per-partition assignment + tree-aggregated "
+    "centroid updates.",
 )
 def q_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.ml.clustering import KMeans
@@ -85,15 +107,52 @@ def q_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id",
         "label",
-        array_to_vector(F.col("embedding").cast("array<double>")).alias("features"),
-    )
+        F.col("embedding").cast("array<double>").alias("emb"),
+    ).withColumn("features", array_to_vector(F.col("emb")))
     km = KMeans(k=10, seed=SEED, featuresCol="features", predictionCol="cluster")
     model = km.fit(e)
+    inertia = float(model.summary.trainingCost)
     pred = model.transform(e)
-    return (
-        pred.groupBy("cluster")
+
+    # Purity numerator: sum over clusters of the majority-label count —
+    # two map-side-combined groupBys over (cluster, label), never wider
+    # than k*|labels| rows after the first.
+    top = (
+        pred.groupBy("cluster", "label")
         .agg(F.count(F.lit(1)).alias("n"))
-        .select("cluster", "n")
+        .groupBy("cluster")
+        .agg(F.max("n").alias("top_n"))
+        .agg(F.sum("top_n").alias("top_sum"))
+    )
+
+    # Single-cluster baseline SSE around the global mean, in one
+    # distributed pass: sum||x||^2 - sum_d S_d^2 / n.
+    base = e.select(
+        F.aggregate("emb", F.lit(0.0), lambda a, x: a + x * x).alias("rowsq"),
+        *[F.col("emb")[d].alias(f"x{d}") for d in range(KMEANS_DIM)],
+    ).agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum("rowsq").alias("ssq"),
+        *[F.sum(f"x{d}").alias(f"s{d}") for d in range(KMEANS_DIM)],
+    )
+    mean_sq = sum(
+        (F.col(f"s{d}") * F.col(f"s{d}") for d in range(KMEANS_DIM)),
+        start=F.lit(0.0),
+    )
+    witness = top.crossJoin(base).select(
+        (F.col("top_sum") * F.lit(10000) >= F.col("n_total") * F.lit(1200))
+        .alias("purity_ok"),
+        (
+            F.lit(inertia)
+            <= F.lit(0.98) * (F.col("ssq") - mean_sq / F.col("n_total"))
+        ).alias("inertia_ok"),
+    )
+
+    return (
+        e.groupBy("label")
+        .agg(F.count(F.lit(1)).alias("n_vectors"))
+        .crossJoin(F.broadcast(witness))
+        .select("label", "n_vectors", "purity_ok", "inertia_ok")
     )
 
 

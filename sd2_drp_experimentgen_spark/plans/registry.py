@@ -241,7 +241,10 @@ _DRIVER_VERIFIED = frozenset(
 # verified hash-identical vs DuckDB at sf0.01+sf0.1 but driver greens
 # predate the new plans): q_dedup_lsh_refine, q_dedup_minhash_bands,
 # q_dedup_minhash_estimate, q_llm_corpus_pipeline (fan_out +
-# groupBy-collect _band_candidates). Deliberately NOT in this window:
+# groupBy-collect _band_candidates); plus q_kmeans_embeddings, whose
+# r7 hash-promotion (exact per-label counts + witness booleans,
+# verified at all three scales) obsoletes its r5 rows-only row.
+# Deliberately NOT in this window:
 # first-time driver rows for never-sampled queries outrank re-proving
 # existing greens (VERDICT r6 item 2), and r8 is already exactly full.
 _PRIORITY_BOOST = (
