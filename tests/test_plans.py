@@ -184,6 +184,24 @@ def test_minhash_bands_shuffles_signatures_only(spark):
     assert p.index("partial_count(1)") > p.index("Exchange hashpartitioning"), p
 
 
+def test_lsh_refine_bucket_form_no_band_self_join(spark):
+    """r7 rewrite pin: LSH candidates come from the groupBy-collect
+    bucket form — one (band_idx, band_sig) shuffle with a map-side
+    partial_collect_list, in-bucket pair combinatorics via explode —
+    NOT a band-key self-join (which evaluates the signature pipeline
+    once per side and needs a data-sized broadcast at scale). Text
+    rejoins happen only for candidate pairs, keyed by doc id."""
+    p = plan(all_specs()["q_dedup_lsh_refine"].fn(spark, SF_T2), "simple")
+    assert "partial_collect_list" in p, p
+    assert p.index("partial_collect_list") > p.index(
+        "Exchange hashpartitioning(band_idx"
+    ), p
+    # no Join condition may involve the band signature
+    for line in p.splitlines():
+        if "Join" in line:
+            assert "band_sig" not in line, line
+
+
 def test_scd2_windows_share_one_sort(spark):
     """lag and lead both partition by custkey — the plan must contain
     exactly one Exchange (the custkey shuffle), with both Window nodes
