@@ -1763,10 +1763,12 @@ WINNOW_W = 4  # fingerprint-selection window over consecutive gram hashes
     "family the MinHash ladder uses.",
 )
 def q_text_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.tables import fan_out
+
     toks = F.split(F.col("text"), " ")
-    d = load_table(spark, sf_dir, "documents").where(
-        F.size(toks) >= WINNOW_W + 3
-    )
+    d = fan_out(
+        load_table(spark, sf_dir, "documents"), spark, sf_dir
+    ).where(F.size(toks) >= WINNOW_W + 3)
     shingle = lambda i: F.concat_ws(  # noqa: E731
         " ",
         F.element_at(toks, i),
@@ -1832,23 +1834,35 @@ WINNOW_MIN_SHARED = 2
     tier="P1",
     doc="Winnowing-based near-dup candidate pairs — the scheme "
     "composed into the dedup ladder: documents sharing at least "
-    f"{WINNOW_MIN_SHARED} winnowing fingerprints are flagged, via a "
-    "self-join ON THE FINGERPRINT (16-byte-derived integers — text "
-    "never joins), exactly MOSS's match step. Because winnowing "
-    "guarantees a shared fingerprint for any sufficiently long "
-    "shared substring, this candidate set provably CONTAINS every "
-    "pair with substantial verbatim overlap — a recall guarantee "
-    "banded MinHash cannot give — while the per-fingerprint buckets "
-    "keep the join linear in matches, not quadratic in corpus. At "
-    "100 TB the one extra lever is dropping stop-fingerprints "
-    "(values shared by >T docs — boilerplate) before the join, the "
-    "same hot-token exclusion the ppjoin rung uses.",
+    f"{WINNOW_MIN_SHARED} winnowing fingerprints are flagged, "
+    "exactly MOSS's match step. Because winnowing guarantees a "
+    "shared fingerprint for any sufficiently long shared substring, "
+    "this candidate set provably CONTAINS every pair with "
+    "substantial verbatim overlap — a recall guarantee banded "
+    "MinHash cannot give. The match step is the groupBy-collect "
+    "bucket form (the oracle keeps the equivalent self-join SQL): "
+    "fingerprints group into per-value buckets with ONE shuffle of "
+    "(long, long) rows and ONE evaluation of the md5/window-minima "
+    "subtree, ordered pairs are generated inside each bucket with "
+    "array combinatorics, and a pair-sized count aggregate applies "
+    "the >= " f"{WINNOW_MIN_SHARED}" "-shared threshold. The r6 "
+    "self-join form evaluated the fingerprint pipeline once PER "
+    "SIDE and shuffled the exploded table twice — measured 15.2x "
+    "wall-clock at a 16x corpus vs 2.6x for the bucketed LSH rungs "
+    "(SCALE.md round-7 study); this form closes that gap. The "
+    "within-bucket pair quadratic is confined to one fingerprint "
+    "value's bucket; at 100 TB the one extra lever is dropping "
+    "stop-fingerprints (values shared by >T docs — boilerplate) "
+    "before pair generation, the same hot-token exclusion the "
+    "ppjoin rung uses.",
 )
 def q_dedup_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.tables import fan_out
+
     toks = F.split(F.col("text"), " ")
-    d = load_table(spark, sf_dir, "documents").where(
-        F.size(toks) >= WINNOW_W + 3
-    )
+    d = fan_out(
+        load_table(spark, sf_dir, "documents"), spark, sf_dir
+    ).where(F.size(toks) >= WINNOW_W + 3)
     shingle = lambda i: F.concat_ws(  # noqa: E731
         " ",
         F.element_at(toks, i),
@@ -1871,16 +1885,27 @@ def q_dedup_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.select("doc_id", gh.alias("gh"))
         .select("doc_id", F.explode(fps).alias("f"))
     )
-    a = fp.alias("a")
-    b = fp.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.f") == F.col("b.f"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+    # Bucket form: docs are unique within a bucket (fps is
+    # array_distinct per doc), so sorted ids + suffix slicing emits
+    # each unordered pair exactly once with doc_a < doc_b.
+    buckets = (
+        fp.groupBy("f")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+        .where(F.size("ids") >= 2)
+    )
+    pairs = F.flatten(
+        F.transform(
+            "ids",
+            lambda x, i: F.transform(
+                F.slice(F.col("ids"), i + F.lit(2), F.size("ids")),
+                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+            ),
         )
+    )
+    return (
+        buckets.select(F.explode(pairs).alias("p"))
         .groupBy(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+            F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b")
         )
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .where(F.col("n_shared") >= WINNOW_MIN_SHARED)

@@ -32,7 +32,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..plans.registry import register
-from ..sources.tables import load_table
+from ..sources.tables import fan_out, load_table
 
 
 def media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -46,8 +46,16 @@ def media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     typed struct: columnar, prunable, filterable without touching a
     single payload byte — the core convention for multimodal columns
     at 100 TB.
+
+    The fan_out sits BELOW payload construction: when the fixture scan
+    is one row group, only (doc_id, text, n_chars) rebalances — the
+    payload bytes are built post-shuffle and still never cross an
+    exchange (the r7 decade-up study measured the decode chain running
+    on the scan's 1-3 native splits regardless of local[32]; at
+    production scale the guard no-ops and payloads arrive in many
+    native splits).
     """
-    d = load_table(spark, sf_dir, "documents")
+    d = fan_out(load_table(spark, sf_dir, "documents"), spark, sf_dir)
     w = (F.col("n_chars") % 64 + 16).cast("int")
     h = (F.col("doc_id") % 48 + 16).cast("int")
     # md5 hex is 32 chars = 16 bytes; repeat enough times, truncate to

@@ -241,7 +241,12 @@ _DRIVER_VERIFIED = frozenset(
 # verified hash-identical vs DuckDB at sf0.01+sf0.1 but driver greens
 # predate the new plans): q_dedup_lsh_refine, q_dedup_minhash_bands,
 # q_dedup_minhash_estimate, q_llm_corpus_pipeline (fan_out +
-# groupBy-collect _band_candidates); plus q_kmeans_embeddings, whose
+# groupBy-collect _band_candidates), q_dedup_winnow_pairs +
+# q_text_winnow_fingerprints (bucket-form rewrite retiring the
+# fingerprint self-join the r7 decade-up study measured at 15.2x
+# wall-clock, + fan_out), and the media_table family (fan_out below
+# payload construction — q_mm_phash_dedup 12.0 s -> 1.5 s at the x16
+# corpus); plus q_kmeans_embeddings, whose
 # r7 hash-promotion (exact per-label counts + witness booleans,
 # verified at all three scales) obsoletes its r5 rows-only row.
 # Deliberately NOT in this window:

@@ -202,6 +202,27 @@ def test_lsh_refine_bucket_form_no_band_self_join(spark):
             assert "band_sig" not in line, line
 
 
+def test_winnow_pairs_bucket_form_no_fingerprint_self_join(spark):
+    """r7 rewrite pin: winnowing match pairs come from the
+    groupBy-collect bucket form — one fingerprint-keyed shuffle with a
+    map-side partial_collect_list, in-bucket ordered-pair combinatorics
+    via explode, then a pair-sized count — NOT a fingerprint self-join
+    (which evaluates the md5/window-minima subtree once per side and
+    shuffles the exploded table twice; measured 15.2x wall-clock at a
+    16x corpus in the SCALE.md round-7 study). The plan must contain
+    no Join node at all."""
+    p = plan(all_specs()["q_dedup_winnow_pairs"].fn(spark, SF_T2), "simple")
+    assert "partial_collect_list" in p, p
+    assert p.index("partial_collect_list") > p.index(
+        "Exchange hashpartitioning(f#"
+    ), p
+    assert "Join" not in p, p
+    # exactly three shuffles: the fan_out doc_id rebalance (fixture is
+    # one row group), fingerprint buckets, pair counts
+    assert p.count("Exchange hashpartitioning") == 3, p
+    assert "Exchange hashpartitioning(doc_id" in p, p
+
+
 def test_scd2_windows_share_one_sort(spark):
     """lag and lead both partition by custkey — the plan must contain
     exactly one Exchange (the custkey shuffle), with both Window nodes
