@@ -110,6 +110,9 @@ REPORT = [
     ("q_corpus_overlap_matrix", "per-source DISTINCT shingles; self-join carries 16-byte hashes"),
     ("q_text_vocab_growth", "single tokenize explode; first-seen min-agg + 10-row prefix rollup"),
     ("q_stream_drift_monitor", "live 2xK contingency state; chi2 epilogue over the K-row sink"),
+    # --- round 7 additions ---
+    ("q_dedup_winnow_pairs", "bucket form: one fingerprint-keyed exchange with partial_collect_list, in-bucket pair explode, pair-sized count — no Join node"),
+    ("q_crm_rfm_segments", "distributed exact ntile: cutpoint broadcast + bucket-partitioned row_number; every Window partitioned"),
 ]
 
 
