@@ -49,6 +49,10 @@ HEADLINE = [
     "q_mm_corpus_pipeline",
     "q_emb_knn_graph",
     "q_ml_auc_rank",
+    # r7 headline rewrite: winnowing match pairs (bucket form + fan_out,
+    # 8.2 s -> 1.4 s at sf0.1) — tripwired so the rewrite can't silently
+    # regress.
+    "q_dedup_winnow_pairs",
 ]
 
 
