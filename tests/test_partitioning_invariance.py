@@ -51,6 +51,10 @@ SENSITIVE = [
                               # sqrt chain quantized before the rollup
     "q_stat_spearman",        # doubled-rank windows over the hourly
                               # rollup, float only in the final chain
+    # round-7 bucket-form rewrite: collect_list arrival order varies
+    # with task layout — sort_array must fully normalize it before the
+    # in-bucket pair generation
+    "q_dedup_winnow_pairs",
 ]
 
 
