@@ -104,6 +104,30 @@ def _load() -> None:
 # fresh sample.
 _DRIVER_VERIFIED = frozenset(
     {
+        # --- round 7 (CORRECTNESS_r07.json, 50/50 hash greens, 0
+        # fails — exactly the r7 _PRIORITY_BOOST; q_crm_rfm_segments
+        # was a re-sample of its r5 row after the distributed-ntile
+        # rewrite and already appears in the r5 section) ---
+        "q_emb_ndcg_at10", "q_ml_mcnemar", "q_ml_target_encoding",
+        "q_train_hard_negatives", "q_ml_cost_threshold",
+        "q_win_bollinger_breakouts", "q_text_chunk_overlap",
+        "q_text_vocab_coverage", "q_train_curriculum", "q_ml_auc_rank",
+        "q_ml_auc_by_group", "q_ml_confusion_threshold",
+        "q_ml_calibration_bins", "q_ml_gini_stump", "q_ml_pr_curve_points",
+        "q_ml_ks_statistic", "q_ml_lift_gains", "q_ml_kfold_assign",
+        "q_ml_feature_scaler_fit", "q_ml_quantile_binning",
+        "q_etl_incremental_auc", "q_stat_spearman", "q_stat_welch_ttest",
+        "q_stat_pmi_cells", "q_stat_chi_square_cells",
+        "q_agg_higher_moments", "q_dq_benford", "q_dq_drift_chisq",
+        "q_ts_seasonality_profile", "q_ts_changepoint_cusum",
+        "q_ts_autocorrelation", "q_ts_stl_residuals", "q_stream_eval_auc",
+        "q_stream_drift_monitor", "q_stream_chained_windows",
+        "q_state_reader", "q_stream_foreachbatch_upsert",
+        "q_stream_python_source", "q_stream_static_join",
+        "q_stream_ohlc_watermarked", "q_stream_join_left_outer",
+        "q_stream_ingest_dedup", "q_stream_ingest_neardup",
+        "q_emb_nn_descent", "q_ann_pq_adc_topk", "q_emb_dedup_pipeline",
+        "q_emb_silhouette", "q_emb_outlier_distance", "q_emb_pca_power",
         # --- round 6 (CORRECTNESS_r06.json, 47 hash greens + 3
         # rows-only rows, 0 fails — the full r6 window; exactly the
         # r6 _PRIORITY_BOOST) ---
@@ -219,107 +243,113 @@ _DRIVER_VERIFIED = frozenset(
 )
 
 
-# Must-sample-first queries for the round-7 driver window, in order
-# (VERDICT r6 "next round" items 1+5): round 7 is the
-# verification-drain round — operator additions are FROZEN until the
-# never-sampled backlog (99 entering r7) fits one driver window. The
-# 50 entries below are 49 never-sampled queries plus the one query
-# REWRITTEN this round (q_crm_rfm_segments — its r5 green predates
-# the distributed-ntile rewrite, so per the _DRIVER_VERIFIED caveat
-# it must re-sample):
-#   tier A — rewritten/fixed this round (ADVICE guards + the rfm
-#            distributed-ntile rewrite);
-#   tier B — the remaining post-r6-window additions;
-#   tier C — the ML-eval family (aggregates.py:1924+);
-#   tier D — statistics / time-series;
-#   tier E — the streaming long tail;
-#   tier F — the embedding/vector long tail.
-# The 50 queries left over verify next round via the tier-1 ordering
-# below — one more full window, after which every registered query
-# has a driver row.
-# RE-BOOST QUEUE for r9+ (plan-only perf changes in r7, outputs
-# verified hash-identical vs DuckDB at sf0.01+sf0.1 but driver greens
-# predate the new plans): q_dedup_lsh_refine, q_dedup_minhash_bands,
-# q_dedup_minhash_estimate, q_llm_corpus_pipeline (fan_out +
-# groupBy-collect _band_candidates), q_dedup_winnow_pairs +
-# q_text_winnow_fingerprints (bucket-form rewrite retiring the
-# fingerprint self-join the r7 decade-up study measured at 15.2x
-# wall-clock, + fan_out), and the media_table family (fan_out below
-# payload construction — q_mm_phash_dedup 12.0 s -> 1.5 s at the x16
-# corpus); plus q_kmeans_embeddings, whose
-# r7 hash-promotion (exact per-label counts + witness booleans,
-# verified at all three scales) obsoletes its r5 rows-only row.
-# Deliberately NOT in this window:
-# first-time driver rows for never-sampled queries outrank re-proving
-# existing greens (VERDICT r6 item 2), and r8 is already exactly full.
+# Must-sample-first queries for the round-8 driver window, in order
+# (VERDICT r7 "next round" item 1): round 8 FINISHES the verification
+# drain — these are the last 50 registered queries with no driver row
+# (registration order, exactly one window). After this round every
+# registered query has a driver row and the verification debt is zero.
+# Operator additions stay FROZEN (_NEW_THIS_ROUND empty, VERDICT r7
+# item 3) until the drain lands.
 _PRIORITY_BOOST = (
-    # tier A: rewritten or guard-fixed in round 7
-    "q_crm_rfm_segments",
-    "q_emb_ndcg_at10",
-    "q_ml_mcnemar",
-    "q_ml_target_encoding",
-    "q_train_hard_negatives",
-    # tier B: post-r6-window additions (never sampled)
-    "q_ml_cost_threshold",
-    "q_win_bollinger_breakouts",
-    "q_text_chunk_overlap",
-    "q_text_vocab_coverage",
-    "q_train_curriculum",
-    # tier C: ML-eval family
-    "q_ml_auc_rank",
-    "q_ml_auc_by_group",
-    "q_ml_confusion_threshold",
-    "q_ml_calibration_bins",
-    "q_ml_gini_stump",
-    "q_ml_pr_curve_points",
-    "q_ml_ks_statistic",
-    "q_ml_lift_gains",
-    "q_ml_kfold_assign",
-    "q_ml_feature_scaler_fit",
-    "q_ml_quantile_binning",
-    "q_etl_incremental_auc",
-    # tier D: statistics / time-series
-    "q_stat_spearman",
-    "q_stat_welch_ttest",
-    "q_stat_pmi_cells",
-    "q_stat_chi_square_cells",
-    "q_agg_higher_moments",
-    "q_dq_benford",
-    "q_dq_drift_chisq",
-    "q_ts_seasonality_profile",
-    "q_ts_changepoint_cusum",
-    "q_ts_autocorrelation",
-    "q_ts_stl_residuals",
-    # tier E: streaming long tail
-    "q_stream_eval_auc",
-    "q_stream_drift_monitor",
-    "q_stream_chained_windows",
-    "q_state_reader",
-    "q_stream_foreachbatch_upsert",
-    "q_stream_python_source",
-    "q_stream_static_join",
-    "q_stream_ohlc_watermarked",
-    "q_stream_join_left_outer",
-    "q_stream_ingest_dedup",
-    "q_stream_ingest_neardup",
-    # tier F: embedding/vector long tail
-    "q_emb_nn_descent",
-    "q_ann_pq_adc_topk",
-    "q_emb_dedup_pipeline",
-    "q_emb_silhouette",
-    "q_emb_outlier_distance",
-    "q_emb_pca_power",
+    # sources / scan long tail
+    "q_source_text_roundtrip",
+    "q_scan_metadata_columns",
+    "q_scan_corrupt_files_skip",
+    "q_scan_modified_after",
+    "q_source_json_roundtrip",
+    # planner / optimizer surfaces
+    "q_catalog_stats_cbo",
+    "q_cache_reuse",
+    "q_join_hints",
+    "q_agg_distinct_salted",
+    "q_sample_exact_k",
+    "q_etl_incremental_join",
+    # dedup / graph long tail
+    "q_dedup_cluster_stats",
+    "q_graph_bfs_hops",
+    "q_dedup_survivor_quality",
+    "q_graph_triangle_count",
+    "q_graph_common_neighbors",
+    "q_join_spatial_grid",
+    "q_link_entity_blocking",
+    # SQL-surface long tail
+    "q_sql_qualify",
+    "q_sql_unpivot_clause",
+    "q_observe_metrics",
+    # aggregate long tail
+    "q_agg_weighted_percentile",
+    "q_agg_entropy_profile",
+    "q_agg_gini_concentration",
+    "q_agg_bloom_membership",
+    # window / sort long tail
+    "q_win_ewma_bounded",
+    "q_win_nth_cume",
+    "q_sort_keyset_pagination",
+    "q_sort_pareto_frontier",
+    # corpus / training-mix long tail
+    "q_dedup_source_precedence",
+    "q_corpus_overlap_matrix",
+    "q_text_vocab_growth",
+    "q_corpus_novelty_curve",
+    "q_mix_temperature",
+    "q_train_negative_samples",
+    # UDF / pandas-API long tail
+    "q_udf_map_in_arrow",
+    "q_pandas_api_groupby",
+    "q_udtf_arrow_tokens",
+    "q_agg_window_distinct",
+    # events / sessionization long tail
+    "q_event_transitions",
+    "q_win_gap_islands",
+    "q_interval_sweepline",
+    "q_event_attribution",
+    "q_event_journey_pipeline",
+    "q_event_funnel_bounded",
+    "q_events_seq_examples",
+    "q_win_session_cap",
+    # codec long tail
+    "q_codec_tz_local_hours",
+    "q_dedup_url_canonical",
+    "q_codec_binary_roundtrip",
 )
 _BOOST_RANK = {n: i for i, n in enumerate(_PRIORITY_BOOST)}
+
+# RE-BOOST queue (ADVICE r7: encode as data the sampler consumes, not
+# a comment): queries whose driver green predates a plan rewrite —
+# per the _DRIVER_VERIFIED caveat those greens are STALE evidence.
+# _driver_priority ranks these immediately after the never-sampled
+# pool, so they re-sample automatically the round the drain completes
+# (r9, since the r8 window is exactly full with _PRIORITY_BOOST).
+# Entries: the r7 perf rewrites (bucket-form _band_candidates +
+# winnow pairs, fan_out below media payloads, kmeans hash promotion)
+# and the r8 bucket-cap rewrites (capped _band_candidates /
+# winnow-pairs change the hashed output shape: audit columns ride in
+# the result).
+_REBOOST = (
+    "q_dedup_winnow_pairs",
+    "q_text_winnow_fingerprints",
+    "q_dedup_lsh_refine",
+    "q_dedup_minhash_bands",
+    "q_dedup_minhash_estimate",
+    "q_dedup_minhash_lsh",
+    "q_llm_corpus_pipeline",
+    "q_kmeans_embeddings",
+    "q_mm_phash_dedup",
+    "q_mm_corpus_pipeline",
+    "q_mm_image_features",
+    "q_mm_audio_features",
+    "q_mm_video_stride_verified",
+    "q_mm_features_verified",
+    "q_mm_frame_sample",
+)
+_REBOOST_RANK = {n: i for i, n in enumerate(_REBOOST)}
 
 # Queries added THIS round (never seen by any driver). They verify
 # AFTER the never-sampled backlog of hash-checkable queries from prior
 # rounds, but before rows-only and already-green entries. EMPTY in
-# round 7: operator additions are frozen (VERDICT r6 item 2) until the
-# never-sampled backlog fits one driver window — the r6 additions now
-# sit in the general never-sampled pool (tier 1), half in this round's
-# _PRIORITY_BOOST window and the remaining 50 forming the r8 window by
-# registration order.
+# round 8: operator additions stay frozen (VERDICT r7 item 3) until the
+# verification drain completes — the r8 window (_PRIORITY_BOOST above)
+# is exactly the last 50 never-sampled queries.
 _NEW_THIS_ROUND: frozenset[str] = frozenset()
 
 # Queries whose registration is conditional on an optional dependency:
@@ -335,11 +365,16 @@ def _driver_priority(item: tuple[str, QuerySpec]) -> tuple[int, int]:
     name, spec = item
     if name in _BOOST_RANK:
         return (0, _BOOST_RANK[name])
+    if name not in _DRIVER_VERIFIED and spec.oracle is not None:
+        # never-sampled, hash-checkable: additions from this round rank
+        # after the pre-existing never-sampled backlog
+        return (2, 0) if name in _NEW_THIS_ROUND else (1, 0)
+    if name in _REBOOST_RANK:
+        # stale green: plan rewritten after the driver row (ADVICE r7)
+        return (3, _REBOOST_RANK[name])
     if name in _DRIVER_VERIFIED:
-        return (4, 0)
-    if spec.oracle is None:
-        return (3, 0)
-    return (2, 0) if name in _NEW_THIS_ROUND else (1, 0)
+        return (5, 0)
+    return (4, 0)  # rows-only, never sampled
 
 
 def all_specs() -> dict[str, QuerySpec]:
