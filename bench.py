@@ -19,6 +19,9 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from sd2_drp_experimentgen_spark.functions.helpers import (  # noqa: E402
+    release_persisted,
+)
 from sd2_drp_experimentgen_spark.plans import all_specs  # noqa: E402
 from sd2_drp_experimentgen_spark.session import get_spark  # noqa: E402
 
@@ -83,6 +86,7 @@ def main() -> None:
             fn(spark, sf_dir).collect()
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 4)
+        release_persisted()  # drop tracked caches between queries
 
     total = round(sum(timings.values()), 4)
     print(

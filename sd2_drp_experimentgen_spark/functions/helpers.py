@@ -96,3 +96,32 @@ def sql_sum_units(expr: str, scale: int = 4) -> str:
     statically for every registered oracle.
     """
     return f"CAST(sum({sql_units(expr, scale)}) AS BIGINT)"
+
+
+# --- persist lifecycle (ADVICE r7) -----------------------------------
+# A registered query that persist()s a reused intermediate cannot
+# unpersist it itself: the caller materializes the returned DataFrame
+# AFTER the query function returns, and the cache must be live for
+# that collect/hash. Tracking persisted frames here lets harnesses
+# (bench.py, tools/verify_local.py) release them BETWEEN queries, so
+# repeated invocations in one session don't accumulate cached
+# partitions in executor memory. Sessions that never drain the list
+# (e.g. the driver, which runs each query once) fall back to
+# MEMORY_AND_DISK LRU eviction — bounded, just less deliberate.
+_TRACKED_PERSISTS: list = []
+
+
+def tracked_persist(df):
+    """``df.persist()`` + registration for :func:`release_persisted`."""
+    df = df.persist()
+    _TRACKED_PERSISTS.append(df)
+    return df
+
+
+def release_persisted() -> int:
+    """Unpersist every tracked intermediate; returns the count."""
+    n = 0
+    while _TRACKED_PERSISTS:
+        _TRACKED_PERSISTS.pop().unpersist()
+        n += 1
+    return n

@@ -1487,13 +1487,18 @@ def q_crm_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.filter("barr_m", lambda x: x > F.col("monetary_units"))
             ).alias("bkt_m"),
         )
-        # read by three scoring axes (count/offset/rank branches each)
-        # and the final rollup — persist the |users|-row bucketed
-        # profile once instead of re-running the events groupBy per
-        # branch (the production shape too: the per-user profile is
-        # the materialized intermediate every downstream axis reads).
-        .persist()
     )
+    # read by three scoring axes (count/offset/rank branches each)
+    # and the final rollup — persist the |users|-row bucketed
+    # profile once instead of re-running the events groupBy per
+    # branch (the production shape too: the per-user profile is
+    # the materialized intermediate every downstream axis reads).
+    # tracked_persist so harnesses unpersist it between queries
+    # (ADVICE r7: a bare persist accumulated cached partitions
+    # across repeated bench/driver invocations).
+    from ..functions.helpers import tracked_persist
+
+    b = tracked_persist(b)
     n_tot = b.agg(F.count(F.lit(1)).alias("n_total"))
 
     def ntile5(bcol: str, metric: str, desc: bool, out: str) -> DataFrame:

@@ -266,6 +266,20 @@ BAND_SIZE = 4  # 4 bands x 4 rows — the banding that targets J ≈ 0.8
 
 MINHASH_P = 1_000_000_007  # compacting modulus for the derived family
 
+# Stop-bucket cap (VERDICT r7 weak #1): a band signature (or winnowing
+# fingerprint) shared by more than this many documents is boilerplate —
+# a shared header, a license block, an empty-ish template. Generating
+# pairs inside such a bucket is O(n²) in ONE task (10⁶ docs sharing a
+# footer → 10¹² pairs); dropping the bucket loses no real near-dup
+# signal, because any pair that truly overlaps also collides on its
+# non-boilerplate content under other bands/fingerprints. The drop is
+# AUDITED: every capped query carries the count of dropped buckets in
+# its (hash-checked) output, so the lever is visible in the data card,
+# never silent. 64 bounds the worst in-bucket explosion at ~2k pairs
+# per bucket while sitting far above any organic fixture bucket
+# (measured max 24 at sf0.1, SCALE.md).
+LSH_BUCKET_CAP = 64
+
 
 def _minhash_signatures(d: DataFrame, keep_shingles: bool = False) -> DataFrame:
     """documents -> (doc_id[, mds], m0..m15): the Carter-Wegman banded-
@@ -332,6 +346,19 @@ def _band_frame(sigs: DataFrame) -> DataFrame:
     ).select("doc_id", "band.band_idx", "band.band_sig")
 
 
+def _band_buckets(bands: DataFrame) -> DataFrame:
+    """band rows -> (band_idx, band_sig, ids) collision buckets with
+    >= 2 docs, ids sorted for deterministic in-bucket pair order.
+    Shared subplan of `_band_candidates` and `_band_drop_audit`:
+    Catalyst's ReuseExchange dedupes the bucket shuffle when both are
+    composed in one plan, so the minhash pipeline runs once."""
+    return (
+        bands.groupBy("band_idx", "band_sig")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+        .where(F.size("ids") >= 2)
+    )
+
+
 def _band_candidates(bands: DataFrame) -> DataFrame:
     """band rows -> distinct (doc_lo, doc_hi) LSH candidate pairs.
 
@@ -342,13 +369,14 @@ def _band_candidates(bands: DataFrame) -> DataFrame:
     minhash chain once per join side and at scale would need either a
     data-sized broadcast or a second shuffle+sort; measured at sf0.1
     this form cut candidate generation ~2x. The within-bucket pair
-    explosion is the SAME quadratic the join had — confined to a
-    band bucket, the LSH boundedness argument."""
-    buckets = (
-        bands.groupBy("band_idx", "band_sig")
-        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
-        .where(F.size("ids") >= 2)
-    )
+    explosion is the SAME quadratic the join had — confined to a band
+    bucket, the LSH boundedness argument — and since r8 additionally
+    CAPPED at LSH_BUCKET_CAP docs per bucket (stop-bucket exclusion):
+    a signature shared by millions of boilerplate documents would
+    otherwise put the whole collision set in one task and ask for a
+    quadratic pair explosion there. Dropped buckets are counted by
+    `_band_drop_audit`, which consumers surface in their output."""
+    buckets = _band_buckets(bands).where(F.size("ids") <= LSH_BUCKET_CAP)
     pairs = F.flatten(
         F.transform(
             "ids",
@@ -362,6 +390,18 @@ def _band_candidates(bands: DataFrame) -> DataFrame:
         buckets.select(F.explode(pairs).alias("p"))
         .select("p.doc_lo", "p.doc_hi")
         .distinct()
+    )
+
+
+def _band_drop_audit(bands: DataFrame) -> DataFrame:
+    """1-row (n_buckets_dropped): collision buckets over LSH_BUCKET_CAP
+    excluded from pair generation. Riding in every consumer's hashed
+    output keeps the stop-bucket lever auditable — 0 on organic
+    corpora, nonzero exactly when boilerplate was suppressed."""
+    return _band_buckets(bands).agg(
+        F.count_if(F.size("ids") > LSH_BUCKET_CAP)
+        .cast("long")
+        .alias("n_buckets_dropped")
     )
 
 
@@ -621,11 +661,23 @@ def q_text_ngram_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
           ) + f") AS band_sig, {b} AS band_idx FROM mh"
           for b in range(N_MINHASH // BAND_SIZE))}
     ),
+    bsz AS (
+      SELECT band_idx, band_sig, count(*) AS n
+      FROM bands GROUP BY band_idx, band_sig HAVING count(*) >= 2
+    ),
+    audit AS (
+      SELECT CAST(count(*) FILTER (WHERE n > {LSH_BUCKET_CAP}) AS BIGINT)
+             AS n_buckets_dropped
+      FROM bsz
+    ),
     cand AS (
       SELECT DISTINCT a.doc_id AS doc_lo, b.doc_id AS doc_hi
       FROM bands a JOIN bands b
         ON a.band_idx = b.band_idx AND a.band_sig = b.band_sig
        AND a.doc_id < b.doc_id
+      JOIN bsz s
+        ON s.band_idx = a.band_idx AND s.band_sig = a.band_sig
+      WHERE s.n <= {LSH_BUCKET_CAP}
     ),
     toks AS (
       SELECT doc_id, list_distinct(string_split(text, ' ')) AS t
@@ -635,10 +687,12 @@ def q_text_ngram_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
            {sql_r('''len(list_filter(ta.t, x -> list_contains(tb.t, x))) * 1.0
              / (len(ta.t) + len(tb.t)
                 - len(list_filter(ta.t, x -> list_contains(tb.t, x))))''')}
-             AS jaccard
+             AS jaccard,
+           audit.n_buckets_dropped
     FROM cand
     JOIN toks ta ON ta.doc_id = doc_lo
     JOIN toks tb ON tb.doc_id = doc_hi
+    CROSS JOIN audit
     WHERE len(list_filter(ta.t, x -> list_contains(tb.t, x))) * 3
           >= len(ta.t) + len(tb.t)
     """,
@@ -649,7 +703,12 @@ def q_text_ngram_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     "Jaccard refine computed ONLY for candidates -> near-dup pairs at "
     "J >= 0.5. This is the production shape: the quadratic all-pairs "
     "comparison never happens; exact similarity is paid solely inside "
-    "LSH buckets. Integer set sizes + one float divide — hash-exact.",
+    "LSH buckets, and buckets wider than LSH_BUCKET_CAP docs (shared "
+    "boilerplate signatures) are dropped BEFORE pair generation with "
+    "the dropped count riding in the output (n_buckets_dropped) — "
+    "the stop-bucket lever that keeps one hot signature from pulling "
+    "a quadratic into a single task at 100 TB. Integer set sizes + "
+    "one float divide — hash-exact.",
 )
 def q_dedup_lsh_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.helpers import r4
@@ -658,7 +717,8 @@ def q_dedup_lsh_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = fan_out(
         load_table(spark, sf_dir, "documents"), spark, sf_dir
     )
-    cand = _band_candidates(_band_frame(_minhash_signatures(d)))
+    bands = _band_frame(_minhash_signatures(d))
+    cand = _band_candidates(bands)
     toks = d.select(
         "doc_id", F.array_distinct(F.split(F.col("text"), " ")).alias("t")
     )
@@ -669,12 +729,17 @@ def q_dedup_lsh_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     inter = F.size(F.array_intersect(F.col("ta.t"), F.col("tb.t")))
     union = F.size(F.col("ta.t")) + F.size(F.col("tb.t")) - inter
-    return joined.where(
-        inter * 3 >= F.size(F.col("ta.t")) + F.size(F.col("tb.t"))
-    ).select(
-        "doc_lo",
-        "doc_hi",
-        r4(inter * F.lit(1.0) / union).alias("jaccard"),
+    return (
+        joined.where(
+            inter * 3 >= F.size(F.col("ta.t")) + F.size(F.col("tb.t"))
+        )
+        .crossJoin(F.broadcast(_band_drop_audit(bands)))
+        .select(
+            "doc_lo",
+            "doc_hi",
+            r4(inter * F.lit(1.0) / union).alias("jaccard"),
+            "n_buckets_dropped",
+        )
     )
 
 
@@ -1294,19 +1359,33 @@ _EST_EXACT_SQL = (
           ) + f") AS band_sig, {b} AS band_idx FROM mh"
           for b in range(N_MINHASH // BAND_SIZE))}
     ),
+    bsz AS (
+      SELECT band_idx, band_sig, count(*) AS n
+      FROM bands GROUP BY band_idx, band_sig HAVING count(*) >= 2
+    ),
+    audit AS (
+      SELECT CAST(count(*) FILTER (WHERE n > {LSH_BUCKET_CAP}) AS BIGINT)
+             AS n_buckets_dropped
+      FROM bsz
+    ),
     cand AS (
       SELECT DISTINCT a.doc_id AS doc_lo, b.doc_id AS doc_hi
       FROM bands a JOIN bands b
         ON a.band_idx = b.band_idx AND a.band_sig = b.band_sig
        AND a.doc_id < b.doc_id
+      JOIN bsz s
+        ON s.band_idx = a.band_idx AND s.band_sig = a.band_sig
+      WHERE s.n <= {LSH_BUCKET_CAP}
     )
     SELECT doc_lo, doc_hi,
            CAST({_EST_AGREE_SQL} AS BIGINT) AS n_agree,
            {sql_r(f"({_EST_AGREE_SQL}) / {N_MINHASH}.0")} AS est_j,
-           {sql_r(_EST_EXACT_SQL)} AS exact_j
+           {sql_r(_EST_EXACT_SQL)} AS exact_j,
+           audit.n_buckets_dropped
     FROM cand
     JOIN mh a ON a.doc_id = doc_lo
     JOIN mh b ON b.doc_id = doc_hi
+    CROSS JOIN audit
     """,
     tier="P2",
     doc="MinHash estimator CALIBRATION: for every LSH candidate pair, "
@@ -1330,7 +1409,8 @@ def q_dedup_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     # dedupes), which leaves every minhash unchanged — min over a set
     # ignores multiplicity — and gives the exact-Jaccard side its sets.
     sigs = _minhash_signatures(d, keep_shingles=True)
-    cand = _band_candidates(_band_frame(sigs))
+    bands = _band_frame(sigs)
+    cand = _band_candidates(bands)
     sa = sigs.alias("sa")
     sb = sigs.alias("sb")
     j = cand.join(sa, F.col("sa.doc_id") == F.col("doc_lo")).join(
@@ -1342,12 +1422,13 @@ def q_dedup_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     inter = F.size(F.array_intersect(F.col("sa.mds"), F.col("sb.mds")))
     union = F.size(F.col("sa.mds")) + F.size(F.col("sb.mds")) - inter
-    return j.select(
+    return j.crossJoin(F.broadcast(_band_drop_audit(bands))).select(
         "doc_lo",
         "doc_hi",
         agree.cast("long").alias("n_agree"),
         r4(agree / F.lit(float(N_MINHASH))).alias("est_j"),
         r4(inter * F.lit(1.0) / union).alias("exact_j"),
+        "n_buckets_dropped",
     )
 
 
@@ -1800,6 +1881,12 @@ def q_text_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 WINNOW_MIN_SHARED = 2
+# Stop-fingerprint threshold: a winnowing fingerprint shared by more
+# docs than this is boilerplate (shared header/license block) — its
+# bucket is dropped before pair generation and counted into the
+# audited n_stop_fps output column. Same rationale and value as
+# LSH_BUCKET_CAP (see that constant's comment).
+WINNOW_STOP_FP_CAP = LSH_BUCKET_CAP
 
 
 @register(
@@ -1824,12 +1911,27 @@ WINNOW_MIN_SHARED = 2
                generate_series(1, len(gh) - {WINNOW_W - 1}),
                j -> list_aggregate(gh[j:j + {WINNOW_W - 1}], 'min')))) AS f
       FROM g
+    ),
+    fpb AS (
+      SELECT f, count(*) AS n FROM fp GROUP BY f HAVING count(*) >= 2
+    ),
+    audit AS (
+      SELECT CAST(count(*) FILTER (WHERE n > {WINNOW_STOP_FP_CAP})
+                  AS BIGINT) AS n_stop_fps
+      FROM fpb
+    ),
+    prs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             count(*) AS n_shared
+      FROM fp a
+      JOIN fp b ON a.f = b.f AND a.doc_id < b.doc_id
+      JOIN fpb s ON s.f = a.f
+      WHERE s.n <= {WINNOW_STOP_FP_CAP}
+      GROUP BY doc_a, doc_b
+      HAVING count(*) >= {WINNOW_MIN_SHARED}
     )
-    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-           count(*) AS n_shared
-    FROM fp a JOIN fp b ON a.f = b.f AND a.doc_id < b.doc_id
-    GROUP BY doc_a, doc_b
-    HAVING count(*) >= {WINNOW_MIN_SHARED}
+    SELECT doc_a, doc_b, n_shared, audit.n_stop_fps
+    FROM prs CROSS JOIN audit
     """,
     tier="P1",
     doc="Winnowing-based near-dup candidate pairs — the scheme "
@@ -1851,10 +1953,15 @@ WINNOW_MIN_SHARED = 2
     "wall-clock at a 16x corpus vs 2.6x for the bucketed LSH rungs "
     "(SCALE.md round-7 study); this form closes that gap. The "
     "within-bucket pair quadratic is confined to one fingerprint "
-    "value's bucket; at 100 TB the one extra lever is dropping "
-    "stop-fingerprints (values shared by >T docs — boilerplate) "
-    "before pair generation, the same hot-token exclusion the "
-    "ppjoin rung uses.",
+    "value's bucket AND capped (r8): STOP-FINGERPRINTS — values "
+    f"shared by more than {WINNOW_STOP_FP_CAP} docs, i.e. "
+    "boilerplate — are dropped before pair generation, the same "
+    "hot-token exclusion the ppjoin rung uses, with the dropped "
+    "count riding in the hashed output (n_stop_fps) so the lever "
+    "is audited, never silent. Recall caveat: a pair whose overlap "
+    "is ONLY boilerplate is deliberately suppressed; pairs with "
+    "real shared content still collide on their non-boilerplate "
+    "fingerprints.",
 )
 def q_dedup_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources.tables import fan_out
@@ -1887,12 +1994,23 @@ def q_dedup_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # Bucket form: docs are unique within a bucket (fps is
     # array_distinct per doc), so sorted ids + suffix slicing emits
-    # each unordered pair exactly once with doc_a < doc_b.
-    buckets = (
+    # each unordered pair exactly once with doc_a < doc_b. Buckets
+    # wider than WINNOW_STOP_FP_CAP are stop-fingerprints
+    # (boilerplate): dropped before pair generation, counted into
+    # the audit column. Both branches share the bucket aggregate's
+    # exchange (ReuseExchange), so the fingerprint pipeline still
+    # evaluates once.
+    buckets_all = (
         fp.groupBy("f")
         .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
         .where(F.size("ids") >= 2)
     )
+    audit = buckets_all.agg(
+        F.count_if(F.size("ids") > WINNOW_STOP_FP_CAP)
+        .cast("long")
+        .alias("n_stop_fps")
+    )
+    buckets = buckets_all.where(F.size("ids") <= WINNOW_STOP_FP_CAP)
     pairs = F.flatten(
         F.transform(
             "ids",
@@ -1909,6 +2027,7 @@ def q_dedup_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .where(F.col("n_shared") >= WINNOW_MIN_SHARED)
+        .crossJoin(F.broadcast(audit))
     )
 
 

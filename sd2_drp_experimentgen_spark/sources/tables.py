@@ -172,14 +172,37 @@ FAN_OUT_MAX_BYTES = 256 << 20
 
 
 def _table_bytes(sf_dir: str, name: str) -> int:
+    """Local-filesystem size probe for the fan-out guard.
+
+    Every non-answer resolves to FAN_OUT_MAX_BYTES — "assume big", which
+    makes fan_out a no-op. That is the safe direction at scale: skipping
+    a fan-out on a small table costs one underparallelized local run,
+    while hash-repartitioning a large table costs a full extra shuffle
+    of the raw corpus. Three assume-big cases:
+      * non-local URI (s3://, hdfs://, ...): os.stat cannot see it, and
+        the production analogue is a listing-level file/split count;
+      * directory whose recursive walk finds zero parquet bytes: an
+        unknown layout (e.g. exotic nesting), not a zero-byte table;
+      * OSError (permissions, races).
+    Hive-partitioned tables (nested key=value subdirectories) are summed
+    correctly by the recursive walk — a top-level-only listdir would
+    report 0 bytes and fan a 100 TB table out (ADVICE r7).
+    """
+    if "://" in sf_dir and not sf_dir.startswith("file:"):
+        return FAN_OUT_MAX_BYTES  # object store: no local stat, assume big
     path = f"{sf_dir}/{name}.parquet"
+    if path.startswith("file:"):
+        path = path[len("file://"):] if path.startswith("file://") else path
     try:
         if os.path.isdir(path):
-            return sum(
-                os.path.getsize(os.path.join(path, f))
-                for f in os.listdir(path)
-                if f.endswith(".parquet")
-            )
+            total = 0
+            for root, _dirs, files in os.walk(path):
+                total += sum(
+                    os.path.getsize(os.path.join(root, f))
+                    for f in files
+                    if f.endswith(".parquet")
+                )
+            return total if total > 0 else FAN_OUT_MAX_BYTES
         return os.path.getsize(path)
     except OSError:
         return FAN_OUT_MAX_BYTES  # unknown layout: assume big, no-op

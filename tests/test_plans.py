@@ -196,10 +196,16 @@ def test_lsh_refine_bucket_form_no_band_self_join(spark):
     assert p.index("partial_collect_list") > p.index(
         "Exchange hashpartitioning(band_idx"
     ), p
-    # no Join condition may involve the band signature
+    # no Join condition may involve the band signature (the only
+    # non-key join is the 1-row audit broadcast cross join)
     for line in p.splitlines():
         if "Join" in line:
             assert "band_sig" not in line, line
+    # r8 stop-bucket cap pinned in-plan: buckets over LSH_BUCKET_CAP
+    # are filtered out before pair generation
+    from sd2_drp_experimentgen_spark.operators.llmtext import LSH_BUCKET_CAP
+
+    assert f"<= {LSH_BUCKET_CAP})" in p, p
 
 
 def test_winnow_pairs_bucket_form_no_fingerprint_self_join(spark):
@@ -216,11 +222,24 @@ def test_winnow_pairs_bucket_form_no_fingerprint_self_join(spark):
     assert p.index("partial_collect_list") > p.index(
         "Exchange hashpartitioning(f#"
     ), p
-    assert "Join" not in p, p
-    # exactly three shuffles: the fan_out doc_id rebalance (fixture is
-    # one row group), fingerprint buckets, pair counts
-    assert p.count("Exchange hashpartitioning") == 3, p
-    assert "Exchange hashpartitioning(doc_id" in p, p
+    # the ONLY join allowed is the 1-row audit broadcast cross join
+    # (r8 stop-fingerprint audit column); any shuffle/hash join would
+    # mean the fingerprint self-join crept back
+    for line in p.splitlines():
+        if "Join" in line:
+            assert "BroadcastNestedLoopJoin" in line, line
+    assert "SortMergeJoin" not in p and "ShuffledHashJoin" not in p, p
+    # semantic shuffles: fingerprint buckets + pair counts (the
+    # fan_out doc_id rebalance additionally appears while the fixture
+    # is under FAN_OUT_MAX_BYTES — don't pin its presence, ADVICE r7)
+    assert "Exchange hashpartitioning(f#" in p, p
+    assert "Exchange hashpartitioning(_groupingexpression" in p, p
+    # r8 stop-fingerprint cap pinned in-plan
+    from sd2_drp_experimentgen_spark.operators.llmtext import (
+        WINNOW_STOP_FP_CAP,
+    )
+
+    assert f"<= {WINNOW_STOP_FP_CAP})" in p, p
 
 
 def test_scd2_windows_share_one_sort(spark):

@@ -20,9 +20,22 @@ hot bucket spanning replicas); anything super-linear in TIME beyond
 sort costs means a shuffle or candidate set is growing quadratically.
 
     python tools/dedup_scale_study.py [--reps 4 16] [--verify]
+    python tools/dedup_scale_study.py --boilerplate [--reps 4 16]
 
 ``--verify`` DuckDB-checks the two cheapest hash rungs at the largest
 scale, so correctness at scale is proven, not assumed.
+
+``--boilerplate`` (VERDICT r7 item 2) measures the stop-bucket cap
+under the adversarial input the organic replicas cannot produce: a
+shared 64-token header is prepended to EVERY document (unsuffixed, so
+it is identical across replicas), which makes each of the header's
+winnowing fingerprints a bucket holding the whole corpus — the
+uncapped r7 bucket form would generate |corpus|² pairs inside one
+task there. With the cap the run must stay near the organic wall-clock
+and the audited drop counters (n_stop_fps / n_buckets_dropped) must be
+NONZERO; the x1 build is also DuckDB-hash-verified so the capped
+semantics are proven identical across engines on a corpus where the
+cap actually fires.
 """
 
 from __future__ import annotations
@@ -75,18 +88,28 @@ VERIFY_AT_MAX = [
 ]
 
 
-def scaled_dir(rep: int) -> str:
+# Deterministic 64-token shared header: long enough that every doc
+# emits several header-only winnowing fingerprints (w=4 over 3-gram
+# hashes) and a meaningful share of header shingles for the minhash
+# side — the worst-case boilerplate a web corpus carries.
+BP_HEADER = " ".join(f"bptok{i:02d}" for i in range(64))
+
+
+def scaled_dir(rep: int, boilerplate: bool = False) -> str:
     root = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "..", ".scratch",
         "scale_docs",
     )
-    return os.path.abspath(os.path.join(root, f"x{rep}"))
+    suffix = "bp" if boilerplate else ""
+    return os.path.abspath(os.path.join(root, f"x{rep}{suffix}"))
 
 
-def build(spark, rep: int) -> str:
+def build(spark, rep: int, boilerplate: bool = False) -> str:
     """Replicate documents rep-fold with DISTINCT texts; copy the other
-    tables unscaled so loaders and preflight see a complete fixture."""
-    out = scaled_dir(rep)
+    tables unscaled so loaders and preflight see a complete fixture.
+    With ``boilerplate``, prepend the UNsuffixed shared header to every
+    text so one fingerprint/band bucket spans the whole corpus."""
+    out = scaled_dir(rep, boilerplate)
     marker = os.path.join(out, "_BUILT")
     if os.path.exists(marker):
         return out
@@ -105,6 +128,8 @@ def build(spark, rep: int) -> str:
                 ),
                 " ",
             )
+            if boilerplate:
+                suffixed = F.concat(F.lit(BP_HEADER + " "), suffixed)
             df = (
                 df.crossJoin(F.broadcast(reps))
                 .withColumn("doc_id", F.col("doc_id") + F.col("rep") * DOC_STRIDE)
@@ -128,13 +153,68 @@ def run_query(spark, name: str, sf_dir: str, runs: int = 2):
     return round(best, 3), rows
 
 
+# The rungs whose stop-bucket cap the boilerplate mode exercises, with
+# the audit column each carries in its output.
+BP_RUNGS = {
+    "q_dedup_winnow_pairs": "n_stop_fps",
+    "q_dedup_lsh_refine": "n_buckets_dropped",
+}
+
+
+def run_boilerplate(spark, reps: list[int]) -> int:
+    """Boilerplate-injection mode: bounded wall-clock + nonzero audited
+    drops on a corpus where every doc shares a 64-token header."""
+    result: dict = {"mode": "boilerplate", "header_tokens": 64, "scales": {}}
+    for rep in [1] + [r for r in reps if r != 1]:
+        d = build(spark, rep, boilerplate=True)
+        row = {}
+        for q, audit_col in BP_RUNGS.items():
+            t, n = run_query(spark, q, d)
+            first = all_specs()[q].fn(spark, d).select(audit_col).first()
+            dropped = 0 if first is None else first[0]
+            row[q] = {"sec": t, "rows": n, audit_col: dropped}
+            print(
+                f"BP x{rep:<3} {q}: {t}s, {n} rows, {audit_col}={dropped}",
+                flush=True,
+            )
+            if not dropped:
+                print(
+                    f"FAIL: {q} reported zero dropped buckets on the "
+                    "boilerplate corpus — the cap did not fire",
+                    flush=True,
+                )
+                return 1
+        result["scales"][rep] = row
+
+        if rep == 1:
+            # hash-verify the capped semantics vs DuckDB exactly where
+            # the cap fires (x1 keeps the oracle's self-join bounded)
+            from tools.verify_local import compare, duck_connect
+
+            con = duck_connect(d)
+            for q in BP_RUNGS:
+                spec = all_specs()[q]
+                ok, msg = compare(q, spec.fn(spark, d), con.sql(spec.oracle))
+                print(
+                    f"VERIFY bp-x1 {q}: {'PASS' if ok else 'FAIL'} {msg}",
+                    flush=True,
+                )
+                if not ok:
+                    return 1
+    print(json.dumps(result))
+    return 0
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--reps", nargs="*", type=int, default=[4, 16])
     ap.add_argument("--verify", action="store_true")
+    ap.add_argument("--boilerplate", action="store_true")
     args = ap.parse_args()
 
     spark = get_spark(app_name="sd2drp-dedup-scale", shuffle_partitions=32)
+    if args.boilerplate:
+        return run_boilerplate(spark, args.reps)
     result: dict = {"base": {}, "scales": {}}
     for q in LADDER:
         t, n = run_query(spark, q, BASE_SF)

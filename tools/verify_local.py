@@ -245,6 +245,12 @@ def main() -> int:
             ok, msg = compare(name, df, con.sql(spec.oracle))
         except Exception as e:  # noqa: BLE001
             ok, msg = False, f"EXCEPTION: {type(e).__name__}: {e}"
+        finally:
+            from sd2_drp_experimentgen_spark.functions.helpers import (
+                release_persisted,
+            )
+
+            release_persisted()  # drop tracked caches between queries
         dt = time.time() - t0
         if ok:
             n_pass += 1
