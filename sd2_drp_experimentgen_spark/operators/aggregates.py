@@ -425,9 +425,10 @@ def q_agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "q_train_features_wide",
-    oracle=f"""
+# The q_train_features_wide oracle, extracted so q_mllib_train_pipeline
+# (ml.py) can reuse it as a CTE for its SQL-expressible companion
+# columns (n_train = row count, n_features via distinct nations).
+FEATURES_WIDE_SQL = f"""
     WITH ord AS (
       SELECT o_custkey,
              count(*) AS n_orders,
@@ -467,7 +468,12 @@ def q_agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN region ON r_regionkey = n_regionkey
     JOIN ord ON ord.o_custkey = c_custkey
     LEFT JOIN li ON li.o_custkey = c_custkey
-    """,
+    """
+
+
+@register(
+    "q_train_features_wide",
+    oracle=FEATURES_WIDE_SQL,
     tier="P1",
     doc="SIGNATURE: the ML training table — one row per customer with a "
     "binary label, engineered spend/discount features, manual one-hot "

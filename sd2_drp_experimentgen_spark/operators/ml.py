@@ -192,15 +192,44 @@ def kmeans_quality(spark: SparkSession, sf_dir: str) -> dict:
     return {"purity": purity, "inertia": inertia, "baseline_sse": baseline_sse}
 
 
+# Witness threshold for q_mllib_train_pipeline's training AUC: measured
+# 1.0000 / 0.8641 / 0.7901 at sf0.001/0.01/0.1 — 0.70 sits 0.09 below
+# the weakest measurement, far above the 0.5 chance level, and LBFGS on
+# identical data is deterministic well past that margin.
+PIPELINE_AUC_MIN = 0.70
+
+
+def _pipeline_oracle() -> str:
+    from .aggregates import FEATURES_WIDE_SQL
+
+    return f"""
+    WITH feats AS ({FEATURES_WIDE_SQL})
+    SELECT CAST(count(*) AS BIGINT) AS n_train,
+           CAST(9 + count(DISTINCT n_name) AS INT) AS n_features,
+           true AS auc_ok
+    FROM feats
+    """
+
+
 @register(
     "q_mllib_train_pipeline",
-    oracle=None,
+    oracle=_pipeline_oracle(),
     tier="P2",
     doc="End-to-end MLlib Pipeline on the q_train_features_wide table: "
     "StringIndexer(nation) -> OneHotEncoder -> VectorAssembler -> "
-    "LogisticRegression predicting the has-finished-order label. Emits "
-    "(n_train, n_features, auc_x10000). Self-test: AUC > 0.5. This is "
-    "the reference's model-feeding step run natively distributed.",
+    "LogisticRegression predicting the has-finished-order label. "
+    "Promoted from rows-only to a HASH check in round 8 via the "
+    "kmeans/sketch pattern: n_train and n_features are SQL-expressible "
+    "companions (n_features = 10 numeric inputs + |nations|-1 one-hot "
+    "slots under OneHotEncoder's default dropLast — the oracle "
+    "DERIVES it as 9 + count(DISTINCT n_name), so the hash also "
+    "verifies the encoder's category handling against the data), and "
+    f"the training AUC becomes the witness boolean auc_ok (> "
+    f"{PIPELINE_AUC_MIN}; measured 1.00/0.86/0.79 at the three "
+    "fixture scales) oracled as a literal. The raw AUC stays out of "
+    "the hash because float optimizer internals are not cross-engine "
+    "reproducible; the quality CLAIM is. Self-test: AUC > 0.5. This "
+    "is the reference's model-feeding step run natively distributed.",
 )
 def q_mllib_train_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.ml import Pipeline
@@ -243,8 +272,8 @@ def q_mllib_train_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).evaluate(scored)
     n_features = scored.select("features").head()["features"].size
     return spark.createDataFrame(
-        [(feats.count(), n_features, int(auc * 10000))],
-        schema="n_train long, n_features int, auc_x10000 int",
+        [(feats.count(), n_features, bool(auc > PIPELINE_AUC_MIN))],
+        schema="n_train long, n_features int, auc_ok boolean",
     )
 
 
@@ -474,9 +503,14 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "size, the winning parameters scaled to integers, and CV-AUC. "
     "Self-test: best CV-AUC > 0.5 (better than chance) and the "
     "winner's held-out AUC within the grid's observed range. "
-    "Rows-only by nature — model selection has no SQL oracle; "
-    "determinism note: fold assignment uses the estimator's fixed "
-    "seed, so the selected parameters are stable per dataset.",
+    "Rows-only DELIBERATELY (r8 promotion audit): the winning grid "
+    "point is dataset-dependent and measured to win by only 5e-4 "
+    "avg-AUC at sf0.1 ((0.1,0.0)=0.7787 vs (0.0,*)=0.7782), so "
+    "pinning best-params as oracle literals would hash-fail on any "
+    "float jitter — a kmeans-style promotion here would be dishonest "
+    "where q_mllib_train_pipeline's (margin 0.09) is sound. "
+    "Determinism note: fold assignment uses the estimator's fixed "
+    "seed, so the selected parameters are stable per dataset/env.",
 )
 def q_mllib_cross_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.ml import Pipeline

@@ -326,6 +326,7 @@ _BOOST_RANK = {n: i for i, n in enumerate(_PRIORITY_BOOST)}
 # winnow-pairs change the hashed output shape: audit columns ride in
 # the result).
 _REBOOST = (
+    "q_mllib_train_pipeline",  # r8 hash promotion (rows-only r5 row stale)
     "q_dedup_winnow_pairs",
     "q_text_winnow_fingerprints",
     "q_dedup_lsh_refine",
