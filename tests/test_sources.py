@@ -243,3 +243,52 @@ def test_foreachbatch_state_swap_recovers_from_crash(spark, tmp_path):
     # lost them all)
     assert set(got) >= set(expected)
     assert not os.path.exists(state + "_old")
+
+
+def test_table_bytes_guard_directions(tmp_path):
+    """The fan_out size guard must resolve every non-answer to
+    'assume big' (no-op fan-out) — the safe direction at scale — and
+    must see hive-partitioned bytes recursively (ADVICE r7: a
+    top-level-only listing summed a nested layout to 0 bytes and would
+    have hash-repartitioned an arbitrarily large table)."""
+    from sd2_drp_experimentgen_spark.sources.tables import (
+        FAN_OUT_MAX_BYTES,
+        _table_bytes,
+    )
+
+    # flat file: exact size
+    flat = tmp_path / "flat"
+    flat.mkdir()
+    (flat / "documents.parquet").write_bytes(b"x" * 1234)
+    assert _table_bytes(str(flat), "documents") == 1234
+
+    # hive-partitioned nested layout: recursive sum, not 0
+    hive = tmp_path / "hive"
+    part = hive / "documents.parquet" / "lang=en" / "day=2024-01-01"
+    part.mkdir(parents=True)
+    (part / "part-0.parquet").write_bytes(b"x" * 1000)
+    (hive / "documents.parquet" / "lang=fr").mkdir()
+    (hive / "documents.parquet" / "lang=fr" / "f.parquet").write_bytes(
+        b"y" * 500
+    )
+    assert _table_bytes(str(hive), "documents") == 1500
+
+    # directory with no parquet bytes: unknown layout -> assume big
+    empty = tmp_path / "empty"
+    (empty / "documents.parquet").mkdir(parents=True)
+    assert _table_bytes(str(empty), "documents") == FAN_OUT_MAX_BYTES
+
+    # missing path: assume big
+    assert _table_bytes(str(tmp_path / "nope"), "documents") == (
+        FAN_OUT_MAX_BYTES
+    )
+
+    # object-store URI: os.stat cannot see it -> assume big
+    assert _table_bytes("s3://bucket/sf1", "documents") == FAN_OUT_MAX_BYTES
+    assert (
+        _table_bytes("hdfs://nn/warehouse/sf1", "documents")
+        == FAN_OUT_MAX_BYTES
+    )
+
+    # file:// URI to a local path still resolves
+    assert _table_bytes(f"file://{flat}", "documents") == 1234
