@@ -1397,8 +1397,11 @@ _EST_EXACT_SQL = (
     "not just recall-sampled. This is the table an operator reads "
     "when tuning bands x rows against a corpus: it shows exactly "
     "how the 4x4 banding's candidates distribute around the J=0.8 "
-    "S-curve. Shuffle shape: signatures (16 ints) and distinct-"
-    "shingle hash sets join only for candidate pairs.",
+    "S-curve. Candidates come from the capped bucket form (r8): "
+    "buckets over LSH_BUCKET_CAP docs are dropped pre-pairs with the "
+    "count audited in n_buckets_dropped. Shuffle shape: signatures "
+    "(16 ints) and distinct-shingle hash sets join only for "
+    "candidate pairs.",
 )
 def q_dedup_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.helpers import r4
