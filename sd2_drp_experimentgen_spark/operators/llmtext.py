@@ -1961,10 +1961,12 @@ WINNOW_STOP_FP_CAP = LSH_BUCKET_CAP
     "boilerplate — are dropped before pair generation, the same "
     "hot-token exclusion the ppjoin rung uses, with the dropped "
     "count riding in the hashed output (n_stop_fps) so the lever "
-    "is audited, never silent. Recall caveat: a pair whose overlap "
-    "is ONLY boilerplate is deliberately suppressed; pairs with "
-    "real shared content still collide on their non-boilerplate "
-    "fingerprints.",
+    "is audited, never silent (edge case: if NO pair survives, the "
+    "audit scalar has no row to ride on and the result is empty on "
+    "both engines — the empty pair table is itself the signal). "
+    "Recall caveat: a pair whose overlap is ONLY boilerplate is "
+    "deliberately suppressed; pairs with real shared content still "
+    "collide on their non-boilerplate fingerprints.",
 )
 def q_dedup_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources.tables import fan_out
