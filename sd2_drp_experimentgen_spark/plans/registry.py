@@ -325,6 +325,9 @@ _BOOST_RANK = {n: i for i, n in enumerate(_PRIORITY_BOOST)}
 # and the r8 bucket-cap rewrites (capped _band_candidates /
 # winnow-pairs change the hashed output shape: audit columns ride in
 # the result).
+# Entire queue pre-validated at sf0.01 in round 8 (13 hash-pass, 3
+# rows-only per the contract carve-out, 0 fail) after the bucket-cap
+# and promotion rewrites landed — the r9 window is expected green.
 _REBOOST = (
     "q_mllib_train_pipeline",  # r8 hash promotion (rows-only r5 row stale)
     "q_dedup_winnow_pairs",
