@@ -80,13 +80,18 @@ def main() -> None:
     for name in names:
         fn = specs[name].fn
         fn(spark, sf_dir).collect()  # warm-up (JIT, file listing, broadcast)
+        release_persisted()
         best = float("inf")
         for _ in range(2):
             t0 = time.perf_counter()
             fn(spark, sf_dir).collect()
+            # drop tracked caches INSIDE the timing loop: a query that
+            # persists its bucket/index table must pay the full build
+            # in every timed run, or the tripwire would measure cache
+            # reads and hide pipeline regressions behind the warm-up
             best = min(best, time.perf_counter() - t0)
+            release_persisted()
         timings[name] = round(best, 4)
-        release_persisted()  # drop tracked caches between queries
 
     total = round(sum(timings.values()), 4)
     print(

@@ -349,18 +349,28 @@ def _band_frame(sigs: DataFrame) -> DataFrame:
 def _band_buckets(bands: DataFrame) -> DataFrame:
     """band rows -> (band_idx, band_sig, ids) collision buckets with
     >= 2 docs, ids sorted for deterministic in-bucket pair order.
-    Shared subplan of `_band_candidates` and `_band_drop_audit`:
-    Catalyst's ReuseExchange dedupes the bucket shuffle when both are
-    composed in one plan, so the minhash pipeline runs once."""
-    return (
+
+    Shared subplan of `_band_candidates` and `_band_drop_audit` —
+    tracked_persist so the signature pipeline evaluates exactly ONCE:
+    AQE's exchange reuse between the two consumers is opportunistic
+    (when the stages race, the md5/minhash subtree runs twice
+    concurrently — measured 1.4 s -> 6 s spikes), while the cache
+    manager's partition-level locking is deterministic. This is the
+    production shape too — the collision/bucket table IS the LSH
+    index a 100 TB pipeline materializes; MEMORY_AND_DISK spills
+    gracefully and harnesses release it between queries."""
+    from ..functions.helpers import tracked_persist
+
+    return tracked_persist(
         bands.groupBy("band_idx", "band_sig")
         .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
         .where(F.size("ids") >= 2)
     )
 
 
-def _band_candidates(bands: DataFrame) -> DataFrame:
-    """band rows -> distinct (doc_lo, doc_hi) LSH candidate pairs.
+def _band_candidates(buckets: DataFrame) -> DataFrame:
+    """collision buckets (from `_band_buckets`) -> distinct
+    (doc_lo, doc_hi) LSH candidate pairs.
 
     GroupBy-collect bucket form, NOT a self-join: one shuffle of
     16-byte band keys evaluates the (expensive) signature pipeline
@@ -376,7 +386,7 @@ def _band_candidates(bands: DataFrame) -> DataFrame:
     otherwise put the whole collision set in one task and ask for a
     quadratic pair explosion there. Dropped buckets are counted by
     `_band_drop_audit`, which consumers surface in their output."""
-    buckets = _band_buckets(bands).where(F.size("ids") <= LSH_BUCKET_CAP)
+    buckets = buckets.where(F.size("ids") <= LSH_BUCKET_CAP)
     pairs = F.flatten(
         F.transform(
             "ids",
@@ -393,12 +403,12 @@ def _band_candidates(bands: DataFrame) -> DataFrame:
     )
 
 
-def _band_drop_audit(bands: DataFrame) -> DataFrame:
+def _band_drop_audit(buckets: DataFrame) -> DataFrame:
     """1-row (n_buckets_dropped): collision buckets over LSH_BUCKET_CAP
     excluded from pair generation. Riding in every consumer's hashed
     output keeps the stop-bucket lever auditable — 0 on organic
     corpora, nonzero exactly when boilerplate was suppressed."""
-    return _band_buckets(bands).agg(
+    return buckets.agg(
         F.count_if(F.size("ids") > LSH_BUCKET_CAP)
         .cast("long")
         .alias("n_buckets_dropped")
@@ -717,8 +727,8 @@ def q_dedup_lsh_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = fan_out(
         load_table(spark, sf_dir, "documents"), spark, sf_dir
     )
-    bands = _band_frame(_minhash_signatures(d))
-    cand = _band_candidates(bands)
+    buckets = _band_buckets(_band_frame(_minhash_signatures(d)))
+    cand = _band_candidates(buckets)
     toks = d.select(
         "doc_id", F.array_distinct(F.split(F.col("text"), " ")).alias("t")
     )
@@ -733,7 +743,7 @@ def q_dedup_lsh_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
         joined.where(
             inter * 3 >= F.size(F.col("ta.t")) + F.size(F.col("tb.t"))
         )
-        .crossJoin(F.broadcast(_band_drop_audit(bands)))
+        .crossJoin(F.broadcast(_band_drop_audit(buckets)))
         .select(
             "doc_lo",
             "doc_hi",
@@ -1412,8 +1422,8 @@ def q_dedup_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     # dedupes), which leaves every minhash unchanged — min over a set
     # ignores multiplicity — and gives the exact-Jaccard side its sets.
     sigs = _minhash_signatures(d, keep_shingles=True)
-    bands = _band_frame(sigs)
-    cand = _band_candidates(bands)
+    buckets = _band_buckets(_band_frame(sigs))
+    cand = _band_candidates(buckets)
     sa = sigs.alias("sa")
     sb = sigs.alias("sb")
     j = cand.join(sa, F.col("sa.doc_id") == F.col("doc_lo")).join(
@@ -1425,7 +1435,7 @@ def q_dedup_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     inter = F.size(F.array_intersect(F.col("sa.mds"), F.col("sb.mds")))
     union = F.size(F.col("sa.mds")) + F.size(F.col("sb.mds")) - inter
-    return j.crossJoin(F.broadcast(_band_drop_audit(bands))).select(
+    return j.crossJoin(F.broadcast(_band_drop_audit(buckets))).select(
         "doc_lo",
         "doc_hi",
         agree.cast("long").alias("n_agree"),
@@ -2002,10 +2012,15 @@ def q_dedup_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # each unordered pair exactly once with doc_a < doc_b. Buckets
     # wider than WINNOW_STOP_FP_CAP are stop-fingerprints
     # (boilerplate): dropped before pair generation, counted into
-    # the audit column. Both branches share the bucket aggregate's
-    # exchange (ReuseExchange), so the fingerprint pipeline still
-    # evaluates once.
-    buckets_all = (
+    # the audit column. tracked_persist guarantees the fingerprint
+    # pipeline evaluates ONCE for both branches — AQE exchange reuse
+    # is opportunistic and, when the two stages raced, ran the
+    # md5/window-minima subtree twice concurrently (measured 1.4 s ->
+    # 6-10 s spikes); the bucket table is the materialized
+    # fingerprint index a production run would checkpoint anyway.
+    from ..functions.helpers import tracked_persist
+
+    buckets_all = tracked_persist(
         fp.groupBy("f")
         .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
         .where(F.size("ids") >= 2)

@@ -67,7 +67,17 @@ def _canon(df):
 
 @pytest.mark.parametrize("name", SENSITIVE)
 def test_result_invariant_under_layout_change(spark, name):
+    from sd2_drp_experimentgen_spark.functions.helpers import (
+        release_persisted,
+    )
+
     base = _canon(all_specs()[name].fn(spark, SF_T1))
+    # Drop tracked caches (the persisted dedup bucket tables): the
+    # CacheManager is shared across sessions in one JVM, so without
+    # this the alt-layout run would read the base layout's cached
+    # buckets and the invariance check would compare the cache to
+    # itself instead of recomputing under the new task boundaries.
+    release_persisted()
 
     alt = spark.newSession()
     configure_session(alt)
