@@ -42,7 +42,7 @@ REPORT = [
     ("q_scd2_dimension", "lag/lead windows reuse a single custkey sort"),
     ("q_histogram_fixed_bins", "1-row extent aggregate broadcast into the binning scan"),
     ("q_sql_q3_shipping", "both date predicates pushed to scans; TakeOrderedAndProject top-10"),
-    ("q_dedup_lsh_refine", "bucket groupBy on band signatures (one signature evaluation, no self-join); buckets capped at LSH_BUCKET_CAP with audited drops; Jaccard refine joins texts solely for candidate pairs"),
+    ("q_dedup_lsh_refine", "persisted band-bucket table (one signature evaluation, no self-join); buckets capped at LSH_BUCKET_CAP with audited drops; Jaccard refine joins texts solely for candidate pairs"),
     ("q_interval_sweepline", "union of boundary points + one per-user window sort — no interval self-join"),
     ("q_layout_zorder", "z-value projection + RangePartitioning exchange + per-partition sort before the write"),
     ("q_decontaminate_ngrams", "train side dedupes to distinct shingles; LeftSemi join on 16-byte hashes"),
@@ -110,7 +110,7 @@ REPORT = [
     ("q_text_vocab_growth", "single tokenize explode; first-seen min-agg + 10-row prefix rollup"),
     ("q_stream_drift_monitor", "live 2xK contingency state; chi2 epilogue over the K-row sink"),
     # --- round 7 additions ---
-    ("q_dedup_winnow_pairs", "bucket form + stop-fingerprint cap: one fingerprint-keyed exchange with partial_collect_list, capped in-bucket pair explode, pair-sized count; only join = 1-row audit broadcast"),
+    ("q_dedup_winnow_pairs", "bucket form + stop-fingerprint cap: persisted fingerprint-bucket table (one pipeline evaluation, InMemoryTableScan in pair + audit branches), capped in-bucket pair explode, pair-sized count; only join = 1-row audit broadcast"),
     ("q_crm_rfm_segments", "distributed exact ntile: cutpoint broadcast + bucket-partitioned row_number; every Window partitioned"),
 ]
 
