@@ -17,6 +17,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from sd2_drp_experimentgen_spark.functions.helpers import release_persisted
 from sd2_drp_experimentgen_spark.plans import all_specs
 from sd2_drp_experimentgen_spark.session import configure_session
 
@@ -35,6 +36,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def _wrap(fn: Callable[[SparkSession, str], DataFrame]):
         def run(spark: SparkSession, sf_dir: str) -> DataFrame:
             configure_session(spark)
+            # Release the PREVIOUS query's tracked caches before
+            # building this one (VERDICT r8 item 2): the driver
+            # materializes each returned DataFrame after run()
+            # returns, so the current query's persist must stay live
+            # until the NEXT run() call — releasing on entry means a
+            # full-registry sweep holds at most one query's bucket
+            # tables at a time instead of accumulating all of them
+            # for the life of the session.
+            release_persisted(session=spark)
             return fn(spark, sf_dir)
 
         return run

@@ -98,16 +98,26 @@ def sql_sum_units(expr: str, scale: int = 4) -> str:
     return f"CAST(sum({sql_units(expr, scale)}) AS BIGINT)"
 
 
-# --- persist lifecycle (ADVICE r7) -----------------------------------
+# --- persist lifecycle (ADVICE r7/r8) ---------------------------------
 # A registered query that persist()s a reused intermediate cannot
 # unpersist it itself: the caller materializes the returned DataFrame
 # AFTER the query function returns, and the cache must be live for
 # that collect/hash. Tracking persisted frames here lets harnesses
-# (bench.py, tools/verify_local.py) release them BETWEEN queries, so
+# (bench.py, tools/verify_local.py, and the __spark_entry__ query
+# wrapper the external driver calls) release them BETWEEN queries, so
 # repeated invocations in one session don't accumulate cached
-# partitions in executor memory. Sessions that never drain the list
-# (e.g. the driver, which runs each query once) fall back to
-# MEMORY_AND_DISK LRU eviction — bounded, just less deliberate.
+# partitions in executor memory.
+#
+# Threading contract (ADVICE r8): tracked_persist/release_persisted
+# assume the SINGLE-THREADED harness every consumer in this repo is —
+# one query materializes fully before the next starts, and
+# release_persisted() runs between queries, never concurrently with a
+# materialization. A multi-threaded harness must scope releases with
+# the ``session`` argument (entries are keyed by each frame's owning
+# SparkSession), and must still serialize release against that
+# session's in-flight queries. Sessions that never drain their
+# entries fall back to MEMORY_AND_DISK LRU eviction — bounded, just
+# less deliberate.
 _TRACKED_PERSISTS: list = []
 
 
@@ -118,10 +128,21 @@ def tracked_persist(df):
     return df
 
 
-def release_persisted() -> int:
-    """Unpersist every tracked intermediate; returns the count."""
-    n = 0
-    while _TRACKED_PERSISTS:
-        _TRACKED_PERSISTS.pop().unpersist()
-        n += 1
-    return n
+def release_persisted(session=None) -> int:
+    """Unpersist tracked intermediates; returns the count released.
+
+    With ``session`` (a SparkSession), only frames owned by that
+    session are released — entries registered by other sessions stay
+    tracked instead of being yanked out from under a concurrent
+    harness (ADVICE r8). Default releases everything (the
+    single-threaded-harness fast path).
+    """
+    if session is None:
+        drop, keep = _TRACKED_PERSISTS[:], []
+    else:
+        drop = [d for d in _TRACKED_PERSISTS if d.sparkSession is session]
+        keep = [d for d in _TRACKED_PERSISTS if d.sparkSession is not session]
+    _TRACKED_PERSISTS[:] = keep
+    for d in drop:
+        d.unpersist()
+    return len(drop)

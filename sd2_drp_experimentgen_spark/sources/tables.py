@@ -28,6 +28,7 @@ from __future__ import annotations
 import functools
 import os
 import weakref
+from urllib.parse import urlparse
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -187,12 +188,21 @@ def _table_bytes(sf_dir: str, name: str) -> int:
     Hive-partitioned tables (nested key=value subdirectories) are summed
     correctly by the recursive walk — a top-level-only listdir would
     report 0 bytes and fan a 100 TB table out (ADVICE r7).
+    Any ``file:`` URI is parsed with urlparse, not prefix-stripped
+    (ADVICE r8): Spark emits both ``file:/p`` and ``file:///p`` for
+    local paths — both resolve to urlparse().path — while
+    ``file://host/p`` names a REMOTE host, which os.stat cannot see:
+    assume big (the old prefix strip stat'ed the relative, wrong
+    ``host/p``).
     """
-    if "://" in sf_dir and not sf_dir.startswith("file:"):
+    if sf_dir.startswith("file:"):
+        parsed = urlparse(sf_dir)
+        if parsed.netloc not in ("", "localhost"):
+            return FAN_OUT_MAX_BYTES  # file://host/...: remote, assume big
+        sf_dir = parsed.path
+    elif "://" in sf_dir:
         return FAN_OUT_MAX_BYTES  # object store: no local stat, assume big
     path = f"{sf_dir}/{name}.parquet"
-    if path.startswith("file:"):
-        path = path[len("file://"):] if path.startswith("file://") else path
     try:
         if os.path.isdir(path):
             total = 0

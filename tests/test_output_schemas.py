@@ -105,3 +105,35 @@ def test_boost_queries_sort_first():
     the driver verifies the first 50, so ordering IS the sampling plan."""
     first = list(all_specs())[: len(_PRIORITY_BOOST)]
     assert first == list(_PRIORITY_BOOST)
+
+
+def test_r9_window_is_reboost_then_oldest_greens():
+    """The round-9+ sampling plan (VERDICT r8 items 1+4): with the
+    never-sampled backlog drained, the 50-slot window is the _REBOOST
+    queue (stale greens whose plans were rewritten) followed by the
+    freshness rotation — already-verified queries ordered oldest
+    driver green first, so no green row ages indefinitely."""
+    from sd2_drp_experimentgen_spark.plans.registry import (
+        _GREEN_ROUND,
+        _REBOOST,
+    )
+
+    window = list(all_specs())[:50]
+    assert window[: len(_REBOOST)] == list(_REBOOST)
+    ages = [_GREEN_ROUND[n] for n in window[len(_REBOOST):]]
+    # rotation slots must be monotonically non-decreasing in green age
+    # (oldest first) and start at the oldest cohort present
+    assert ages == sorted(ages)
+    assert ages[0] == min(_GREEN_ROUND.values())
+
+
+def test_green_round_covers_registry():
+    """Every registered query has a driver row after the r8 drain:
+    _GREEN_ROUND (driver history as data) must cover the registry
+    exactly — a new query must ride _NEW_THIS_ROUND, not slip in
+    unsampled; a rename must fail loudly here."""
+    from sd2_drp_experimentgen_spark.plans.registry import _GREEN_ROUND
+
+    names = set(all_specs())
+    unsampled = names - set(_GREEN_ROUND) - _NEW_THIS_ROUND
+    assert not unsampled, f"registered but never driver-sampled: {unsampled}"

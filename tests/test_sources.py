@@ -292,3 +292,16 @@ def test_table_bytes_guard_directions(tmp_path):
 
     # file:// URI to a local path still resolves
     assert _table_bytes(f"file://{flat}", "documents") == 1234
+
+    # single-slash form Spark commonly emits (file:/path) resolves too
+    # (ADVICE r8: the old prefix strip missed it -> OSError -> assume
+    # big, silently disabling fan_out on a local fixture)
+    assert _table_bytes(f"file:{flat}", "documents") == 1234
+    assert _table_bytes(f"file://localhost{flat}", "documents") == 1234
+
+    # file://host/path names a REMOTE host: os.stat would see the
+    # wrong local 'host/path' — must assume big, not mis-stat
+    assert (
+        _table_bytes(f"file://remotehost{flat}", "documents")
+        == FAN_OUT_MAX_BYTES
+    )
