@@ -1902,6 +1902,66 @@ WINNOW_MIN_SHARED = 2
 WINNOW_STOP_FP_CAP = LSH_BUCKET_CAP
 
 
+def _winnow_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(f, ids) winnowing-fingerprint collision buckets (>= 2 docs),
+    ids sorted for deterministic in-bucket pair order.
+
+    Shared subplan of ``q_dedup_winnow_pairs`` (pair generation + stop
+    audit) and the boilerplate cap study's dedicated audit read
+    (ADVICE r8 #2) — extracted so the study never has to infer the
+    drop counter from possibly-empty pair output. tracked_persist
+    guarantees the fingerprint pipeline evaluates ONCE for all
+    consumers — AQE exchange reuse is opportunistic and, when the two
+    stages raced, ran the md5/window-minima subtree twice concurrently
+    (measured 1.4 s -> 6-10 s spikes); the bucket table is the
+    materialized fingerprint index a production run would checkpoint
+    anyway."""
+    from ..functions.helpers import tracked_persist
+    from ..sources.tables import fan_out
+
+    toks = F.split(F.col("text"), " ")
+    d = fan_out(
+        load_table(spark, sf_dir, "documents"), spark, sf_dir
+    ).where(F.size(toks) >= WINNOW_W + 3)
+    shingle = lambda i: F.concat_ws(  # noqa: E731
+        " ",
+        F.element_at(toks, i),
+        F.element_at(toks, i + 1),
+        F.element_at(toks, i + 2),
+    )
+    gh = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - 2),
+        lambda i: F.conv(F.substring(F.md5(shingle(i)), 1, 12), 16, 10)
+        .cast("long")
+        % MINHASH_P,
+    )
+    fps = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size(F.col("gh")) - (WINNOW_W - 1)),
+            lambda j: F.array_min(F.slice(F.col("gh"), j, WINNOW_W)),
+        )
+    )
+    fp = (
+        d.select("doc_id", gh.alias("gh"))
+        .select("doc_id", F.explode(fps).alias("f"))
+    )
+    return tracked_persist(
+        fp.groupBy("f")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+        .where(F.size("ids") >= 2)
+    )
+
+
+def _winnow_stop_audit(buckets_all: DataFrame) -> DataFrame:
+    """1-row (n_stop_fps): fingerprint buckets over WINNOW_STOP_FP_CAP
+    excluded from pair generation — 0 on organic corpora, nonzero
+    exactly when boilerplate was suppressed."""
+    return buckets_all.agg(
+        F.count_if(F.size("ids") > WINNOW_STOP_FP_CAP)
+        .cast("long")
+        .alias("n_stop_fps")
+    )
+
 @register(
     "q_dedup_winnow_pairs",
     oracle=f"""
@@ -1979,57 +2039,14 @@ WINNOW_STOP_FP_CAP = LSH_BUCKET_CAP
     "collide on their non-boilerplate fingerprints.",
 )
 def q_dedup_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..sources.tables import fan_out
-
-    toks = F.split(F.col("text"), " ")
-    d = fan_out(
-        load_table(spark, sf_dir, "documents"), spark, sf_dir
-    ).where(F.size(toks) >= WINNOW_W + 3)
-    shingle = lambda i: F.concat_ws(  # noqa: E731
-        " ",
-        F.element_at(toks, i),
-        F.element_at(toks, i + 1),
-        F.element_at(toks, i + 2),
-    )
-    gh = F.transform(
-        F.sequence(F.lit(1), F.size(toks) - 2),
-        lambda i: F.conv(F.substring(F.md5(shingle(i)), 1, 12), 16, 10)
-        .cast("long")
-        % MINHASH_P,
-    )
-    fps = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.size(F.col("gh")) - (WINNOW_W - 1)),
-            lambda j: F.array_min(F.slice(F.col("gh"), j, WINNOW_W)),
-        )
-    )
-    fp = (
-        d.select("doc_id", gh.alias("gh"))
-        .select("doc_id", F.explode(fps).alias("f"))
-    )
     # Bucket form: docs are unique within a bucket (fps is
     # array_distinct per doc), so sorted ids + suffix slicing emits
     # each unordered pair exactly once with doc_a < doc_b. Buckets
     # wider than WINNOW_STOP_FP_CAP are stop-fingerprints
     # (boilerplate): dropped before pair generation, counted into
-    # the audit column. tracked_persist guarantees the fingerprint
-    # pipeline evaluates ONCE for both branches — AQE exchange reuse
-    # is opportunistic and, when the two stages raced, ran the
-    # md5/window-minima subtree twice concurrently (measured 1.4 s ->
-    # 6-10 s spikes); the bucket table is the materialized
-    # fingerprint index a production run would checkpoint anyway.
-    from ..functions.helpers import tracked_persist
-
-    buckets_all = tracked_persist(
-        fp.groupBy("f")
-        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
-        .where(F.size("ids") >= 2)
-    )
-    audit = buckets_all.agg(
-        F.count_if(F.size("ids") > WINNOW_STOP_FP_CAP)
-        .cast("long")
-        .alias("n_stop_fps")
-    )
+    # the audit column.
+    buckets_all = _winnow_buckets(spark, sf_dir)
+    audit = _winnow_stop_audit(buckets_all)
     buckets = buckets_all.where(F.size("ids") <= WINNOW_STOP_FP_CAP)
     pairs = F.flatten(
         F.transform(

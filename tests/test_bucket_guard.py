@@ -28,11 +28,13 @@ ALLOWED: dict[tuple[str, str], str] = {
         "size(ids) <= LSH_BUCKET_CAP — cap pinned in-plan by "
         "test_lsh_refine_bucket_form_no_band_self_join; the audit "
         "branch reduces buckets to one count, no pair explosion",
-    ("llmtext.py", "q_dedup_winnow_pairs"):
-        "stop-fingerprint cap: pairs generated only for buckets with "
-        "size(ids) <= WINNOW_STOP_FP_CAP — cap pinned in-plan by "
+    ("llmtext.py", "_winnow_buckets"):
+        "stop-fingerprint cap: the sole pair-generating consumer "
+        "(q_dedup_winnow_pairs) filters to size(ids) <= "
+        "WINNOW_STOP_FP_CAP — cap pinned in-plan by "
         "test_winnow_pairs_bucket_form_no_fingerprint_self_join; "
-        "dropped buckets counted into the audited n_stop_fps column",
+        "dropped buckets counted into the audited n_stop_fps column "
+        "(_winnow_stop_audit, also the cap study's dedicated read)",
     ("vectors.py", "_embedding_blocks"):
         "block count B = max(N_BLOCKS, ceil(n/TARGET_BLOCK_ROWS)) and "
         "block = pmod(xxhash64(vec_id), B): unique keys hash-uniform, "

@@ -161,6 +161,42 @@ def run_query(spark, name: str, sf_dir: str, runs: int = 2):
     return round(best, 3), rows
 
 
+def _bp_audit_count(spark, q: str, sf_dir: str) -> int:
+    """Drop counter for a capped rung, read from the DEDICATED 1-row
+    audit aggregate over the bucket table (ADVICE r8 #2) — never from
+    the pair output, whose audit column has no row to ride on when no
+    pair survives (the documented edge case). Releases the bucket
+    table it builds."""
+    from sd2_drp_experimentgen_spark.functions.helpers import (
+        release_persisted,
+    )
+    from sd2_drp_experimentgen_spark.operators.llmtext import (
+        _band_buckets,
+        _band_drop_audit,
+        _band_frame,
+        _minhash_signatures,
+        _winnow_buckets,
+        _winnow_stop_audit,
+    )
+    from sd2_drp_experimentgen_spark.sources.tables import (
+        fan_out,
+        load_table,
+    )
+
+    if q == "q_dedup_winnow_pairs":
+        audit = _winnow_stop_audit(_winnow_buckets(spark, sf_dir))
+    elif q == "q_dedup_lsh_refine":
+        d = fan_out(load_table(spark, sf_dir, "documents"), spark, sf_dir)
+        audit = _band_drop_audit(
+            _band_buckets(_band_frame(_minhash_signatures(d)))
+        )
+    else:  # pragma: no cover - guarded by BP_RUNGS keys
+        raise ValueError(q)
+    n = audit.first()[0]
+    release_persisted()
+    return int(n)
+
+
 # The rungs whose stop-bucket cap the boilerplate mode exercises, with
 # the audit column each carries in its output.
 BP_RUNGS = {
@@ -178,17 +214,19 @@ def run_boilerplate(spark, reps: list[int]) -> int:
         row = {}
         for q, audit_col in BP_RUNGS.items():
             t, n = run_query(spark, q, d)
-            first = all_specs()[q].fn(spark, d).select(audit_col).first()
-            dropped = 0 if first is None else first[0]
+            dropped = _bp_audit_count(spark, q, d)
             row[q] = {"sec": t, "rows": n, audit_col: dropped}
             print(
-                f"BP x{rep:<3} {q}: {t}s, {n} rows, {audit_col}={dropped}",
+                f"BP x{rep:<3} {q}: {t}s, {n} rows, {audit_col}={dropped}"
+                + (" (no surviving pairs)" if n == 0 else ""),
                 flush=True,
             )
             if not dropped:
                 print(
-                    f"FAIL: {q} reported zero dropped buckets on the "
-                    "boilerplate corpus — the cap did not fire",
+                    f"FAIL: {q}: the dedicated bucket audit reports zero "
+                    "dropped buckets on the boilerplate corpus — the cap "
+                    "did not fire (distinct from the no-surviving-pairs "
+                    "edge case, which this counter is immune to)",
                     flush=True,
                 )
                 return 1
