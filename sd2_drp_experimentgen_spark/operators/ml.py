@@ -490,27 +490,50 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Witness threshold for q_mllib_cross_validation's best CV-AUC:
+# measured 0.7807 / 0.8297 / 0.7786 at sf0.001/0.01/0.1 — 0.70 sits
+# 0.078 below the weakest measurement, far above the 0.5 chance level.
+CV_AUC_MIN = 0.70
+
+
+def _cv_oracle() -> str:
+    from .aggregates import FEATURES_WIDE_SQL
+
+    return f"""
+    WITH feats AS ({FEATURES_WIDE_SQL})
+    SELECT CAST(count(*) AS BIGINT) AS n_train,
+           CAST(4 AS INT) AS n_grid,
+           CAST(3 AS INT) AS n_folds,
+           true AS cv_auc_ok
+    FROM feats
+    """
+
+
 @register(
     "q_mllib_cross_validation",
-    oracle=None,
+    oracle=_cv_oracle(),
     tier="P2",
     doc="Hyperparameter tuning via CrossValidator: the logistic-"
     "regression pipeline from q_mllib_train_pipeline cross-validated "
     "3-fold over a 4-point regParam x elasticNetParam grid (12 fits "
     "+ 1 refit), with the folds parallelized across the cluster "
     "(parallelism=4 — fits are independent Spark jobs, the classic "
-    "embarrassing parallelism OUTSIDE the data). Emits the grid "
-    "size, the winning parameters scaled to integers, and CV-AUC. "
-    "Self-test: best CV-AUC > 0.5 (better than chance) and the "
-    "winner's held-out AUC within the grid's observed range. "
-    "Rows-only DELIBERATELY (r8 promotion audit): the winning grid "
-    "point is dataset-dependent and measured to win by only 5e-4 "
-    "avg-AUC at sf0.1 ((0.1,0.0)=0.7787 vs (0.0,*)=0.7782), so "
-    "pinning best-params as oracle literals would hash-fail on any "
-    "float jitter — a kmeans-style promotion here would be dishonest "
-    "where q_mllib_train_pipeline's (margin 0.09) is sound. "
-    "Determinism note: fold assignment uses the estimator's fixed "
-    "seed, so the selected parameters are stable per dataset/env.",
+    "embarrassing parallelism OUTSIDE the data). Promoted from "
+    "rows-only to a HASH check in round 9 via the kmeans/pipeline "
+    "pattern, HONORING the r8 promotion audit: the winning grid "
+    "point is dataset-dependent and wins by only 5e-4 avg-AUC at "
+    "sf0.1 ((0.1,0.0)=0.7787 vs (0.0,*)=0.7782), so best-params stay "
+    "OUT of the hash (asserted in-function as a self-test: winner "
+    "must come from the declared grid, CV-AUC > chance) — instead "
+    "the hashed row carries the SQL-expressible companions n_train "
+    "(the oracle re-derives the CV input table, sharing "
+    "FEATURES_WIDE_SQL with q_mllib_train_pipeline), the grid/fold "
+    "cardinalities as exact literals, and the witness boolean "
+    f"cv_auc_ok (best CV-AUC > {CV_AUC_MIN}; measured "
+    "0.781/0.830/0.779 at the three fixture scales — margin 0.078 "
+    "below the weakest, where the 5e-4 winner margin made best-param "
+    "literals dishonest). Fold assignment uses the estimator's fixed "
+    "seed, so the quality claim is stable per dataset/env.",
 )
 def q_mllib_cross_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.ml import Pipeline
@@ -567,18 +590,13 @@ def q_mllib_cross_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
     best_auc = max(model.avgMetrics)
     assert best_auc > 0.5, f"CV never beat chance: {best_auc}"
     best_lr = model.bestModel.stages[-1]
+    # self-tests for what the hash deliberately excludes (r8 audit:
+    # the winner's 5e-4 margin makes best-param literals dishonest)
+    assert best_lr.getRegParam() in (0.0, 0.1)
+    assert best_lr.getElasticNetParam() in (0.0, 0.5)
+    n_train = feats.count()
     feats.unpersist()
     return spark.createDataFrame(
-        [
-            (
-                len(grid),
-                int(best_lr.getRegParam() * 100),
-                int(best_lr.getElasticNetParam() * 100),
-                int(best_auc * 10000),
-            )
-        ],
-        schema=(
-            "n_grid int, best_reg_x100 int, best_enet_x100 int, "
-            "cv_auc_x10000 int"
-        ),
+        [(n_train, len(grid), cv.getNumFolds(), bool(best_auc > CV_AUC_MIN))],
+        schema="n_train long, n_grid int, n_folds int, cv_auc_ok boolean",
     )

@@ -319,6 +319,7 @@ _BOOST_RANK = {n: i for i, n in enumerate(_PRIORITY_BOOST)}
 # shipping — the r9 window is expected green.
 _REBOOST = (
     "q_mllib_train_pipeline",  # r8 hash promotion (rows-only r5 row stale)
+    "q_mllib_cross_validation",  # r9 hash promotion (rows-only r6 row stale)
     "q_dedup_winnow_pairs",
     "q_text_winnow_fingerprints",
     "q_dedup_lsh_refine",
