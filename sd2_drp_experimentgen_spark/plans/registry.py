@@ -316,7 +316,8 @@ _BOOST_RANK = {n: i for i, n in enumerate(_PRIORITY_BOOST)}
 # Entire queue pre-validated at sf0.01 in round 8 (13 hash-pass, 3
 # rows-only per the contract carve-out, 0 fail) after the bucket-cap
 # and promotion rewrites landed, and re-validated in round 9 before
-# shipping — the r9 window is expected green.
+# shipping (14 hash-pass with the q_mllib_cross_validation promotion
+# added, 3 rows-only, 0 fail) — the r9 window is expected green.
 _REBOOST = (
     "q_mllib_train_pipeline",  # r8 hash promotion (rows-only r5 row stale)
     "q_mllib_cross_validation",  # r9 hash promotion (rows-only r6 row stale)

@@ -145,6 +145,21 @@ def test_mllib_pipeline_auc(spark):
     assert row["n_features"] == 34
 
 
+def test_mllib_cross_validation_witnesses(spark):
+    """r9 hash promotion: the hashed row is companions + witness only
+    (best-params stay out per the r8 audit's 5e-4 winner margin, and
+    are grid-membership asserted inside the query fn). The witness
+    must hold with margin at sf0.01 (measured CV-AUC 0.8297 vs the
+    0.70 threshold) and n_train must match the oracle's re-derived
+    CV input table."""
+    row = (
+        all_specs()["q_mllib_cross_validation"].fn(spark, SF_T2).collect()[0]
+    )
+    assert row["n_train"] == 1500
+    assert row["n_grid"] == 4 and row["n_folds"] == 3
+    assert row["cv_auc_ok"] is True
+
+
 def test_ann_ivf_recall_vs_bruteforce(spark):
     """r6 hash promotion: the query now emits a per-query audit row
     (exact top-1 + recall@10 witness). Cross-check the embedded exact
