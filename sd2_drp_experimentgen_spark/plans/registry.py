@@ -341,11 +341,20 @@ _REBOOST_RANK = {n: i for i, n in enumerate(_REBOOST)}
 
 # Queries added THIS round (never seen by any driver). They verify
 # AFTER the never-sampled backlog of hash-checkable queries from prior
-# rounds, but before rows-only and already-green entries. EMPTY in
-# round 9: the operator freeze holds (VERDICT r8 item 6) — the
-# contract is 100% implemented, so the window's value is evidence
-# freshness (_REBOOST + the rotation), not new count.
-_NEW_THIS_ROUND: frozenset[str] = frozenset()
+# rounds, but before rows-only and already-green entries. Round 9
+# closes the one gap VERDICT r8 still named (missing #2): TPC-H
+# Q2/Q9/Q11 were "not actionable" for lack of partsupp, but lineitem's
+# (l_partkey, l_suppkey) pairs derive it deterministically on both
+# engines (tpch.py block comment) — 3 additions; the freeze otherwise
+# holds, and with |_REBOOST| = 17 the 50-slot window still samples the
+# whole re-boost queue plus 30 rotation slots.
+_NEW_THIS_ROUND: frozenset[str] = frozenset(
+    {
+        "q_tpch_q2_min_cost_supplier",
+        "q_tpch_q9_product_profit",
+        "q_tpch_q11_important_stock",
+    }
+)
 
 # Queries whose registration is conditional on an optional dependency:
 # they stay documented in SURVEY.md everywhere, but self-unregister in

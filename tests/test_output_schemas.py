@@ -107,20 +107,25 @@ def test_boost_queries_sort_first():
     assert first == list(_PRIORITY_BOOST)
 
 
-def test_r9_window_is_reboost_then_oldest_greens():
+def test_r9_window_is_new_then_reboost_then_oldest_greens():
     """The round-9+ sampling plan (VERDICT r8 items 1+4): with the
-    never-sampled backlog drained, the 50-slot window is the _REBOOST
-    queue (stale greens whose plans were rewritten) followed by the
-    freshness rotation — already-verified queries ordered oldest
-    driver green first, so no green row ages indefinitely."""
+    never-sampled backlog drained, the 50-slot window is this round's
+    never-sampled additions (_NEW_THIS_ROUND), then the _REBOOST
+    queue (stale greens whose plans were rewritten) IN FULL — new
+    operators must never push a re-boost entry out of the window —
+    then the freshness rotation: already-verified queries ordered
+    oldest driver green first, so no green row ages indefinitely."""
     from sd2_drp_experimentgen_spark.plans.registry import (
         _GREEN_ROUND,
         _REBOOST,
     )
 
     window = list(all_specs())[:50]
-    assert window[: len(_REBOOST)] == list(_REBOOST)
-    ages = [_GREEN_ROUND[n] for n in window[len(_REBOOST):]]
+    n_new = len(_NEW_THIS_ROUND)
+    assert len(_REBOOST) + n_new <= 50, "re-boost entry pushed out of window"
+    assert set(window[:n_new]) == set(_NEW_THIS_ROUND)
+    assert window[n_new : n_new + len(_REBOOST)] == list(_REBOOST)
+    ages = [_GREEN_ROUND[n] for n in window[n_new + len(_REBOOST):]]
     # rotation slots must be monotonically non-decreasing in green age
     # (oldest first) and start at the oldest cohort present
     assert ages == sorted(ages)
