@@ -56,6 +56,13 @@ HEADLINE = [
     # 8.2 s -> 1.4 s at sf0.1) — tripwired so the rewrite can't silently
     # regress.
     "q_dedup_winnow_pairs",
+    # r9: the derived-partsupp TPC-H completions — Q9 is the heaviest
+    # join tree in the registry (6 tables incl. a fact-fact pair),
+    # tripwired from birth; Q2/Q11 ride along as the correlated-min
+    # and threshold-subquery archetypes.
+    "q_tpch_q2_min_cost_supplier",
+    "q_tpch_q9_product_profit",
+    "q_tpch_q11_important_stock",
 ]
 
 
