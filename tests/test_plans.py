@@ -788,3 +788,46 @@ def test_rfm_windows_are_all_bucket_partitioned(spark):
     assert len(win_lines) >= 3, p  # one per R/F/M axis
     for l in win_lines:
         assert l.count("], [") >= 2, f"unpartitioned Window: {l}"
+
+
+def test_tpch_q2_min_is_one_partitioned_window(spark):
+    """The correlated min-cost subquery must algebrize to ONE min
+    window PARTITIONED by the part key (reusing the join's hash
+    partitioning), never a self-join back onto the candidate set or
+    an unpartitioned window; the region dimensions broadcast."""
+    p = plan(all_specs()["q_tpch_q2_min_cost_supplier"].fn(spark, SF_T2))
+    assert p.count("Window") >= 1
+    assert "windowspecdefinition(p_partkey" in plan(
+        all_specs()["q_tpch_q2_min_cost_supplier"].fn(spark, SF_T2), "simple"
+    )
+    assert "BroadcastHashJoin" in p
+    # one pass over partsupp: no second join of cand against itself
+    assert p.count("ReusedExchange") <= 2
+
+
+def test_tpch_q9_dimensions_broadcast_one_fact_shuffle(spark):
+    """part/supplier/nation broadcast; the only sort-merge-worthy
+    shuffles are the partsupp distinct and the final rollup — the
+    fact side is never exchanged more than the plan needs."""
+    p = plan(all_specs()["q_tpch_q9_product_profit"].fn(spark, SF_T2), "simple")
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+    # profit must combine map-side before the nation/year exchange
+    assert "partial_sum" in p
+
+
+def test_tpch_q11_threshold_scans_cached_rollup(spark):
+    """The dual-consumer per-part rollup must be persisted (evaluated
+    once — the r8 AQE-race lesson) and the 1-row total must come back
+    as a broadcast, never a shuffle."""
+    from sd2_drp_experimentgen_spark.functions.helpers import (
+        release_persisted,
+    )
+
+    df = all_specs()["q_tpch_q11_important_stock"].fn(spark, SF_T2)
+    p = plan(df, "simple")
+    try:
+        assert "InMemoryTableScan" in p, p
+        assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p
+    finally:
+        release_persisted()

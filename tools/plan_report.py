@@ -62,6 +62,9 @@ REPORT = [
     ("q_tpch_q15_top_supplier", "1-row max broadcast-equality, no unpartitioned Window"),
     ("q_tpch_q19_disjunctive_rev", "three-branch OR: per-side conjuncts extracted and pushed to BOTH scans"),
     ("q_tpch_q21_waiting_supplier", "EXISTS/NOT-EXISTS pair as two same-key rollups, no fact self-joins"),
+    ("q_tpch_q2_min_cost_supplier", "correlated min as ONE part-key-partitioned window over the join's own partitioning; region dims broadcast"),
+    ("q_tpch_q9_product_profit", "derived partsupp join: dims broadcast, profit partial_sums map-side, one fact-fact shuffle"),
+    ("q_tpch_q11_important_stock", "persisted dual-consumer rollup (InMemoryTableScan x2); 1-row total broadcasts back"),
     ("q_join_dynamic_partition_pruning", "dynamicpruningexpression in the fact scan PartitionFilters"),
     ("q_join_skew_salted", "ShuffledHashJoin on (key, salt); no broadcast"),
     ("q_sim_range_search", "ONE exchange on the label block key into FlatMapGroupsInPandas; no join"),
