@@ -1056,15 +1056,14 @@ _Q11_MEAN_MULT = 2  # keep parts holding > 2x the mean per-part value
     oracle=f"""
     WITH {_SQL_PARTSUPP},
     top_nat AS (
-      SELECT n_nationkey FROM supplier
-      JOIN nation ON s_nationkey = n_nationkey
-      GROUP BY n_nationkey
-      ORDER BY count(*) DESC, n_nationkey
+      SELECT s_nationkey FROM supplier
+      GROUP BY s_nationkey
+      ORDER BY count(*) DESC, s_nationkey
       LIMIT 1
     ),
     nat_supp AS (
       SELECT s_suppkey FROM supplier
-      WHERE s_nationkey = (SELECT n_nationkey FROM top_nat)
+      WHERE s_nationkey = (SELECT s_nationkey FROM top_nat)
     ),
     vals AS (
       SELECT ps_partkey,
