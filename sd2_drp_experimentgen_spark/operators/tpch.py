@@ -854,16 +854,31 @@ _SQL_PARTSUPP = """
 """
 
 
-def _partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Spark twin of ``_SQL_PARTSUPP`` (see block comment above)."""
-    pairs = (
-        load_table(spark, sf_dir, "lineitem")
-        .select(
-            F.col("l_partkey").alias("ps_partkey"),
-            F.col("l_suppkey").alias("ps_suppkey"),
-        )
-        .distinct()
+def _partsupp(
+    spark: SparkSession, sf_dir: str, by_part: bool = False
+) -> DataFrame:
+    """Spark twin of ``_SQL_PARTSUPP`` (see block comment above).
+
+    ``by_part=True`` pre-partitions the distinct by ps_partkey ALONE:
+    a subset of the dedup key still satisfies the aggregate's
+    clustered requirement (same pair -> same part partition), and
+    broadcast joins preserve the layout, so a consumer whose
+    downstream ops key on the part key (Q2's min window, Q11's
+    per-part rollup) runs directly on the distinct's own exchange —
+    ONE shuffle of partsupp instead of two (verified in the pinned
+    plans: no Exchange between the distinct and the window/rollup).
+    Q9 keeps the default (partkey, suppkey) layout because its fact
+    join clusters on both keys and reuses that exchange instead."""
+    pairs = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").alias("ps_partkey"),
+        F.col("l_suppkey").alias("ps_suppkey"),
     )
+    if by_part:
+        pairs = pairs.repartition(F.col("ps_partkey")).dropDuplicates(
+            ["ps_partkey", "ps_suppkey"]
+        )
+    else:
+        pairs = pairs.distinct()
     return pairs.select(
         "ps_partkey",
         "ps_suppkey",
@@ -950,7 +965,7 @@ def q_tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("p_partkey", "p_brand")
     )
     cand = (
-        _partsupp(spark, sf_dir)
+        _partsupp(spark, sf_dir, by_part=True)
         .join(part, F.col("ps_partkey") == F.col("p_partkey"))
         .join(F.broadcast(eu_supp), F.col("ps_suppkey") == F.col("s_suppkey"))
     )
@@ -1119,7 +1134,7 @@ def q_tpch_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.helpers import tracked_persist
 
     vals = tracked_persist(
-        _partsupp(spark, sf_dir)
+        _partsupp(spark, sf_dir, by_part=True)
         .join(F.broadcast(nat_supp), F.col("ps_suppkey") == F.col("s_suppkey"))
         .groupBy("ps_partkey")
         .agg(

@@ -792,17 +792,21 @@ def test_rfm_windows_are_all_bucket_partitioned(spark):
 
 def test_tpch_q2_min_is_one_partitioned_window(spark):
     """The correlated min-cost subquery must algebrize to ONE min
-    window PARTITIONED by the part key (reusing the join's hash
-    partitioning), never a self-join back onto the candidate set or
-    an unpartitioned window; the region dimensions broadcast."""
-    p = plan(all_specs()["q_tpch_q2_min_cost_supplier"].fn(spark, SF_T2))
-    assert p.count("Window") >= 1
-    assert "windowspecdefinition(p_partkey" in plan(
-        all_specs()["q_tpch_q2_min_cost_supplier"].fn(spark, SF_T2), "simple"
-    )
+    window PARTITIONED by the part key, never a self-join back onto
+    the candidate set or an unpartitioned window; the region
+    dimensions broadcast. The whole query pays exactly ONE shuffle of
+    partsupp: the distinct is pre-partitioned by ps_partkey alone
+    (subset of the dedup key — still clustered-correct), broadcast
+    joins preserve that layout, and the window's p_partkey
+    requirement is satisfied through the join-key equivalence, so no
+    Exchange may appear between the dedup aggregate and the Window."""
+    p = plan(all_specs()["q_tpch_q2_min_cost_supplier"].fn(spark, SF_T2), "simple")
+    assert "windowspecdefinition(p_partkey" in p
     assert "BroadcastHashJoin" in p
-    # one pass over partsupp: no second join of cand against itself
-    assert p.count("ReusedExchange") <= 2
+    assert "REPARTITION_BY_COL" in p  # the single partsupp shuffle
+    # exactly one data exchange: everything else is broadcast
+    n_data_exchanges = p.count("Exchange hashpartitioning")
+    assert n_data_exchanges == 1, p
 
 
 def test_tpch_q9_dimensions_broadcast_one_fact_shuffle(spark):
