@@ -586,16 +586,21 @@ def q_mllib_cross_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
         parallelism=4,
         seed=7,
     )
-    model = cv.fit(feats)
-    best_auc = max(model.avgMetrics)
-    assert best_auc > 0.5, f"CV never beat chance: {best_auc}"
-    best_lr = model.bestModel.stages[-1]
-    # self-tests for what the hash deliberately excludes (r8 audit:
-    # the winner's 5e-4 margin makes best-param literals dishonest)
-    assert best_lr.getRegParam() in (0.0, 0.1)
-    assert best_lr.getElasticNetParam() in (0.0, 0.5)
-    n_train = feats.count()
-    feats.unpersist()
+    try:
+        model = cv.fit(feats)
+        best_auc = max(model.avgMetrics)
+        assert best_auc > 0.5, f"CV never beat chance: {best_auc}"
+        best_lr = model.bestModel.stages[-1]
+        # self-tests for what the hash deliberately excludes (r8 audit:
+        # the winner's 5e-4 margin makes best-param literals dishonest)
+        assert best_lr.getRegParam() in (0.0, 0.1)
+        assert best_lr.getElasticNetParam() in (0.0, 0.5)
+        n_train = feats.count()
+    finally:
+        # unpersist even when a self-test assert fires: the cached
+        # features frame is not tracked_persist'ed, so nothing else
+        # could reclaim it for the rest of a sweep
+        feats.unpersist()
     return spark.createDataFrame(
         [(n_train, len(grid), cv.getNumFolds(), bool(best_auc > CV_AUC_MIN))],
         schema="n_train long, n_grid int, n_folds int, cv_auc_ok boolean",

@@ -854,6 +854,12 @@ _SQL_PARTSUPP = """
 """
 
 
+def _supplycost_cents(pk: F.Column, sk: F.Column) -> F.Column:
+    """The derived supply cost as a pure key function — single-sourced
+    so `_partsupp` and Q9's algebraic projection cannot drift."""
+    return ((pk * 2969 + sk * 3119) % 99901 + 100).cast("long")
+
+
 def _partsupp(
     spark: SparkSession, sf_dir: str, by_part: bool = False
 ) -> DataFrame:
@@ -885,12 +891,9 @@ def _partsupp(
         ((F.col("ps_partkey") * 7 + F.col("ps_suppkey") * 131) % 9999 + 1)
         .cast("int")
         .alias("ps_availqty"),
-        (
-            (F.col("ps_partkey") * 2969 + F.col("ps_suppkey") * 3119) % 99901
-            + 100
-        )
-        .cast("long")
-        .alias("ps_supplycost_cents"),
+        _supplycost_cents(
+            F.col("ps_partkey"), F.col("ps_suppkey")
+        ).alias("ps_supplycost_cents"),
     )
 
 
@@ -1022,12 +1025,18 @@ _Q9_PART_LIKE = "red"
     f"parts named like '%{_Q9_PART_LIKE}%'. Both profit terms ride "
     "in exact 1e-4-dollar integer units (revenue via int_units; "
     "cents x integral quantity x 100), so the int64 SUM is "
-    "order-independent at any scale. The part-name filter prunes "
-    "the fact scan through the broadcast part join before the "
-    "partsupp shuffle join on (partkey, suppkey); "
-    "supplier/nation/part broadcast, lineitem⋈orders is the only "
-    "fact-fact shuffle — the classic Q9 plan with the cost side "
-    "derived instead of scanned.",
+    "order-independent at any scale. The ORACLE keeps the classic "
+    "partsupp equi-join on (partkey, suppkey); the Spark side "
+    "ALGEBRIZES it away: partsupp's attributes are pure key "
+    "functions and the pair set is derived FROM lineitem, so every "
+    "fact row joins exactly its own (l_partkey, l_suppkey) entry — "
+    "the join is the identity, and the supply cost is computed "
+    "per-row by the shared _supplycost_cents formula with ZERO "
+    "derivation shuffle (the r9 review caught the original form "
+    "shuffling every traded pair to recompute f(key)). The "
+    "part-name filter prunes the fact scan through the broadcast "
+    "part join; supplier/nation/part broadcast, lineitem⋈orders is "
+    "the only fact-fact shuffle.",
 )
 def q_tpch_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
@@ -1045,16 +1054,12 @@ def q_tpch_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     nat = load_table(spark, sf_dir, "nation").select(
         "n_nationkey", "n_name"
     )
-    profit = _rev_units() - F.col("ps_supplycost_cents") * F.lit(100) * F.col(
+    cost_cents = _supplycost_cents(F.col("l_partkey"), F.col("l_suppkey"))
+    profit = _rev_units() - cost_cents * F.lit(100) * F.col(
         "l_quantity"
     ).cast("long")
     return (
         li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
-        .join(
-            _partsupp(spark, sf_dir),
-            (F.col("l_partkey") == F.col("ps_partkey"))
-            & (F.col("l_suppkey") == F.col("ps_suppkey")),
-        )
         .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
@@ -1090,9 +1095,10 @@ _Q11_MEAN_MULT = 2  # keep parts holding > 2x the mean per-part value
     )
     SELECT ps_partkey, value_cents
     FROM vals
-    WHERE value_cents * (SELECT CAST(count(*) AS BIGINT) FROM vals) >
+    WHERE CAST(value_cents AS HUGEINT)
+          * (SELECT CAST(count(*) AS BIGINT) FROM vals) >
           {_Q11_MEAN_MULT} *
-          (SELECT CAST(sum(value_cents) AS BIGINT) FROM vals)
+          (SELECT CAST(sum(value_cents) AS HUGEINT) FROM vals)
     """,
     tier="P1",
     doc="TPC-H Q11 shape (important stock identification): per-part "
@@ -1147,11 +1153,18 @@ def q_tpch_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("value_cents").alias("total_cents"),
         F.count(F.lit(1)).alias("n_parts"),
     )
+    # The threshold compare runs in 38-digit decimal on the Spark side
+    # and HUGEINT in the oracle: value_cents (~4e9 worst case) times a
+    # 100 TB part count (~2e10) overflows int64 exactly for the parts
+    # the filter should keep — the comparison must be exact AND wide,
+    # never a float fraction (which would flip boundary parts) and
+    # never bare int64 (which would raise under ANSI at scale).
     return (
         vals.crossJoin(F.broadcast(total))
         .where(
-            F.col("value_cents") * F.col("n_parts")
-            > F.lit(_Q11_MEAN_MULT) * F.col("total_cents")
+            F.col("value_cents").cast("decimal(38,0)") * F.col("n_parts")
+            > F.lit(_Q11_MEAN_MULT)
+            * F.col("total_cents").cast("decimal(38,0)")
         )
         .select("ps_partkey", "value_cents")
     )

@@ -18,12 +18,15 @@ from __future__ import annotations
 import time
 
 import pytest
-from pyspark.sql import functions as F
 
 from sd2_drp_experimentgen_spark.functions.helpers import release_persisted
 from sd2_drp_experimentgen_spark.plans import all_specs
 from tests.conftest import SF_T1
-from tools.dedup_scale_study import BP_HEADER, BP_RUNGS, _bp_audit_count
+from tools.dedup_scale_study import (
+    BP_RUNGS,
+    _bp_audit_count,
+    replicate_documents,
+)
 
 # Generous CI bound: each rung runs ~3-5 s capped on local[8]; the
 # uncapped form put ~2000^2/2 = 2e6 pairs per hot fingerprint in ONE
@@ -31,34 +34,21 @@ from tools.dedup_scale_study import BP_HEADER, BP_RUNGS, _bp_audit_count
 # bound is the regression this smoke exists to catch.
 RUNG_WALL_BOUND_SEC = 120.0
 N_REPS = 4
-DOC_STRIDE = 10**7
 
 
 @pytest.fixture(scope="module")
 def bp_corpus(spark, tmp_path_factory):
-    """~2k-doc boilerplate corpus: sf0.001 documents x4 replicas with
-    token-suffixed (replica-distinct) bodies behind the shared
-    unsuffixed header — the study's --boilerplate construction at
-    CI size."""
-    reps = spark.range(N_REPS).select(F.col("id").alias("rep"))
-    suffixed = F.array_join(
-        F.transform(
-            F.split(F.col("text"), " "),
-            lambda x: F.concat(x, F.lit("_r"), F.col("rep")),
-        ),
-        " ",
-    )
+    """~2k-doc boilerplate corpus: sf0.001 documents x4 via the
+    study's OWN replica transform (replicate_documents — shared code,
+    not a re-implementation, so the corpus shape CI checks is the one
+    the round reports measure)."""
     out = tmp_path_factory.mktemp("bpsmoke")
-    (
-        spark.read.parquet(f"{SF_T1}/documents.parquet")
-        .crossJoin(F.broadcast(reps))
-        .withColumn("doc_id", F.col("doc_id") + F.col("rep") * DOC_STRIDE)
-        .withColumn("text", F.concat(F.lit(BP_HEADER + " "), suffixed))
-        .withColumn("n_chars", F.length("text"))
-        .drop("rep")
-        .write.mode("overwrite")
-        .parquet(str(out / "documents.parquet"))
-    )
+    replicate_documents(
+        spark,
+        spark.read.parquet(f"{SF_T1}/documents.parquet"),
+        N_REPS,
+        boilerplate=True,
+    ).write.mode("overwrite").parquet(str(out / "documents.parquet"))
     return str(out)
 
 

@@ -120,7 +120,13 @@ def test_r9_window_is_new_then_reboost_then_oldest_greens():
         _REBOOST,
     )
 
-    window = list(all_specs())[:50]
+    from sd2_drp_experimentgen_spark.plans.registry import ENV_GATED
+
+    # In an environment with the optional deps installed, an env-gated
+    # query registers as never-sampled and legitimately outranks the
+    # whole plan (tier 1) — exclude it so the assertion holds in both
+    # environments.
+    window = [n for n in all_specs() if n not in ENV_GATED][:50]
     n_new = len(_NEW_THIS_ROUND)
     assert len(_REBOOST) + n_new <= 50, "re-boost entry pushed out of window"
     assert set(window[:n_new]) == set(_NEW_THIS_ROUND)
@@ -136,9 +142,14 @@ def test_green_round_covers_registry():
     """Every registered query has a driver row after the r8 drain:
     _GREEN_ROUND (driver history as data) must cover the registry
     exactly — a new query must ride _NEW_THIS_ROUND, not slip in
-    unsampled; a rename must fail loudly here."""
-    from sd2_drp_experimentgen_spark.plans.registry import _GREEN_ROUND
+    unsampled; a rename must fail loudly here. Env-gated queries are
+    exempt: they only register when their optional dep is installed,
+    and the driver env (like this one) lacks it."""
+    from sd2_drp_experimentgen_spark.plans.registry import (
+        ENV_GATED,
+        _GREEN_ROUND,
+    )
 
     names = set(all_specs())
-    unsampled = names - set(_GREEN_ROUND) - _NEW_THIS_ROUND
+    unsampled = names - set(_GREEN_ROUND) - _NEW_THIS_ROUND - ENV_GATED
     assert not unsampled, f"registered but never driver-sampled: {unsampled}"

@@ -810,14 +810,19 @@ def test_tpch_q2_min_is_one_partitioned_window(spark):
 
 
 def test_tpch_q9_dimensions_broadcast_one_fact_shuffle(spark):
-    """part/supplier/nation broadcast; the only sort-merge-worthy
-    shuffles are the partsupp distinct and the final rollup — the
-    fact side is never exchanged more than the plan needs."""
+    """part/supplier/nation broadcast and the partsupp join is
+    ALGEBRIZED AWAY (pure-key-function attributes + pairs derived
+    from lineitem itself make it the identity): the plan must carry
+    the supply cost as a per-row expression, with NO pair-distinct
+    aggregate and no (partkey, suppkey) exchange — the final rollup
+    combines map-side."""
     p = plan(all_specs()["q_tpch_q9_product_profit"].fn(spark, SF_T2), "simple")
     assert "BroadcastHashJoin" in p
     assert "CartesianProduct" not in p
     # profit must combine map-side before the nation/year exchange
     assert "partial_sum" in p
+    # the derivation shuffle must not exist
+    assert "ps_partkey" not in p, p
 
 
 def test_tpch_q11_threshold_scans_cached_rollup(spark):

@@ -104,39 +104,48 @@ def scaled_dir(rep: int, boilerplate: bool = False) -> str:
     return os.path.abspath(os.path.join(root, f"x{rep}{suffix}"))
 
 
+def replicate_documents(spark, docs, rep: int, boilerplate: bool = False):
+    """THE replica transform — rep copies with replica-distinct bodies
+    (every token suffixed ``_r<r>``, doc_id shifted by DOC_STRIDE) and,
+    with ``boilerplate``, the UNsuffixed shared 64-token header
+    prepended so one fingerprint/band bucket spans the whole corpus.
+    Shared by :func:`build` and the CI cap smoke
+    (tests/test_boilerplate_cap_smoke.py), so the corpus shape the
+    round reports measure is BY CONSTRUCTION the one CI checks."""
+    reps = spark.range(rep).select(F.col("id").alias("rep"))
+    suffixed = F.array_join(
+        F.transform(
+            F.split(F.col("text"), " "),
+            lambda x: F.concat(x, F.lit("_r"), F.col("rep")),
+        ),
+        " ",
+    )
+    if boilerplate:
+        suffixed = F.concat(F.lit(BP_HEADER + " "), suffixed)
+    return (
+        docs.crossJoin(F.broadcast(reps))
+        .withColumn("doc_id", F.col("doc_id") + F.col("rep") * DOC_STRIDE)
+        .withColumn("text", suffixed)
+        .withColumn("n_chars", F.length("text"))
+        .drop("rep")
+    )
+
+
 def build(spark, rep: int, boilerplate: bool = False) -> str:
     """Replicate documents rep-fold with DISTINCT texts; copy the other
-    tables unscaled so loaders and preflight see a complete fixture.
-    With ``boilerplate``, prepend the UNsuffixed shared header to every
-    text so one fingerprint/band bucket spans the whole corpus."""
+    tables unscaled so loaders and preflight see a complete fixture."""
     out = scaled_dir(rep, boilerplate)
     marker = os.path.join(out, "_BUILT")
     if os.path.exists(marker):
         return out
     shutil.rmtree(out, ignore_errors=True)
     os.makedirs(out)
-    reps = spark.range(rep).select(F.col("id").alias("rep"))
     for t in TABLE_NAMES:
         src = f"{BASE_SF}/{t}.parquet"
         dst = os.path.join(out, f"{t}.parquet")
         df = spark.read.parquet(src)
         if t == "documents":
-            suffixed = F.array_join(
-                F.transform(
-                    F.split(F.col("text"), " "),
-                    lambda x: F.concat(x, F.lit("_r"), F.col("rep")),
-                ),
-                " ",
-            )
-            if boilerplate:
-                suffixed = F.concat(F.lit(BP_HEADER + " "), suffixed)
-            df = (
-                df.crossJoin(F.broadcast(reps))
-                .withColumn("doc_id", F.col("doc_id") + F.col("rep") * DOC_STRIDE)
-                .withColumn("text", suffixed)
-                .withColumn("n_chars", F.length("text"))
-                .drop("rep")
-            )
+            df = replicate_documents(spark, df, rep, boilerplate)
         df.write.mode("overwrite").parquet(dst)
     open(marker, "w").write("ok")
     return out
