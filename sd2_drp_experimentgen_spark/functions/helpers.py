@@ -118,31 +118,68 @@ def sql_sum_units(expr: str, scale: int = 4) -> str:
 # session's in-flight queries. Sessions that never drain their
 # entries fall back to MEMORY_AND_DISK LRU eviction — bounded, just
 # less deliberate.
+#
+# Generation scoping (ADVICE r9 low): the external driver's query
+# wrapper cannot see when the driver materializes the DataFrame it
+# returned, so "release everything on entry to the next query" would
+# drop a not-yet-collected query's cache if the driver ever built
+# several DataFrames before collecting them. Each tracked frame is
+# stamped with the harness generation current at persist time;
+# ``advance_persist_generation()`` marks a query boundary, and
+# ``release_persisted(before_generation=g)`` drops only frames
+# stamped OLDER than g — the __spark_entry__ wrapper passes the
+# previous boundary, giving every cache one full run()-boundary of
+# grace (at most two queries' caches live at once; results stay
+# correct either way — an early unpersist only degrades to
+# recomputation).
 _TRACKED_PERSISTS: list = []
+_PERSIST_GEN: dict[int, int] = {}  # id(df) -> generation at persist time
+_GENERATION = 0
+
+
+def advance_persist_generation() -> int:
+    """Mark a harness query boundary; returns the NEW generation.
+    Frames persisted from now on are stamped with this generation."""
+    global _GENERATION
+    _GENERATION += 1
+    return _GENERATION
 
 
 def tracked_persist(df):
     """``df.persist()`` + registration for :func:`release_persisted`."""
     df = df.persist()
     _TRACKED_PERSISTS.append(df)
+    _PERSIST_GEN[id(df)] = _GENERATION
     return df
 
 
-def release_persisted(session=None) -> int:
+def release_persisted(session=None, before_generation=None) -> int:
     """Unpersist tracked intermediates; returns the count released.
 
     With ``session`` (a SparkSession), only frames owned by that
     session are released — entries registered by other sessions stay
     tracked instead of being yanked out from under a concurrent
-    harness (ADVICE r8). Default releases everything (the
-    single-threaded-harness fast path).
+    harness (ADVICE r8). With ``before_generation``, only frames
+    persisted BEFORE that harness generation are released (ADVICE r9
+    low — see the generation-scoping note above). Default releases
+    everything (the single-threaded-harness fast path: bench.py and
+    verify_local materialize each query before the next builds).
     """
-    if session is None:
-        drop, keep = _TRACKED_PERSISTS[:], []
-    else:
-        drop = [d for d in _TRACKED_PERSISTS if d.sparkSession is session]
-        keep = [d for d in _TRACKED_PERSISTS if d.sparkSession is not session]
+
+    def _droppable(d) -> bool:
+        if session is not None and d.sparkSession is not session:
+            return False
+        if (
+            before_generation is not None
+            and _PERSIST_GEN.get(id(d), 0) >= before_generation
+        ):
+            return False
+        return True
+
+    drop = [d for d in _TRACKED_PERSISTS if _droppable(d)]
+    keep = [d for d in _TRACKED_PERSISTS if not _droppable(d)]
     _TRACKED_PERSISTS[:] = keep
     for d in drop:
+        _PERSIST_GEN.pop(id(d), None)
         d.unpersist()
     return len(drop)

@@ -17,8 +17,14 @@ Swapping PPM for JPEG means replacing one parser function with
 metadata struct travelling together), the plan shape
 (scan -> mapInPandas -> agg) and the shuffle behavior (payload bytes
 never shuffle; only per-doc features do) are exactly what a production
-media pipeline runs. Queries stay rows-only (no SQL oracle can run a
-Pandas UDF); self-tests assert determinism, exact pixel counts, and
+media pipeline runs. No SQL oracle can run a Pandas UDF, but every
+query here is hash-checked anyway (round 10 promoted the last two):
+because the synthetic raster is a truncated repetition of the 16-byte
+md5(text) digest, every decoded statistic has a closed form over the
+48-byte pattern period (lcm of the RGB stride 3 and digest length 16)
+that the oracle computes directly from the md5 hex — the decode path
+is verified bit-for-bit against SQL that never touches a binary.
+Self-tests additionally assert determinism, exact pixel counts, and
 header/metadata agreement.
 """
 
@@ -77,6 +83,18 @@ def media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
             h.alias("height"),
             (F.col("n_chars") % 7 + 1).cast("int").alias("n_frames"),
         ).alias("media"),
+    )
+
+
+def _sql_hb(e: str) -> str:
+    """SQL: integer value of md5-digest byte ``e`` (an expression in
+    0..15), read from the 32-char hex string column ``hx`` — the same
+    strpos/substr lookup q_mm_features_verified's oracle inlines. The
+    raster byte at offset j is digest[j % 16], so every decoded
+    statistic reduces to sums over these 16 byte values."""
+    return (
+        f"((strpos('0123456789abcdef', substr(hx, 2 * ({e}) + 1, 1)) - 1) * 16"
+        f" + strpos('0123456789abcdef', substr(hx, 2 * ({e}) + 2, 1)) - 1)"
     )
 
 
@@ -174,16 +192,86 @@ def q_source_binaryfile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_mm_image_features",
-    oracle=None,
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, md5(text) AS hx,
+             (n_chars % 64 + 16) AS w, (doc_id % 48 + 16) AS h,
+             (n_chars % 64 + 16) * (doc_id % 48 + 16) AS n_px,
+             (n_chars % 64 + 16) * (doc_id % 48 + 16) * 3 AS L
+      FROM documents
+    ),
+    b AS (  -- channel sums over the L-truncated 48-byte pattern period
+      SELECT doc_id, n_px, L, pos, pos % 3 AS chan,
+             {_sql_hb('pos % 16')} AS val
+      FROM d CROSS JOIN (SELECT g AS pos FROM generate_series(0, 47) t(g))
+    ),
+    sums AS (
+      SELECT doc_id, n_px,
+             sum(CASE WHEN chan = 0 THEN val ELSE 0 END) * (L // 48)
+               + sum(CASE WHEN chan = 0 AND pos < L % 48 THEN val ELSE 0 END)
+               AS sum_r,
+             sum(CASE WHEN chan = 1 THEN val ELSE 0 END) * (L // 48)
+               + sum(CASE WHEN chan = 1 AND pos < L % 48 THEN val ELSE 0 END)
+               AS sum_g,
+             sum(CASE WHEN chan = 2 THEN val ELSE 0 END) * (L // 48)
+               + sum(CASE WHEN chan = 2 AND pos < L % 48 THEN val ELSE 0 END)
+               AS sum_b
+      FROM b GROUP BY doc_id, n_px, L
+    ),
+    pix AS (  -- the 16 distinct pattern pixels (full period = 16 px)
+      SELECT doc_id,
+             k,
+             {_sql_hb('(3 * k) % 16')}
+               + {_sql_hb('(3 * k + 1) % 16')}
+               + {_sql_hb('(3 * k + 2) % 16')} AS pixval,
+             (299 * {_sql_hb('(3 * k) % 16')}
+               + 587 * {_sql_hb('(3 * k + 1) % 16')}
+               + 114 * {_sql_hb('(3 * k + 2) % 16')}) // 1000 AS lum
+      FROM d CROSS JOIN (SELECT g AS k FROM generate_series(0, 15) t(g))
+    ),
+    -- n_px >= 256 > 16, so every pattern pixel occurs in every image
+    lum AS (SELECT doc_id, CAST(max(lum) AS INT) AS max_lum
+            FROM pix GROUP BY doc_id),
+    thumb AS (  -- img[::2, ::2]: even rows x even cols, all 3 channels
+      SELECT t.doc_id, CAST(sum(p.pixval) AS BIGINT) AS thumb_sum
+      FROM (
+        SELECT d.doc_id, ((2 * rh.g) * d.w + 2 * ch.g) % 16 AS k
+        FROM d
+        CROSS JOIN generate_series(0, 31) rh(g)
+        CROSS JOIN generate_series(0, 39) ch(g)
+        WHERE 2 * rh.g < d.h AND 2 * ch.g < d.w
+      ) t JOIN pix p ON p.doc_id = t.doc_id AND p.k = t.k
+      GROUP BY t.doc_id
+    )
+    SELECT s.doc_id,
+           CAST(s.n_px AS INT) AS n_px,
+           round(s.sum_r / s.n_px, 4) AS mean_r,
+           round(s.sum_g / s.n_px, 4) AS mean_g,
+           round(s.sum_b / s.n_px, 4) AS mean_b,
+           l.max_lum,
+           t.thumb_sum
+    FROM sums s
+    JOIN lum l ON l.doc_id = s.doc_id
+    JOIN thumb t ON t.doc_id = s.doc_id
+    """,
     tier="P2",
     doc="Multimodal feature extraction with a REAL decode: mapInPandas "
     "over (payload, metadata) batches -> per-doc image statistics via "
     "the pure-numpy PPM parser (_decode_ppm): per-channel means, max "
     "luminance (ITU-R 601 integer weights), and a strided 2x-downsample "
     "checksum (the resize step). Dimensions parsed from the file header "
-    "are validated against the metadata struct. Rows-only (Pandas UDFs "
-    "have no SQL oracle); self-tests assert determinism + exact pixel "
-    "counts. Payloads never shuffle — only per-doc feature rows do.",
+    "are validated against the metadata struct. HASH-CHECKED since "
+    "round 10 (previously the rows-only carve-out): the raster is the "
+    "md5 digest repeated, so channel sums come from the 48-byte "
+    "pattern period, max luminance from the 16 distinct pattern "
+    "pixels (every image holds >= 256 px, so all 16 occur), and the "
+    "2x-downsample checksum from enumerating even (row, col) cells "
+    "and folding pixel-index mod 16 back onto the pattern — the "
+    "numpy decode arithmetic is verified bit-for-bit against SQL "
+    "that never parses a binary. Means are exact int sums / n_px "
+    "(one IEEE division of exactly-representable ints on both "
+    "engines) rounded 4dp per the determinism contract. Payloads "
+    "never shuffle — only per-doc feature rows do.",
 )
 def q_mm_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = media_table(spark, sf_dir)
@@ -247,13 +335,37 @@ def q_mm_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_mm_frame_sample",
-    oracle=None,
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, md5(text) AS hx,
+             CAST(n_chars % 7 + 1 AS BIGINT) AS n_frames,
+             (n_chars % 64 + 16) * (doc_id % 48 + 16) * 3 AS L
+      FROM documents
+    ),
+    b AS (
+      SELECT doc_id, L, pos, {_sql_hb('pos % 16')} AS val
+      FROM d CROSS JOIN (SELECT g AS pos FROM generate_series(0, 47) t(g))
+    )
+    SELECT b.doc_id,
+           any_value(d.n_frames) AS n_frames,
+           CAST(sum(val) * (b.L // 48)
+             + sum(CASE WHEN pos < b.L % 48 THEN val ELSE 0 END)
+             AS BIGINT) AS checksum_sum
+    FROM b JOIN d ON d.doc_id = b.doc_id
+    GROUP BY b.doc_id, b.L
+    """,
     tier="P2",
     doc="Frame sampling over decoded images: the raster is split into "
     "n_frames horizontal bands (the video-frame analog), each band "
     "checksummed from the DECODED array — the explode-shaped "
     "mapInPandas pattern a real frame-sampler uses (one input row -> "
-    "n_frames output rows, then a per-doc aggregate).",
+    "n_frames output rows, then a per-doc aggregate). HASH-CHECKED "
+    "since round 10 (previously the rows-only carve-out): "
+    "np.array_split partitions the rows, so the per-band checksums "
+    "telescope — their sum is the TOTAL raster sum, which the oracle "
+    "computes in closed form from the 48-byte digest pattern period; "
+    "and with n_frames = n_chars%7+1 <= 7 < 16 <= h every band is "
+    "non-empty, so the band count equals the metadata value exactly.",
 )
 def q_mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = media_table(spark, sf_dir)

@@ -1024,8 +1024,18 @@ _Q9_PART_LIKE = "red"
     "derived supply cost, per supplier nation per order year, for "
     f"parts named like '%{_Q9_PART_LIKE}%'. Both profit terms ride "
     "in exact 1e-4-dollar integer units (revenue via int_units; "
-    "cents x integral quantity x 100), so the int64 SUM is "
-    "order-independent at any scale. The ORACLE keeps the classic "
+    "cents x integral quantity x 100). The GROUP SUM runs in "
+    "decimal(38,0) on the Spark side — mirroring DuckDB, whose "
+    "sum(BIGINT) widens to HUGEINT — because per-row profit reaches "
+    "~1e9 units and a (nation, year) group holds ~1e8-1e9 rows at "
+    "sf~1e5 (~100 TB), leaving an int64 sum only ~1-2 orders of "
+    "magnitude of headroom that depends on the '%red%' selectivity "
+    "(ADVICE r9): a non-ANSI int64 sum would wrap silently exactly "
+    "where the engines must agree. 38-digit decimal gives ~1e20x "
+    "headroom; the final BIGINT output cast is exact whenever the "
+    "TOTAL fits int64 (~9e18 units = ~$9e14 profit per nation-year, "
+    "comfortably past 100 TB — same bound shape as Q11's threshold "
+    "comment). The ORACLE keeps the classic "
     "partsupp equi-join on (partkey, suppkey); the Spark side "
     "ALGEBRIZES it away: partsupp's attributes are pure key "
     "functions and the pair set is derived FROM lineitem, so every "
@@ -1064,7 +1074,14 @@ def q_tpch_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
         .groupBy("n_name", "o_year")
-        .agg(F.sum(profit).alias("profit_units"))
+        # decimal(38,0) partial+final sums cannot wrap (see doc); the
+        # long cast only touches the per-group TOTAL, matching the
+        # oracle's CAST(sum(...) AS BIGINT) over DuckDB's HUGEINT.
+        .agg(
+            F.sum(profit.cast("decimal(38,0)"))
+            .cast("long")
+            .alias("profit_units")
+        )
     )
 
 

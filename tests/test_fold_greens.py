@@ -1,0 +1,79 @@
+"""fold_greens no-oracle hygiene (VERDICT r9 item 7).
+
+A ``no_oracle`` driver row may fold as green ONLY while the registry
+still declares that query rows-only. A query that accidentally loses
+its oracle (a refactor drops the SQL string) must fail the fold loudly
+— never ride the rows-only carve-out. Historical no_oracle rows for
+since-promoted queries (the normal promotion lifecycle: r1's
+approx_distinct, r5's kmeans, r6's cross_validation) are skipped
+silently because a later round hash-proved them.
+"""
+
+from __future__ import annotations
+
+import importlib.util
+import json
+import sys
+from pathlib import Path
+
+import pytest
+
+_spec = importlib.util.spec_from_file_location(
+    "fold_greens", Path(__file__).resolve().parent.parent / "tools" / "fold_greens.py"
+)
+fold_greens = importlib.util.module_from_spec(_spec)
+sys.modules["fold_greens"] = fold_greens
+_spec.loader.exec_module(_spec and fold_greens)  # type: ignore[arg-type]
+
+
+def _write(tmp: Path, rnd: int, rows: dict) -> None:
+    (tmp / f"CORRECTNESS_r{rnd:02d}.json").write_text(json.dumps(rows))
+
+
+GREEN = {"rows_match": True, "schema_match": True, "hash_match": True,
+         "spark_rows": 5, "oracle_rows": 5, "err": None}
+NO_ORACLE = {"rows_match": None, "schema_match": None, "hash_match": None,
+             "spark_rows": 5, "oracle_rows": None, "err": "no_oracle"}
+
+
+def test_declared_rows_only_folds_green(tmp_path, monkeypatch):
+    monkeypatch.setattr(fold_greens, "REPO", tmp_path)
+    _write(tmp_path, 1, {"q_declared": NO_ORACLE, "q_hash": GREEN})
+    greens = fold_greens.round_greens(rows_only=frozenset({"q_declared"}))
+    assert greens == {1: ["q_declared", "q_hash"]}
+
+
+def test_lost_oracle_refuses_to_fold(tmp_path, monkeypatch):
+    # q_oops is NOT declared rows-only and no later round hash-proved
+    # it: its oracle was lost — the fold must refuse, not fold green.
+    monkeypatch.setattr(fold_greens, "REPO", tmp_path)
+    _write(tmp_path, 1, {"q_oops": NO_ORACLE})
+    with pytest.raises(SystemExit, match="q_oops.*oracle was lost"):
+        fold_greens.round_greens(rows_only=frozenset())
+
+
+def test_promoted_query_old_row_skipped(tmp_path, monkeypatch):
+    # Promotion lifecycle: no_oracle at r1, hash-green at r2 — the r1
+    # row is superseded pre-promotion evidence, skipped silently, and
+    # the r2 green carries the query.
+    monkeypatch.setattr(fold_greens, "REPO", tmp_path)
+    _write(tmp_path, 1, {"q_promoted": NO_ORACLE})
+    _write(tmp_path, 2, {"q_promoted": GREEN})
+    greens = fold_greens.round_greens(rows_only=frozenset())
+    assert greens == {1: [], 2: ["q_promoted"]}
+
+
+def test_repo_fold_is_current_and_consistent():
+    # The real repo: the fold must run clean (no lost oracles) and its
+    # no_oracle-greens must be exactly the registry's rows-only set.
+    greens = fold_greens.round_greens()
+    declared = fold_greens.declared_rows_only()
+    latest = greens[max(greens)]
+    from sd2_drp_experimentgen_spark.plans import all_specs
+
+    specs = all_specs()
+    no_oracle_greens = {
+        n for names in greens.values() for n in names
+        if n in specs and specs[n].oracle is None
+    }
+    assert no_oracle_greens <= declared

@@ -102,9 +102,23 @@ def test_priority_sets_subset_of_registry():
 
 def test_boost_queries_sort_first():
     """all_specs() iteration must begin with the boost list, in order —
-    the driver verifies the first 50, so ordering IS the sampling plan."""
-    first = list(all_specs())[: len(_PRIORITY_BOOST)]
-    assert first == list(_PRIORITY_BOOST)
+    the driver verifies the first 50, so ordering IS the sampling plan.
+    ADVICE r9 low: with _PRIORITY_BOOST empty the prefix check is
+    vacuous ([:0] == []), so assert the empty state EXPLICITLY — the
+    override tier being empty is itself part of the r10+ sampling plan
+    (pure rotation); anyone re-populating the boost list flips to the
+    prefix assertion automatically."""
+    if not _PRIORITY_BOOST:
+        # Empty is the declared r10 state: no query may claim tier 0.
+        from sd2_drp_experimentgen_spark.plans.registry import (
+            _driver_priority,
+        )
+
+        tiers = {_driver_priority(item)[0] for item in all_specs().items()}
+        assert 0 not in tiers, "tier-0 (boost) rank with an empty boost list"
+    else:
+        first = list(all_specs())[: len(_PRIORITY_BOOST)]
+        assert first == list(_PRIORITY_BOOST)
 
 
 def test_r9_window_is_new_then_reboost_then_oldest_greens():

@@ -1,4 +1,4 @@
-"""Tracked-persist lifecycle (VERDICT r8 item 2 + ADVICE r8 #3).
+"""Tracked-persist lifecycle (VERDICT r8 item 2 + ADVICE r8 #3 + r9 low).
 
 Round 8 made the shared dedup bucket tables ``tracked_persist``ed so
 they evaluate exactly once, and taught bench.py / verify_local.py to
@@ -6,16 +6,21 @@ release them between queries — but the ONE harness the repo does not
 control, the external driver calling ``__spark_entry__.queries()``,
 had no release point: a full-registry sweep would accumulate every
 persisting query's bucket table for the life of the session. The
-wrapper now releases the previous query's caches on entry to each
-``run()``; these tests pin that, plus the session-scoped release the
-r8 ADVICE asked for (a release must never unpersist another session's
-in-flight frames).
+wrapper releases stale caches on entry to each ``run()`` with ONE
+generation of grace (ADVICE r9 low): a driver that builds several
+queries' DataFrames before collecting them can no longer have query
+N's cache dropped before N is materialized — query N's frames survive
+run(N+1) and are released at run(N+2), so a sweep holds at most two
+queries' caches. These tests pin that, plus the session-scoped release
+the r8 ADVICE asked for (a release must never unpersist another
+session's in-flight frames).
 """
 
 from __future__ import annotations
 
 from sd2_drp_experimentgen_spark.functions.helpers import (
     _TRACKED_PERSISTS,
+    advance_persist_generation,
     release_persisted,
     tracked_persist,
 )
@@ -27,9 +32,10 @@ def _drain():
     assert not _TRACKED_PERSISTS
 
 
-def test_queries_wrapper_releases_previous_persists(spark):
-    """Driver path: at most ONE query's tracked caches are live at a
-    time — entering query N+1 releases query N's."""
+def test_queries_wrapper_releases_with_one_generation_grace(spark):
+    """Driver path: query N's tracked caches survive run(N+1) — the
+    driver may not have collected N yet — and are released at
+    run(N+2); at most two queries' caches are ever live."""
     import __spark_entry__ as entrymod
 
     _drain()
@@ -41,16 +47,37 @@ def test_queries_wrapper_releases_previous_persists(spark):
     assert first_batch, "expected the winnow bucket table to be tracked"
     assert all(d.is_cached for d in first_batch)
 
-    # next driver query (non-persisting): wrapper must drop batch 1
+    # next driver query: batch 1 gets its generation of grace (an
+    # interleaved driver might not have collected df1 yet)
     qs["q_agg_global"](spark, SF_T1).count()
-    assert not _TRACKED_PERSISTS
-    assert all(not d.is_cached for d in first_batch)
+    assert all(d.is_cached for d in first_batch)
 
-    # and a second persisting query re-registers only its own frames
+    # one more query boundary: batch 1 is now two generations old and
+    # must drop; the new persisting query registers only its own frames
     df3 = qs["q_dedup_lsh_refine"](spark, SF_T1)
     df3.count()
+    assert all(not d.is_cached for d in first_batch)
     assert _TRACKED_PERSISTS
     assert not (set(map(id, _TRACKED_PERSISTS)) & set(map(id, first_batch)))
+    _drain()
+
+
+def test_interleaved_driver_keeps_pending_cache(spark):
+    """ADVICE r9 low, the exact scenario: the driver builds query N
+    and query N+1 BEFORE collecting either. N's persisted frames must
+    still be cached when N is finally materialized."""
+    import __spark_entry__ as entrymod
+
+    _drain()
+    qs = entrymod.queries()
+    df_n = qs["q_dedup_winnow_pairs"](spark, SF_T1)  # build N (persists)
+    pending = list(_TRACKED_PERSISTS)
+    assert pending
+    df_n1 = qs["q_agg_global"](spark, SF_T1)  # build N+1, N uncollected
+    assert all(d.is_cached for d in pending), (
+        "run(N+1) dropped query N's cache before the driver collected N"
+    )
+    assert df_n.count() > 0 and df_n1.count() > 0
     _drain()
 
 
@@ -72,3 +99,16 @@ def test_release_is_session_scoped(spark):
     # no-session release drains the rest (single-threaded fast path)
     assert release_persisted() == 1
     assert not theirs.is_cached and not _TRACKED_PERSISTS
+
+
+def test_before_generation_scoping(spark):
+    """release_persisted(before_generation=g) drops only frames
+    persisted before generation g; newer frames stay tracked."""
+    _drain()
+    old = tracked_persist(spark.range(5))
+    gen = advance_persist_generation()
+    new = tracked_persist(spark.range(6))
+    assert release_persisted(before_generation=gen) == 1
+    assert not old.is_cached and new.is_cached
+    assert [id(d) for d in _TRACKED_PERSISTS] == [id(new)]
+    _drain()

@@ -3,17 +3,28 @@ queries, with the scale-relevant properties called out. Regenerate after
 plan-affecting changes:
 
     python tools/plan_report.py [--sf-dir /root/testdata/sf0.01]
+    python tools/plan_report.py --check   # exit 1 if PLANS.md is stale
 
 The report is evidence for the claims in SCALE.md: pushdown reaching the
 scan, broadcasts on dimension sides, partial aggregation below the
 exchange, TakeOrdered for top-k, WindowGroupLimit for ranked windows,
 and the absence of driver-side materialization in distributed paths.
+
+``--check`` (ADVICE r9 medium): regenerates the report in memory and
+diffs it against the committed PLANS.md, so pinned evidence cannot
+silently drift from the shipped plans again (the r9 Q2/Q9/Q11 sections
+described plans the same round's optimization pass had already
+rewritten). Spark expression IDs (``#123L``) renumber freely across
+code versions without changing the plan shape, so the diff normalizes
+them before comparing — a drift report names real operator/exchange
+changes, not ID churn.
 """
 
 from __future__ import annotations
 
 import argparse
 import io
+import re
 import sys
 from contextlib import redirect_stdout
 
@@ -118,25 +129,20 @@ REPORT = [
 ]
 
 
-def main() -> None:
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
-    ap.add_argument("--out", default="PLANS.md")
-    args = ap.parse_args()
-
+def render(sf_dir: str) -> str:
     spark = get_spark(app_name="sd2drp-plans", shuffle_partitions=8)
     specs = all_specs()
 
     lines = [
         "# PLANS — physical-plan evidence for SCALE.md claims",
         "",
-        f"Generated by `python tools/plan_report.py` at sf-dir `{args.sf_dir}`.",
+        f"Generated by `python tools/plan_report.py` at sf-dir `{sf_dir}`.",
         "Each section shows `explain('simple')` for one representative query",
         "and names the property the plan must exhibit.",
         "",
     ]
     for name, claim in REPORT:
-        df = specs[name].fn(spark, args.sf_dir)
+        df = specs[name].fn(spark, sf_dir)
         buf = io.StringIO()
         with redirect_stdout(buf):
             df.explain("simple")
@@ -150,10 +156,65 @@ def main() -> None:
             "```",
             "",
         ]
+    return "\n".join(lines)
+
+
+# Expression IDs (#123L / #123), cached-plan object addresses, and
+# Spark's auto-generated CTE/subquery numbering renumber between runs
+# of identical code — strip them so --check flags plan-shape drift only.
+_ID = re.compile(r"#\d+L?|@[0-9a-f]{6,}|subquery#\d+|cte\d+|plan_id=\d+")
+
+
+def _normalize(text: str) -> str:
+    return _ID.sub("#x", text)
+
+
+def check(sf_dir: str, out: str) -> int:
+    try:
+        committed = open(out).read()
+    except FileNotFoundError:
+        print(f"plan_report: {out} missing — run python tools/plan_report.py")
+        return 1
+    fresh = render(sf_dir)
+    if _normalize(fresh) == _normalize(committed):
+        print(f"plan_report: {out} is current ({len(REPORT)} plans)")
+        return 0
+    # Name the drifted sections so the failure is actionable.
+    def sections(text: str) -> dict[str, str]:
+        parts = re.split(r"^## ", text, flags=re.M)[1:]
+        out_d: dict[str, str] = {}
+        for p in parts:
+            name = p.split("\n", 1)[0].strip()
+            # a query may legitimately appear twice in REPORT; concat
+            out_d[name] = out_d.get(name, "") + _normalize(p)
+        return out_d
+
+    old_s, new_s = sections(committed), sections(fresh)
+    drifted = sorted(
+        set(old_s) ^ set(new_s)
+        | {n for n in set(old_s) & set(new_s) if old_s[n] != new_s[n]}
+    )
+    print(
+        f"plan_report: {out} is STALE — run python tools/plan_report.py; "
+        f"drifted sections: {drifted}"
+    )
+    return 1
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    ap.add_argument("--out", default="PLANS.md")
+    ap.add_argument("--check", action="store_true")
+    args = ap.parse_args()
+
+    if args.check:
+        return check(args.sf_dir, args.out)
     with open(args.out, "w") as f:
-        f.write("\n".join(lines))
+        f.write(render(args.sf_dir))
     print(f"wrote {args.out} ({len(REPORT)} plans)")
+    return 0
 
 
 if __name__ == "__main__":
-    main()
+    sys.exit(main())
