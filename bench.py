@@ -91,11 +91,12 @@ def main() -> None:
     specs = all_specs()
     names = [n for n in HEADLINE if n in specs]
     timings: dict[str, float] = {}
+    runs_all: dict[str, list[float]] = {}
     for name in names:
         fn = specs[name].fn
         fn(spark, sf_dir).collect()  # warm-up (JIT, file listing, broadcast)
         release_persisted()
-        best = float("inf")
+        runs: list[float] = []
         for _ in range(3):
             t0 = time.perf_counter()
             fn(spark, sf_dir).collect()
@@ -103,9 +104,10 @@ def main() -> None:
             # persists its bucket/index table must pay the full build
             # in every timed run, or the tripwire would measure cache
             # reads and hide pipeline regressions behind the warm-up
-            best = min(best, time.perf_counter() - t0)
+            runs.append(round(time.perf_counter() - t0, 4))
             release_persisted()
-        timings[name] = round(best, 4)
+        timings[name] = min(runs)
+        runs_all[name] = runs
 
     total = round(sum(timings.values()), 4)
     print(
@@ -124,6 +126,12 @@ def main() -> None:
                 "loadavg_after": tuple(round(x, 2) for x in os.getloadavg()),
                 "cpus": os.cpu_count(),
                 "timed_runs": 3,
+                # all three timed runs per query: the in-file variance
+                # evidence BASELINE.md's noise-band protocol reads when
+                # deciding whether a riser is ambient load (wide spread,
+                # uniform across queries) or a plan change (tight spread
+                # at a new level)
+                "runs": runs_all,
             }
         )
     )
