@@ -81,6 +81,38 @@ def sql_units(expr: str, scale: int = 4) -> str:
     return f"CAST(floor(({expr}) * {10 ** scale} + 0.5) AS BIGINT)"
 
 
+def exact_sum(col: Column | str, scale: int = 4) -> Column:
+    """Exact SUM for rounded-DOUBLE money/measure OUTPUT columns whose
+    group count is BOUNDED while rows are not (the r10 x128 replication
+    study's finding): a float64 sum carries couple-ulp noise, and once
+    the group sum's magnitude reaches ~5e11 one ulp exceeds the 1e-4
+    rounding step — q_agg_groupby_q1's sum_charge differed from DuckDB
+    in the 4th decimal at a 128x corpus with an identical plan. Recipe:
+    per-row exact integer units (:func:`int_units`, a deterministic
+    single-expression double op), summed in decimal(38,0) — NOT int64,
+    which itself overflows at extreme scale (the Q9 lesson) — then ONE
+    double cast + ONE division by 10^scale. DuckDB's twin
+    (:func:`sql_exact_sum`) performs the same two IEEE roundings over
+    its HUGEINT sum, so the doubles are bit-identical at ANY scale.
+    Callers keep their final ``r4(...)`` display rounding (needed when
+    ``scale > 4``, harmless at 4). NULL semantics match SQL: all-NULL
+    or empty groups stay NULL."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum(int_units(c, scale).cast("decimal(38,0)")).cast(
+        "double"
+    ) / F.lit(float(10**scale))
+
+
+def sql_exact_sum(expr: str, scale: int = 4) -> str:
+    """Oracle-side twin of :func:`exact_sum` for DuckDB SQL strings
+    (sum(BIGINT) widens to HUGEINT, i.e. exact, before the double
+    cast)."""
+    return (
+        f"(CAST(sum({sql_units(expr, scale)}) AS DOUBLE) "
+        f"/ {float(10 ** scale)})"
+    )
+
+
 def sql_sum_units(expr: str, scale: int = 4) -> str:
     """``CAST(sum(<units>) AS BIGINT)`` — the only safe shape for an
     integer-sum ORACLE OUTPUT column (determinism rule #11, SURVEY §5.3).

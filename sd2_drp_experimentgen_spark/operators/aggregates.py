@@ -16,7 +16,15 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.helpers import _round_halfup, int_units, r4, sql_r, sql_units
+from ..functions.helpers import (
+    _round_halfup,
+    exact_sum,
+    int_units,
+    r4,
+    sql_exact_sum,
+    sql_r,
+    sql_units,
+)
 from ..plans.registry import register
 from ..sources.tables import load_table
 
@@ -50,10 +58,10 @@ def q_agg_global(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     SELECT l_returnflag,
            l_linestatus,
-           {sql_r('sum(l_quantity)')} AS sum_qty,
-           {sql_r('sum(l_extendedprice)')} AS sum_base_price,
-           {sql_r('sum(l_extendedprice * (1 - l_discount))')} AS sum_disc_price,
-           {sql_r('sum(l_extendedprice * (1 - l_discount) * (1 + l_tax))')} AS sum_charge,
+           {sql_r(sql_exact_sum('l_quantity'))} AS sum_qty,
+           {sql_r(sql_exact_sum('l_extendedprice'))} AS sum_base_price,
+           {sql_r(sql_exact_sum('l_extendedprice * (1 - l_discount)'))} AS sum_disc_price,
+           {sql_r(sql_exact_sum('l_extendedprice * (1 - l_discount) * (1 + l_tax)', 6))} AS sum_charge,
            {sql_r('avg(l_quantity)')} AS avg_qty,
            {sql_r('avg(l_extendedprice)')} AS avg_price,
            {sql_r('avg(l_discount)')} AS avg_disc,
@@ -64,7 +72,16 @@ def q_agg_global(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     tier="P0",
     doc="TPC-H Q1 shape: 2-key groupBy with 8 aggregates (per-plate "
-    "rollup analog). Partial aggregation happens map-side automatically.",
+    "rollup analog). Partial aggregation happens map-side "
+    "automatically. The four SUM columns ride exact_sum (r10): six "
+    "groups over an unbounded fact means the float sums reach ~1e12 "
+    "at a 128x corpus, where one ulp exceeds the 4dp rounding step — "
+    "the x128 replication study caught sum_charge differing from "
+    "DuckDB in the last decimal with an identical plan. Per-row exact "
+    "integer units (scale 6 for charge: 2dp price x 2dp discount x "
+    "2dp tax), decimal(38,0) partials, one double divide. The AVG "
+    "columns stay float: their magnitude is per-row-sized, so the "
+    "sum's couple-ulp noise divides away by n.",
 )
 def q_agg_groupby_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
@@ -73,10 +90,12 @@ def q_agg_groupby_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.where(F.col("l_shipdate") <= F.lit("2001-09-01").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            r4(F.sum("l_quantity")).alias("sum_qty"),
-            r4(F.sum("l_extendedprice")).alias("sum_base_price"),
-            r4(F.sum(disc_price)).alias("sum_disc_price"),
-            r4(F.sum(disc_price * (F.lit(1) + F.col("l_tax")))).alias("sum_charge"),
+            r4(exact_sum("l_quantity")).alias("sum_qty"),
+            r4(exact_sum("l_extendedprice")).alias("sum_base_price"),
+            r4(exact_sum(disc_price)).alias("sum_disc_price"),
+            r4(
+                exact_sum(disc_price * (F.lit(1) + F.col("l_tax")), 6)
+            ).alias("sum_charge"),
             r4(F.avg("l_quantity")).alias("avg_qty"),
             r4(F.avg("l_extendedprice")).alias("avg_price"),
             r4(F.avg("l_discount")).alias("avg_disc"),
@@ -370,14 +389,17 @@ def q_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT coalesce(c_mktsegment, 'ALL') AS segment,
            coalesce(o_orderstatus, 'ALL') AS status,
            count(*) AS n_orders,
-           {sql_r('sum(o_totalprice)')} AS total_price
+           {sql_r(sql_exact_sum('o_totalprice'))} AS total_price
     FROM orders
     JOIN customer ON c_custkey = o_custkey
     GROUP BY CUBE(c_mktsegment, o_orderstatus)
     """,
     tier="P1",
     doc="CUBE(segment, status) order counts + totals with 'ALL' labels "
-    "(cross-tab reporting).",
+    "(cross-tab reporting). total_price rides exact_sum (r10): the "
+    "cube's () cell sums EVERY order's price — a bounded-group money "
+    "sum that crosses the 4dp float boundary at large corpora (see "
+    "q_agg_groupby_q1).",
 )
 def q_agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
@@ -387,7 +409,7 @@ def q_agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
         joined.cube("c_mktsegment", "o_orderstatus")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            r4(F.sum("o_totalprice")).alias("total_price"),
+            r4(exact_sum("o_totalprice")).alias("total_price"),
         )
         .select(
             F.coalesce(F.col("c_mktsegment"), F.lit("ALL")).alias("segment"),
@@ -757,7 +779,7 @@ def q_agg_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(GROUPING(status) AS INTEGER) AS g_status,
            CAST(GROUPING(o_orderpriority) AS INTEGER) AS g_prio,
            count(*) AS n,
-           {sql_r('sum(o_totalprice)')} AS sum_price
+           {sql_r(sql_exact_sum('o_totalprice'))} AS sum_price
     FROM (
       SELECT NULLIF(o_orderstatus, 'P') AS status, o_orderpriority,
              o_totalprice
@@ -771,7 +793,9 @@ def q_agg_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
     "the collision): without the grouping flags, a data-NULL group "
     "and a subtotal row are indistinguishable after the usual "
     "coalesce — the classic rollup-report bug. g_status/g_prio "
-    "separate them exactly.",
+    "separate them exactly. sum_price rides exact_sum (r10): the "
+    "rollup's grand-total row is a bounded-group money sum over every "
+    "order (see q_agg_groupby_q1).",
 )
 def q_agg_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders").select(
@@ -785,7 +809,7 @@ def q_agg_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.grouping("status").cast("int").alias("g_status"),
             F.grouping("o_orderpriority").cast("int").alias("g_prio"),
             F.count(F.lit(1)).alias("n"),
-            _round_halfup(F.sum("o_totalprice"), 4).alias("sum_price"),
+            _round_halfup(exact_sum("o_totalprice"), 4).alias("sum_price"),
         )
         .select(
             F.coalesce(F.col("status"), F.lit("(null)")).alias("status"),

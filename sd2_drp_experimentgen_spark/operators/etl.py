@@ -14,7 +14,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.helpers import _round_halfup, int_units, sql_r, sql_units
+from ..functions.helpers import (
+    _round_halfup,
+    exact_sum,
+    int_units,
+    sql_exact_sum,
+    sql_r,
+    sql_units,
+)
 from ..plans.registry import register
 from ..sources.tables import load_events, load_table
 
@@ -24,9 +31,9 @@ from ..sources.tables import load_events, load_table
     oracle=f"""
     WITH wide AS (
       SELECT l_returnflag,
-             sum(l_quantity) AS sum_qty,
-             sum(l_extendedprice) AS sum_price,
-             sum(l_discount) AS sum_disc
+             {sql_exact_sum('l_quantity')} AS sum_qty,
+             {sql_exact_sum('l_extendedprice')} AS sum_price,
+             {sql_exact_sum('l_discount')} AS sum_disc
       FROM lineitem GROUP BY l_returnflag
     )
     SELECT l_returnflag, metric, {sql_r('value')} AS value FROM (
@@ -42,14 +49,17 @@ from ..sources.tables import load_events, load_table
     "(flag, metric, value) rows via DataFrame.unpivot — the inverse of "
     "the robot-file pivot, and the layout normalization step before a "
     "long-format sink. Map-side only: unpivot multiplies rows without "
-    "any shuffle beyond the initial aggregate.",
+    "any shuffle beyond the initial aggregate. The wide sums ride "
+    "exact_sum (r10): three returnflag groups over all of lineitem is "
+    "the bounded-group shape whose float money sum crosses the 4dp "
+    "boundary at large corpora (see q_agg_groupby_q1).",
 )
 def q_unpivot_stack(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     wide = li.groupBy("l_returnflag").agg(
-        F.sum("l_quantity").alias("sum_qty"),
-        F.sum("l_extendedprice").alias("sum_price"),
-        F.sum("l_discount").alias("sum_disc"),
+        exact_sum("l_quantity").alias("sum_qty"),
+        exact_sum("l_extendedprice").alias("sum_price"),
+        exact_sum("l_discount").alias("sum_disc"),
     )
     long = wide.unpivot(
         ids=["l_returnflag"],
@@ -67,7 +77,7 @@ def q_unpivot_stack(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     SELECT l_returnflag,
            CAST(count(*) AS BIGINT) AS n_sampled,
-           {sql_r('sum(l_extendedprice)')} AS sum_price
+           {sql_r(sql_exact_sum('l_extendedprice'))} AS sum_price
     FROM lineitem
     WHERE substring(md5(l_orderkey || '-' || l_linenumber), 1, 2) < '1a'
     GROUP BY l_returnflag
@@ -91,7 +101,9 @@ def q_sample_hash_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_returnflag")
         .agg(
             F.count(F.lit(1)).alias("n_sampled"),
-            _round_halfup(F.sum("l_extendedprice"), 4).alias("sum_price"),
+            # exact_sum (r10): 3 returnflag groups over a ~10% sample of
+            # an unbounded fact — see q_agg_groupby_q1
+            _round_halfup(exact_sum("l_extendedprice"), 4).alias("sum_price"),
         )
     )
 
@@ -479,7 +491,7 @@ TWO_POW_48 = 281474976710656.0
     oracle=f"""
     SELECT o_orderpriority,
            CAST(count(*) AS BIGINT) AS n_sampled,
-           {sql_r('sum(o_totalprice)')} AS sum_price
+           {sql_r(sql_exact_sum('o_totalprice'))} AS sum_price
     FROM orders
     WHERE CAST('0x' || substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 12)
                AS BIGINT)
@@ -507,7 +519,9 @@ def q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderpriority")
         .agg(
             F.count(F.lit(1)).alias("n_sampled"),
-            _round_halfup(F.sum("o_totalprice"), 4).alias("sum_price"),
+            # exact_sum (r10): 5 priority groups over an unbounded
+            # weighted sample — see q_agg_groupby_q1
+            _round_halfup(exact_sum("o_totalprice"), 4).alias("sum_price"),
         )
     )
 

@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.helpers import r4, sql_r, sql_units
+from ..functions.helpers import r4, sql_exact_sum, sql_r, sql_units
 from ..plans.registry import register
 from ..sources.tables import load_events, load_table
 
@@ -434,7 +434,7 @@ def q_sql_q3_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_sql_q5_join_chain",
     oracle=f"""
     SELECT n_name,
-           {sql_r("sum(l_extendedprice * (1 - l_discount))")} AS revenue
+           {sql_r(sql_exact_sum("l_extendedprice * (1 - l_discount)"))} AS revenue
     FROM customer
     JOIN orders   ON c_custkey = o_custkey
     JOIN lineitem ON l_orderkey = o_orderkey
@@ -450,7 +450,10 @@ def q_sql_q3_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     "with the local-supplier constraint) written as SQL over registered "
     "temp views — exercising the parser/analyzer path that DataFrame "
     "queries bypass. Catalyst plans it identically: dimension sides "
-    "broadcast, fact side never shuffles twice.",
+    "broadcast, fact side never shuffles twice. Revenue rides "
+    "exact_sum (r10): 25 nation groups over an unbounded fact — the "
+    "bounded-group money-sum shape whose float sum crosses the 4dp "
+    "boundary at large corpora (see q_agg_groupby_q1).",
 )
 def q_sql_q5_join_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     for t in ("customer", "orders", "lineitem", "supplier", "nation", "region"):
@@ -458,8 +461,10 @@ def q_sql_q5_join_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         """
         SELECT n_name,
-               floor(sum(l_extendedprice * (1 - l_discount)) * 10000 + 0.5)
-                 / 10000 AS revenue
+               floor((CAST(sum(CAST(floor(
+                        (l_extendedprice * (1 - l_discount)) * 10000 + 0.5
+                      ) AS DECIMAL(38, 0))) AS DOUBLE) / 10000.0)
+                     * 10000 + 0.5) / 10000 AS revenue
         FROM v_customer
         JOIN v_orders   ON c_custkey = o_custkey
         JOIN v_lineitem ON l_orderkey = o_orderkey
@@ -485,8 +490,10 @@ def q_sql_q5_join_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(floor(epoch(m)) AS BIGINT) AS month_start,
            (SELECT count(*) FROM orders
             WHERE date_trunc('month', o_orderdate) = m) AS n_orders,
-           {sql_r('''coalesce((SELECT sum(o_totalprice) FROM orders
-                     WHERE date_trunc('month', o_orderdate) = m), 0)''')}
+           {sql_r('''(CAST(coalesce((SELECT sum(CAST(floor(
+                        o_totalprice * 10000 + 0.5) AS BIGINT)) FROM orders
+                     WHERE date_trunc('month', o_orderdate) = m), 0)
+                     AS DOUBLE) / 10000.0)''')}
              AS sum_price
     FROM months
     """,
@@ -518,12 +525,16 @@ def q_sql_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
         rollup AS (
           SELECT date_trunc('month', o_orderdate) AS m,
                  count(*) AS n_orders,
-                 sum(o_totalprice) AS sum_price
+                 -- exact_sum form (r10): per-month money sums grow with
+                 -- corpus density while month count stays bounded
+                 sum(CAST(floor(o_totalprice * 10000 + 0.5)
+                          AS DECIMAL(38, 0))) AS sum_units
           FROM v_orders GROUP BY 1
         )
         SELECT CAST(cast(m AS TIMESTAMP_LTZ) AS BIGINT) AS month_start,
                coalesce(n_orders, 0) AS n_orders,
-               floor(coalesce(sum_price, 0) * 10000 + 0.5) / 10000 AS sum_price
+               floor((CAST(coalesce(sum_units, 0) AS DOUBLE) / 10000.0)
+                     * 10000 + 0.5) / 10000 AS sum_price
         FROM months LEFT JOIN rollup USING (m)
         """
     )
@@ -533,11 +544,11 @@ def q_sql_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_sql_pivot_clause",
     oracle=f"""
     SELECT o_orderpriority,
-           {sql_r("sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END)")}
+           {sql_r(sql_exact_sum("CASE WHEN o_orderstatus = 'O' THEN o_totalprice END"))}
              AS open_total,
-           {sql_r("sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END)")}
+           {sql_r(sql_exact_sum("CASE WHEN o_orderstatus = 'F' THEN o_totalprice END"))}
              AS filled_total,
-           {sql_r("sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END)")}
+           {sql_r(sql_exact_sum("CASE WHEN o_orderstatus = 'P' THEN o_totalprice END"))}
              AS pending_total
     FROM orders
     GROUP BY o_orderpriority
@@ -555,14 +566,22 @@ def q_sql_pivot_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         """
         SELECT o_orderpriority,
-               floor(open_total * 10000 + 0.5) / 10000 AS open_total,
-               floor(filled_total * 10000 + 0.5) / 10000 AS filled_total,
-               floor(pending_total * 10000 + 0.5) / 10000 AS pending_total
+               floor((CAST(open_total AS DOUBLE) / 10000.0)
+                     * 10000 + 0.5) / 10000 AS open_total,
+               floor((CAST(filled_total AS DOUBLE) / 10000.0)
+                     * 10000 + 0.5) / 10000 AS filled_total,
+               floor((CAST(pending_total AS DOUBLE) / 10000.0)
+                     * 10000 + 0.5) / 10000 AS pending_total
         FROM (
-          SELECT o_orderpriority, o_orderstatus, o_totalprice FROM v_orders
+          SELECT o_orderpriority, o_orderstatus,
+                 -- exact_sum form (r10): 5 priority groups over all
+                 -- orders — bounded-group money sums
+                 CAST(floor(o_totalprice * 10000 + 0.5)
+                      AS DECIMAL(38, 0)) AS price_units
+          FROM v_orders
         )
         PIVOT (
-          sum(o_totalprice)
+          sum(price_units)
           FOR o_orderstatus IN ('O' AS open_total, 'F' AS filled_total,
                                 'P' AS pending_total)
         )

@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.helpers import r4, sql_r
+from ..functions.helpers import exact_sum, r4, sql_exact_sum, sql_r
 from ..plans.registry import register
 from ..sources.tables import load_table
 
@@ -19,7 +19,7 @@ from ..sources.tables import load_table
 @register(
     "q_filter_pred_q6",
     oracle=f"""
-    SELECT {sql_r('sum(l_extendedprice * l_discount)')} AS revenue
+    SELECT {sql_r(sql_exact_sum('l_extendedprice * l_discount'))} AS revenue
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1996-01-01'
       AND l_shipdate < TIMESTAMP '1997-01-01'
@@ -28,7 +28,11 @@ from ..sources.tables import load_table
     """,
     tier="P0",
     doc="TPC-H Q6 shape: conjunctive range predicate + single aggregate. "
-    "Reference analog: physical-constraint filter over the stateset.",
+    "Reference analog: physical-constraint filter over the stateset. "
+    "ONE global group over an unbounded fact, so the revenue SUM rides "
+    "exact_sum (r10 x128 finding; 2dp price x 2dp discount = exact at "
+    "scale 4) — a float sum's ulp crosses the 4dp rounding step once "
+    "the total reaches ~5e11.",
 )
 def q_filter_pred_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
@@ -40,7 +44,11 @@ def q_filter_pred_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_discount") <= 0.07)
             & (F.col("l_quantity") < 24)
         )
-        .agg(r4(F.sum(F.col("l_extendedprice") * F.col("l_discount"))).alias("revenue"))
+        .agg(
+            r4(
+                exact_sum(F.col("l_extendedprice") * F.col("l_discount"))
+            ).alias("revenue")
+        )
     )
 
 

@@ -13,7 +13,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.helpers import _round_halfup, int_units, sql_r
+from ..functions.helpers import (
+    _round_halfup,
+    exact_sum,
+    int_units,
+    sql_exact_sum,
+    sql_r,
+)
 from ..plans.registry import register
 from ..sources.tables import load_table
 
@@ -418,7 +424,7 @@ def q_source_csv_malformed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT coalesce(o_orderpriority, 'MISSING') AS prio,
            count(*) AS n,
-           {sql_r('sum(o_totalprice)')} AS sum_price
+           {sql_r(sql_exact_sum('o_totalprice'))} AS sum_price
     FROM (
       SELECT o_orderkey, o_totalprice, NULL AS o_orderpriority FROM v1
       UNION ALL
@@ -452,7 +458,9 @@ def q_source_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("o_orderpriority"), F.lit("MISSING")).alias("prio")
     ).agg(
         F.count(F.lit(1)).alias("n"),
-        _round_halfup(F.sum("o_totalprice"), 4).alias("sum_price"),
+        # exact_sum (r10): 6 priority groups over all orders — see
+        # q_agg_groupby_q1
+        _round_halfup(exact_sum("o_totalprice"), 4).alias("sum_price"),
     )
 
 

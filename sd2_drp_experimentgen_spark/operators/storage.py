@@ -15,7 +15,14 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.helpers import _round_halfup, int_units, sql_r, sql_units
+from ..functions.helpers import (
+    _round_halfup,
+    exact_sum,
+    int_units,
+    sql_exact_sum,
+    sql_r,
+    sql_units,
+)
 from ..plans.registry import register
 from ..sources.tables import load_table
 
@@ -171,7 +178,7 @@ def compact_parquet_dir(spark: SparkSession, src: str, dst: str, target: int) ->
     oracle=f"""
     SELECT o_orderpriority,
            count(*) AS n,
-           {sql_r('sum(o_totalprice)')} AS sum_price
+           {sql_r(sql_exact_sum('o_totalprice'))} AS sum_price
     FROM orders
     GROUP BY o_orderpriority
     """,
@@ -197,7 +204,9 @@ def q_maint_compact_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     back = spark.read.parquet(compact)
     return back.groupBy("o_orderpriority").agg(
         F.count(F.lit(1)).alias("n"),
-        _round_halfup(F.sum("o_totalprice"), 4).alias("sum_price"),
+        # exact_sum (r10): 5 priority groups over all orders — see
+        # q_agg_groupby_q1
+        _round_halfup(exact_sum("o_totalprice"), 4).alias("sum_price"),
     )
 
 

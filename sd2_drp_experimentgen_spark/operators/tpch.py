@@ -13,10 +13,15 @@ deterministic integer attributes (see the block comment at the
 derivation), which both engines compute identically.
 
 Determinism recipe (SURVEY §5.3): money flows through per-row integer
-units (``int_units``, exact int64 sums at any scale/partitioning);
-quantities are integral doubles cast to BIGINT; ratio outputs are one
-IEEE divide of two exact integers; every LIMIT sits under a total
-order. All joins declare the small side; Catalyst broadcasts every
+units (``int_units``); per-entity unit sums ride int64 (their group
+magnitude is bounded by the entity), while BOUNDED-GROUP unit sums —
+Q7/Q8/Q14/Q17/Q19/Q22's rollups, Q9's profit, Q11's grand total —
+partial-aggregate in decimal(38,0) (r10: Q8's per-year total reaches
+~8.5e18 units at sf~1e5, essentially AT the int64 boundary, and Q11's
+grand total crosses it; a non-ANSI int64 sum would wrap silently while
+DuckDB's HUGEINT stays exact). Quantities are integral doubles cast to
+BIGINT; ratio outputs are one IEEE divide of two exact integers; every
+LIMIT sits under a total order. All joins declare the small side; Catalyst broadcasts every
 dimension (nation/region/supplier/part at 25/5/1e4/2e5 rows per TB of
 facts stay broadcast-able at 100 TB — only orders⋈lineitem shuffles).
 """
@@ -155,7 +160,13 @@ def q_tpch_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(
             "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
         )
-        .agg(F.sum(_rev_units()).alias("revenue_units"))
+        .agg(
+            # decimal partials (r10): 8 bounded groups x unbounded fact
+            # rows — int64 unit sums sit ~75x from wrap at sf~1e5
+            F.sum(_rev_units().cast("decimal(38,0)"))
+            .cast("long")
+            .alias("revenue_units")
+        )
     )
 
 
@@ -229,8 +240,12 @@ def q_tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
         .groupBy(F.year("o_orderdate").alias("o_year"))
         .agg(
-            F.sum(nation_vol).alias("nation_units"),
-            F.sum(vol).alias("total_units"),
+            # decimal partials (r10): 7 year groups over the
+            # region-filtered fact — total_units reaches ~8.5e18 at
+            # sf~1e5, essentially AT the int64 boundary; a non-ANSI
+            # sum would wrap silently exactly at target scale
+            F.sum(nation_vol.cast("decimal(38,0)")).cast("long").alias("nation_units"),
+            F.sum(vol.cast("decimal(38,0)")).cast("long").alias("total_units"),
         )
         .withColumn(
             "mkt_share", F.col("nation_units") / F.col("total_units")
@@ -368,10 +383,15 @@ def q_tpch_q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(F.broadcast(prt), F.col("l_partkey") == F.col("p_partkey"))
         .agg(
-            F.sum(F.when(F.col("p_type") == "PROMO", vol).otherwise(F.lit(0))).alias(
-                "promo_units"
-            ),
-            F.sum(vol).alias("total_units"),
+            # decimal partials (r10): single-group month-filtered sums
+            # are within ~2.6x of int64 at sf~1e5
+            F.sum(
+                F.when(F.col("p_type") == "PROMO", vol)
+                .otherwise(F.lit(0)).cast("decimal(38,0)")
+            )
+            .cast("long")
+            .alias("promo_units"),
+            F.sum(vol.cast("decimal(38,0)")).cast("long").alias("total_units"),
         )
         .withColumn(
             "promo_share_pct",
@@ -521,7 +541,10 @@ def q_tpch_q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return small.agg(
         F.count(F.lit(1)).alias("n_small"),
-        F.sum(int_units("l_extendedprice")).alias("revenue_units"),
+        # decimal partials (r10): one global group — see Q8's note
+        F.sum(int_units("l_extendedprice").cast("decimal(38,0)"))
+        .cast("long")
+        .alias("revenue_units"),
     ).withColumn("avg_yearly", F.col("revenue_units") / F.lit(70000.0))
 
 
@@ -629,7 +652,8 @@ def q_tpch_q19_disjunctive_rev(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(cond)
         .agg(
             F.count(F.lit(1)).alias("n_items"),
-            F.sum(_rev_units()).alias("revenue_units"),
+            # decimal partials (r10): one global group — see Q8's note
+            F.sum(_rev_units().cast("decimal(38,0)")).cast("long").alias("revenue_units"),
         )
     )
 
@@ -805,19 +829,30 @@ def q_tpch_q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_custkey", "c_nationkey", int_units("c_acctbal", 2).alias("bal_cents")
     )
     pos = cust.where(F.col("bal_cents") > 0).agg(
-        F.count(F.lit(1)).alias("n_pos"), F.sum("bal_cents").alias("sum_cents")
+        F.count(F.lit(1)).alias("n_pos"),
+        # decimal partials (r10): global sum over every positive
+        # balance; the threshold product below also runs wide
+        F.sum(F.col("bal_cents").cast("decimal(38,0)")).alias("sum_cents"),
     )
     recent = load_table(spark, sf_dir, "orders").where(
         F.col("o_orderdate") >= F.lit(_Q22_IDLE_SINCE)
     ).select("o_custkey")
     return (
         cust.crossJoin(F.broadcast(pos))
-        .where(F.col("bal_cents") * F.col("n_pos") > F.col("sum_cents"))
+        .where(
+            # wide compare (r10, the Q11 lesson): cents x customer
+            # count approaches int64 around sf~6e7 — compare in
+            # decimal so boundary rows can never wrap
+            F.col("bal_cents").cast("decimal(38,0)") * F.col("n_pos")
+            > F.col("sum_cents")
+        )
         .join(recent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
         .groupBy((F.col("c_nationkey") % 10).alias("cntrycode"))
         .agg(
             F.count(F.lit(1)).alias("numcust"),
-            F.sum("bal_cents").alias("total_cents"),
+            F.sum(F.col("bal_cents").cast("decimal(38,0)"))
+            .cast("long")
+            .alias("total_cents"),
         )
     )
 
@@ -1167,7 +1202,11 @@ def q_tpch_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     total = vals.agg(
-        F.sum("value_cents").alias("total_cents"),
+        # decimal partials (r10): the grand total over ~2e10 parts
+        # reaches ~8e19 units at 100 TB — it must be summed wide, not
+        # merely COMPARED wide (the int64 sum would wrap before the
+        # decimal compare below ever saw it)
+        F.sum(F.col("value_cents").cast("decimal(38,0)")).alias("total_cents"),
         F.count(F.lit(1)).alias("n_parts"),
     )
     # The threshold compare runs in 38-digit decimal on the Spark side

@@ -23,7 +23,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import DoubleType
 
-from ..functions.helpers import sql_r
+from ..functions.helpers import sql_exact_sum, sql_r
 from ..plans.registry import register
 from ..sources.tables import load_table
 
@@ -311,7 +311,7 @@ def q_udf_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     SELECT o_orderpriority,
            CAST(count(*) AS BIGINT) AS n,
-           {sql_r('sum(o_totalprice)')} AS total,
+           {sql_r(sql_exact_sum('o_totalprice'))} AS total,
            {sql_r('max(o_totalprice)')} AS max_price
     FROM orders
     GROUP BY o_orderpriority
@@ -330,16 +330,30 @@ def q_pandas_api_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.helpers import _round_halfup
 
     psdf = ps.read_parquet(f"{sf_dir}/orders.parquet")
+    # exact_sum form through the pandas-API surface (r10): 5 bounded
+    # groups over all orders, so the money sum rides exact int64 units
+    # instead of float64 (see q_agg_groupby_q1). The pandas layer has
+    # no decimal dtype, so the unit sum stays int64 — exact while a
+    # group's total is below 2^63 units ≈ $9.2e14 (~sf 2e4); the
+    # native-API money pipelines use exact_sum's decimal(38,0) form,
+    # which has no such bound.
+    psdf = psdf.assign(
+        price_units=((psdf["o_totalprice"] * 10000 + 0.5) // 1).astype(
+            "int64"
+        )
+    )
     agg = psdf.groupby("o_orderpriority").agg(
         n=("o_orderkey", "count"),
-        total=("o_totalprice", "sum"),
+        total_units=("price_units", "sum"),
         max_price=("o_totalprice", "max"),
     )
     sdf = agg.reset_index().to_spark()
     return sdf.select(
         "o_orderpriority",
         F.col("n").cast("long").alias("n"),
-        _round_halfup(F.col("total"), 4).alias("total"),
+        _round_halfup(
+            F.col("total_units").cast("double") / F.lit(10000.0), 4
+        ).alias("total"),
         _round_halfup(F.col("max_price"), 4).alias("max_price"),
     )
 
