@@ -32,6 +32,42 @@ TOPK_PAIRS = 50
 # driver-OOM cliff. Tests force the block path by monkeypatching to 0.
 BROADCAST_MAX_ROWS = 200_000
 
+# Per-task sims budget for the broadcast-path kernels (round 10). The
+# chunk×n float64 product matrix is the ONLY allocation on that path
+# that scales with n: an UNchunked Arrow batch (up to ~10k rows by
+# default) against a gate-ceiling matrix would allocate
+# batch×200_000×8 B — multi-GB per in-flight task. The gate guarded
+# the DRIVER collect but not the WORKER product. Row-chunking bounds
+# the product at this many bytes regardless of n: same flops,
+# bit-identical output, and FASTER (the chunk stays cache-resident
+# through the rank loop). Measured worker-RSS/wall deltas per scale:
+# tools/vec_scale_study.py output, recorded in SCALE.md round 10.
+SIMS_BUDGET_BYTES = 64 << 20
+
+
+def _sims_step(n: int) -> int:
+    """Rows per product chunk so chunk×n float64 stays in budget."""
+    return max(1, SIMS_BUDGET_BYTES // (max(n, 1) * 8))
+
+
+def _fanout(src: DataFrame, n: int) -> DataFrame:
+    """Spread the broadcast-path mapInPandas across the cluster. The
+    vec_id probe column is ~8 B/row, so even a gate-ceiling corpus
+    (200k rows) arrives as ONE file split — and each probe row costs
+    O(n) sims + an O(n log n) rank in the kernel, so a single task
+    would serialize the entire n² product (measured in
+    tools/vec_scale_study.py: the x32 corpus ran its whole broadcast
+    path in one task before this). Repartitioning the tiny key column
+    is one negligible shuffle that restores ~cores-way parallelism;
+    ~256 probe rows per task keeps scheduling overhead invisible at
+    fixture sizes."""
+    target = max(
+        1,
+        min(int(src.sparkSession.sparkContext.defaultParallelism), n // 256),
+    )
+    return src.repartition(target)
+
+
 # Block count for the partitioned pairwise plans. At 100 TB this tracks
 # sqrt(cluster parallelism): shuffle volume is n·B vectors (each block
 # replicated B times) while exact all-pairs compute is O(n²) regardless,
@@ -110,23 +146,103 @@ def _embedding_blocks(spark: SparkSession, sf_dir: str, n: int) -> DataFrame:
 
 
 def _block_pair_frames(blocks: DataFrame):
-    """All B² ordered block pairs as (l_rows, r_rows) payload columns."""
+    """UNORDERED block pairs (l_block <= r_block) as (l_rows, r_rows)
+    payload columns — B(B+1)/2 tasks instead of B². Cosine is
+    symmetric, so an ordered pair and its mirror compute the SAME
+    product matrix; the kernels read both directions out of one matmul
+    for off-diagonal pairs (round 10 — halves the blocked path's
+    compute and its cell shuffle, measured in tools/vec_scale_study.py).
+    Kernels receive l_block/r_block to tell the diagonal apart."""
     left = blocks.select(
         F.col("block").alias("l_block"), F.col("rows").alias("l_rows")
     )
     right = blocks.select(
         F.col("block").alias("r_block"), F.col("rows").alias("r_rows")
     )
-    return left.crossJoin(right)
+    return left.crossJoin(right).where(F.col("l_block") <= F.col("r_block"))
 
 
 def _cell_to_mat(cell):
-    """One Arrow list<struct> cell -> (ids int64, matrix float64)."""
+    """One Arrow list<struct> cell -> (ids int64 ASCENDING, matrix
+    float64). Ascending ids make within-cell rank order == id order,
+    which the composite-key selection below relies on to reproduce the
+    oracle's (sim DESC, id ASC) tiebreak without per-row sorts."""
     import numpy as np
 
     ids = np.array([x["vec_id"] for x in cell], dtype=np.int64)
     mat = np.array([list(x["embedding"]) for x in cell], dtype=np.float64)
-    return ids, mat
+    order = np.argsort(ids)
+    return ids[order], mat[order]
+
+
+# Composite-key vectorized selection (round 10). The first x128 run of
+# tools/vec_scale_study.py measured the per-row Python lexsort loops as
+# the kernels' dominant cost at 256k rows (q_emb_knn_graph 898 s,
+# q_sim_cosine_topk 1 789 s — SCALE.md round 10). Selection now packs
+# the quantized sim above the candidate's within-task COLUMN RANK —
+# key = sim_u * 2^40 - rank — so one argpartition per chunk replaces n
+# per-row lexsorts. Candidate ids are ascending within every task (the
+# broadcast matrix is collected ordered, cells sort in _cell_to_mat),
+# so rank order == id order and the key's (sim DESC, id ASC) tiebreak
+# is bit-identical to the oracle's. |sim_u| <= 1e4, so the packed key
+# needs rank < 2^40 — far above any single task's candidate count —
+# and stays within int64.
+_KEY_SHIFT = 1 << 40
+_KEY_FLOOR = -(1 << 62)  # masked cells: below any real packed key
+
+
+def _topk_cols(key, k: int):
+    """Top-k column indices per row of an int64 key matrix, ordered by
+    key DESC — argpartition then an in-k argsort; no per-row Python."""
+    import numpy as np
+
+    if k >= key.shape[1]:
+        return np.argsort(-key, axis=1)[:, :k]
+    part = np.argpartition(-key, k - 1, axis=1)[:, :k]
+    sub = np.take_along_axis(key, part, axis=1)
+    order = np.argsort(-sub, axis=1)
+    return np.take_along_axis(part, order, axis=1)
+
+
+def _pair_topk(cand, l_ids, r_ids, k_max: int, swapped: bool):
+    """Exact top-k PAIRS by (sim DESC, lo ASC, hi ASC) for one
+    orientation of a cell pair: ``swapped=False`` keeps entries whose
+    LEFT id is the lower one, ``swapped=True`` the mirror (used when an
+    unordered off-diagonal pair serves both directions from one
+    matmul). One O(L×R) threshold pass, then a lexsort over ONLY the
+    boundary ties — the first x128 study measured the full-plane
+    repeat/tile + lexsort form at 1 789 s. Returns (lo, hi, sim_u) or
+    None."""
+    import numpy as np
+
+    r_n = r_ids.size
+    mask = (
+        l_ids[:, None] > r_ids[None, :]
+        if swapped
+        else l_ids[:, None] < r_ids[None, :]
+    )
+    vidx = np.flatnonzero(mask.ravel())
+    if vidx.size == 0:
+        return None
+    vals = cand.ravel()[vidx]
+    k = min(k_max, vals.size)
+    thr = np.partition(vals, vals.size - k)[vals.size - k]
+    gt = np.flatnonzero(vals > thr)
+    ties = np.flatnonzero(vals == thr)
+    ti = vidx[ties]
+    row_t, col_t = ti // r_n, ti % r_n
+    lo_t, hi_t = (
+        (r_ids[col_t], l_ids[row_t])
+        if swapped
+        else (l_ids[row_t], r_ids[col_t])
+    )
+    order = np.lexsort((hi_t, lo_t))[: k - gt.size]
+    fi = vidx[np.concatenate([gt, ties[order]])]
+    row, col = fi // r_n, fi % r_n
+    lo, hi = (
+        (r_ids[col], l_ids[row]) if swapped else (l_ids[row], r_ids[col])
+    )
+    return lo, hi, cand.ravel()[fi]
 
 
 @register(
@@ -167,35 +283,46 @@ def q_sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ids, mat = _embeddings_matrix(spark, sf_dir)
     norms = np.sqrt((mat * mat).sum(axis=1))
     bc = spark.sparkContext.broadcast((ids, mat, norms))
+    step = _sims_step(n)  # closure constant: workers re-import the
+    # module, so the budget must be resolved DRIVER-side (also what
+    # lets the scale study toggle it per run)
 
     def topk_per_block(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         all_ids, all_mat, all_norms = bc.value
+        n_all = all_ids.size
+        col_rank = np.arange(n_all, dtype=np.int64)
+        k_eff = min(TOPK_PAIRS, max(n_all - 1, 1))
         for pdf in batches:
             if pdf.empty:
                 continue
-            row_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
-            idx = np.searchsorted(all_ids, row_ids)
-            x = all_mat[idx]
-            sims = (x @ all_mat.T) / np.outer(all_norms[idx], all_norms)
-            out_lo, out_hi, out_sim = [], [], []
-            for r, vid in enumerate(row_ids):
-                mask = all_ids > vid
-                cand_sims = sims[r][mask]
-                cand_ids = all_ids[mask]
-                if cand_ids.size == 0:
-                    continue
+            batch_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            # Row-chunk the product: sims is chunk×n, never batch×n
+            # (SIMS_BUDGET_BYTES above — bit-identical per-row math).
+            for s in range(0, batch_ids.size, step):
+                row_ids = batch_ids[s : s + step]
+                idx = np.searchsorted(all_ids, row_ids)
+                x = all_mat[idx]
+                sims = (x @ all_mat.T) / np.outer(all_norms[idx], all_norms)
                 # round FIRST (oracle formula), then rank by (-sim, id)
-                cand_r = np.floor(cand_sims * 1e4 + 0.5) / 1e4
-                k = min(TOPK_PAIRS, cand_ids.size)
-                order = np.lexsort((cand_ids, -cand_r))[:k]
-                out_lo.extend([vid] * k)
-                out_hi.extend(cand_ids[order])
-                out_sim.extend(cand_r[order])
-            yield pd.DataFrame(
-                {"id_lo": out_lo, "id_hi": out_hi, "sim": out_sim}
-            )
+                # via the composite key; only columns with id > vid
+                # compete (ids ascending -> a per-row prefix mask).
+                cand = np.floor(sims * 1e4 + 0.5).astype(np.int64)
+                key = cand * _KEY_SHIFT - col_rank[None, :]
+                key[col_rank[None, :] <= idx[:, None]] = _KEY_FLOOR
+                cols = _topk_cols(key, k_eff)
+                sel_key = np.take_along_axis(key, cols, axis=1)
+                valid = sel_key != _KEY_FLOOR  # rows near the max id
+                lo = np.repeat(row_ids, k_eff)[valid.ravel()]
+                hi = all_ids[cols].ravel()[valid.ravel()]
+                sim = (
+                    np.take_along_axis(cand, cols, axis=1).ravel()[
+                        valid.ravel()
+                    ]
+                    / 1e4
+                )
+                yield pd.DataFrame({"id_lo": lo, "id_hi": hi, "sim": sim})
 
-    src = load_table(spark, sf_dir, "embeddings").select("vec_id")
+    src = _fanout(load_table(spark, sf_dir, "embeddings").select("vec_id"), n)
     cand = src.mapInPandas(
         topk_per_block, schema="id_lo long, id_hi long, sim double"
     )
@@ -314,28 +441,38 @@ def q_dedup_embedding_nn(spark: SparkSession, sf_dir: str) -> DataFrame:
     ids, mat = _embeddings_matrix(spark, sf_dir)
     norms = np.sqrt((mat * mat).sum(axis=1))
     bc = spark.sparkContext.broadcast((ids, mat, norms))
+    step = _sims_step(n)  # driver-side resolution (see q_sim_cosine_topk)
 
     def nn_per_block(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         all_ids, all_mat, all_norms = bc.value
+        col_rank = np.arange(all_ids.size, dtype=np.int64)
         for pdf in batches:
             if pdf.empty:
                 continue
-            row_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
-            idx = np.searchsorted(all_ids, row_ids)
-            x = all_mat[idx]
-            sims = (x @ all_mat.T) / np.outer(all_norms[idx], all_norms)
-            sims_r = np.floor(sims * 1e4 + 0.5) / 1e4
-            out = []
-            for r, vid in enumerate(row_ids):
-                s = sims_r[r].copy()
-                s[all_ids == vid] = -np.inf
-                j = int(np.lexsort((all_ids, -s))[0])
-                out.append((int(vid), int(all_ids[j]), float(s[j])))
-            yield pd.DataFrame(
-                out, columns=["vec_id", "neighbor_id", "sim"]
-            )
+            batch_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            # Row-chunked product (SIMS_BUDGET_BYTES): chunk×n, never
+            # batch×n — same per-row math, same output. Composite-key
+            # argmax replaces the per-row lexsort (same (sim DESC,
+            # id ASC) rule — ids ascending, see _KEY_SHIFT).
+            for cs in range(0, batch_ids.size, step):
+                row_ids = batch_ids[cs : cs + step]
+                idx = np.searchsorted(all_ids, row_ids)
+                x = all_mat[idx]
+                sims = (x @ all_mat.T) / np.outer(all_norms[idx], all_norms)
+                cand = np.floor(sims * 1e4 + 0.5).astype(np.int64)
+                key = cand * _KEY_SHIFT - col_rank[None, :]
+                rows = np.arange(row_ids.size)
+                key[rows, idx] = _KEY_FLOOR  # self is never a neighbor
+                j = key.argmax(axis=1)
+                yield pd.DataFrame(
+                    {
+                        "vec_id": row_ids,
+                        "neighbor_id": all_ids[j],
+                        "sim": cand[rows, j] / 1e4,
+                    }
+                )
 
-    src = load_table(spark, sf_dir, "embeddings").select("vec_id")
+    src = _fanout(load_table(spark, sf_dir, "embeddings").select("vec_id"), n)
     return src.mapInPandas(
         nn_per_block, schema="vec_id long, neighbor_id long, sim double"
     )
@@ -356,27 +493,35 @@ def _topk_pairs_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def topk_per_pair(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out_lo: list = []
-            out_hi: list = []
-            out_sim: list = []
-            for l_cell, r_cell in zip(pdf["l_rows"], pdf["r_rows"]):
+            frames: list = []
+            for lb, l_cell, rb, r_cell in zip(
+                pdf["l_block"], pdf["l_rows"], pdf["r_block"], pdf["r_rows"]
+            ):
                 l_ids, l_mat = _cell_to_mat(l_cell)
                 r_ids, r_mat = _cell_to_mat(r_cell)
                 l_norms = np.sqrt((l_mat * l_mat).sum(axis=1))
                 r_norms = np.sqrt((r_mat * r_mat).sum(axis=1))
                 sims = (l_mat @ r_mat.T) / np.outer(l_norms, r_norms)
-                sims_r = (np.floor(sims * 1e4 + 0.5) / 1e4).ravel()
-                lo = np.repeat(l_ids, r_ids.size)
-                hi = np.tile(r_ids, l_ids.size)
-                mask = lo < hi
-                lo, hi, s = lo[mask], hi[mask], sims_r[mask]
-                if lo.size == 0:
-                    continue
-                order = np.lexsort((hi, lo, -s))[: min(TOPK_PAIRS, lo.size)]
-                out_lo.extend(lo[order])
-                out_hi.extend(hi[order])
-                out_sim.extend(s[order])
-            yield pd.DataFrame({"id_lo": out_lo, "id_hi": out_hi, "sim": out_sim})
+                cand = np.floor(sims * 1e4 + 0.5).astype(np.int64)
+                # Unordered pair: one matmul serves both orientations
+                # (_pair_topk; the mirror direction only exists off the
+                # diagonal).
+                picks = [_pair_topk(cand, l_ids, r_ids, TOPK_PAIRS, False)]
+                if lb != rb:
+                    picks.append(
+                        _pair_topk(cand, l_ids, r_ids, TOPK_PAIRS, True)
+                    )
+                for pick in picks:
+                    if pick is None:
+                        continue
+                    lo, hi, sim_u = pick
+                    frames.append(
+                        pd.DataFrame(
+                            {"id_lo": lo, "id_hi": hi, "sim": sim_u / 1e4}
+                        )
+                    )
+            if frames:
+                yield pd.concat(frames, ignore_index=True)
 
     cand = pairs.mapInPandas(
         topk_per_pair, schema="id_lo long, id_hi long, sim double"
@@ -401,29 +546,53 @@ def _nn_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def nn_per_pair(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out_v: list = []
-            out_n: list = []
-            out_s: list = []
-            for l_cell, r_cell in zip(pdf["l_rows"], pdf["r_rows"]):
+            frames: list = []
+            for lb, l_cell, rb, r_cell in zip(
+                pdf["l_block"], pdf["l_rows"], pdf["r_block"], pdf["r_rows"]
+            ):
                 l_ids, l_mat = _cell_to_mat(l_cell)
                 r_ids, r_mat = _cell_to_mat(r_cell)
                 l_norms = np.sqrt((l_mat * l_mat).sum(axis=1))
                 r_norms = np.sqrt((r_mat * r_mat).sum(axis=1))
                 sims = (l_mat @ r_mat.T) / np.outer(l_norms, r_norms)
-                sims_r = np.floor(sims * 1e4 + 0.5) / 1e4
-                sims_r[l_ids[:, None] == r_ids[None, :]] = -np.inf
-                best = sims_r.max(axis=1)
-                ok = best > -np.inf  # drop rows whose only candidate was self
-                tie = sims_r == best[:, None]
-                neigh = np.where(tie, r_ids[None, :], np.iinfo(np.int64).max).min(
-                    axis=1
+                # Composite-key argmax = (max sim, min id) per left row
+                # (see _KEY_SHIFT — ids ascending within the cell).
+                cand = np.floor(sims * 1e4 + 0.5).astype(np.int64)
+                key = cand * _KEY_SHIFT - np.arange(
+                    r_ids.size, dtype=np.int64
                 )
-                out_v.extend(l_ids[ok])
-                out_n.extend(neigh[ok])
-                out_s.extend(best[ok])
-            yield pd.DataFrame(
-                {"vec_id": out_v, "neighbor_id": out_n, "sim": out_s}
-            )
+                key[l_ids[:, None] == r_ids[None, :]] = _KEY_FLOOR
+                rows = np.arange(l_ids.size)
+                j = key.argmax(axis=1)
+                ok = key[rows, j] != _KEY_FLOOR  # self-only rows drop
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "vec_id": l_ids[ok],
+                            "neighbor_id": r_ids[j[ok]],
+                            "sim": cand[rows[ok], j[ok]] / 1e4,
+                        }
+                    )
+                )
+                if lb != rb:
+                    # Mirror direction of the unordered pair from the
+                    # SAME matmul (no self cells off the diagonal).
+                    key2 = cand.T * _KEY_SHIFT - np.arange(
+                        l_ids.size, dtype=np.int64
+                    )
+                    rows2 = np.arange(r_ids.size)
+                    j2 = key2.argmax(axis=1)
+                    frames.append(
+                        pd.DataFrame(
+                            {
+                                "vec_id": r_ids,
+                                "neighbor_id": l_ids[j2],
+                                "sim": cand[j2, rows2] / 1e4,
+                            }
+                        )
+                    )
+            if frames:
+                yield pd.concat(frames, ignore_index=True)
 
     cand = pairs.mapInPandas(
         nn_per_pair, schema="vec_id long, neighbor_id long, sim double"
@@ -1139,27 +1308,49 @@ def _knn_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = _block_pair_frames(_embedding_blocks(spark, sf_dir, n))
 
     def knn_per_pair(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def one_direction(cand, src_ids, dst_ids):
+            # Composite-key top-k per source row (see _KEY_SHIFT):
+            # one argpartition per direction, no per-row Python.
+            key = cand * _KEY_SHIFT - np.arange(
+                dst_ids.size, dtype=np.int64
+            )
+            key[src_ids[:, None] == dst_ids[None, :]] = _KEY_FLOOR
+            k_eff = min(KNN_K, dst_ids.size)
+            cols = _topk_cols(key, k_eff)
+            valid = (
+                np.take_along_axis(key, cols, axis=1) != _KEY_FLOOR
+            ).ravel()
+            return pd.DataFrame(
+                {
+                    "src": np.repeat(src_ids, k_eff)[valid],
+                    "dst": dst_ids[cols].ravel()[valid],
+                    "sim": np.take_along_axis(cand, cols, axis=1).ravel()[
+                        valid
+                    ]
+                    / 1e4,
+                }
+            )
+
         for pdf in batches:
-            out_src: list = []
-            out_dst: list = []
-            out_sim: list = []
-            for l_cell, r_cell in zip(pdf["l_rows"], pdf["r_rows"]):
+            frames: list = []
+            for lb, l_cell, rb, r_cell in zip(
+                pdf["l_block"], pdf["l_rows"], pdf["r_block"], pdf["r_rows"]
+            ):
                 l_ids, l_mat = _cell_to_mat(l_cell)
                 r_ids, r_mat = _cell_to_mat(r_cell)
                 l_norms = np.sqrt((l_mat * l_mat).sum(axis=1))
                 r_norms = np.sqrt((r_mat * r_mat).sum(axis=1))
                 sims = (l_mat @ r_mat.T) / np.outer(l_norms, r_norms)
-                cand = np.floor(sims * 1e4 + 0.5)
-                cand[l_ids[:, None] == r_ids[None, :]] = -np.inf
-                for r in range(l_ids.size):
-                    order = np.lexsort((r_ids, -cand[r]))[:KNN_K]
-                    order = order[cand[r][order] > -np.inf]
-                    out_src.extend([l_ids[r]] * order.size)
-                    out_dst.extend(r_ids[order])
-                    out_sim.extend(cand[r][order] / 1e4)
-            yield pd.DataFrame(
-                {"src": out_src, "dst": out_dst, "sim": out_sim}
-            )
+                cand = np.floor(sims * 1e4 + 0.5).astype(np.int64)
+                frames.append(one_direction(cand, l_ids, r_ids))
+                if lb != rb:
+                    # Mirror direction of the unordered pair from the
+                    # SAME matmul.
+                    frames.append(
+                        one_direction(np.ascontiguousarray(cand.T), r_ids, l_ids)
+                    )
+            if frames:
+                yield pd.concat(frames, ignore_index=True)
 
     cand = pairs.mapInPandas(
         knn_per_pair, schema="src long, dst long, sim double"
@@ -1219,30 +1410,44 @@ def q_emb_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     ids, mat = _embeddings_matrix(spark, sf_dir)
     norms = np.sqrt((mat * mat).sum(axis=1))
     bc = spark.sparkContext.broadcast((ids, mat, norms))
+    step = _sims_step(n)  # driver-side resolution (see q_sim_cosine_topk)
 
     def knn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         all_ids, all_mat, all_norms = bc.value
+        n_all = all_ids.size
+        col_rank = np.arange(n_all, dtype=np.int64)
+        k_eff = min(KNN_K, max(n_all - 1, 1))
         for pdf in batches:
             if pdf.empty:
                 continue
-            row_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
-            idx = np.searchsorted(all_ids, row_ids)
-            sims = (all_mat[idx] @ all_mat.T) / np.outer(
-                all_norms[idx], all_norms
-            )
-            out = {"src": [], "rank": [], "dst": [], "sim": []}
-            for r, vid in enumerate(row_ids):
-                cand = np.floor(sims[r] * 1e4 + 0.5)
-                mask = all_ids != vid
-                c_ids, c_sims = all_ids[mask], cand[mask]
-                order = np.lexsort((c_ids, -c_sims))[:KNN_K]
-                out["src"].extend([vid] * len(order))
-                out["rank"].extend(range(1, len(order) + 1))
-                out["dst"].extend(c_ids[order])
-                out["sim"].extend(c_sims[order] / 1e4)
-            yield pd.DataFrame(out)
+            batch_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            # Row-chunked product (SIMS_BUDGET_BYTES): chunk×n, never
+            # batch×n — same per-row math, same output. Composite-key
+            # top-k replaces the per-row lexsort (see _KEY_SHIFT).
+            for cs in range(0, batch_ids.size, step):
+                row_ids = batch_ids[cs : cs + step]
+                idx = np.searchsorted(all_ids, row_ids)
+                sims = (all_mat[idx] @ all_mat.T) / np.outer(
+                    all_norms[idx], all_norms
+                )
+                cand = np.floor(sims * 1e4 + 0.5).astype(np.int64)
+                key = cand * _KEY_SHIFT - col_rank[None, :]
+                key[np.arange(row_ids.size), idx] = _KEY_FLOOR  # self
+                cols = _topk_cols(key, k_eff)
+                yield pd.DataFrame(
+                    {
+                        "src": np.repeat(row_ids, k_eff),
+                        "rank": np.tile(
+                            np.arange(1, k_eff + 1, dtype=np.int64),
+                            row_ids.size,
+                        ),
+                        "dst": all_ids[cols].ravel(),
+                        "sim": np.take_along_axis(cand, cols, axis=1).ravel()
+                        / 1e4,
+                    }
+                )
 
-    src = load_table(spark, sf_dir, "embeddings").select("vec_id")
+    src = _fanout(load_table(spark, sf_dir, "embeddings").select("vec_id"), n)
     return src.mapInPandas(
         knn, schema="src long, rank long, dst long, sim double"
     )

@@ -64,3 +64,41 @@ def test_range_search_sub_blocking_is_result_invariant(spark, monkeypatch):
         .collect()
     )
     assert blocks and all(r["count"] > 1 for r in blocks)
+
+
+def test_sims_chunking_bit_identical(spark, monkeypatch):
+    """Round 10: the broadcast kernels row-chunk their sims product
+    (SIMS_BUDGET_BYTES). Fixture-sized corpora fit in ONE chunk, so the
+    multi-chunk loop would otherwise only ever run in the scale study —
+    force a 1-row step here and assert the output is bit-identical to
+    the default (the chunk boundary must not change any per-row math,
+    rounding, or tiebreak)."""
+    from sd2_drp_experimentgen_spark.operators import vectors
+
+    for fn in (
+        vectors.q_sim_cosine_topk,
+        vectors.q_dedup_embedding_nn,
+        vectors.q_emb_knn_graph,
+    ):
+        base = _rows(fn(spark, SF_T2))
+        monkeypatch.setattr(vectors, "SIMS_BUDGET_BYTES", 1)  # step == 1
+        try:
+            tiny = _rows(fn(spark, SF_T2))
+        finally:
+            monkeypatch.undo()
+        assert tiny == base, fn.__name__
+
+
+def test_fanout_spreads_probe_rows(spark):
+    """The broadcast-path probe column must not arrive as one task: a
+    single file split serializes the whole n-squared product (measured
+    in tools/vec_scale_study.py). ~256 rows per task, capped at the
+    session's parallelism."""
+    from sd2_drp_experimentgen_spark.operators import vectors
+    from sd2_drp_experimentgen_spark.sources.tables import load_table
+
+    src = load_table(spark, SF_T2, "embeddings").select("vec_id")
+    n = src.count()
+    fanned = vectors._fanout(src, n)
+    expect = max(1, min(spark.sparkContext.defaultParallelism, n // 256))
+    assert fanned.rdd.getNumPartitions() == expect
