@@ -122,19 +122,29 @@ def _embeddings_matrix(spark: SparkSession, sf_dir: str):
     return ids, mat
 
 
-# Rows per block for the partitioned pairwise plans: bounds the per-task
-# sims matrix at ~TARGET² doubles (4096² ≈ 128 MB) regardless of n.
-TARGET_BLOCK_ROWS = 4096
+# Rows per block for the partitioned pairwise plans. Bigger blocks cut
+# the shuffle (each vector is replicated into B(B+1)/2 unordered pairs,
+# so volume ~ n·(B+1)/2), the Arrow/python cell materialization (the
+# x128 profile measured 86 s of the blocked wall in cell
+# deserialization alone at 4096-row blocks), and the candidate volume
+# the rank-merge window sees (n·B·K for kNN). Per-task memory is NOT
+# bounded by the block any more: the kernels strip the left rows so
+# the sims product stays within SIMS_BUDGET_BYTES regardless of block
+# size (round 10 — same discipline as the broadcast path).
+TARGET_BLOCK_ROWS = 16384
 
 
 def _embedding_blocks(spark: SparkSession, sf_dir: str, n: int) -> DataFrame:
     """embeddings -> B rows of (block, rows: array<struct<vec_id,embedding>>).
 
     Deterministic hash blocking with B = max(N_BLOCKS, ⌈n/TARGET⌉) so a
-    block PAIR (two payloads) fits comfortably in one task at any n.
-    collect_list is the one shuffle — it moves each vector once; the
-    B× replication happens in the block crossJoin, giving total shuffle
-    volume O(n·B) vectors vs the O(n²) an all-pairs row join would move.
+    block PAIR (two payloads, ~16 MB of matrix at TARGET rows) fits
+    comfortably in one task at any n — the per-task sims product is
+    bounded separately by the kernels' left-row strips
+    (SIMS_BUDGET_BYTES). collect_list is the one shuffle — it moves
+    each vector once; the replication happens in the unordered block
+    crossJoin, giving total shuffle volume O(n·(B+1)/2) vectors vs the
+    O(n²) an all-pairs row join would move.
     """
     b = max(N_BLOCKS, -(-n // TARGET_BLOCK_ROWS))
     e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
@@ -490,6 +500,9 @@ def _topk_pairs_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     n = _embeddings_count(spark, sf_dir)
     pairs = _block_pair_frames(_embedding_blocks(spark, sf_dir, n))
+    budget = SIMS_BUDGET_BYTES  # resolved DRIVER-side: workers
+    # re-import the module, so a kernel-side read could not be
+    # overridden by tests or the scale study
 
     def topk_per_pair(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -501,25 +514,44 @@ def _topk_pairs_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
                 r_ids, r_mat = _cell_to_mat(r_cell)
                 l_norms = np.sqrt((l_mat * l_mat).sum(axis=1))
                 r_norms = np.sqrt((r_mat * r_mat).sum(axis=1))
-                sims = (l_mat @ r_mat.T) / np.outer(l_norms, r_norms)
-                cand = np.floor(sims * 1e4 + 0.5).astype(np.int64)
-                # Unordered pair: one matmul serves both orientations
-                # (_pair_topk; the mirror direction only exists off the
-                # diagonal).
-                picks = [_pair_topk(cand, l_ids, r_ids, TOPK_PAIRS, False)]
-                if lb != rb:
+                step = max(1, budget // (max(r_ids.size, 1) * 8))
+                picks: list = []
+                for s0 in range(0, l_ids.size, step):
+                    sl = slice(s0, s0 + step)
+                    sims = (l_mat[sl] @ r_mat.T) / np.outer(
+                        l_norms[sl], r_norms
+                    )
+                    cand = np.floor(sims * 1e4 + 0.5).astype(np.int64)
+                    # Unordered pair: one matmul serves both
+                    # orientations (_pair_topk; the mirror direction
+                    # only exists off the diagonal).
                     picks.append(
-                        _pair_topk(cand, l_ids, r_ids, TOPK_PAIRS, True)
+                        _pair_topk(cand, l_ids[sl], r_ids, TOPK_PAIRS, False)
                     )
-                for pick in picks:
-                    if pick is None:
-                        continue
-                    lo, hi, sim_u = pick
-                    frames.append(
-                        pd.DataFrame(
-                            {"id_lo": lo, "id_hi": hi, "sim": sim_u / 1e4}
+                    if lb != rb:
+                        picks.append(
+                            _pair_topk(
+                                cand, l_ids[sl], r_ids, TOPK_PAIRS, True
+                            )
                         )
+                picks = [p for p in picks if p is not None]
+                if not picks:
+                    continue
+                # Cross-strip merge: a handful of <=k lists — the final
+                # (sim DESC, lo ASC, hi ASC) cut is a tiny lexsort.
+                lo = np.concatenate([p[0] for p in picks])
+                hi = np.concatenate([p[1] for p in picks])
+                su = np.concatenate([p[2] for p in picks])
+                order = np.lexsort((hi, lo, -su))[:TOPK_PAIRS]
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "id_lo": lo[order],
+                            "id_hi": hi[order],
+                            "sim": su[order] / 1e4,
+                        }
                     )
+                )
             if frames:
                 yield pd.concat(frames, ignore_index=True)
 
@@ -543,6 +575,9 @@ def _nn_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     n = _embeddings_count(spark, sf_dir)
     pairs = _block_pair_frames(_embedding_blocks(spark, sf_dir, n))
+    budget = SIMS_BUDGET_BYTES  # resolved DRIVER-side: workers
+    # re-import the module, so a kernel-side read could not be
+    # overridden by tests or the scale study
 
     def nn_per_pair(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -554,40 +589,63 @@ def _nn_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
                 r_ids, r_mat = _cell_to_mat(r_cell)
                 l_norms = np.sqrt((l_mat * l_mat).sum(axis=1))
                 r_norms = np.sqrt((r_mat * r_mat).sum(axis=1))
-                sims = (l_mat @ r_mat.T) / np.outer(l_norms, r_norms)
-                # Composite-key argmax = (max sim, min id) per left row
-                # (see _KEY_SHIFT — ids ascending within the cell).
-                cand = np.floor(sims * 1e4 + 0.5).astype(np.int64)
-                key = cand * _KEY_SHIFT - np.arange(
-                    r_ids.size, dtype=np.int64
-                )
-                key[l_ids[:, None] == r_ids[None, :]] = _KEY_FLOOR
-                rows = np.arange(l_ids.size)
-                j = key.argmax(axis=1)
-                ok = key[rows, j] != _KEY_FLOOR  # self-only rows drop
-                frames.append(
-                    pd.DataFrame(
-                        {
-                            "vec_id": l_ids[ok],
-                            "neighbor_id": r_ids[j[ok]],
-                            "sim": cand[rows[ok], j[ok]] / 1e4,
-                        }
+                step = max(1, budget // (max(r_ids.size, 1) * 8))
+                mirror = lb != rb
+                # Mirror accumulators: running (best key, best l index)
+                # per RIGHT row across the left-row strips — the strip
+                # only sees part of the left cell, so the per-r best
+                # merges incrementally.
+                m_key = m_idx = None
+                rows_r = np.arange(r_ids.size)
+                for s0 in range(0, l_ids.size, step):
+                    sl = slice(s0, s0 + step)
+                    ids_s = l_ids[sl]
+                    sims = (l_mat[sl] @ r_mat.T) / np.outer(
+                        l_norms[sl], r_norms
                     )
-                )
-                if lb != rb:
-                    # Mirror direction of the unordered pair from the
-                    # SAME matmul (no self cells off the diagonal).
-                    key2 = cand.T * _KEY_SHIFT - np.arange(
-                        l_ids.size, dtype=np.int64
+                    # Composite-key argmax = (max sim, min id) per left
+                    # row (see _KEY_SHIFT — ids ascending in the cell).
+                    cand = np.floor(sims * 1e4 + 0.5).astype(np.int64)
+                    key = cand * _KEY_SHIFT - np.arange(
+                        r_ids.size, dtype=np.int64
                     )
-                    rows2 = np.arange(r_ids.size)
-                    j2 = key2.argmax(axis=1)
+                    key[ids_s[:, None] == r_ids[None, :]] = _KEY_FLOOR
+                    rows = np.arange(ids_s.size)
+                    j = key.argmax(axis=1)
+                    ok = key[rows, j] != _KEY_FLOOR  # self-only rows
+                    frames.append(
+                        pd.DataFrame(
+                            {
+                                "vec_id": ids_s[ok],
+                                "neighbor_id": r_ids[j[ok]],
+                                "sim": cand[rows[ok], j[ok]] / 1e4,
+                            }
+                        )
+                    )
+                    if mirror:
+                        # Rank within the WHOLE left cell: the global
+                        # row offset keeps cross-strip ties exact.
+                        key2 = cand.T * _KEY_SHIFT - (
+                            s0 + np.arange(ids_s.size, dtype=np.int64)
+                        )
+                        j2 = key2.argmax(axis=1) + s0
+                        k2 = key2.max(axis=1)
+                        if m_key is None:
+                            m_key, m_idx = k2, j2
+                        else:
+                            upd = k2 > m_key
+                            m_key = np.where(upd, k2, m_key)
+                            m_idx = np.where(upd, j2, m_idx)
+                if mirror and m_key is not None:
+                    # key = cand*SHIFT - rank and rank == m_idx, so the
+                    # quantized sim decodes exactly.
                     frames.append(
                         pd.DataFrame(
                             {
                                 "vec_id": r_ids,
-                                "neighbor_id": l_ids[j2],
-                                "sim": cand[j2, rows2] / 1e4,
+                                "neighbor_id": l_ids[m_idx],
+                                "sim": ((m_key + m_idx) // _KEY_SHIFT)
+                                / 1e4,
                             }
                         )
                     )
@@ -1306,31 +1364,11 @@ def _knn_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     n = _embeddings_count(spark, sf_dir)
     pairs = _block_pair_frames(_embedding_blocks(spark, sf_dir, n))
+    budget = SIMS_BUDGET_BYTES  # resolved DRIVER-side: workers
+    # re-import the module, so a kernel-side read could not be
+    # overridden by tests or the scale study
 
     def knn_per_pair(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        def one_direction(cand, src_ids, dst_ids):
-            # Composite-key top-k per source row (see _KEY_SHIFT):
-            # one argpartition per direction, no per-row Python.
-            key = cand * _KEY_SHIFT - np.arange(
-                dst_ids.size, dtype=np.int64
-            )
-            key[src_ids[:, None] == dst_ids[None, :]] = _KEY_FLOOR
-            k_eff = min(KNN_K, dst_ids.size)
-            cols = _topk_cols(key, k_eff)
-            valid = (
-                np.take_along_axis(key, cols, axis=1) != _KEY_FLOOR
-            ).ravel()
-            return pd.DataFrame(
-                {
-                    "src": np.repeat(src_ids, k_eff)[valid],
-                    "dst": dst_ids[cols].ravel()[valid],
-                    "sim": np.take_along_axis(cand, cols, axis=1).ravel()[
-                        valid
-                    ]
-                    / 1e4,
-                }
-            )
-
         for pdf in batches:
             frames: list = []
             for lb, l_cell, rb, r_cell in zip(
@@ -1340,14 +1378,80 @@ def _knn_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
                 r_ids, r_mat = _cell_to_mat(r_cell)
                 l_norms = np.sqrt((l_mat * l_mat).sum(axis=1))
                 r_norms = np.sqrt((r_mat * r_mat).sum(axis=1))
-                sims = (l_mat @ r_mat.T) / np.outer(l_norms, r_norms)
-                cand = np.floor(sims * 1e4 + 0.5).astype(np.int64)
-                frames.append(one_direction(cand, l_ids, r_ids))
-                if lb != rb:
-                    # Mirror direction of the unordered pair from the
-                    # SAME matmul.
+                step = max(1, budget // (max(r_ids.size, 1) * 8))
+                mirror = lb != rb
+                k_dir = min(KNN_K, r_ids.size)
+                k_mir = min(KNN_K, l_ids.size)
+                # Mirror accumulators: running per-RIGHT-row top-k
+                # (key, global left rank) merged across left strips.
+                m_key = m_idx = None
+                for s0 in range(0, l_ids.size, step):
+                    sl = slice(s0, s0 + step)
+                    ids_s = l_ids[sl]
+                    sims = (l_mat[sl] @ r_mat.T) / np.outer(
+                        l_norms[sl], r_norms
+                    )
+                    # Composite-key top-k per source row (_KEY_SHIFT):
+                    # one argpartition per strip, no per-row Python.
+                    cand = np.floor(sims * 1e4 + 0.5).astype(np.int64)
+                    key = cand * _KEY_SHIFT - np.arange(
+                        r_ids.size, dtype=np.int64
+                    )
+                    key[ids_s[:, None] == r_ids[None, :]] = _KEY_FLOOR
+                    cols = _topk_cols(key, k_dir)
+                    valid = (
+                        np.take_along_axis(key, cols, axis=1) != _KEY_FLOOR
+                    ).ravel()
                     frames.append(
-                        one_direction(np.ascontiguousarray(cand.T), r_ids, l_ids)
+                        pd.DataFrame(
+                            {
+                                "src": np.repeat(ids_s, cols.shape[1])[
+                                    valid
+                                ],
+                                "dst": r_ids[cols].ravel()[valid],
+                                "sim": np.take_along_axis(
+                                    cand, cols, axis=1
+                                ).ravel()[valid]
+                                / 1e4,
+                            }
+                        )
+                    )
+                    if mirror:
+                        # Rank within the WHOLE left cell (global row
+                        # offset) so cross-strip ties stay exact; no
+                        # self cells off the diagonal.
+                        key_t = np.ascontiguousarray(
+                            cand.T
+                        ) * _KEY_SHIFT - (
+                            s0 + np.arange(ids_s.size, dtype=np.int64)
+                        )
+                        cols_t = _topk_cols(
+                            key_t, min(k_mir, ids_s.size)
+                        )
+                        sk = np.take_along_axis(key_t, cols_t, axis=1)
+                        si = cols_t + s0
+                        if m_key is None:
+                            m_key, m_idx = sk, si
+                        else:
+                            ck = np.concatenate([m_key, sk], axis=1)
+                            ci = np.concatenate([m_idx, si], axis=1)
+                            sel = _topk_cols(ck, k_mir)
+                            m_key = np.take_along_axis(ck, sel, axis=1)
+                            m_idx = np.take_along_axis(ci, sel, axis=1)
+                if mirror and m_key is not None:
+                    # key = cand*SHIFT - rank, rank == m_idx: exact
+                    # quantized-sim decode.
+                    frames.append(
+                        pd.DataFrame(
+                            {
+                                "src": np.repeat(r_ids, m_key.shape[1]),
+                                "dst": l_ids[m_idx.ravel()],
+                                "sim": (
+                                    (m_key + m_idx) // _KEY_SHIFT
+                                ).ravel()
+                                / 1e4,
+                            }
+                        )
                     )
             if frames:
                 yield pd.concat(frames, ignore_index=True)

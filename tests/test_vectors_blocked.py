@@ -102,3 +102,26 @@ def test_fanout_spreads_probe_rows(spark):
     fanned = vectors._fanout(src, n)
     expect = max(1, min(spark.sparkContext.defaultParallelism, n // 256))
     assert fanned.rdd.getNumPartitions() == expect
+
+
+def test_blocked_strips_bit_identical(spark, monkeypatch):
+    """Round 10: the blocked kernels strip the left rows of every cell
+    pair (SIMS_BUDGET_BYTES) and merge the mirror direction's per-strip
+    winners incrementally. Force 1-row strips AND the blocked path at
+    fixture size so the cross-strip merges run hundreds of times, and
+    assert bit-identity with the default single-strip output."""
+    from sd2_drp_experimentgen_spark.operators import vectors
+
+    for fn in (
+        vectors.q_sim_cosine_topk,
+        vectors.q_dedup_embedding_nn,
+        vectors.q_emb_knn_graph,
+    ):
+        monkeypatch.setattr(vectors, "BROADCAST_MAX_ROWS", 0)
+        base = _rows(fn(spark, SF_T2))
+        monkeypatch.setattr(vectors, "SIMS_BUDGET_BYTES", 1)
+        try:
+            tiny = _rows(fn(spark, SF_T2))
+        finally:
+            monkeypatch.undo()
+        assert tiny == base, fn.__name__

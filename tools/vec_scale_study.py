@@ -210,6 +210,12 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--reps", nargs="*", type=int, default=[32, 128])
     ap.add_argument("--verify", action="store_true")
+    ap.add_argument(
+        "--probe-unchunked",
+        action="store_true",
+        help="ALSO measure the pre-r10 unchunked kernel (expects OOM "
+        "at x32; contaminates later walls — run as its own process)",
+    )
     args = ap.parse_args()
 
     spark = get_spark(app_name="sd2drp-vec-scale", shuffle_partitions=32)
@@ -223,28 +229,39 @@ def main() -> int:
         row: dict = {"n": n, "path": path}
         print(f"== x{rep}: n={n} -> {path} path ==", flush=True)
 
-        if path == "broadcast":
-            # Warm the parquet/footer/matrix caches so the unchunked
-            # measurement (which always runs FIRST on a fresh build)
-            # is not carrying first-read costs the chunked run skips.
-            specs["q_dedup_embedding_nn"].fn(spark, d).collect()
-            # Pre-r10 behavior first: disable chunking (one batch×n
-            # product per Arrow batch) and record the worker RSS it
-            # costs; then the shipped chunked kernel.
+        if path == "broadcast" and args.probe_unchunked:
+            # Pre-r10 behavior: disable chunking (one batch×n product
+            # per Arrow batch) and record what it costs. ISOLATED
+            # behind a flag because the probe OOM-KILLS python workers
+            # at x32 on this 128 GiB box, and even when it survives,
+            # the daemon workers keep the multi-GB arenas — every
+            # later measurement in the same session reads high. Run
+            # `--reps 32 --probe-unchunked` as its own process.
+            specs["q_dedup_embedding_nn"].fn(spark, d).collect()  # warm
             saved = V.SIMS_BUDGET_BYTES
             V.SIMS_BUDGET_BYTES = 1 << 62
             try:
                 wall, rows, rss = timed(
                     specs["q_emb_knn_graph"].fn, spark, d
                 )
+                row["knn_unchunked"] = {"wall": wall, "rss": rss}
+                print(
+                    f"  q_emb_knn_graph UNCHUNKED: {wall}s, "
+                    f"{len(rows)} rows, peak worker RSS {gb(rss)}",
+                    flush=True,
+                )
+            except Exception as exc:  # the probe CRASHING is a result
+                row["knn_unchunked"] = {
+                    "crashed": str(exc).splitlines()[0][:200]
+                }
+                print(
+                    "  q_emb_knn_graph UNCHUNKED: CRASHED — python "
+                    "workers died under the batch×n allocation "
+                    f"({type(exc).__name__})",
+                    flush=True,
+                )
             finally:
                 V.SIMS_BUDGET_BYTES = saved
-            row["knn_unchunked"] = {"wall": wall, "rss": rss}
-            print(
-                f"  q_emb_knn_graph UNCHUNKED: {wall}s, {len(rows)} rows, "
-                f"peak worker RSS {gb(rss)}",
-                flush=True,
-            )
 
         knn_rows = None
         for q in STUDY_QUERIES:
