@@ -21,14 +21,16 @@ vectors — identical replicas would make every top-k list degenerate
 ties at sim 1.0).
 
 What each scale measures:
-  x32  (64 000 rows)  — broadcast path, BELOW the gate. Run twice:
-       with the sims row-chunking disabled (pre-r10 behavior: one
-       batch×n float64 product per Arrow batch) and enabled, polling
-       the pyspark worker processes' peak RSS from /proc. The
-       unchunked kernel's ~10k-row batch against 64k vectors is a
-       5.1 GB allocation PER TASK at just a third of the gate — the
-       gate guarded the driver collect, not the worker product; the
-       chunked kernel is bounded at SIMS_BUDGET_BYTES.
+  x32  (64 000 rows)  — broadcast path, BELOW the gate, polling the
+       pyspark worker processes' peak RSS from /proc. A separate
+       `--reps 32 --probe-unchunked` invocation measures the pre-r10
+       kernel (one batch×n float64 product per Arrow batch): it
+       OOM-KILLS the python workers on this 128 GiB box at a third of
+       the gate — the gate guarded the driver collect, not the worker
+       product — and even when a run survives, the daemon workers
+       keep the multi-GB arenas, contaminating every later wall in
+       the same session; hence its own process. The shipped kernel is
+       bounded at SIMS_BUDGET_BYTES.
   x128 (256 000 rows) — the gate flips: q_emb_knn_graph,
        q_sim_cosine_topk and q_dedup_embedding_nn run their blocked
        plans at a size where the broadcast path is no longer chosen.
