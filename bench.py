@@ -71,6 +71,42 @@ HEADLINE = [
 ]
 
 
+# The driver records only the LAST ~2 KB of stdout and structurally
+# parses the final JSON line (BENCH_r10's line outgrew that window once
+# the per-run spreads landed, degrading the round's record to
+# parsed:null — VERDICT r10 item 2). The final line therefore carries
+# ONLY the compact summary (per-query mins + load stamps), hard-capped
+# by tests/test_bench_line.py, while the full three-run spreads are
+# emitted as a separate PRECEDING line and mirrored to a sidecar file.
+DRIVER_TAIL_BYTES = 2000
+RUNS_SIDECAR = "BENCH_RUNS_LATEST.json"
+
+
+def build_summary(
+    timings: dict[str, float],
+    sf: float,
+    load_before: tuple[float, ...],
+    load_after: tuple[float, ...],
+) -> dict:
+    """The compact final-line payload. Everything the gate and the
+    noise-band protocol need; nothing that grows with run count."""
+    return {
+        "metric": "headline_total_warm",
+        "value": round(sum(timings.values()), 4),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        # Ambient-load context (VERDICT r9 item 5): 1/5/15-min load
+        # averages straddling the run + the cpu count the local[]
+        # master actually got. BASELINE.md's noise-band protocol reads
+        # these before calling a drift a riser.
+        "loadavg_before": load_before,
+        "loadavg_after": load_after,
+        "cpus": os.cpu_count(),
+        "timed_runs": 3,
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
@@ -109,32 +145,30 @@ def main() -> None:
         timings[name] = min(runs)
         runs_all[name] = runs
 
-    total = round(sum(timings.values()), 4)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_total_warm",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                # Ambient-load context (VERDICT r9 item 5): 1/5/15-min
-                # load averages straddling the run + the cpu count the
-                # local[] master actually got. BASELINE.md's noise-band
-                # protocol reads these before calling a drift a riser.
-                "loadavg_before": load_before,
-                "loadavg_after": tuple(round(x, 2) for x in os.getloadavg()),
-                "cpus": os.cpu_count(),
-                "timed_runs": 3,
-                # all three timed runs per query: the in-file variance
-                # evidence BASELINE.md's noise-band protocol reads when
-                # deciding whether a riser is ambient load (wide spread,
-                # uniform across queries) or a plan change (tight spread
-                # at a new level)
-                "runs": runs_all,
-            }
-        )
+    # All three timed runs per query: the in-file variance evidence
+    # BASELINE.md's noise-band protocol reads when deciding whether a
+    # riser is ambient load (wide spread, uniform across queries) or a
+    # plan change (tight spread at a new level). Emitted BEFORE the
+    # summary so the driver's tail capture never truncates the parsed
+    # line, and mirrored to a sidecar file for post-hoc reads.
+    detail = json.dumps({"detail": "bench_runs", "runs": runs_all})
+    print(detail)
+    try:
+        with open(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)), RUNS_SIDECAR),
+            "w",
+        ) as f:
+            f.write(detail + "\n")
+    except OSError:
+        pass  # a read-only checkout still gets the stdout copy
+
+    summary = build_summary(
+        timings,
+        sf,
+        load_before,
+        tuple(round(x, 2) for x in os.getloadavg()),
     )
+    print(json.dumps(summary))
 
 
 if __name__ == "__main__":
