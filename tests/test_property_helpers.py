@@ -194,3 +194,51 @@ def test_sql_units_matches_python_ieee(xs):
     ]
     want = [int(math.floor(x * 10_000 + 0.5)) for x in xs]
     assert got == want
+
+
+# --- int_units at the documented headroom boundary -------------------
+# helpers.int_units's docstring claims "1e14 units stay far below
+# 2^53"; exact_sum leans on units being EXACT int64s produced by one
+# deterministic double op. The adversarial regime is per-row values
+# around ~9e11 at scale 4: x * 1e4 lands near 9e15, inside [2^52,
+# 2^53) where double ulp is 1.0 — so "+ 0.5" is itself a rounding
+# event (round-half-even absorbs or bumps it depending on parity).
+# Both engines must take the SAME branch for every such x. This pins
+# DuckDB to the Python-IEEE reference exactly where the recipe has the
+# least slack; the companion Spark-side batch check lives in
+# tests/test_int_units_boundary.py (needs a session).
+
+
+@given(
+    st.lists(
+        st.one_of(
+            # dense near the edge: |x| in [8e11, 9.007e11] → units in
+            # [8e15, ~9.007e15], the last decade before 2^53
+            st.floats(min_value=8.0e11, max_value=9.007e11),
+            st.floats(min_value=-9.007e11, max_value=-8.0e11),
+            # integer-unit lattice points ± tiny perturbations: x*1e4
+            # exactly representable vs one-ulp off
+            st.integers(min_value=8_000_000_000_000_000,
+                        max_value=9_007_199_254_740_991).map(
+                lambda u: u / 1e4
+            ),
+        ),
+        min_size=1,
+        max_size=50,
+    )
+)
+@settings(max_examples=80, deadline=None)
+def test_sql_units_boundary_magnitudes(xs):
+    from sd2_drp_experimentgen_spark.functions.helpers import sql_units
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (i INT, x DOUBLE)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", list(enumerate(xs)))
+    got = [
+        r[0]
+        for r in con.execute(
+            f"SELECT {sql_units('x')} FROM t ORDER BY i"
+        ).fetchall()
+    ]
+    want = [int(math.floor(x * 10_000 + 0.5)) for x in xs]
+    assert got == want
