@@ -74,14 +74,17 @@ def test_spark_int_units_matches_duckdb_and_python(spark):
     assert got_spark == want, "Spark int_units diverged from Python IEEE"
     assert got_duck == want, "DuckDB sql_units diverged from Python IEEE"
     # Window check, with the one honest edge this test itself found:
-    # x=(2^53-1)/1e4 is not exactly representable, and x*1e4 rounds UP
-    # to exactly 2^53 — so the top lattice point yields |u| == 2^53,
-    # never beyond. All engines take that same branch (asserted
-    # above); the recipe's real guarantee is |u| <= 2^53 with
-    # exactness for |u| < 2^53, which every money column satisfies by
-    # orders of magnitude (~1e9 units at sf1).
+    # x=(2^53-1)/1e4 round-trips to units 2^53-1 exactly, but "+0.5"
+    # creates the tie ...991.5 which round-half-even bumps UP to
+    # exactly 2^53 before floor. The NEGATIVE twin does not mirror it
+    # (-...991 + 0.5 = -...990.5, ties-to-even rounds toward zero
+    # there), so exactly ONE batch member lands on the 2^53 rim — and
+    # all engines take the identical branch (asserted above). The
+    # recipe's real guarantee is |u| <= 2^53, exact for |u| < 2^53;
+    # every money column sits orders of magnitude inside (~1e9 units
+    # at sf1, ~1e14 at the docstring's quoted headroom).
     assert all(abs(u) <= TWO53 for u in want)
-    assert sum(abs(u) == TWO53 for u in want) == 2  # the ± top lattice pair
+    assert [u for u in want if abs(u) == TWO53] == [TWO53]
 
 
 def test_spark_exact_sum_matches_duckdb_at_boundary(spark):
