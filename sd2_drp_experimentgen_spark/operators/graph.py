@@ -25,6 +25,13 @@ from ..sources.tables import load_table
 
 MAX_ROUNDS = 25
 
+# Telemetry for tools/graph_scale_study.py: rounds the last
+# q_dedup_components run took to converge (pointer jumping predicts
+# O(log diameter), and replica growth must NOT change it — the study's
+# central iterative-scaling claim). Written, never read, by the
+# operator; plans are unaffected.
+CC_ROUNDS_LAST = 0
+
 # The same near-dup pair relation as q_neardup_jaccard's oracle,
 # reused as the edge list of the recursive-closure oracle below.
 _PAIRS_SQL = """
@@ -96,7 +103,9 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("node"), F.col("doc_id").alias("label")
     ).localCheckpoint()
 
-    for _ in range(MAX_ROUNDS):
+    global CC_ROUNDS_LAST
+    for rnd in range(MAX_ROUNDS):
+        CC_ROUNDS_LAST = rnd + 1
         # propagate: min label over the closed neighborhood
         neighbor = (
             edges.join(labels, edges.dst == labels.node)

@@ -201,6 +201,21 @@ _KEY_SHIFT = 1 << 40
 _KEY_FLOOR = -(1 << 62)  # masked cells: below any real packed key
 
 
+def _sim_units(sims):
+    """Quantized cosine units floor(sim*1e4+0.5) as int64, with NaN —
+    a zero-norm degenerate embedding makes the cosine divide 0/0 —
+    pinned to -20000, strictly below any real unit (|units| <= 10000).
+    A degenerate vector therefore deterministically ranks LAST, which
+    is what the pre-r10 float lexsorts did with NaN; without the pin,
+    float->int64 of NaN is UNDEFINED (platform garbage) and, multiplied
+    by _KEY_SHIFT, could wrap a degenerate vector into a top neighbor
+    (ADVICE r10)."""
+    import numpy as np
+
+    cand = np.floor(sims * 1e4 + 0.5)
+    return np.where(np.isnan(cand), -20000.0, cand).astype(np.int64)
+
+
 def _topk_cols(key, k: int):
     """Top-k column indices per row of an int64 key matrix, ordered by
     key DESC — argpartition then an in-k argsort; no per-row Python."""
@@ -316,7 +331,7 @@ def q_sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                 # round FIRST (oracle formula), then rank by (-sim, id)
                 # via the composite key; only columns with id > vid
                 # compete (ids ascending -> a per-row prefix mask).
-                cand = np.floor(sims * 1e4 + 0.5).astype(np.int64)
+                cand = _sim_units(sims)
                 key = cand * _KEY_SHIFT - col_rank[None, :]
                 key[col_rank[None, :] <= idx[:, None]] = _KEY_FLOOR
                 cols = _topk_cols(key, k_eff)
@@ -469,7 +484,7 @@ def q_dedup_embedding_nn(spark: SparkSession, sf_dir: str) -> DataFrame:
                 idx = np.searchsorted(all_ids, row_ids)
                 x = all_mat[idx]
                 sims = (x @ all_mat.T) / np.outer(all_norms[idx], all_norms)
-                cand = np.floor(sims * 1e4 + 0.5).astype(np.int64)
+                cand = _sim_units(sims)
                 key = cand * _KEY_SHIFT - col_rank[None, :]
                 rows = np.arange(row_ids.size)
                 key[rows, idx] = _KEY_FLOOR  # self is never a neighbor
@@ -521,7 +536,7 @@ def _topk_pairs_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
                     sims = (l_mat[sl] @ r_mat.T) / np.outer(
                         l_norms[sl], r_norms
                     )
-                    cand = np.floor(sims * 1e4 + 0.5).astype(np.int64)
+                    cand = _sim_units(sims)
                     # Unordered pair: one matmul serves both
                     # orientations (_pair_topk; the mirror direction
                     # only exists off the diagonal).
@@ -596,7 +611,6 @@ def _nn_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
                 # only sees part of the left cell, so the per-r best
                 # merges incrementally.
                 m_key = m_idx = None
-                rows_r = np.arange(r_ids.size)
                 for s0 in range(0, l_ids.size, step):
                     sl = slice(s0, s0 + step)
                     ids_s = l_ids[sl]
@@ -605,7 +619,7 @@ def _nn_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
                     )
                     # Composite-key argmax = (max sim, min id) per left
                     # row (see _KEY_SHIFT — ids ascending in the cell).
-                    cand = np.floor(sims * 1e4 + 0.5).astype(np.int64)
+                    cand = _sim_units(sims)
                     key = cand * _KEY_SHIFT - np.arange(
                         r_ids.size, dtype=np.int64
                     )
@@ -1393,7 +1407,7 @@ def _knn_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
                     )
                     # Composite-key top-k per source row (_KEY_SHIFT):
                     # one argpartition per strip, no per-row Python.
-                    cand = np.floor(sims * 1e4 + 0.5).astype(np.int64)
+                    cand = _sim_units(sims)
                     key = cand * _KEY_SHIFT - np.arange(
                         r_ids.size, dtype=np.int64
                     )
@@ -1534,7 +1548,7 @@ def q_emb_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
                 sims = (all_mat[idx] @ all_mat.T) / np.outer(
                     all_norms[idx], all_norms
                 )
-                cand = np.floor(sims * 1e4 + 0.5).astype(np.int64)
+                cand = _sim_units(sims)
                 key = cand * _KEY_SHIFT - col_rank[None, :]
                 key[np.arange(row_ids.size), idx] = _KEY_FLOOR  # self
                 cols = _topk_cols(key, k_eff)
@@ -1603,7 +1617,7 @@ def _score_pairs(spark: SparkSession, sf_dir: str, pairs: DataFrame) -> DataFram
                 {
                     "src": pdf["src"],
                     "dst": pdf["dst"],
-                    "sim_u": np.floor(s * 1e4 + 0.5).astype(np.int64),
+                    "sim_u": _sim_units(s),
                 }
             )
 
