@@ -103,7 +103,22 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("node"), F.col("doc_id").alias("label")
     ).localCheckpoint()
 
+    # Convergence check: labels are MONOTONE NON-INCREASING per node
+    # (propagate is a min over a set containing the node's own label;
+    # jumping replaces a label by the label of a smaller-or-equal
+    # node, itself <= that node by induction), so the exact integer
+    # sum of all labels strictly decreases until the fixpoint. One
+    # cheap scan-aggregate over the just-checkpointed labels replaces
+    # the r1-r10 form's per-round join+count against the previous
+    # generation — the x8 graph scale study measured that extra join
+    # as a full per-round stage at every scale (tools/
+    # graph_scale_study.py). Summed in decimal(38,0): node ids reach
+    # rep*DOC_STRIDE at study scale and 100 TB corpora push the int64
+    # sum's headroom.
     global CC_ROUNDS_LAST
+    prev_sum = labels.agg(
+        F.sum(F.col("label").cast("decimal(38,0)"))
+    ).first()[0]
     for rnd in range(MAX_ROUNDS):
         CC_ROUNDS_LAST = rnd + 1
         # propagate: min label over the closed neighborhood
@@ -125,15 +140,13 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("node", F.col("jlabel").alias("label"))
             .localCheckpoint()
         )
-        changed = (
-            jumped.alias("n")
-            .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
-            .where(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
         labels = jumped
-        if changed == 0:
+        new_sum = labels.agg(
+            F.sum(F.col("label").cast("decimal(38,0)"))
+        ).first()[0]
+        if new_sum == prev_sum:
             break
+        prev_sum = new_sum
 
     return labels.select(
         F.col("node").alias("doc_id"),
@@ -236,7 +249,16 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     nodes = edges.select(F.col("src").alias("node")).distinct()
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
-    ed = edges.join(deg, "src")  # (src, dst, outdeg)
+    # (src, dst, outdeg) re-derived per iteration FROM THE CHECKPOINTED
+    # edge list — measured choice, not an oversight: the r11 x8
+    # variant study (SCALE.md round 11) timed this form at 8.2 s warm
+    # vs 9.3 s with the join tracked-persisted and 11.7 s with it
+    # localCheckpointed — the recompute runs from the in-memory edge
+    # RDD through whole-stage codegen, while materialized reuse pays a
+    # row-based ExistingRDD scan per iteration. On a real cluster the
+    # same relation would be persist()ed columnar; with PR_ITERS=3 and
+    # a single-JVM local store, recompute wins.
+    ed = edges.join(deg, "src")
 
     n = nodes.count()  # scalar only, like the CC convergence check
     init = PR_SCALE // n
@@ -385,10 +407,24 @@ def q_graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     nodes = edges.select(F.col("src").alias("node")).distinct()
     dist = nodes.where(F.col("node") < BFS_SEED_MAX).select(
         "node", F.lit(0).cast("int").alias("dist")
-    )
-    for _ in range(BFS_ROUNDS):
+    ).localCheckpoint()
+    # Frontier-only expansion (fixed after the x8 graph scale study):
+    # the r1-r10 form expanded the ENTIRE reached set every round and
+    # never checkpointed, so the unrolled plan re-derived every prior
+    # round per reference — ~2^k subtree duplication, visible as
+    # repeated seed-filter scans in the executed plan. Pregel BFS
+    # expands only the nodes FIRST REACHED last round (dist == k-1,
+    # identical distances for unweighted graphs: any node reachable in
+    # <= k hops is reached via a node first reached at k-1), and the
+    # per-round localCheckpoint truncates lineage AND hands AQE an
+    # exact frontier size, so the frontier side of the join broadcasts
+    # instead of shuffling the k-fold edge list (measured: the x8 SMJ
+    # re-exchanged all edges every round). Per-round work is now
+    # frontier-degree-bounded, not graph-bounded.
+    for rnd in range(BFS_ROUNDS):
+        frontier = dist.where(F.col("dist") == rnd)
         expanded = (
-            dist.withColumnRenamed("node", "src")
+            frontier.withColumnRenamed("node", "src")
             .join(edges, "src")
             .select(F.col("dst").alias("node"), (F.col("dist") + 1).alias("dist"))
         )
@@ -396,6 +432,7 @@ def q_graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
             dist.unionAll(expanded)
             .groupBy("node")
             .agg(F.min("dist").alias("dist"))
+            .localCheckpoint()
         )
     return dist.select("node", F.col("dist").cast("long").alias("dist"))
 
