@@ -130,6 +130,21 @@ def build_graph(spark, rep: int) -> str:
     return out
 
 
+def _drop_checkpoints(spark) -> None:
+    """Release localCheckpoint blocks from the previous invocation.
+
+    The iterative rungs localCheckpoint per-round state; the blocks are
+    freed by the ContextCleaner only after the Python references are
+    GC'd. Back-to-back x32 invocations in one 16g JVM OOM'd on the
+    accumulation (first x32 sweep of this study), so the harness forces
+    the collection between runs — a cluster driver would never hold
+    three runs' worth of a study loop."""
+    import gc
+
+    gc.collect()
+    spark.sparkContext._jvm.System.gc()
+
+
 def run_rung(spark, name: str, sf_dir: str, runs: int = 2):
     from sd2_drp_experimentgen_spark.functions.helpers import (
         release_persisted,
@@ -139,12 +154,14 @@ def run_rung(spark, name: str, sf_dir: str, runs: int = 2):
     fn = all_specs()[name].fn
     rows = fn(spark, sf_dir).count()  # warm-up
     release_persisted()
+    _drop_checkpoints(spark)
     best, rounds = float("inf"), None
     for _ in range(runs):
         t0 = time.perf_counter()
         fn(spark, sf_dir).count()
         best = min(best, time.perf_counter() - t0)
         release_persisted()
+        _drop_checkpoints(spark)
         if name == "q_dedup_components":
             rounds = graph_mod.CC_ROUNDS_LAST
     return round(best, 3), rows, rounds
@@ -182,6 +199,10 @@ def main() -> int:
     ap.add_argument("--runs", type=int, default=2)
     args = ap.parse_args()
 
+    # The decade-up runs a cluster-sized workload inside ONE JVM; give
+    # the study session real heap (overridable) — 16g held to x8 but
+    # OOM'd mid-x32 on execution memory + checkpoint-block carryover.
+    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "48g")
     spark = get_spark(app_name="graph-scale-study", shuffle_partitions=32)
     results: dict[str, dict] = {}
     scales = [1] + [r for r in args.reps if r != 1]
