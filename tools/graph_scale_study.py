@@ -202,11 +202,20 @@ def main() -> int:
     # The decade-up runs a cluster-sized workload inside ONE JVM; give
     # the study session real heap (overridable) — 16g held to x8 but
     # OOM'd mid-x32 on execution memory + checkpoint-block carryover.
-    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "48g")
-    spark = get_spark(app_name="graph-scale-study", shuffle_partitions=32)
+    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "24g")
     results: dict[str, dict] = {}
     scales = [1] + [r for r in args.reps if r != 1]
     for rep in scales:
+        # ONE SESSION PER SCALE: a single long session accumulated
+        # checkpoint/broadcast blocks across rungs until even 48g hit
+        # GCLocker exhaustion mid-x32, and the thrash inflated walls
+        # 2x before dying (first x32 sweep) — while every rung passes
+        # alone in a fresh 24g session. The fleet-driver analogue is a
+        # driver per job, which is also what bench.py and the driver
+        # harness do.
+        spark = get_spark(
+            app_name=f"graph-scale-study-x{rep}", shuffle_partitions=32
+        )
         doc_dir = BASE_SF if rep == 1 else None
         graph_dir = BASE_SF if rep == 1 else None
         for name in args.rungs:
@@ -225,8 +234,12 @@ def main() -> int:
             }
             extra = f" rounds={rounds}" if rounds is not None else ""
             print(f"x{rep} {name}: {wall}s rows={rows}{extra}", flush=True)
+        spark.stop()
 
     if args.verify:
+        spark = get_spark(
+            app_name="graph-scale-verify", shuffle_partitions=32
+        )
         for name in args.rungs:
             cap = VERIFY_REP_CAP.get(name)
             vrep = max(r for r in scales if cap is None or r <= cap)
