@@ -62,20 +62,30 @@ def main() -> int:
                 flush=True,
             )
 
-    # correctness at scale: the LIVE tumbling run vs plain SQL
+    # correctness at scale: BOTH live stateful shapes vs plain SQL —
+    # the windowed-agg state (tumbling) and the session-MERGE state
+    # (r11: the x128 extension verifies the merge path too, where
+    # replicas interleave 1 s apart and sessions genuinely merge
+    # across replicas — output rows 95 174 at x128 vs 95 465 at x1,
+    # so the state path being checked is the hard one).
     from tools.verify_local import compare, duck_connect
 
     con = duck_connect(scaled_dir(args.rep))
-    oracle = specs["q_stream_tumbling_watermarked"].oracle
-    ok, msg = compare(
-        "tumbling_live", jobs.tumbling_1h_watermarked(spark, big), con.sql(oracle)
-    )
-    print(
-        f"VERIFY x{args.rep} tumbling_1h_watermarked (LIVE): "
-        f"{'PASS' if ok else 'FAIL'} {msg}",
-        flush=True,
-    )
-    return 0 if ok else 1
+    all_ok = True
+    for qname, fn in (
+        ("q_stream_tumbling_watermarked", jobs.tumbling_1h_watermarked),
+        ("q_stream_session_window", jobs.session_window_30m),
+    ):
+        ok, msg = compare(
+            qname + "_live", fn(spark, big), con.sql(specs[qname].oracle)
+        )
+        print(
+            f"VERIFY x{args.rep} {qname} (LIVE): "
+            f"{'PASS' if ok else 'FAIL'} {msg}",
+            flush=True,
+        )
+        all_ok = all_ok and ok
+    return 0 if all_ok else 1
 
 
 if __name__ == "__main__":
