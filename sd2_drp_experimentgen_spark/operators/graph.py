@@ -432,8 +432,13 @@ def q_graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
             dist.unionAll(expanded)
             .groupBy("node")
             .agg(F.min("dist").alias("dist"))
-            .localCheckpoint()
         )
+        if rnd + 1 < BFS_ROUNDS:
+            # truncate lineage between rounds; the LAST round stays
+            # lazy so the returned plan carries the frontier join +
+            # min-groupBy (CI plan-shape guard) and the caller's
+            # action pays one materialization fewer
+            dist = dist.localCheckpoint()
     return dist.select("node", F.col("dist").cast("long").alias("dist"))
 
 
