@@ -274,6 +274,137 @@ def run_rung(spark, name: str, sf_dir: str, runs: int = 2):
     return round(best, 3), rows, rounds
 
 
+def per_round_walls(spark, doc_dir: str, graph_dir: str) -> dict:
+    """Wall per ITERATION for the two iterative loops (VERDICT r10
+    item 5's convergence table): re-implements each loop with a timer
+    around every round, using the same plans as the operators (the
+    operators themselves stay uninstrumented — this is a study probe).
+    """
+    from sd2_drp_experimentgen_spark.operators.graph import (
+        BFS_ROUNDS,
+        BFS_SEED_MAX,
+        MAX_ROUNDS,
+        PR_ITERS,
+        PR_SCALE,
+        PR_SUPP_OFFSET,
+    )
+    from sd2_drp_experimentgen_spark.operators.text import (
+        q_neardup_jaccard,
+    )
+    from sd2_drp_experimentgen_spark.sources.tables import load_table
+
+    out: dict = {}
+
+    # --- CC rounds (doc pair graph) ---
+    docs = load_table(spark, doc_dir, "documents").select("doc_id")
+    pairs = q_neardup_jaccard(spark, doc_dir).select("id_lo", "id_hi")
+    t0 = time.perf_counter()
+    edges = (
+        pairs.select(F.col("id_lo").alias("src"), F.col("id_hi").alias("dst"))
+        .unionAll(
+            pairs.select(F.col("id_hi").alias("src"), F.col("id_lo").alias("dst"))
+        )
+        .localCheckpoint()
+    )
+    labels = docs.select(
+        F.col("doc_id").alias("node"), F.col("doc_id").alias("label")
+    ).localCheckpoint()
+    prev = labels.agg(F.sum(F.col("label").cast("decimal(38,0)"))).first()[0]
+    cc = {"edge_build_s": round(time.perf_counter() - t0, 2), "rounds": []}
+    for _ in range(MAX_ROUNDS):
+        t0 = time.perf_counter()
+        neighbor = edges.join(labels, edges.dst == labels.node).select(
+            F.col("src").alias("node"), "label"
+        )
+        propagated = (
+            labels.unionAll(neighbor).groupBy("node")
+            .agg(F.min("label").alias("label"))
+        )
+        l2 = propagated.select(
+            F.col("node").alias("jnode"), F.col("label").alias("jlabel")
+        )
+        labels = (
+            propagated.join(l2, propagated.label == l2.jnode)
+            .select("node", F.col("jlabel").alias("label"))
+            .localCheckpoint()
+        )
+        new = labels.agg(F.sum(F.col("label").cast("decimal(38,0)"))).first()[0]
+        cc["rounds"].append(round(time.perf_counter() - t0, 2))
+        if new == prev:
+            break
+        prev = new
+    out["cc"] = cc
+
+    # --- bipartite edges shared by pagerank + bfs ---
+    o = load_table(spark, graph_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, graph_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    bpairs = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+        .distinct()
+    )
+    t0 = time.perf_counter()
+    edges = (
+        bpairs.select(
+            F.col("c").alias("src"), (F.col("s") + PR_SUPP_OFFSET).alias("dst")
+        )
+        .unionAll(
+            bpairs.select(
+                (F.col("s") + PR_SUPP_OFFSET).alias("src"),
+                F.col("c").alias("dst"),
+            )
+        )
+        .localCheckpoint()
+    )
+    edge_build = round(time.perf_counter() - t0, 2)
+
+    nodes = edges.select(F.col("src").alias("node")).distinct()
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    ed = edges.join(deg, "src")
+    n = nodes.count()
+    init = PR_SCALE // n
+    base = (15 * init) // 100
+    pr = nodes.select("node", F.lit(init).alias("pr"))
+    prr = {"edge_build_s": edge_build, "iters": []}
+    for _ in range(PR_ITERS):
+        t0 = time.perf_counter()
+        contrib = ed.join(pr.withColumnRenamed("node", "src"), "src").select(
+            "dst", F.expr("pr div outdeg").alias("contrib")
+        )
+        incoming = contrib.groupBy("dst").agg(F.sum("contrib").alias("inc"))
+        pr = nodes.join(incoming, nodes.node == incoming.dst, "left").select(
+            "node",
+            (
+                F.lit(base)
+                + F.expr("(85 * coalesce(inc, CAST(0 AS BIGINT))) div 100")
+            ).alias("pr"),
+        ).localCheckpoint()  # probe materializes per iter to TIME it
+        prr["iters"].append(round(time.perf_counter() - t0, 2))
+    out["pagerank"] = prr
+
+    dist = nodes.where(F.col("node") < BFS_SEED_MAX).select(
+        "node", F.lit(0).cast("int").alias("dist")
+    ).localCheckpoint()
+    bfs = {"edge_build_s": edge_build, "rounds": [], "frontier": []}
+    for rnd in range(BFS_ROUNDS):
+        t0 = time.perf_counter()
+        frontier = dist.where(F.col("dist") == rnd)
+        bfs["frontier"].append(frontier.count())
+        expanded = (
+            frontier.withColumnRenamed("node", "src")
+            .join(edges, "src")
+            .select(F.col("dst").alias("node"), (F.col("dist") + 1).alias("dist"))
+        )
+        dist = (
+            dist.unionAll(expanded).groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint()
+        )
+        bfs["rounds"].append(round(time.perf_counter() - t0, 2))
+    out["bfs"] = bfs
+    return out
+
+
 def verify_rung(spark, name: str, sf_dir: str, witness_rep: int = 0) -> bool:
     """witness_rep == 0: run the rung's REGISTERED oracle on sf_dir.
     witness_rep > 0: run the replica witness (x1 closure expanded) —
@@ -315,6 +446,10 @@ def main() -> int:
         "--verify-only", action="store_true",
         help="skip the timing sweep; cross-engine check at max built rep",
     )
+    ap.add_argument(
+        "--per-round", action="store_true",
+        help="per-iteration wall probe for CC/pagerank/BFS at each rep",
+    )
     ap.add_argument("--runs", type=int, default=2)
     args = ap.parse_args()
 
@@ -324,6 +459,29 @@ def main() -> int:
     os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "24g")
     results: dict[str, dict] = {}
     scales = [1] + [r for r in args.reps if r != 1]
+    if args.per_round:
+        from sd2_drp_experimentgen_spark.functions.helpers import (
+            release_persisted,
+        )
+
+        for rep in scales:
+            spark = get_spark(
+                app_name=f"graph-per-round-x{rep}", shuffle_partitions=32
+            )
+            doc_dir = BASE_SF if rep == 1 else build_docs(spark, rep)
+            graph_dir = BASE_SF if rep == 1 else build_graph(spark, rep)
+            # probe twice — cold then warm — and keep the warm pass
+            # (same protocol as the rung timings)
+            walls = None
+            for _ in range(2):
+                walls = per_round_walls(spark, doc_dir, graph_dir)
+                release_persisted()
+            print(f"x{rep} per-round: {json.dumps(walls)}", flush=True)
+            results[f"per_round_x{rep}"] = walls
+            spark.stop()
+        print(json.dumps(results, indent=2))
+        return 0
+
     for rep in scales if not args.verify_only else []:
         # ONE SESSION PER SCALE: a single long session accumulated
         # checkpoint/broadcast blocks across rungs until even 48g hit
