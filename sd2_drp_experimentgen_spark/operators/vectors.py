@@ -199,6 +199,16 @@ def _cell_to_mat(cell):
 # and stays within int64.
 _KEY_SHIFT = 1 << 40
 _KEY_FLOOR = -(1 << 62)  # masked cells: below any real packed key
+_UNITS_MIN = -10000  # smallest REAL quantized unit (cosine >= -1)
+# Validity cut for packed keys (ADVICE r11): real keys are
+# units*SHIFT - rank with units >= -10000 and rank < SHIFT, so every
+# real key > -10001*SHIFT; pinned (degenerate) keys are
+# -20000*SHIFT - rank < -10002*SHIFT; _KEY_FLOOR is far below both.
+# `key > _KEY_PINNED_MAX` therefore accepts exactly the real cells —
+# pinned cells must never be EMITTED as neighbors (a -2.0 "cosine" is
+# out of domain and no SQL oracle would produce it), they only need
+# to rank below real ones so the top-k cut is deterministic.
+_KEY_PINNED_MAX = -10002 * _KEY_SHIFT
 
 
 def _sim_units(sims):
@@ -209,11 +219,18 @@ def _sim_units(sims):
     is what the pre-r10 float lexsorts did with NaN; without the pin,
     float->int64 of NaN is UNDEFINED (platform garbage) and, multiplied
     by _KEY_SHIFT, could wrap a degenerate vector into a top neighbor
-    (ADVICE r10)."""
+    (ADVICE r10). Pinned cells additionally never EMIT (ADVICE r11):
+    every kernel filters selections to key > _KEY_PINNED_MAX (packed
+    paths) or units >= _UNITS_MIN (unit paths), so a degenerate vector
+    can lose a top-k slot but can never appear as a neighbor with an
+    out-of-domain sim."""
     import numpy as np
 
     cand = np.floor(sims * 1e4 + 0.5)
-    return np.where(np.isnan(cand), -20000.0, cand).astype(np.int64)
+    # isfinite, not isnan (r12): ±inf float->int64 is just as
+    # platform-undefined as NaN; a mathematically real cosine is in
+    # [-1, 1], so ANY non-finite value is the degenerate branch.
+    return np.where(np.isfinite(cand), cand, -20000.0).astype(np.int64)
 
 
 def _topk_cols(key, k: int):
@@ -250,6 +267,10 @@ def _pair_topk(cand, l_ids, r_ids, k_max: int, swapped: bool):
     if vidx.size == 0:
         return None
     vals = cand.ravel()[vidx]
+    real = vals >= _UNITS_MIN  # drop pinned degenerate cells (ADVICE r11)
+    vidx, vals = vidx[real], vals[real]
+    if vidx.size == 0:
+        return None
     k = min(k_max, vals.size)
     thr = np.partition(vals, vals.size - k)[vals.size - k]
     gt = np.flatnonzero(vals > thr)
@@ -336,7 +357,8 @@ def q_sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                 key[col_rank[None, :] <= idx[:, None]] = _KEY_FLOOR
                 cols = _topk_cols(key, k_eff)
                 sel_key = np.take_along_axis(key, cols, axis=1)
-                valid = sel_key != _KEY_FLOOR  # rows near the max id
+                # rows near the max id (floored) AND pinned degenerates
+                valid = sel_key > _KEY_PINNED_MAX
                 lo = np.repeat(row_ids, k_eff)[valid.ravel()]
                 hi = all_ids[cols].ravel()[valid.ravel()]
                 sim = (
@@ -489,11 +511,12 @@ def q_dedup_embedding_nn(spark: SparkSession, sf_dir: str) -> DataFrame:
                 rows = np.arange(row_ids.size)
                 key[rows, idx] = _KEY_FLOOR  # self is never a neighbor
                 j = key.argmax(axis=1)
+                ok = key[rows, j] > _KEY_PINNED_MAX  # real best only
                 yield pd.DataFrame(
                     {
-                        "vec_id": row_ids,
-                        "neighbor_id": all_ids[j],
-                        "sim": cand[rows, j] / 1e4,
+                        "vec_id": row_ids[ok],
+                        "neighbor_id": all_ids[j[ok]],
+                        "sim": cand[rows[ok], j[ok]] / 1e4,
                     }
                 )
 
@@ -626,7 +649,8 @@ def _nn_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
                     key[ids_s[:, None] == r_ids[None, :]] = _KEY_FLOOR
                     rows = np.arange(ids_s.size)
                     j = key.argmax(axis=1)
-                    ok = key[rows, j] != _KEY_FLOOR  # self-only rows
+                    # self-only rows (floored) AND pinned degenerates
+                    ok = key[rows, j] > _KEY_PINNED_MAX
                     frames.append(
                         pd.DataFrame(
                             {
@@ -653,12 +677,15 @@ def _nn_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
                 if mirror and m_key is not None:
                     # key = cand*SHIFT - rank and rank == m_idx, so the
                     # quantized sim decodes exactly.
+                    okm = m_key > _KEY_PINNED_MAX  # pinned never emit
                     frames.append(
                         pd.DataFrame(
                             {
-                                "vec_id": r_ids,
-                                "neighbor_id": l_ids[m_idx],
-                                "sim": ((m_key + m_idx) // _KEY_SHIFT)
+                                "vec_id": r_ids[okm],
+                                "neighbor_id": l_ids[m_idx[okm]],
+                                "sim": (
+                                    (m_key[okm] + m_idx[okm]) // _KEY_SHIFT
+                                )
                                 / 1e4,
                             }
                         )
@@ -1414,7 +1441,8 @@ def _knn_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
                     key[ids_s[:, None] == r_ids[None, :]] = _KEY_FLOOR
                     cols = _topk_cols(key, k_dir)
                     valid = (
-                        np.take_along_axis(key, cols, axis=1) != _KEY_FLOOR
+                        np.take_along_axis(key, cols, axis=1)
+                        > _KEY_PINNED_MAX  # self (floored) + pinned
                     ).ravel()
                     frames.append(
                         pd.DataFrame(
@@ -1455,14 +1483,17 @@ def _knn_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
                 if mirror and m_key is not None:
                     # key = cand*SHIFT - rank, rank == m_idx: exact
                     # quantized-sim decode.
+                    okm = (m_key > _KEY_PINNED_MAX).ravel()  # no pinned
                     frames.append(
                         pd.DataFrame(
                             {
-                                "src": np.repeat(r_ids, m_key.shape[1]),
-                                "dst": l_ids[m_idx.ravel()],
+                                "src": np.repeat(r_ids, m_key.shape[1])[
+                                    okm
+                                ],
+                                "dst": l_ids[m_idx.ravel()[okm]],
                                 "sim": (
                                     (m_key + m_idx) // _KEY_SHIFT
-                                ).ravel()
+                                ).ravel()[okm]
                                 / 1e4,
                             }
                         )
@@ -1552,15 +1583,22 @@ def q_emb_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
                 key = cand * _KEY_SHIFT - col_rank[None, :]
                 key[np.arange(row_ids.size), idx] = _KEY_FLOOR  # self
                 cols = _topk_cols(key, k_eff)
+                # Pinned degenerates sort last, so dropping them keeps
+                # the surviving ranks contiguous from 1 (ADVICE r11).
+                valid = (
+                    np.take_along_axis(key, cols, axis=1) > _KEY_PINNED_MAX
+                ).ravel()
                 yield pd.DataFrame(
                     {
-                        "src": np.repeat(row_ids, k_eff),
+                        "src": np.repeat(row_ids, k_eff)[valid],
                         "rank": np.tile(
                             np.arange(1, k_eff + 1, dtype=np.int64),
                             row_ids.size,
-                        ),
-                        "dst": all_ids[cols].ravel(),
-                        "sim": np.take_along_axis(cand, cols, axis=1).ravel()
+                        )[valid],
+                        "dst": all_ids[cols].ravel()[valid],
+                        "sim": np.take_along_axis(cand, cols, axis=1).ravel()[
+                            valid
+                        ]
                         / 1e4,
                     }
                 )
@@ -1613,11 +1651,13 @@ def _score_pairs(spark: SparkSession, sf_dir: str, pairs: DataFrame) -> DataFram
             s = (a * b).sum(axis=1) / (
                 np.sqrt((a * a).sum(axis=1)) * np.sqrt((b * b).sum(axis=1))
             )
+            su = _sim_units(s)
+            real = su >= _UNITS_MIN  # pinned degenerates never score
             yield pd.DataFrame(
                 {
-                    "src": pdf["src"],
-                    "dst": pdf["dst"],
-                    "sim_u": _sim_units(s),
+                    "src": pdf["src"][real],
+                    "dst": pdf["dst"][real],
+                    "sim_u": su[real],
                 }
             )
 

@@ -107,6 +107,9 @@ def test_bipartite_witness_matches_spark_at_x3(spark, x3_graph, name):
 
     gss = _load("graph_scale_study")
     vl = _load("verify_local")
+    from sd2_drp_experimentgen_spark.functions.helpers import (
+        release_persisted,
+    )
     from sd2_drp_experimentgen_spark.plans import all_specs
     from sd2_drp_experimentgen_spark.schemas import TABLE_NAMES
 
@@ -121,4 +124,8 @@ def test_bipartite_witness_matches_spark_at_x3(spark, x3_graph, name):
         all_specs()[name].fn(spark, x3_graph),
         con.execute(gss.witness_sql(name, REP)),
     )
+    # ADVICE r11: the pagerank/BFS loops localCheckpoint per round;
+    # without the release those blocks outlive this test in the
+    # session-scoped fixture — the same carryover the study guards.
+    release_persisted()
     assert ok, f"{name} witness broke at x{REP}: {msg}"
