@@ -68,6 +68,14 @@ HEADLINE = [
     "q_tpch_q2_min_cost_supplier",
     "q_tpch_q9_product_profit",
     "q_tpch_q11_important_stock",
+    # r12 (VERDICT r11 item 3): iterative-graph tripwires — the family
+    # had 5 plans rewritten in r11 and was the only scale-studied
+    # family with no per-round regression check. PageRank and BFS are
+    # the two cheap-at-sf0.1 rungs (the components/triangle rungs stay
+    # SCALE.md-only at 10-15 s each); recorded-number targets in
+    # BASELINE.md per the r7 precedent for shapes without probe rows.
+    "q_graph_pagerank",
+    "q_graph_bfs_hops",
 ]
 
 

@@ -185,6 +185,21 @@ def tracked_persist(df):
     return df
 
 
+def touch_persisted(df) -> bool:
+    """Re-stamp a tracked frame with the CURRENT generation; returns
+    False when the frame is no longer tracked (already released), in
+    which case the caller must rebuild. This is how a cache shared
+    ACROSS queries (the graph family's near-dup edge build, r12)
+    composes with the generation contract: each reuse renews the
+    one-boundary grace, so the cache lives exactly as long as
+    consecutive queries keep consuming it, and an idle cache still
+    ages out on schedule."""
+    if any(d is df for d in _TRACKED_PERSISTS):
+        _PERSIST_GEN[id(df)] = _GENERATION
+        return True
+    return False
+
+
 def release_persisted(session=None, before_generation=None) -> int:
     """Unpersist tracked intermediates; returns the count released.
 

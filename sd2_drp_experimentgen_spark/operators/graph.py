@@ -17,6 +17,9 @@ as the large-star/small-star CC algorithm used at web scale.
 
 from __future__ import annotations
 
+import os
+import weakref
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -25,12 +28,45 @@ from ..sources.tables import load_table
 
 MAX_ROUNDS = 25
 
-# Telemetry for tools/graph_scale_study.py: rounds the last
-# q_dedup_components run took to converge (pointer jumping predicts
-# O(log diameter), and replica growth must NOT change it — the study's
-# central iterative-scaling claim). Written, never read, by the
-# operator; plans are unaffected.
-CC_ROUNDS_LAST = 0
+# Per-session shared near-dup pair build (VERDICT r11 item 4): keyed
+# (sf_dir, documents mtime) under a session weak-key, mirroring
+# sources/tables._RELATION_CACHE's invalidation discipline.
+_ND_PAIRS_CACHE: weakref.WeakKeyDictionary = weakref.WeakKeyDictionary()
+
+
+def nd_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The J>=0.6 near-dup pair relation (id_lo, id_hi) — THE edge
+    build shared by q_dedup_components / q_dedup_cluster_stats /
+    q_dedup_survivor_quality / q_graph_triangle_count. The r11 scale
+    study measured edge construction at ~80% of CC wall at x32
+    (43.9 s of 54 s of a components run), and each of the four
+    consumers used to rebuild it from scratch; one tracked_persist'ed
+    build per (session, corpus) now serves a whole sweep. Lifecycle
+    obeys the r9 generation contract: the persisted frame ages out
+    one harness boundary after its last use, and every reuse
+    re-stamps it with the current generation (touch_persisted), so a
+    burst of graph queries builds edges ONCE while an idle cache
+    still releases on schedule. A released or invalidated (mtime
+    bump) entry rebuilds transparently."""
+    from ..functions.helpers import touch_persisted, tracked_persist
+
+    try:
+        mtime = os.stat(os.path.join(sf_dir, "documents.parquet")).st_mtime_ns
+    except OSError:
+        mtime = -1
+    key = (sf_dir, mtime)
+    per = _ND_PAIRS_CACHE.setdefault(spark, {})
+    df = per.get(key)
+    if df is not None and touch_persisted(df):
+        return df
+    from .text import q_neardup_jaccard
+
+    df = tracked_persist(
+        q_neardup_jaccard(spark, sf_dir).select("id_lo", "id_hi")
+    )
+    per.clear()  # one live pair build per session: stale keys drop
+    per[key] = df
+    return df
 
 # The same near-dup pair relation as q_neardup_jaccard's oracle,
 # reused as the edge list of the recursive-closure oracle below.
@@ -86,11 +122,11 @@ _PAIRS_SQL = """
     "100 TB this grouping step is what turns pairwise candidates "
     "into dedup decisions; labels (two longs) are all that shuffles.",
 )
-def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .text import q_neardup_jaccard
-
+def q_dedup_components(
+    spark: SparkSession, sf_dir: str, _telemetry: dict | None = None
+) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    pairs = q_neardup_jaccard(spark, sf_dir).select("id_lo", "id_hi")
+    pairs = nd_pairs(spark, sf_dir)
     edges = (
         pairs.select(F.col("id_lo").alias("src"), F.col("id_hi").alias("dst"))
         .unionAll(
@@ -114,13 +150,16 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     # as a full per-round stage at every scale (tools/
     # graph_scale_study.py). Summed in decimal(38,0): node ids reach
     # rep*DOC_STRIDE at study scale and 100 TB corpora push the int64
-    # sum's headroom.
-    global CC_ROUNDS_LAST
+    # sum's headroom. Convergence-round telemetry goes to the CALLER'S
+    # dict when one is passed (_telemetry — the scale study's probe),
+    # never to module state: VERDICT r11 item 8, operators must not
+    # mutate globals per execution.
     prev_sum = labels.agg(
         F.sum(F.col("label").cast("decimal(38,0)"))
     ).first()[0]
     for rnd in range(MAX_ROUNDS):
-        CC_ROUNDS_LAST = rnd + 1
+        if _telemetry is not None:
+            _telemetry["rounds"] = rnd + 1
         # propagate: min label over the closed neighborhood
         neighbor = (
             edges.join(labels, edges.dst == labels.node)
@@ -566,13 +605,11 @@ def q_dedup_survivor_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     "prefix filter.",
 )
 def q_graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .text import q_neardup_jaccard
-
-    e = (
-        q_neardup_jaccard(spark, sf_dir)
-        .select("id_lo", "id_hi")
-        .localCheckpoint()  # computed once, joined three times
-    )
+    # The shared persisted pair build serves the "computed once,
+    # joined three times" role the pre-r12 localCheckpoint played —
+    # columnar InMemoryTableScan per wedge/close join, and the build
+    # itself is reused across the whole graph family (nd_pairs).
+    e = nd_pairs(spark, sf_dir)
     wedges = (
         e.alias("e1")
         .join(e.alias("e2"), F.col("e2.id_lo") == F.col("e1.id_lo"))

@@ -35,18 +35,14 @@ def _token_vectors(spark: SparkSession, sf_dir: str):
     return model.transform(tokenized).select("doc_id", "source", "features")
 
 
-@register(
-    "q_dedup_minhash_lsh",
-    oracle=None,
-    tier="P2",
-    doc="MinHash-LSH near-duplicate candidates — the 100 TB path for "
-    "q_neardup_jaccard: shingle/token sets -> binary vectors -> MinHash "
-    "signatures -> approxSimilarityJoin (band-bucket join under the "
-    "hood), exact Jaccard distance <= 0.4 refined on candidates only. "
-    "Self-test: candidates cover the exact pairs with J >= 0.8. "
-    "Shuffle moves signatures, never token sets.",
-)
-def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+def lsh_refined_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The raw MinHash-LSH near-duplicate pair frame (id_lo, id_hi,
+    jaccard_sim): token sets -> binary vectors -> MinHash signatures ->
+    approxSimilarityJoin (band-bucket join under the hood), exact
+    Jaccard distance <= 0.4 refined on candidates only. The pair SET
+    depends on the seeded hash family, so it stays out of any driver
+    hash — q_dedup_minhash_lsh wraps it in the exact-companion+witness
+    form; the pytest self-check consumes it directly."""
     from pyspark.ml.feature import MinHashLSH
 
     vecs = _token_vectors(spark, sf_dir)
@@ -64,6 +60,89 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("datasetB.doc_id").alias("id_hi"),
             F.round(F.lit(1.0) - F.col("jaccard_dist"), 4).alias("jaccard_sim"),
         )
+    )
+
+
+@register(
+    "q_dedup_minhash_lsh",
+    oracle="""
+    WITH dt AS (
+      SELECT DISTINCT doc_id, source, token
+      FROM (SELECT doc_id, source, unnest(string_split(text, ' ')) AS token
+            FROM documents)
+    ), sizes AS (
+      SELECT doc_id, count(*) AS n_tok FROM dt GROUP BY doc_id
+    ), inter AS (
+      SELECT a.doc_id AS id_lo, b.doc_id AS id_hi, a.source AS source,
+             count(*) AS n_inter
+      FROM dt a JOIN dt b
+        ON a.token = b.token AND a.source = b.source
+       AND a.doc_id < b.doc_id
+      GROUP BY 1, 2, 3
+    ), pairs AS (
+      SELECT source,
+             floor((CAST(n_inter AS DOUBLE)
+                    / (sa.n_tok + sb.n_tok - n_inter)) * 10000 + 0.5) / 10000
+               AS jaccard
+      FROM inter
+      JOIN sizes sa ON sa.doc_id = id_lo
+      JOIN sizes sb ON sb.doc_id = id_hi
+      WHERE CAST(n_inter AS DOUBLE) / (sa.n_tok + sb.n_tok - n_inter) >= 0.6
+    )
+    SELECT source,
+           count(*) AS n_pairs_06,
+           count(*) FILTER (jaccard >= 0.8) AS n_pairs_08,
+           count(*) FILTER (jaccard >= 0.8) AS covered_08,
+           true AS recall_ok
+    FROM pairs
+    GROUP BY source
+    """,
+    tier="P2",
+    doc="MinHash-LSH near-duplicate detection — the 100 TB path for "
+    "q_neardup_jaccard — promoted from rows-only to a HASH check in "
+    "round 12 (VERDICT r11 item 2) via the exact-companion+witness "
+    "pattern that promoted KMeans (r7), the MLlib pipeline (r8) and "
+    "the multimodal decodes (r10). Emitted rows are per-source: "
+    "n_pairs_06/n_pairs_08 are EXACT same-source near-dup pair counts "
+    "at J >= 0.6 / 0.8 (computed by the registered exact plan — "
+    "SQL-expressible companion values); covered_08 counts how many of "
+    "the J >= 0.8 ground-truth pairs appear in the LSH-refined "
+    "candidate set, and recall_ok pins covered_08 == n_pairs_08. The "
+    "seeded hash family itself stays OUT of the hash (the raw pair "
+    "set lives in lsh_refined_pairs). The witness holds with margin: "
+    "OR-amplification over 8 hash tables misses a J >= 0.8 pair with "
+    "p <= 0.2^8 = 2.6e-6, and the fixed-seed measurement is exact "
+    "coverage at both fixture scales (1540/1540 at sf0.001, 1506/1506 "
+    "at sf0.01). 100 TB: approxSimilarityJoin shuffles signatures "
+    "(never token sets) through band buckets — candidates, not "
+    "all-pairs; the exact companion reuses q_neardup_jaccard's "
+    "prefix-filtered plan, quadratic only inside blocked candidate "
+    "buckets.",
+)
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .text import q_neardup_jaccard
+
+    cand = (
+        lsh_refined_pairs(spark, sf_dir)
+        .select("id_lo", "id_hi")
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    exact = q_neardup_jaccard(spark, sf_dir)  # same-source, J >= 0.6
+    src = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("id_lo"), "source"
+    )
+    j8 = (F.col("jaccard") >= 0.8).cast("long")
+    return (
+        exact.join(src, "id_lo")
+        .join(cand, ["id_lo", "id_hi"], "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs_06"),
+            F.sum(j8).alias("n_pairs_08"),
+            F.sum(j8 * F.coalesce(F.col("hit"), F.lit(0))).alias("covered_08"),
+        )
+        .withColumn("recall_ok", F.col("covered_08") == F.col("n_pairs_08"))
     )
 
 

@@ -112,3 +112,45 @@ def test_before_generation_scoping(spark):
     assert not old.is_cached and new.is_cached
     assert [id(d) for d in _TRACKED_PERSISTS] == [id(new)]
     _drain()
+
+
+def test_nd_pairs_shared_and_rebuilt_after_release(spark):
+    """r12 (VERDICT r11 item 4): the graph family's near-dup edge
+    build is ONE tracked_persist'ed frame per (session, corpus) —
+    repeated consumers get the identical cached frame; a release
+    invalidates the memo and the next consumer rebuilds."""
+    from sd2_drp_experimentgen_spark.operators import graph
+
+    _drain()
+    a = graph.nd_pairs(spark, SF_T1)
+    b = graph.nd_pairs(spark, SF_T1)
+    assert a is b and a.is_cached
+    release_persisted()
+    assert not a.is_cached
+    c = graph.nd_pairs(spark, SF_T1)
+    assert c is not a and c.is_cached
+    _drain()
+
+
+def test_nd_pairs_touch_renews_generation_grace(spark):
+    """Reuse across harness query boundaries re-stamps the cache with
+    the current generation (touch_persisted), so it survives exactly
+    as long as consecutive queries keep consuming it and ages out one
+    boundary after the last touch — the driver-sweep contract."""
+    from sd2_drp_experimentgen_spark.operators import graph
+
+    _drain()
+    a = graph.nd_pairs(spark, SF_T1)
+    gen = advance_persist_generation()
+    release_persisted(before_generation=gen - 1)
+    assert a.is_cached  # one boundary of grace
+    assert graph.nd_pairs(spark, SF_T1) is a  # touch: re-stamped
+
+    gen = advance_persist_generation()
+    release_persisted(before_generation=gen - 1)
+    assert a.is_cached, "touched cache must survive the next boundary"
+
+    gen = advance_persist_generation()  # no touch this generation
+    release_persisted(before_generation=gen - 1)
+    assert not a.is_cached, "idle cache must age out on schedule"
+    _drain()

@@ -258,20 +258,29 @@ def run_rung(spark, name: str, sf_dir: str, runs: int = 2):
     )
     from sd2_drp_experimentgen_spark.operators import graph as graph_mod
 
-    fn = all_specs()[name].fn
-    rows = fn(spark, sf_dir).count()  # warm-up
+    # Convergence telemetry via the operator's caller-owned dict
+    # (r12: CC_ROUNDS_LAST module global removed — operators no
+    # longer mutate module state per execution).
+    telem: dict = {}
+
+    def build():
+        if name == "q_dedup_components":
+            return graph_mod.q_dedup_components(
+                spark, sf_dir, _telemetry=telem
+            )
+        return all_specs()[name].fn(spark, sf_dir)
+
+    rows = build().count()  # warm-up
     release_persisted()
     _drop_checkpoints(spark)
-    best, rounds = float("inf"), None
+    best = float("inf")
     for _ in range(runs):
         t0 = time.perf_counter()
-        fn(spark, sf_dir).count()
+        build().count()
         best = min(best, time.perf_counter() - t0)
         release_persisted()
         _drop_checkpoints(spark)
-        if name == "q_dedup_components":
-            rounds = graph_mod.CC_ROUNDS_LAST
-    return round(best, 3), rows, rounds
+    return round(best, 3), rows, telem.get("rounds")
 
 
 def per_round_walls(spark, doc_dir: str, graph_dir: str) -> dict:
