@@ -560,6 +560,89 @@ def q_dedup_survivor_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Hub budget for the id-oriented triangle form: the MAX single-node
+# wedge count C(out_deg, 2) the id orientation may enumerate before
+# the plan switches to degree orientation (same triangles, same
+# per-node counts; a hub's fan-out becomes C(forward_degree, 2) in
+# the (deg, id) total order, ~0 for the hottest node). CONCENTRATION
+# is the right signal, not total volume: the r11 x64 study pushed
+# 1.35G TOTAL wedges through the id form in 96 s because they spread
+# over 354k nodes, while the r12 skew probe (tools/
+# triangle_skew_probe.py, SCALE.md round 12) showed ONE low-id hub
+# stalling a single task — measured crossover on 200k-node/600k-edge
+# lattice corpora: hub C(H,2) = 9.0M wedges -> id 1.34 s vs deg
+# 5.11 s (id wins, degree join overhead dominates); 134.8M -> id
+# 12.83 s vs deg 5.29 s (deg wins). Linear model walls cross at
+# ~47M single-node wedges; cap set just under. The fixture pair
+# graph (max out-degree <= 221, <= 24k wedges/node at every studied
+# replica scale — replicas never interconnect) stays on the
+# measured-best id path everywhere.
+TRI_ID_HUB_WEDGE_CAP = 40_000_000
+
+
+def _tri_counts_degree_oriented(e: DataFrame) -> DataFrame:
+    """Per-node triangle counts via DEGREE-oriented wedge join — the
+    standard web-scale skew guard: every edge orients from the lower
+    to the higher endpoint in the (degree, id) total order, so each
+    node's wedge fan-out is C(forward_degree, 2) and a hub (highest
+    order) has forward degree ~0 instead of ~deg(hub). Produces
+    exactly the same triangles as the id-oriented form (any total
+    order counts each triangle once from its smallest corner), hence
+    bit-identical per-node counts — pytest forces this path on the
+    fixture corpus and asserts equality."""
+    deg = (
+        e.select(F.col("id_lo").alias("v"))
+        .unionAll(e.select(F.col("id_hi").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    el = e.join(
+        deg.select(F.col("v").alias("id_lo"), F.col("deg").alias("dlo")),
+        "id_lo",
+    ).join(
+        deg.select(F.col("v").alias("id_hi"), F.col("deg").alias("dhi")),
+        "id_hi",
+    )
+    lo_first = (F.col("dlo") < F.col("dhi")) | (
+        (F.col("dlo") == F.col("dhi")) & (F.col("id_lo") < F.col("id_hi"))
+    )
+    d = el.select(
+        F.when(lo_first, F.col("id_lo")).otherwise(F.col("id_hi")).alias("src"),
+        F.when(lo_first, F.col("id_hi")).otherwise(F.col("id_lo")).alias("dst"),
+        F.when(lo_first, F.col("dhi")).otherwise(F.col("dlo")).alias("ddst"),
+    )
+    # Wedge (a; b, c) with order(b) < order(c): carried ddst columns
+    # compare (deg, id) without packing into one integer (doc ids at
+    # study scale would overflow a composite).
+    w = (
+        d.alias("d1")
+        .join(d.alias("d2"), F.col("d2.src") == F.col("d1.src"))
+        .where(
+            (F.col("d1.ddst") < F.col("d2.ddst"))
+            | (
+                (F.col("d1.ddst") == F.col("d2.ddst"))
+                & (F.col("d1.dst") < F.col("d2.dst"))
+            )
+        )
+        .select(
+            F.col("d1.src").alias("a"),
+            F.col("d1.dst").alias("b"),
+            F.col("d2.dst").alias("c"),
+        )
+    )
+    # Close: the (b, c) edge is oriented b -> c by construction
+    # (order(b) < order(c)), so one equi-join against d suffices.
+    tri = w.join(
+        d.alias("d3"),
+        (F.col("d3.src") == F.col("b")) & (F.col("d3.dst") == F.col("c")),
+    ).select("a", "b", "c")
+    return (
+        tri.select(F.explode(F.array("a", "b", "c")).alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+
+
 @register(
     "q_graph_triangle_count",
     oracle=f"""
@@ -590,19 +673,25 @@ def q_dedup_survivor_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     "self-join on the lower endpoint, and one more join against the "
     "edge set closes them — every triangle is counted exactly once "
     "with no direction explosion. Per-node counts come from "
-    "exploding each triangle's three corners into a groupBy. At "
-    "100 TB the id orientation is replaced by DEGREE orientation "
-    "(orient each edge toward the higher-degree endpoint) so a hub "
-    "node's wedge fan-out is bounded by its forward degree — the "
-    "standard skew guard for web-scale triangle counting; the join "
-    "shape is identical. Measured on this corpus (r11 study, sf0.1: "
-    "354k edges, max degree 221): degree orientation would cut "
-    "wedges only 21.1M -> 19.3M (-9%), so the simpler id form is "
-    "kept; the x64 sweep put pair generation at 72 s and the "
-    "wedge+close joins at 96 s over 1.35G wedges (SCALE.md round "
-    "11). Edges (two longs) are all that shuffles; the "
+    "exploding each triangle's three corners into a groupBy. Skew "
+    "guard (r12, measured): a scalar pre-aggregate finds the hottest "
+    "node's wedge count max C(out_deg, 2); past TRI_ID_HUB_WEDGE_CAP "
+    "the plan switches to DEGREE orientation "
+    "(_tri_counts_degree_oriented — orient toward the higher "
+    "(degree, id) endpoint, hub fan-out ~0, bit-identical counts, "
+    "pytest-forced). The r12 probe (tools/triangle_skew_probe.py) "
+    "put the crossover at ~47M single-node wedges on this box: a "
+    "C(4096,2)=9M hub still ran the id form 3.8x FASTER than the "
+    "degree form's extra degree join (1.34 s vs 5.11 s), while a "
+    "C(16384,2)=135M hub flipped it (12.83 s vs 5.29 s). This "
+    "corpus (r11 study, sf0.1: 354k edges, max degree 221, <=24k "
+    "wedges per node at every replica scale) stays on the id form — "
+    "degree orientation would cut TOTAL wedges only 21.1M -> 19.3M "
+    "(-9%), and the x64 sweep pushed 1.35G well-spread wedges "
+    "through it in 96 s (concentration, not volume, is what breaks "
+    "the form). Edges (two longs) are all that shuffles; the "
     "candidate-pair generation reuses q_neardup_jaccard's ppjoin "
-    "prefix filter.",
+    "prefix filter via the shared nd_pairs build.",
 )
 def q_graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The shared persisted pair build serves the "computed once,
@@ -610,6 +699,29 @@ def q_graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     # columnar InMemoryTableScan per wedge/close join, and the build
     # itself is reused across the whole graph family (nd_pairs).
     e = nd_pairs(spark, sf_dir)
+    # Skew gate (r12): one cheap scalar pre-aggregate over the
+    # persisted pairs finds the HOTTEST node's id-form wedge count
+    # max C(out_deg, 2); past TRI_ID_HUB_WEDGE_CAP (a single task
+    # stalling on one hub — see the constant's probe numbers) the
+    # degree-oriented form takes over, bit-identical counts. Same
+    # driver-scalar control discipline as the CC convergence check.
+    hub_wedges = (
+        e.groupBy("id_lo")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(F.max(F.expr("n * (n - 1) div 2")).alias("w"))
+        .first()[0]
+        or 0
+    )
+    if hub_wedges > TRI_ID_HUB_WEDGE_CAP:
+        return _tri_counts_degree_oriented(e)
+    return _tri_counts_id_oriented(e)
+
+
+def _tri_counts_id_oriented(e: DataFrame) -> DataFrame:
+    """Per-node triangle counts via the simpler ID-oriented wedge
+    join (edges kept once as id_lo < id_hi; wedge fan-out is the raw
+    id-order out-degree) — the measured-best form for hub-free
+    corpora like the near-dup pair graph (max degree 221 at sf0.1)."""
     wedges = (
         e.alias("e1")
         .join(e.alias("e2"), F.col("e2.id_lo") == F.col("e1.id_lo"))

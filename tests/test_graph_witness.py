@@ -129,3 +129,46 @@ def test_bipartite_witness_matches_spark_at_x3(spark, x3_graph, name):
     # session-scoped fixture — the same carryover the study guards.
     release_persisted()
     assert ok, f"{name} witness broke at x{REP}: {msg}"
+
+
+def test_triangle_orientations_bit_identical(spark):
+    """r12 skew gate: forcing the degree-oriented path on the fixture
+    corpus must reproduce the id-oriented per-node triangle counts
+    bit-for-bit (any total order counts each triangle exactly once
+    from its smallest corner)."""
+    from sd2_drp_experimentgen_spark.functions.helpers import (
+        release_persisted,
+    )
+    from sd2_drp_experimentgen_spark.operators import graph
+
+    e = graph.nd_pairs(spark, SF)
+    a = sorted(tuple(r) for r in graph._tri_counts_id_oriented(e).collect())
+    b = sorted(
+        tuple(r) for r in graph._tri_counts_degree_oriented(e).collect()
+    )
+    release_persisted()
+    assert a and a == b
+
+
+def test_triangle_gate_picks_id_form_on_fixture(spark, monkeypatch):
+    """The fixture pair graph (max degree 221) sits far below
+    TRI_ID_HUB_WEDGE_CAP, so the registered query stays on the measured-
+    best id form; forcing the cap to 0 flips to degree orientation
+    with identical output."""
+    from sd2_drp_experimentgen_spark.functions.helpers import (
+        release_persisted,
+    )
+    from sd2_drp_experimentgen_spark.operators import graph
+    from sd2_drp_experimentgen_spark.plans import all_specs
+
+    base = sorted(
+        tuple(r)
+        for r in all_specs()["q_graph_triangle_count"].fn(spark, SF).collect()
+    )
+    monkeypatch.setattr(graph, "TRI_ID_HUB_WEDGE_CAP", 0)
+    forced = sorted(
+        tuple(r)
+        for r in all_specs()["q_graph_triangle_count"].fn(spark, SF).collect()
+    )
+    release_persisted()
+    assert base == forced
