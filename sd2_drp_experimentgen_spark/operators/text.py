@@ -160,6 +160,65 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Vocabulary width (distinct tokens) at or below which the near-dup
+# pair scan switches to the BITSET path: each doc's distinct-token
+# set packs into one int64 mask (bits 0..62), intersection size is
+# bit_count(a & b), and the whole verify collapses to codegen'd
+# integer ops on 8-byte payloads. The gate exists because prefix
+# filtering is provably USELESS on tiny vocabularies — the r12
+# profile measured the ppjoin path emitting 619 835 candidates out of
+# a possible 622 500 same-source pairs at sf0.1 (31-token vocab:
+# every prefix shares tokens with nearly every other doc), then
+# paying ~4 s of array_intersect on string arrays; the bitset scan
+# does the same pair coverage on masks for ~5x less total wall
+# (8.4 s -> 1.6 s, SCALE.md round 12). 63 not 64: bits 0..62 keep the
+# mask sum inside signed int64.
+ND_BITSET_VOCAB_MAX = 63
+
+
+def _neardup_bitset(dt: DataFrame, tok_df: DataFrame) -> DataFrame:
+    """Small-vocabulary exact-Jaccard pair scan: deterministic bit
+    index per token (alphabetical — the global window runs over the
+    <= 63-row vocabulary, bounded by ND_BITSET_VOCAB_MAX's gate, never
+    by data volume), one int64 mask per doc, same-source pair join
+    with bit_count(ma & mb) as the intersection. Bit-identical to the
+    ppjoin path (pytest forces both on the same corpus): n_inter is
+    the same integer, the J divide is the same IEEE op."""
+    from ..functions.helpers import r4
+
+    idx = tok_df.select(
+        "token",
+        (F.row_number().over(Window.orderBy("token")) - 1).alias("bit"),
+    )
+    masks = (
+        dt.join(F.broadcast(idx), "token")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.sum(F.expr("CAST(1 AS BIGINT) << bit")).alias("mask"),
+            F.count(F.lit(1)).alias("n_tok"),
+        )
+    )
+    a = masks.select(
+        F.col("doc_id").alias("id_lo"),
+        "source",
+        F.col("mask").alias("ma"),
+        F.col("n_tok").alias("na"),
+    )
+    b = masks.select(
+        F.col("doc_id").alias("id_hi"),
+        F.col("source").alias("sb"),
+        F.col("mask").alias("mb"),
+        F.col("n_tok").alias("nb"),
+    )
+    n_inter = F.bit_count(F.col("ma").bitwiseAND(F.col("mb"))).cast("long")
+    j = n_inter.cast("double") / (F.col("na") + F.col("nb") - n_inter)
+    return (
+        a.join(b, (F.col("source") == F.col("sb")) & (F.col("id_lo") < F.col("id_hi")))
+        .where(j >= 0.6)
+        .select("id_lo", "id_hi", r4(j).alias("jaccard"))
+    )
+
+
 @register(
     "q_neardup_jaccard",
     oracle="""
@@ -191,17 +250,27 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     "J >= 0.6. All arithmetic is integer counts + one float divide, so "
     "cross-engine bit-deterministic. This is the ground truth the "
     "MinHash-LSH scale path (q_dedup_minhash_lsh) is checked against. "
-    "Candidate generation is PREFIX-FILTERED (ppjoin-style, VERDICT r2 "
-    "item 5): tokens are globally ordered by (document-frequency asc, "
-    "token asc) and each doc joins only on its first "
-    "n - ceil(0.6*n) + 1 rarest tokens. Lossless at J >= 0.6 — if "
-    "J(A,B) >= t, the globally-rarest common token sits inside both "
-    "prefixes (all common tokens would otherwise fit in a suffix of "
-    "size ceil(t*n)-1 < |A∩B|) — and the hot stopwords that made the "
-    "naive token self-join O(df^2) sort LAST, so they never enter the "
-    "join. Verification is per-candidate-pair array_intersect on the "
-    "(per-doc, bounded) token sets. Prefix length uses integer "
-    "arithmetic (n - (3n+4) div 5 + 1) to dodge FP ceil(0.6*5)=4.",
+    "TWO measured paths behind one vocabulary gate (r12): at <= 63 "
+    "distinct tokens the per-doc sets pack into int64 BITSET masks and "
+    "the same-source pair scan verifies with bit_count(a & b) — prefix "
+    "filtering cannot help there (the r12 profile measured 619 835 of "
+    "622 500 possible same-source pairs surviving the prefix filter on "
+    "the 31-token corpus) and the mask scan is ~5x faster end-to-end. "
+    "Above the gate, candidate generation is PREFIX-FILTERED "
+    "(ppjoin-style, VERDICT r2 item 5): tokens are globally ordered by "
+    "(document-frequency asc, token asc) and each doc joins only on "
+    "its first n - ceil(0.6*n) + 1 rarest tokens. Lossless at "
+    "J >= 0.6 — if J(A,B) >= t, the globally-rarest common token sits "
+    "inside both prefixes (all common tokens would otherwise fit in a "
+    "suffix of size ceil(t*n)-1 < |A∩B|) — and the hot stopwords that "
+    "made the naive token self-join O(df^2) sort LAST, so they never "
+    "enter the join. Verification is per-candidate-pair "
+    "array_intersect on the (per-doc, bounded) token sets. Prefix "
+    "length uses integer arithmetic (n - (3n+4) div 5 + 1) to dodge "
+    "FP ceil(0.6*5)=4. Both paths produce bit-identical pairs "
+    "(pytest-forced); the 100 TB story is per-path: big vocabularies "
+    "take ppjoin (stopwords never join), tag/label/enum-like corpora "
+    "take the mask scan (8-byte payloads, one broadcastable index).",
 )
 def q_neardup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.helpers import r4
@@ -211,6 +280,12 @@ def q_neardup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "source", F.explode(F.split(F.col("text"), " ")).alias("token")
     ).distinct()
     tok_df = dt.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    # Path gate: one scalar over the (already tiny) vocabulary
+    # aggregate — same driver-control discipline as the graph loops'
+    # convergence scalars. See ND_BITSET_VOCAB_MAX for the measured
+    # rationale; both paths are bit-identical (pytest-forced).
+    if tok_df.count() <= ND_BITSET_VOCAB_MAX:
+        return _neardup_bitset(dt, tok_df)
     ranked = (
         dt.join(tok_df, "token")
         .withColumn(

@@ -319,12 +319,17 @@ def test_rebalance_hint_plans_aqe_shuffle(spark):
     assert "rebalance" in p.lower(), p
 
 
-def test_neardup_token_join_is_prefix_bounded(spark):
+def test_neardup_token_join_is_prefix_bounded(spark, monkeypatch):
     """The exact-Jaccard candidate self-join must consume PREFIX-FILTERED
     inputs on BOTH sides (VERDICT r2 item 5): a `rn <= n_tok - ceil(0.6
     n_tok) + 1` Filter above each Window, so a hot stopword (highest df,
     sorts last) never enters the join and the old O(df^2) fan-out is
-    gone. The integer prefix bound shows up as `div 5` in the plan."""
+    gone. The integer prefix bound shows up as `div 5` in the plan.
+    Since r12 this is the ABOVE-GATE path (vocab > ND_BITSET_VOCAB_MAX)
+    — forced here; the default small-vocab plan is pinned separately."""
+    from sd2_drp_experimentgen_spark.operators import text as text_mod
+
+    monkeypatch.setattr(text_mod, "ND_BITSET_VOCAB_MAX", -1)
     p = plan(all_specs()["q_neardup_jaccard"].fn(spark, SF_T2), "simple")
     assert p.count("div 5") >= 2, p  # prefix Filter on both join inputs
     # the doc<doc candidate join keys on token (+ source block), not on
@@ -335,6 +340,24 @@ def test_neardup_token_join_is_prefix_bounded(spark):
         if "Join [token" in l and "doc_id" in l and "<" in l
     ]
     assert joins, p
+
+
+def test_neardup_bitset_plan_is_mask_scan(spark):
+    """The r12 default path on this corpus (31-token vocab): per-doc
+    int64 masks, bit_count verify, and the pair join keyed on the
+    source BLOCK — never on token (no token self-join exists in the
+    plan at all), so payloads are 8-byte masks instead of string
+    arrays."""
+    p = plan(all_specs()["q_neardup_jaccard"].fn(spark, SF_T2), "simple")
+    assert "bit_count" in p, p
+    assert "array_intersect" not in p, p
+    # every token-keyed join is the BROADCAST vocabulary-index attach;
+    # docs never shuffle-join on token in this path
+    token_joins = [l for l in p.splitlines() if "Join [token" in l]
+    assert token_joins and all(
+        "BroadcastHashJoin" in l for l in token_joins
+    ), p
+    assert "CartesianProduct" not in p and "NestedLoop" not in p, p
 
 
 def test_pii_redact_scan_prunes_and_stays_shuffle_free(spark):

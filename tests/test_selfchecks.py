@@ -392,3 +392,19 @@ def test_wav_decoder_parses_and_rejects():
         _decode_wav(wav(channels=2))
     with pytest.raises(ValueError):
         _decode_wav(wav()[:-2])  # truncated data chunk
+
+
+def test_neardup_paths_bit_identical(spark, monkeypatch):
+    """r12 vocabulary gate: the default bitset path (31-token fixture
+    vocab) and the forced ppjoin prefix-filter path must emit the
+    same pairs with the same rounded jaccard, bit for bit."""
+    from sd2_drp_experimentgen_spark.operators import text as text_mod
+
+    base = sorted(
+        tuple(r) for r in text_mod.q_neardup_jaccard(spark, SF_T2).collect()
+    )
+    monkeypatch.setattr(text_mod, "ND_BITSET_VOCAB_MAX", -1)
+    forced = sorted(
+        tuple(r) for r in text_mod.q_neardup_jaccard(spark, SF_T2).collect()
+    )
+    assert base and base == forced
