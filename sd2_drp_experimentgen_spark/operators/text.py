@@ -176,21 +176,18 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 ND_BITSET_VOCAB_MAX = 63
 
 
-def _neardup_bitset(dt: DataFrame, tok_df: DataFrame) -> DataFrame:
-    """Small-vocabulary exact-Jaccard pair scan: deterministic bit
-    index per token (alphabetical — the global window runs over the
-    <= 63-row vocabulary, bounded by ND_BITSET_VOCAB_MAX's gate, never
-    by data volume), one int64 mask per doc, same-source pair join
-    with bit_count(ma & mb) as the intersection. Bit-identical to the
-    ppjoin path (pytest forces both on the same corpus): n_inter is
-    the same integer, the J divide is the same IEEE op."""
-    from ..functions.helpers import r4
-
+def _doc_masks(dt: DataFrame, tok_df: DataFrame) -> DataFrame:
+    """(doc_id, source, mask, n_tok) with each doc's distinct-token
+    set packed into one int64 mask. Deterministic bit index per token
+    (alphabetical — the global window runs over the <= 63-row
+    vocabulary, bounded by ND_BITSET_VOCAB_MAX's gate, never by data
+    volume); the index attaches by broadcast so docs never shuffle on
+    token in this path."""
     idx = tok_df.select(
         "token",
         (F.row_number().over(Window.orderBy("token")) - 1).alias("bit"),
     )
-    masks = (
+    return (
         dt.join(F.broadcast(idx), "token")
         .groupBy("doc_id", "source")
         .agg(
@@ -198,6 +195,12 @@ def _neardup_bitset(dt: DataFrame, tok_df: DataFrame) -> DataFrame:
             F.count(F.lit(1)).alias("n_tok"),
         )
     )
+
+
+def _mask_pairs(masks: DataFrame) -> DataFrame:
+    """Same-source unordered doc pairs over the mask frame, with the
+    exact intersection size bit_count(ma & mb) — the shared verify of
+    both bitset paths (Jaccard and containment)."""
     a = masks.select(
         F.col("doc_id").alias("id_lo"),
         "source",
@@ -210,12 +213,46 @@ def _neardup_bitset(dt: DataFrame, tok_df: DataFrame) -> DataFrame:
         F.col("mask").alias("mb"),
         F.col("n_tok").alias("nb"),
     )
-    n_inter = F.bit_count(F.col("ma").bitwiseAND(F.col("mb"))).cast("long")
+    return a.join(
+        b, (F.col("source") == F.col("sb")) & (F.col("id_lo") < F.col("id_hi"))
+    ).withColumn(
+        "n_inter", F.bit_count(F.col("ma").bitwiseAND(F.col("mb"))).cast("long")
+    )
+
+
+def _neardup_bitset(dt: DataFrame, tok_df: DataFrame) -> DataFrame:
+    """Small-vocabulary exact-Jaccard pair scan: one int64 mask per
+    doc, same-source pair join with bit_count(ma & mb) as the
+    intersection. Bit-identical to the ppjoin path (pytest forces
+    both on the same corpus): n_inter is the same integer, the J
+    divide is the same IEEE op."""
+    from ..functions.helpers import r4
+
+    pairs = _mask_pairs(_doc_masks(dt, tok_df))
+    n_inter = F.col("n_inter")
     j = n_inter.cast("double") / (F.col("na") + F.col("nb") - n_inter)
     return (
-        a.join(b, (F.col("source") == F.col("sb")) & (F.col("id_lo") < F.col("id_hi")))
-        .where(j >= 0.6)
+        pairs.where(j >= 0.6)
         .select("id_lo", "id_hi", r4(j).alias("jaccard"))
+    )
+
+
+def _containment_bitset(dt: DataFrame, tok_df: DataFrame) -> DataFrame:
+    """Small-vocabulary asymmetric-containment scan — same mask frame,
+    C = n_inter / min(na, nb) >= 0.7. Bit-identical to the asymmetric
+    ppjoin path (pytest-forced)."""
+    from ..functions.helpers import r4
+
+    pairs = _mask_pairs(_doc_masks(dt, tok_df))
+    c = F.col("n_inter").cast("double") / F.least("na", "nb")
+    return (
+        pairs.where(c >= 0.7)
+        .select(
+            "id_lo",
+            "id_hi",
+            F.least("na", "nb").cast("long").alias("n_small"),
+            r4(c).alias("containment"),
+        )
     )
 
 
@@ -399,6 +436,11 @@ def q_neardup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "source", F.explode(F.split(F.col("text"), " ")).alias("token")
     ).distinct()
     tok_df = dt.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    # Same vocabulary gate as q_neardup_jaccard (r12): the shared
+    # mask frame verifies containment with bit_count; both paths are
+    # bit-identical (pytest-forced).
+    if tok_df.count() <= ND_BITSET_VOCAB_MAX:
+        return _containment_bitset(dt, tok_df)
     ranked = (
         dt.join(tok_df, "token")
         .withColumn(
@@ -518,6 +560,36 @@ def q_text_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _threshold_curve_rollup(d: DataFrame, verified: DataFrame) -> DataFrame:
+    """Shared tail of both threshold-curve paths: per-source
+    conditional counts over (source, n_inter, na, nb) pair rows,
+    anchored on the FULL source list — a source whose candidate set
+    is empty (or all below 0.6) must still appear with zero counts,
+    so row presence never depends on either path's candidate recall."""
+    jac = F.col("n_inter").cast("double") / (
+        F.col("na") + F.col("nb") - F.col("n_inter")
+    )
+
+    def at(t):
+        return F.sum(F.when(jac >= t, 1).otherwise(0)).cast("long")
+
+    counts = verified.groupBy("source").agg(
+        at(0.6).alias("n_pairs_06"),
+        at(0.7).alias("n_pairs_07"),
+        at(0.8).alias("n_pairs_08"),
+        at(0.9).alias("n_pairs_09"),
+    )
+    sources = d.select("source").distinct()
+    z = F.lit(0).cast("long")
+    return sources.join(counts, "source", "left").select(
+        "source",
+        *[
+            F.coalesce(c, z).alias(c)
+            for c in ("n_pairs_06", "n_pairs_07", "n_pairs_08", "n_pairs_09")
+        ],
+    )
+
+
 @register(
     "q_dedup_threshold_curve",
     oracle="""
@@ -574,6 +646,12 @@ def q_dedup_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "source", F.explode(F.split(F.col("text"), " ")).alias("token")
     ).distinct()
     tok_df = dt.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    if tok_df.count() <= ND_BITSET_VOCAB_MAX:
+        # r12 vocabulary gate: the mask-pair frame carries source,
+        # n_inter, na, nb directly; extra below-0.6 pairs it emits
+        # (the ppjoin path never generates them) fall out of every
+        # at(t) conditional count, so the curve is bit-identical.
+        return _threshold_curve_rollup(d, _mask_pairs(_doc_masks(dt, tok_df)))
     ranked = (
         dt.join(tok_df, "token")
         .withColumn(
@@ -627,30 +705,7 @@ def q_dedup_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("n_inter", F.size(F.array_intersect("ta", "tb")))
     )
-    jac = F.col("n_inter").cast("double") / (
-        F.col("na") + F.col("nb") - F.col("n_inter")
-    )
-    def at(t):
-        return F.sum(F.when(jac >= t, 1).otherwise(0)).cast("long")
-
-    counts = verified.groupBy("source").agg(
-        at(0.6).alias("n_pairs_06"),
-        at(0.7).alias("n_pairs_07"),
-        at(0.8).alias("n_pairs_08"),
-        at(0.9).alias("n_pairs_09"),
-    )
-    # anchor on the FULL source list: a source whose candidate set is
-    # empty (or all below 0.6) must still appear with zero counts —
-    # row presence must not depend on the prefix filter's recall
-    sources = d.select("source").distinct()
-    z = F.lit(0).cast("long")
-    return sources.join(counts, "source", "left").select(
-        "source",
-        *[
-            F.coalesce(c, z).alias(c)
-            for c in ("n_pairs_06", "n_pairs_07", "n_pairs_08", "n_pairs_09")
-        ],
-    )
+    return _threshold_curve_rollup(d, verified)
 
 
 @register(

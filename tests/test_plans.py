@@ -559,17 +559,34 @@ def test_phash_dedup_shuffles_hashes_not_payloads(spark):
     assert m and "payload" not in m.group(1), p
 
 
-def test_containment_prefix_filter_bounds_the_join(spark):
+def test_containment_prefix_filter_bounds_the_join(spark, monkeypatch):
     """The containment candidate join must sit on top of the prefix
     row-number filter (a window below the join), not a raw token
     self-join: the window's rn <= prefix bound is what keeps hot
-    stopwords out of the join keys."""
+    stopwords out of the join keys. Since r12 this is the ABOVE-GATE
+    path (vocab > ND_BITSET_VOCAB_MAX) — forced here; the default
+    small-vocab mask plan is pinned below."""
+    from sd2_drp_experimentgen_spark.operators import text as text_mod
+
+    monkeypatch.setattr(text_mod, "ND_BITSET_VOCAB_MAX", -1)
     df = all_specs()["q_neardup_containment"].fn(spark, SF_T2)
     p = plan(df, "simple")
     assert "row_number" in p, p
     # verify step intersects bounded per-doc token sets AFTER the
     # prefix-filtered candidate join (broadcast at toy scale, SMJ at 100 TB)
     assert "array_intersect" in p, p
+
+
+def test_containment_bitset_plan_is_mask_scan(spark):
+    """r12 default path on this corpus: bit_count verify over int64
+    masks, broadcast-only token joins, no array_intersect."""
+    p = plan(all_specs()["q_neardup_containment"].fn(spark, SF_T2), "simple")
+    assert "bit_count" in p, p
+    assert "array_intersect" not in p, p
+    token_joins = [l for l in p.splitlines() if "Join [token" in l]
+    assert token_joins and all(
+        "BroadcastHashJoin" in l for l in token_joins
+    ), p
 
 
 def test_upsample_epochs_broadcasts_plan_table(spark):

@@ -408,3 +408,38 @@ def test_neardup_paths_bit_identical(spark, monkeypatch):
         tuple(r) for r in text_mod.q_neardup_jaccard(spark, SF_T2).collect()
     )
     assert base and base == forced
+
+
+def test_containment_paths_bit_identical(spark, monkeypatch):
+    """r12: the containment bitset path must match the forced
+    asymmetric ppjoin path bit for bit."""
+    from sd2_drp_experimentgen_spark.operators import text as text_mod
+
+    base = sorted(
+        tuple(r)
+        for r in text_mod.q_neardup_containment(spark, SF_T2).collect()
+    )
+    monkeypatch.setattr(text_mod, "ND_BITSET_VOCAB_MAX", -1)
+    forced = sorted(
+        tuple(r)
+        for r in text_mod.q_neardup_containment(spark, SF_T2).collect()
+    )
+    assert base and base == forced
+
+
+def test_threshold_curve_paths_bit_identical(spark, monkeypatch):
+    """r12: the threshold-curve bitset path (mask pairs include
+    below-0.6 rows; every at(t) count excludes them) must match the
+    forced ppjoin path bit for bit."""
+    from sd2_drp_experimentgen_spark.operators import text as text_mod
+
+    base = sorted(
+        tuple(r)
+        for r in text_mod.q_dedup_threshold_curve(spark, SF_T2).collect()
+    )
+    monkeypatch.setattr(text_mod, "ND_BITSET_VOCAB_MAX", -1)
+    forced = sorted(
+        tuple(r)
+        for r in text_mod.q_dedup_threshold_curve(spark, SF_T2).collect()
+    )
+    assert base and base == forced

@@ -47,9 +47,9 @@ ALLOWED: dict[tuple[str, str], str] = {
         "margins over the event_type x segment cell table (<=25 rows)",
     ("etl.py", "auc_stats"):
         "per-distinct-score histogram shared by the incremental-AUC fold",
-    ("text.py", "_neardup_bitset"):
+    ("text.py", "_doc_masks"):
         "token bit-index over the vocabulary aggregate, <= 63 rows by the "
-        "ND_BITSET_VOCAB_MAX gate (the path only exists below it)",
+        "ND_BITSET_VOCAB_MAX gate (the bitset paths only exist below it)",
     ("events_windows.py", "q_ts_changepoint_cusum"):
         "daily series: |days| rows, calendar-bounded",
     ("events_windows.py", "q_ts_autocorrelation"):

@@ -80,7 +80,7 @@ REPORT = [
     ("q_join_skew_salted", "ShuffledHashJoin on (key, salt); no broadcast"),
     ("q_sim_range_search", "ONE exchange on the label block key into FlatMapGroupsInPandas; no join"),
     ("q_mm_phash_dedup", "mapInPandas emits (doc_id, phash) only — payload bytes never reach the exchange"),
-    ("q_neardup_containment", "prefix row_number window below the candidate join; array_intersect verify on bounded sets"),
+    ("q_neardup_containment", "r12 vocabulary gate: bit_count mask scan on this corpus (<= 63 tokens); the forced ppjoin path keeps the prefix window + array_intersect verify"),
     ("q_corpus_upsample_epochs", "5-row epochs table broadcast onto documents; explode stays narrow"),
     ("q_emb_pca_power", "per-partition int64 gram tiles combine map-side (partial_sum); iterations are 64-row joins"),
     ("q_emb_pq_encode", "zero exchanges: the PQ encode is a bare MapInPandas projection"),
@@ -89,7 +89,7 @@ REPORT = [
     ("q_emb_knn_graph", "per-partition numpy top-k against the gated broadcast matrix; edge rows only"),
     ("q_etl_incremental_agg", "delta partials fold via full-outer join on the group key; no history re-scan"),
     ("q_mm_corpus_pipeline", "one plan: decode mapInPandas -> (lang,phash) windows -> rollup; payloads never shuffle"),
-    ("q_dedup_threshold_curve", "one candidate generation at the loosest threshold; four conditional counts in the rollup"),
+    ("q_dedup_threshold_curve", "r12 vocabulary gate: mask-pair scan on this corpus; four conditional counts in the shared rollup (ppjoin path: one candidate generation at the loosest threshold)"),
     # --- round 6 additions ---
     ("q_sim_range_search", "payload shuffles once keyed (label, sb); pair enumeration joins collapsed cells, never rows"),
     ("q_graph_triangle_count", "oriented wedge join: two equi-joins on edge endpoints, no cartesian"),
