@@ -1,5 +1,9 @@
-"""Quantitative self-checks for rows-only operators (no cross-engine
-oracle exists; SURVEY §5.2 prescribes these instead)."""
+"""Quantitative self-checks behind the witness-backed operators
+(SURVEY §5.2): originally the rows-only battery, now — with every
+registered query hash-checked since the r12 LSH promotion — the
+readable-margin layer under the oracled witness booleans (a recall or
+AUC regression fails HERE with a message before it fails the driver
+hash)."""
 
 from __future__ import annotations
 
