@@ -321,6 +321,13 @@ def q_neardup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # aggregate — same driver-control discipline as the graph loops'
     # convergence scalars. See ND_BITSET_VOCAB_MAX for the measured
     # rationale; both paths are bit-identical (pytest-forced).
+    # Measured gate cost on the big-vocab (ppjoin) path: 0.58 s of a
+    # 7.0 s x8 replica run (~6%) — and persisting tok_df to "reuse"
+    # the gate's materialization was tried and REVERTED: the 248-row
+    # InMemoryRelation demoted the downstream df-attach join off the
+    # broadcast plan and cost +2.5 s at x8 (9.51 s vs 7.04 s
+    # min-of-3). A fresh recompute stays inside whole-stage codegen
+    # with a broadcast; the gate scan is the cheaper evil.
     if tok_df.count() <= ND_BITSET_VOCAB_MAX:
         return _neardup_bitset(dt, tok_df)
     ranked = (
