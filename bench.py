@@ -136,6 +136,18 @@ def main() -> None:
     names = [n for n in HEADLINE if n in specs]
     timings: dict[str, float] = {}
     runs_all: dict[str, list[float]] = {}
+
+    # NO forced GC anywhere in the sweep — a MEASURED decision, twice
+    # (r12, when the iterative-graph tripwires brought localCheckpoint
+    # blocks into the headline set): the study-style _drop_checkpoints
+    # (gc.collect + System.gc) was tried BETWEEN TIMED RUNS (sweep
+    # 20.5 s -> 28.4 s; pagerank's own min 2.65 -> 3.34 s) and AT
+    # QUERY BOUNDARIES (sweep -> 24.6 s; the collector's background
+    # phase bleeds into the NEXT query's timed runs) — both REJECTED.
+    # The carryover it would cure is unmeasurable at sf0.1 (graph-rung
+    # runs DECREASE across the three timings, [4.08, 3.87, 3.60]);
+    # where block residue genuinely mattered — x32+ in one JVM — the
+    # scale study keeps its own _drop_checkpoints between its runs.
     for name in names:
         fn = specs[name].fn
         fn(spark, sf_dir).collect()  # warm-up (JIT, file listing, broadcast)

@@ -580,16 +580,15 @@ def q_dedup_survivor_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 TRI_ID_HUB_WEDGE_CAP = 40_000_000
 
 
-def _tri_counts_degree_oriented(e: DataFrame) -> DataFrame:
-    """Per-node triangle counts via DEGREE-oriented wedge join — the
-    standard web-scale skew guard: every edge orients from the lower
-    to the higher endpoint in the (degree, id) total order, so each
-    node's wedge fan-out is C(forward_degree, 2) and a hub (highest
-    order) has forward degree ~0 instead of ~deg(hub). Produces
-    exactly the same triangles as the id-oriented form (any total
-    order counts each triangle once from its smallest corner), hence
-    bit-identical per-node counts — pytest forces this path on the
-    fixture corpus and asserts equality."""
+def degree_oriented_edges(e: DataFrame) -> DataFrame:
+    """(src, dst, ddst): each undirected (id_lo, id_hi) edge oriented
+    from the lower to the higher endpoint in the (degree, id) total
+    order, carrying the destination's degree for downstream order
+    comparisons. THE single definition of the degree orientation —
+    the operator's wedge join and tools/triangle_skew_probe.py's
+    wedge-volume accounting both consume it, so the probe that sets
+    TRI_ID_HUB_WEDGE_CAP can never measure a different orientation
+    than the one that ships (r12 review)."""
     deg = (
         e.select(F.col("id_lo").alias("v"))
         .unionAll(e.select(F.col("id_hi").alias("v")))
@@ -606,11 +605,24 @@ def _tri_counts_degree_oriented(e: DataFrame) -> DataFrame:
     lo_first = (F.col("dlo") < F.col("dhi")) | (
         (F.col("dlo") == F.col("dhi")) & (F.col("id_lo") < F.col("id_hi"))
     )
-    d = el.select(
+    return el.select(
         F.when(lo_first, F.col("id_lo")).otherwise(F.col("id_hi")).alias("src"),
         F.when(lo_first, F.col("id_hi")).otherwise(F.col("id_lo")).alias("dst"),
         F.when(lo_first, F.col("dhi")).otherwise(F.col("dlo")).alias("ddst"),
     )
+
+
+def _tri_counts_degree_oriented(e: DataFrame) -> DataFrame:
+    """Per-node triangle counts via DEGREE-oriented wedge join — the
+    standard web-scale skew guard: every edge orients toward the
+    higher (degree, id) endpoint (degree_oriented_edges), so each
+    node's wedge fan-out is C(forward_degree, 2) and a hub (highest
+    order) has forward degree ~0 instead of ~deg(hub). Produces
+    exactly the same triangles as the id-oriented form (any total
+    order counts each triangle once from its smallest corner), hence
+    bit-identical per-node counts — pytest forces this path on the
+    fixture corpus and asserts equality."""
+    d = degree_oriented_edges(e)
     # Wedge (a; b, c) with order(b) < order(c): carried ddst columns
     # compare (deg, id) without packing into one integer (doc ids at
     # study scale would overflow a composite).

@@ -1,6 +1,8 @@
 """MLlib-backed operators — SURVEY §2.8 rows #59-61 plus the ANN scale
-path. All rows-only (algorithm-specific results have no cross-engine
-SQL oracle); each has a quantitative pytest self-check per SURVEY §5.2:
+path. Originally all rows-only (algorithm-specific results have no
+direct cross-engine SQL oracle); every one is now HASH-checked via the
+exact-companion+witness pattern (KMeans r7, pipeline r8, MinHash-LSH
+r12), and each keeps a quantitative pytest self-check per SURVEY §5.2:
 LSH candidates must cover the exact-Jaccard ground truth, KMeans must
 find real structure (inertia + above-chance purity + seed
 determinism), the trained pipeline must beat AUC 0.5,
@@ -23,11 +25,20 @@ SEED = 42
 
 
 def _token_vectors(spark: SparkSession, sf_dir: str):
-    """documents -> (doc_id, binary token-presence vector) for LSH."""
-    from pyspark.ml.feature import CountVectorizer, Tokenizer
+    """documents -> (doc_id, binary token-presence vector) for LSH.
+
+    Tokenization is F.split(text, ' ') — the SAME token definition as
+    q_neardup_jaccard's exact companion and every DuckDB oracle
+    (string_split on a single space, case-sensitive, '' tokens kept).
+    r12 review: the original MLlib Tokenizer lowercased and split on
+    \\s+, a DIFFERENT token space — invisible on the all-lowercase
+    single-space fixtures, but on mixed-case text the LSH arm's
+    refined Jaccard would diverge from the companion's and the recall
+    witness could false-red. One token definition, one truth."""
+    from pyspark.ml.feature import CountVectorizer
 
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text", "source")
-    tokenized = Tokenizer(inputCol="text", outputCol="tokens").transform(d)
+    tokenized = d.withColumn("tokens", F.split(F.col("text"), " "))
     cv = CountVectorizer(
         inputCol="tokens", outputCol="features", binary=True, minDF=1.0
     )
@@ -92,7 +103,6 @@ def lsh_refined_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT source,
            count(*) AS n_pairs_06,
            count(*) FILTER (jaccard >= 0.8) AS n_pairs_08,
-           count(*) FILTER (jaccard >= 0.8) AS covered_08,
            true AS recall_ok
     FROM pairs
     GROUP BY source
@@ -105,15 +115,21 @@ def lsh_refined_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "the multimodal decodes (r10). Emitted rows are per-source: "
     "n_pairs_06/n_pairs_08 are EXACT same-source near-dup pair counts "
     "at J >= 0.6 / 0.8 (computed by the registered exact plan — "
-    "SQL-expressible companion values); covered_08 counts how many of "
-    "the J >= 0.8 ground-truth pairs appear in the LSH-refined "
-    "candidate set, and recall_ok pins covered_08 == n_pairs_08. The "
-    "seeded hash family itself stays OUT of the hash (the raw pair "
-    "set lives in lsh_refined_pairs). The witness holds with margin: "
-    "OR-amplification over 8 hash tables misses a J >= 0.8 pair with "
-    "p <= 0.2^8 = 2.6e-6, and the fixed-seed measurement is exact "
-    "coverage at both fixture scales (1540/1540 at sf0.001, 1506/1506 "
-    "at sf0.01). 100 TB: approxSimilarityJoin shuffles signatures "
+    "SQL-expressible companion values); recall_ok witnesses that the "
+    "LSH-refined candidate set covers all but at most ONE of the "
+    "J >= 0.8 ground-truth pairs per source (covered_08 + 1 >= "
+    "n_pairs_08). The seed-dependent covered count itself stays OUT "
+    "of the hashed output — ONLY companions and the margin boolean "
+    "are hashed, the r7/r8 promotion pattern — because the MinHash "
+    "family is drawn from seed=42 AND the CountVectorizer vocabulary "
+    "ORDER, whose df ties resolve partition-dependently: an "
+    "environment change is a fresh family draw, and with ~1500 "
+    "hashed pairs missing each with p <= 0.2^8 = 2.6e-6, exact "
+    "equality would false-red ~0.4% of draws. The one-miss margin "
+    "drops that below 1e-8 per source while the pytest self-check "
+    "still asserts EXACT coverage with a readable message (measured "
+    "exact at sf0.001/0.01/0.1: 1540/1540, 1506/1506, sf0.1 green). "
+    "100 TB: approxSimilarityJoin shuffles signatures "
     "(never token sets) through band buckets — candidates, not "
     "all-pairs; the exact companion reuses q_neardup_jaccard's "
     "prefix-filtered plan, quadratic only inside blocked candidate "
@@ -142,7 +158,10 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(j8).alias("n_pairs_08"),
             F.sum(j8 * F.coalesce(F.col("hit"), F.lit(0))).alias("covered_08"),
         )
-        .withColumn("recall_ok", F.col("covered_08") == F.col("n_pairs_08"))
+        .withColumn(
+            "recall_ok", F.col("covered_08") + 1 >= F.col("n_pairs_08")
+        )
+        .drop("covered_08")  # seed-dependent: witness boolean only
     )
 
 

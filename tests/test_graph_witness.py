@@ -124,10 +124,16 @@ def test_bipartite_witness_matches_spark_at_x3(spark, x3_graph, name):
         all_specs()[name].fn(spark, x3_graph),
         con.execute(gss.witness_sql(name, REP)),
     )
-    # ADVICE r11: the pagerank/BFS loops localCheckpoint per round;
-    # without the release those blocks outlive this test in the
-    # session-scoped fixture — the same carryover the study guards.
+    # ADVICE r11 asked for the doc-rung release here too. r12 review
+    # correction: release_persisted() only drops tracked_persist
+    # frames (none exist on the bipartite rungs), NOT localCheckpoint
+    # RDD blocks — those free when the Python refs are GC'd, so the
+    # real hygiene is the study's _drop_checkpoints discipline.
     release_persisted()
+    import gc
+
+    gc.collect()
+    spark.sparkContext._jvm.System.gc()
     assert ok, f"{name} witness broke at x{REP}: {msg}"
 
 

@@ -124,13 +124,15 @@ def test_lsh_covers_exact_high_jaccard_pairs(spark):
 
 def test_lsh_promotion_witness_shape(spark):
     """The r12 exact-companion form: per-source counts are positive,
-    covered_08 == n_pairs_08 (the driver-hashed recall witness), and
-    every source present in the exact pair set appears."""
-    rows = all_specs()["q_dedup_minhash_lsh"].fn(spark, SF_T2).collect()
+    the driver-hashed recall witness holds, and the seed-dependent
+    covered count stays OUT of the emitted schema (only companions +
+    the one-miss-margin boolean are hashed)."""
+    df = all_specs()["q_dedup_minhash_lsh"].fn(spark, SF_T2)
+    assert df.columns == ["source", "n_pairs_06", "n_pairs_08", "recall_ok"]
+    rows = df.collect()
     assert len(rows) == 20  # every source has >= 1 near-dup pair
     for r in rows:
         assert r["n_pairs_06"] >= r["n_pairs_08"] > 0
-        assert r["covered_08"] == r["n_pairs_08"]
         assert r["recall_ok"] is True
 
 

@@ -63,28 +63,23 @@ def synth_edges(spark, n: int, hub: int) -> DataFrame:
 
 
 def wedge_volume(e: DataFrame, oriented: str) -> int:
+    """Total wedge count sum C(fwd_deg, 2) under either orientation.
+    The degree orientation comes from the OPERATOR's own
+    degree_oriented_edges (r12 review: a probe-local copy could
+    silently measure a different orientation than the one that ships,
+    making TRI_ID_HUB_WEDGE_CAP describe nothing)."""
     if oriented == "id":
         fwd = e.groupBy("id_lo").agg(F.count(F.lit(1)).alias("n"))
     else:
-        deg = (
-            e.select(F.col("id_lo").alias("v"))
-            .unionAll(e.select(F.col("id_hi").alias("v")))
-            .groupBy("v")
-            .agg(F.count(F.lit(1)).alias("deg"))
+        from sd2_drp_experimentgen_spark.operators.graph import (
+            degree_oriented_edges,
         )
-        el = e.join(
-            deg.select(F.col("v").alias("id_lo"), F.col("deg").alias("dlo")),
-            "id_lo",
-        ).join(
-            deg.select(F.col("v").alias("id_hi"), F.col("deg").alias("dhi")),
-            "id_hi",
+
+        fwd = (
+            degree_oriented_edges(e)
+            .groupBy("src")
+            .agg(F.count(F.lit(1)).alias("n"))
         )
-        lo_first = (F.col("dlo") < F.col("dhi")) | (
-            (F.col("dlo") == F.col("dhi")) & (F.col("id_lo") < F.col("id_hi"))
-        )
-        fwd = el.select(
-            F.when(lo_first, F.col("id_lo")).otherwise(F.col("id_hi")).alias("src")
-        ).groupBy("src").agg(F.count(F.lit(1)).alias("n"))
     return fwd.agg(F.sum(F.expr("n * (n - 1) div 2"))).first()[0] or 0
 
 
