@@ -200,6 +200,41 @@ def touch_persisted(df) -> bool:
     return False
 
 
+def track_materialized(df):
+    """Register an ALREADY-materialized frame (localCheckpoint) with
+    the release/touch/generation lifecycle WITHOUT adding a persist
+    layer on top. Used by shared builds whose consumers are iterative
+    (graph.bipartite_edges): the r11/r13 variant studies both measured
+    recompute-from-checkpointed-RDD beating a columnar persist for
+    per-iteration scans (r13 at sf0.1: pagerank 3.6 s ckpt vs 6.2 s
+    persist), so the shared frame is a localCheckpoint — release via
+    this tracker unregisters it (so touch_persisted returns False and
+    consumers rebuild, keeping bench's pay-the-build-every-run
+    contract); the checkpoint BLOCKS are freed by the ContextCleaner
+    once the last reference drops, same as the pre-r13 per-query
+    localCheckpoints."""
+    _TRACKED_PERSISTS.append(df)
+    _PERSIST_GEN[id(df)] = _GENERATION
+    return df
+
+
+def release_tracked(df) -> bool:
+    """Immediately unpersist ONE tracked frame — the cache-eviction
+    path (ADVICE r12): when a shared build is superseded (e.g. a
+    corpus mtime bump keys a fresh edge build), the evictor must
+    release the old frame explicitly instead of dropping its dict
+    handle and leaving it occupying executor storage until the next
+    release_persisted() boundary. Returns False (no-op) when the frame
+    was already released by a harness sweep."""
+    for i, d in enumerate(_TRACKED_PERSISTS):
+        if d is df:
+            del _TRACKED_PERSISTS[i]
+            _PERSIST_GEN.pop(id(d), None)
+            d.unpersist()
+            return True
+    return False
+
+
 def release_persisted(session=None, before_generation=None) -> int:
     """Unpersist tracked intermediates; returns the count released.
 

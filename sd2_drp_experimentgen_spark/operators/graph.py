@@ -28,10 +28,65 @@ from ..sources.tables import load_table
 
 MAX_ROUNDS = 25
 
-# Per-session shared near-dup pair build (VERDICT r11 item 4): keyed
-# (sf_dir, documents mtime) under a session weak-key, mirroring
+# Per-session shared builds (VERDICT r11 item 4 / r12 item 2): keyed
+# (sf_dir, backing-file mtimes) under a session weak-key, mirroring
 # sources/tables._RELATION_CACHE's invalidation discipline.
 _ND_PAIRS_CACHE: weakref.WeakKeyDictionary = weakref.WeakKeyDictionary()
+_BIP_EDGES_CACHE: weakref.WeakKeyDictionary = weakref.WeakKeyDictionary()
+
+
+def _shared_persisted(
+    spark: SparkSession,
+    sf_dir: str,
+    cache: weakref.WeakKeyDictionary,
+    files: tuple[str, ...],
+    build,
+    checkpoint: bool = False,
+) -> DataFrame:
+    """One live materialized build per (session, sf_dir, backing-file
+    mtimes). Lifecycle obeys the r9 generation contract: every reuse
+    re-stamps the frame (touch_persisted) so a burst of consumers
+    builds ONCE while an idle cache still releases one harness
+    boundary after its last use; a superseded entry (mtime bump) is
+    released EXPLICITLY at eviction (ADVICE r12 — dropping the handle
+    alone would leave the stale frame in executor storage until the
+    next release_persisted sweep).
+
+    Materialization is measured per consumer family: persist
+    (columnar cache) for scan-once-per-query relations like nd_pairs;
+    ``checkpoint=True`` (localCheckpoint + tracker registration) for
+    iterative consumers — the r11 and r13 studies both timed
+    per-iteration recompute from the checkpointed RDD well ahead of
+    an InMemoryTableScan (r13 sf0.1 pagerank: 3.6 s vs 6.2 s), and a
+    released checkpoint's blocks free via the ContextCleaner once the
+    evicted reference drops."""
+    from ..functions.helpers import (
+        release_tracked,
+        touch_persisted,
+        track_materialized,
+        tracked_persist,
+    )
+
+    try:
+        mtime = tuple(
+            os.stat(os.path.join(sf_dir, f)).st_mtime_ns for f in files
+        )
+    except OSError:
+        mtime = None
+    key = (sf_dir, mtime)
+    per = cache.setdefault(spark, {})
+    df = per.get(key)
+    if df is not None and touch_persisted(df):
+        return df
+    if checkpoint:
+        df = track_materialized(build().localCheckpoint())
+    else:
+        df = tracked_persist(build())
+    for stale in per.values():
+        release_tracked(stale)
+    per.clear()
+    per[key] = df
+    return df
 
 
 def nd_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -42,31 +97,64 @@ def nd_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     (43.9 s of 54 s of a components run), and each of the four
     consumers used to rebuild it from scratch; one tracked_persist'ed
     build per (session, corpus) now serves a whole sweep. Lifecycle
-    obeys the r9 generation contract: the persisted frame ages out
-    one harness boundary after its last use, and every reuse
-    re-stamps it with the current generation (touch_persisted), so a
-    burst of graph queries builds edges ONCE while an idle cache
-    still releases on schedule. A released or invalidated (mtime
-    bump) entry rebuilds transparently."""
-    from ..functions.helpers import touch_persisted, tracked_persist
+    and eviction: see _shared_persisted."""
 
-    try:
-        mtime = os.stat(os.path.join(sf_dir, "documents.parquet")).st_mtime_ns
-    except OSError:
-        mtime = -1
-    key = (sf_dir, mtime)
-    per = _ND_PAIRS_CACHE.setdefault(spark, {})
-    df = per.get(key)
-    if df is not None and touch_persisted(df):
-        return df
-    from .text import q_neardup_jaccard
+    def build() -> DataFrame:
+        from .text import q_neardup_jaccard
 
-    df = tracked_persist(
-        q_neardup_jaccard(spark, sf_dir).select("id_lo", "id_hi")
+        return q_neardup_jaccard(spark, sf_dir).select("id_lo", "id_hi")
+
+    return _shared_persisted(
+        spark, sf_dir, _ND_PAIRS_CACHE, ("documents.parquet",), build
     )
-    per.clear()  # one live pair build per session: stale keys drop
-    per[key] = df
-    return df
+
+
+def bipartite_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The customer<->supplier bipartite edge list induced by
+    lineitems — THE edge build shared by q_graph_pagerank and
+    q_graph_bfs_hops (VERDICT r12 item 2: the two most expensive
+    headline queries each rebuilt the same o⋈li + distinct + union
+    from scratch). Supplier ids live at +PR_SUPP_OFFSET so the node id
+    spaces never collide; both directions are materialized (the graph
+    is undirected for these algorithms). Materialized as ONE shared
+    localCheckpoint under the tracked/touch/evict lifecycle
+    (checkpoint=True — iterative consumers re-scan it 5+ times per
+    query, where the checkpointed RDD beats a columnar persist, r13
+    measured) and the checkpoint truncates iterative lineage exactly
+    like the pre-r13 per-query localCheckpoints it replaces; a
+    released entry rebuilds transparently."""
+
+    def build() -> DataFrame:
+        o = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey"
+        )
+        li = load_table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_suppkey"
+        )
+        pairs = (
+            o.join(li, o.o_orderkey == li.l_orderkey)
+            .select(
+                F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s")
+            )
+            .distinct()
+        )
+        return pairs.select(
+            F.col("c").alias("src"), (F.col("s") + PR_SUPP_OFFSET).alias("dst")
+        ).unionAll(
+            pairs.select(
+                (F.col("s") + PR_SUPP_OFFSET).alias("src"),
+                F.col("c").alias("dst"),
+            )
+        )
+
+    return _shared_persisted(
+        spark,
+        sf_dir,
+        _BIP_EDGES_CACHE,
+        ("orders.parquet", "lineitem.parquet"),
+        build,
+        checkpoint=True,
+    )
 
 # The same near-dup pair relation as q_neardup_jaccard's oracle,
 # reused as the edge list of the recursive-closure oracle below.
@@ -262,41 +350,27 @@ def _pr_iter_sql(prev: str, out: str) -> str:
     "makes iterative algorithms oracle-verifiable at all. Each round "
     "is one join (ranks to edges, shuffled on src) + one groupBy(dst) "
     "+ one left join back to nodes: shuffles move (node, rank) pairs, "
-    "never adjacency lists. At 100 TB: pre-partition edges by src once "
-    "(localCheckpoint here) so the per-round join co-locates, exactly "
-    "like q_dedup_components' label propagation.",
+    "never adjacency lists. At 100 TB: persist the edge list columnar "
+    "once (shared with BFS via bipartite_edges) so the per-round join "
+    "co-locates, exactly like q_dedup_components' label propagation.",
 )
 def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
-    pairs = (
-        o.join(li, o.o_orderkey == li.l_orderkey)
-        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
-        .distinct()
-    )
-    edges = (
-        pairs.select(
-            F.col("c").alias("src"), (F.col("s") + PR_SUPP_OFFSET).alias("dst")
-        )
-        .unionAll(
-            pairs.select(
-                (F.col("s") + PR_SUPP_OFFSET).alias("src"),
-                F.col("c").alias("dst"),
-            )
-        )
-        .localCheckpoint()
-    )
+    # r13: edge list shared with q_graph_bfs_hops via ONE persisted
+    # build per (session, corpus) — bipartite_edges (VERDICT r12
+    # item 2); the persisted columnar scan replaces this query's
+    # localCheckpoint for lineage truncation.
+    edges = bipartite_edges(spark, sf_dir)
     nodes = edges.select(F.col("src").alias("node")).distinct()
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
     # (src, dst, outdeg) re-derived per iteration FROM THE CHECKPOINTED
     # edge list — measured choice, not an oversight: the r11 x8
     # variant study (SCALE.md round 11) timed this form at 8.2 s warm
     # vs 9.3 s with the join tracked-persisted and 11.7 s with it
-    # localCheckpointed — the recompute runs from the in-memory edge
-    # RDD through whole-stage codegen, while materialized reuse pays a
-    # row-based ExistingRDD scan per iteration. On a real cluster the
-    # same relation would be persist()ed columnar; with PR_ITERS=3 and
-    # a single-JVM local store, recompute wins.
+    # localCheckpointed; the r13 sharing rewrite re-confirmed it at
+    # sf0.1 (pagerank 3.6 s over the shared checkpoint vs 6.2 s over
+    # a shared columnar persist), so bipartite_edges materializes as
+    # a localCheckpoint and recompute runs from the in-memory edge
+    # RDD through whole-stage codegen.
     ed = edges.join(deg, "src")
 
     n = nodes.count()  # scalar only, like the CC convergence check
@@ -424,25 +498,8 @@ def _bfs_round_sql(prev: str, out: str) -> str:
     "volume is bounded by the reached-set size, not the graph.",
 )
 def q_graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
-    pairs = (
-        o.join(li, o.o_orderkey == li.l_orderkey)
-        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
-        .distinct()
-    )
-    edges = (
-        pairs.select(
-            F.col("c").alias("src"), (F.col("s") + PR_SUPP_OFFSET).alias("dst")
-        )
-        .unionAll(
-            pairs.select(
-                (F.col("s") + PR_SUPP_OFFSET).alias("src"),
-                F.col("c").alias("dst"),
-            )
-        )
-        .localCheckpoint()
-    )
+    # r13: shared persisted edge build (see q_graph_pagerank).
+    edges = bipartite_edges(spark, sf_dir)
     nodes = edges.select(F.col("src").alias("node")).distinct()
     dist = nodes.where(F.col("node") < BFS_SEED_MAX).select(
         "node", F.lit(0).cast("int").alias("dist")

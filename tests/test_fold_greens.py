@@ -90,8 +90,14 @@ def test_registry_green_block_is_current():
     a working-tree glob made this guard structurally red at judge time
     every round. A committed-but-unfolded file still fails; an
     artifact the builder never saw cannot. Where git is unavailable
-    (sdist, bare checkout) fall back to the working-tree glob."""
+    (sdist, bare checkout) the guard SKIPS (ADVICE r12): falling back
+    to the working-tree glob would silently reintroduce the
+    untracked-artifact false-STALE this scoping exists to prevent."""
     files = fold_greens.tracked_correctness()
+    if files is None:
+        import pytest
+
+        pytest.skip("git unavailable — cannot scope to committed files")
     src = fold_greens.REGISTRY.read_text()
     i = src.index(fold_greens.BEGIN)
     j = src.index(fold_greens.END) + len(fold_greens.END)

@@ -119,7 +119,83 @@ def test_lsh_covers_exact_high_jaccard_pairs(spark):
         for r in lsh_refined_pairs(spark, SF_T2).collect()
     }
     missed = truth - candidates
-    assert truth and not missed, f"LSH missed {len(missed)}/{len(truth)} pairs"
+    # Mirror the shipped witness' one-miss margin (ADVICE r12): a fresh
+    # MinHash family draw misses a J>=0.8 pair with ~0.4% probability
+    # per the promotion analysis (CountVectorizer df-tie vocabulary
+    # order is partition-dependent), so the hashed query tolerates one
+    # miss — the pytest keeping the exact form would flake at exactly
+    # that rate while the driver stays green.
+    assert truth and len(missed) <= 1, (
+        f"LSH missed {len(missed)}/{len(truth)} pairs "
+        f"(witness margin is 1): {sorted(missed)[:5]}"
+    )
+
+
+def test_exact_dedup_hash_first_identity(spark):
+    """r13 scale rewrite (VERDICT r12 #1): the hash-first exact-dedup
+    kernel (groupBy xxhash64 -> in-bucket exact verify) must be
+    bit-identical to the direct groupBy(text) form — forced on a frame
+    WITH real duplicates (the sf0.01 fixture has none), same
+    discipline as the r12 bitset gate."""
+    from pyspark.sql import functions as F
+
+    from sd2_drp_experimentgen_spark.operators.text import (
+        exact_dedup_groups,
+    )
+    from sd2_drp_experimentgen_spark.sources.tables import load_table
+
+    d = load_table(spark, SF_T2, "documents").select("doc_id", "text")
+    # 40 exact duplicates with higher ids (originals stay survivors)
+    # and 10 with LOWER ids (the copy becomes the survivor) — both
+    # survivor-selection directions exercised.
+    dup_hi = d.orderBy("doc_id").limit(40).withColumn(
+        "doc_id", F.col("doc_id") + F.lit(10_000_000)
+    )
+    dup_lo = d.orderBy(F.desc("doc_id")).limit(10).withColumn(
+        "doc_id", -F.col("doc_id")
+    )
+    frame = d.unionByName(dup_hi).unionByName(dup_lo)
+
+    direct = frame.groupBy("text").agg(
+        F.min("doc_id").alias("survivor_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+    )
+    cols = ["survivor_id", "n_copies"]
+    got = _rows_set(exact_dedup_groups(frame), cols)
+    want = _rows_set(direct, cols)
+    assert got == want
+    # and the duplicate structure is actually present in the frame
+    assert sum(1 for _, n in got if n == 2) == 50
+
+    # the loser kernel (the corpus pipeline's removal list) must be
+    # the exact complement of the survivors
+    from sd2_drp_experimentgen_spark.operators.text import (
+        exact_dedup_losers,
+    )
+
+    all_ids = {r["doc_id"] for r in frame.select("doc_id").collect()}
+    survivors = {s for s, _ in want}
+    losers = {r["doc_id"] for r in exact_dedup_losers(frame).collect()}
+    assert losers == all_ids - survivors and len(losers) == 50
+
+    # plan witness: the full-corpus (phase-1) exchange partitions on
+    # the xxhash64 key; any text-partitioned exchange belongs to the
+    # verified branch only — i.e. its subtree (printed AFTER the node
+    # in the tree dump) contains the LeftSemi restriction to
+    # multi-member buckets, so only the dup subset's text ever moves.
+    plan = (
+        exact_dedup_groups(frame)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    import re
+
+    assert "xxhash64" in plan
+    for m in re.finditer(r"Exchange hashpartitioning\(text#", plan):
+        assert "LeftSemi" in plan[m.start():], (
+            "text exchange outside the multi-bucket verified branch"
+        )
 
 
 def test_lsh_promotion_witness_shape(spark):

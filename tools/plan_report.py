@@ -53,6 +53,7 @@ REPORT = [
     ("q_scd2_dimension", "lag/lead windows reuse a single custkey sort"),
     ("q_histogram_fixed_bins", "1-row extent aggregate broadcast into the binning scan"),
     ("q_sql_q3_shipping", "both date predicates pushed to scans; TakeOrderedAndProject top-10"),
+    ("q_dedup_exact_docs", "hash-first exact dedup: the full-corpus Exchange partitions on xxhash64(text) (8-byte keys, bodies projected out); the only text-keyed Exchange sits above the LeftSemi restriction to multi-member buckets"),
     ("q_dedup_lsh_refine", "persisted band-bucket table (one signature evaluation, no self-join); buckets capped at LSH_BUCKET_CAP with audited drops; Jaccard refine joins texts solely for candidate pairs"),
     ("q_interval_sweepline", "union of boundary points + one per-user window sort — no interval self-join"),
     ("q_layout_zorder", "z-value projection + RangePartitioning exchange + per-partition sort before the write"),
