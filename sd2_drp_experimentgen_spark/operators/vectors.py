@@ -1804,6 +1804,63 @@ ADC_K = 10          # neighbors per query
 ADC_N_QUERIES = 20  # query set = the 20 lowest vec_ids (as q_ann_ivf_topk)
 
 
+def _adc_codes_lut(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """(codes, lut) — the shared ADC machinery of q_ann_pq_adc_topk
+    and q_ann_ivfpq_topk: codes melts every vector's 4-byte PQ code to
+    (vec_id, m, k) rows; lut is each query's (subspace x centroid)
+    squared-distance table, built relationally (posexplode of the
+    20 query vectors x the 16-vector codebook; no collect). The
+    construction is byte-for-byte what q_ann_pq_adc_topk shipped in
+    r6, so the refactor leaves its physical plan unchanged."""
+    codes = q_emb_pq_encode(spark, sf_dir).select(
+        "vec_id", F.expr("stack(4, 0, c0, 1, c1, 2, c2, 3, c3) AS (m, k)")
+    )
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    qids = (
+        e.select("vec_id").orderBy("vec_id").limit(ADC_N_QUERIES)
+    ).select(F.col("vec_id").alias("query_id"))
+
+    def flat(df: DataFrame, id_alias: str) -> DataFrame:
+        return df.select(
+            F.col("vec_id").alias(id_alias),
+            F.posexplode("embedding").alias("i", "x"),
+        ).select(
+            id_alias,
+            F.expr(f"i div {PQ_SUB}").alias("m"),
+            (F.col("i") % PQ_SUB).alias("d"),
+            F.floor(F.col("x").cast("double") * PCA_UNITS + F.lit(0.5))
+            .cast("long")
+            .alias("u"),
+        )
+
+    qflat = flat(
+        e.join(F.broadcast(qids), e.vec_id == qids.query_id).select(
+            "vec_id", "embedding"
+        ),
+        "qid",
+    )
+    centflat = flat(e.where(F.col("vec_id") < PQ_K), "k")
+    lut = (
+        qflat.join(
+            centflat.select(
+                F.col("k"), F.col("m").alias("cm"), F.col("d").alias("cd"),
+                F.col("u").alias("cu"),
+            ),
+            (F.col("m") == F.col("cm")) & (F.col("d") == F.col("cd")),
+        )
+        .groupBy(F.col("qid").alias("query_id"), "m", "k")
+        .agg(
+            F.sum(
+                (F.col("u") - F.col("cu")) * (F.col("u") - F.col("cu"))
+            ).alias("d2")
+        )
+    )
+    return codes, lut
+
+
+
 @register(
     "q_ann_pq_adc_topk",
     oracle=f"""
@@ -1880,49 +1937,7 @@ ADC_N_QUERIES = 20  # query set = the 20 lowest vec_ids (as q_ann_ivf_topk)
 def q_ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    codes = q_emb_pq_encode(spark, sf_dir).select(
-        "vec_id", F.expr("stack(4, 0, c0, 1, c1, 2, c2, 3, c3) AS (m, k)")
-    )
-    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    qids = (
-        e.select("vec_id").orderBy("vec_id").limit(ADC_N_QUERIES)
-    ).select(F.col("vec_id").alias("query_id"))
-
-    def flat(df: DataFrame, id_alias: str) -> DataFrame:
-        return df.select(
-            F.col("vec_id").alias(id_alias),
-            F.posexplode("embedding").alias("i", "x"),
-        ).select(
-            id_alias,
-            F.expr(f"i div {PQ_SUB}").alias("m"),
-            (F.col("i") % PQ_SUB).alias("d"),
-            F.floor(F.col("x").cast("double") * PCA_UNITS + F.lit(0.5))
-            .cast("long")
-            .alias("u"),
-        )
-
-    qflat = flat(
-        e.join(F.broadcast(qids), e.vec_id == qids.query_id).select(
-            "vec_id", "embedding"
-        ),
-        "qid",
-    )
-    centflat = flat(e.where(F.col("vec_id") < PQ_K), "k")
-    lut = (
-        qflat.join(
-            centflat.select(
-                F.col("k"), F.col("m").alias("cm"), F.col("d").alias("cd"),
-                F.col("u").alias("cu"),
-            ),
-            (F.col("m") == F.col("cm")) & (F.col("d") == F.col("cd")),
-        )
-        .groupBy(F.col("qid").alias("query_id"), "m", "k")
-        .agg(
-            F.sum(
-                (F.col("u") - F.col("cu")) * (F.col("u") - F.col("cu"))
-            ).alias("d2")
-        )
-    )
+    codes, lut = _adc_codes_lut(spark, sf_dir)
     adc = (
         codes.join(F.broadcast(lut), ["m", "k"])
         .groupBy("query_id", "vec_id")
@@ -1934,6 +1949,187 @@ def q_ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rank", F.row_number().over(w).cast("long"))
         .where(F.col("rank") <= ADC_K)
         .select("query_id", "rank", "vec_id", "adc_d2")
+    )
+
+
+IVFPQ_NPROBE = 4  # coarse cells probed per query (of PQ_K = 16)
+
+# Shared CTE preamble of the ADC-family oracles: quantized flats,
+# codebook distances, per-vector codes, the query set and its LUT —
+# textually identical to q_ann_pq_adc_topk's oracle so the two stay
+# provably the same machinery.
+_ADC_ORACLE_PREAMBLE = f"""
+    q AS (
+      SELECT vec_id, CAST(gs - 1 AS INTEGER) AS i,
+             CAST(floor(CAST(e AS DOUBLE) * {PCA_UNITS} + 0.5) AS BIGINT)
+               AS qv
+      FROM (
+        SELECT vec_id, unnest(embedding) AS e,
+               generate_subscripts(embedding, 1) AS gs
+        FROM embeddings
+      )
+    ),
+    cent AS (
+      SELECT vec_id AS k, i // {PQ_SUB} AS m, i % {PQ_SUB} AS d, qv AS cv
+      FROM q WHERE vec_id < {PQ_K}
+    ),
+    dist AS (
+      SELECT a.vec_id, c.m, c.k,
+             sum((a.qv - c.cv) * (a.qv - c.cv)) AS d2
+      FROM q a JOIN cent c
+        ON c.m = a.i // {PQ_SUB} AND c.d = a.i % {PQ_SUB}
+      GROUP BY a.vec_id, c.m, c.k
+    ),
+    codes AS (
+      SELECT vec_id, m, k FROM (
+        SELECT vec_id, m, k,
+               row_number() OVER (PARTITION BY vec_id, m
+                                  ORDER BY d2, k) AS rn
+        FROM dist
+      ) WHERE rn = 1
+    ),
+    queries AS (
+      SELECT vec_id AS query_id FROM embeddings
+      ORDER BY vec_id LIMIT {ADC_N_QUERIES}
+    ),
+    lut AS (
+      SELECT d.vec_id AS query_id, d.m, d.k, d.d2
+      FROM dist d JOIN queries ON d.vec_id = queries.query_id
+    )
+"""
+
+
+@register(
+    "q_ann_ivfpq_topk",
+    oracle=f"""
+    WITH {_ADC_ORACLE_PREAMBLE},
+    probe AS (
+      SELECT query_id, k AS cell FROM (
+        SELECT query_id, k,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY d2, k) AS rn
+        FROM lut WHERE m = 0
+      ) WHERE rn <= {IVFPQ_NPROBE}
+    ),
+    cellmap AS (SELECT vec_id, k AS cell FROM codes WHERE m = 0),
+    cand AS (
+      SELECT p.query_id, cm.vec_id
+      FROM probe p JOIN cellmap cm ON cm.cell = p.cell
+      WHERE cm.vec_id <> p.query_id
+    ),
+    adc_full AS (
+      SELECT l.query_id, co.vec_id, CAST(sum(l.d2) AS BIGINT) AS adc_d2
+      FROM codes co JOIN lut l ON l.m = co.m AND l.k = co.k
+      GROUP BY l.query_id, co.vec_id
+    ),
+    full10 AS (
+      SELECT query_id, vec_id FROM (
+        SELECT query_id, vec_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY adc_d2, vec_id) AS rn
+        FROM adc_full WHERE vec_id <> query_id
+      ) WHERE rn <= {ADC_K}
+    ),
+    probed AS (
+      SELECT c.query_id, c.vec_id, af.adc_d2,
+             row_number() OVER (PARTITION BY c.query_id
+                                ORDER BY af.adc_d2, c.vec_id) AS rn
+      FROM cand c
+      JOIN adc_full af
+        ON af.query_id = c.query_id AND af.vec_id = c.vec_id
+    ),
+    hits AS (
+      SELECT p.query_id, count(*) AS hits10
+      FROM probed p
+      JOIN full10 f ON f.query_id = p.query_id AND f.vec_id = p.vec_id
+      WHERE p.rn <= {ADC_K}
+      GROUP BY p.query_id
+    )
+    SELECT p.query_id, CAST(p.rn AS BIGINT) AS rank, p.vec_id, p.adc_d2,
+           CAST(coalesce(h.hits10, 0) AS BIGINT) AS hits10
+    FROM probed p LEFT JOIN hits h ON h.query_id = p.query_id
+    WHERE p.rn <= {ADC_K}
+    """,
+    tier="P2",
+    doc="IVF+PQ end-to-end (VERDICT r12 item 3) — the FAISS-style "
+    "composition: route each query to coarse cells, then ADC-scan "
+    "ONLY the probed cells' PQ codes. The coarse quantizer is the PQ "
+    "subspace-0 codebook itself (cell = c0; a query's probe list = "
+    f"its {IVFPQ_NPROBE} lowest-d2 m=0 LUT entries), which keeps the "
+    "WHOLE composition integer-deterministic and SQL-expressible, so "
+    "— unlike the KMeans-celled q_ann_ivf_topk, which needs the "
+    "witness pattern — the probed top-10 rows hash bit-exact. The "
+    "recall companion is exact too: hits10 = |probed top-10 ∩ "
+    "full-ADC top-10| per query rides as a hashed BIGINT (measured "
+    "macro recall 0.76 at sf0.01 probing 4/16 cells = ~32% of "
+    "codes; the SRP-cell router was measured first and REJECTED at "
+    "0.245 — direction buckets don't route quantized-L2 ADC). At "
+    "100 TB: cell is the code table's partition key, the probe "
+    "filter is partition pruning, and the scan reads 4-byte codes "
+    "only — query cost is nprobe/n_cells of a codes-only sweep, no "
+    "embedding ever shuffles (the full-ADC companion is the sampled "
+    "ground-truth job, exactly like q_ann_ivf_topk's exact side).",
+)
+def q_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    codes, lut = _adc_codes_lut(spark, sf_dir)
+    # lut is 20 queries x 4 subspaces x 16 centroids = 1 280 rows and
+    # feeds three consumers (probe routing, probed ADC, full-ADC
+    # companion): one eager materialization, then broadcast joins.
+    lut = lut.localCheckpoint()
+    cellmap = codes.where(F.col("m") == 0).select(
+        "vec_id", F.col("k").alias("cell")
+    )
+    wc = Window.partitionBy("query_id").orderBy(F.asc("d2"), F.asc("k"))
+    probe = (
+        lut.where(F.col("m") == 0)
+        .withColumn("rn", F.row_number().over(wc))
+        .where(F.col("rn") <= IVFPQ_NPROBE)
+        .select("query_id", F.col("k").alias("cell"))
+    )
+    cand = (
+        F.broadcast(probe)
+        .join(cellmap, "cell")
+        .select("query_id", "vec_id")
+        .where(F.col("query_id") != F.col("vec_id"))
+    )
+    adc_probed = (
+        cand.join(codes, "vec_id")
+        .join(F.broadcast(lut), ["query_id", "m", "k"])
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum("d2").alias("adc_d2"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("adc_d2"), F.asc("vec_id")
+    )
+    probed = (
+        adc_probed.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= ADC_K)
+    )
+    full10 = (
+        codes.join(F.broadcast(lut), ["m", "k"])
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum("d2").alias("adc_d2"))
+        .where(F.col("vec_id") != F.col("query_id"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= ADC_K)
+        .select("query_id", "vec_id")
+    )
+    hits = (
+        probed.join(full10, ["query_id", "vec_id"], "left_semi")
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("hits10"))
+    )
+    return (
+        probed.join(F.broadcast(hits), "query_id", "left")
+        .select(
+            "query_id",
+            "rank",
+            "vec_id",
+            "adc_d2",
+            F.coalesce(F.col("hits10"), F.lit(0)).cast("long").alias("hits10"),
+        )
     )
 
 

@@ -212,6 +212,26 @@ def test_lsh_promotion_witness_shape(spark):
         assert r["recall_ok"] is True
 
 
+def test_ivfpq_recall_margin(spark):
+    """The composed IVF+PQ query's hashed hits10 companion must show
+    real routing quality: macro recall@10 vs the full-ADC top-10 at
+    sf0.01 measured 0.76 probing 4/16 cells (~32% of codes) — assert
+    a 0.65 floor so codebook/router drift fails HERE with a number
+    before it fails the driver hash."""
+    from sd2_drp_experimentgen_spark.operators.vectors import (
+        ADC_K,
+        ADC_N_QUERIES,
+    )
+
+    rows = all_specs()["q_ann_ivfpq_topk"].fn(spark, SF_T2).collect()
+    per_query = {r["query_id"]: r["hits10"] for r in rows}
+    assert len(per_query) == ADC_N_QUERIES
+    macro = sum(per_query.values()) / (ADC_K * ADC_N_QUERIES)
+    assert macro >= 0.65, f"IVFPQ macro recall@10 degraded: {macro:.3f}"
+    # every query returns a full top-10 from its probed cells
+    assert len(rows) == ADC_K * ADC_N_QUERIES
+
+
 def test_kmeans_quality(spark):
     """Fixture labels are only weakly separable (nearest-centroid label
     accuracy ~0.41), so assert structure-finding, not label recovery:
