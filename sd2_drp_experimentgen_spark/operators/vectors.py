@@ -1612,7 +1612,8 @@ def q_emb_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- NN-descent refinement over the SRP-seeded graph (round 6) ----------
 
 NND_SEED_K = 3  # seed neighbors per vector (within SRP bucket)
-NND_K = 3       # output neighbors per vector after one descent round
+NND_K = 3       # output neighbors per vector per descent round
+NND_ROUNDS = 2  # bounded refinement rounds (r13: was 1)
 
 
 def _score_pairs(spark: SparkSession, sf_dir: str, pairs: DataFrame) -> DataFrame:
@@ -1686,9 +1687,26 @@ def _nnd_topk(scored: DataFrame, k: int) -> DataFrame:
       )
     ),
     b AS (SELECT vec_id, {_sql_srp_bucket()} AS bucket FROM qv),
+    ranked AS (
+      SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS r
+      FROM embeddings
+    ),
+    nn AS (SELECT count(*) AS n FROM embeddings),
+    rings AS (
+      SELECT a.vec_id AS src, bb.vec_id AS dst
+      FROM ranked a CROSS JOIN nn JOIN ranked bb
+        ON bb.r = (a.r + n // 2) % n
+        OR bb.r = (a.r + n // 4) % n
+        OR bb.r = (a.r + n // 8) % n
+      WHERE a.vec_id <> bb.vec_id
+    ),
     seed_pairs AS (
-      SELECT a.vec_id AS src, c.vec_id AS dst
-      FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id <> c.vec_id
+      SELECT DISTINCT src, dst FROM (
+        SELECT a.vec_id AS src, c.vec_id AS dst
+        FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id <> c.vec_id
+        UNION ALL
+        SELECT src, dst FROM rings
+      )
     ),
     seed_scored AS (
       SELECT sp.src, sp.dst,
@@ -1708,61 +1726,139 @@ def _nnd_topk(scored: DataFrame, k: int) -> DataFrame:
         FROM seed_scored
       ) WHERE rn <= {NND_SEED_K}
     ),
-    undirected AS (
+    undirected1 AS (
       SELECT DISTINCT u, v FROM (
         SELECT src AS u, dst AS v FROM seed_topk
         UNION ALL SELECT dst, src FROM seed_topk
       )
     ),
-    cand AS (
+    cand1 AS (
       SELECT DISTINCT src, dst FROM (
         SELECT e1.u AS src, e2.v AS dst
-        FROM undirected e1 JOIN undirected e2 ON e2.u = e1.v
+        FROM undirected1 e1 JOIN undirected1 e2 ON e2.u = e1.v
         WHERE e2.v <> e1.u
         UNION ALL
-        SELECT u, v FROM undirected
+        SELECT u, v FROM undirected1
       )
     ),
-    scored AS (
+    scored1 AS (
       SELECT c.src, c.dst,
              floor(list_cosine_similarity(
                list_transform(ea.embedding, x -> CAST(x AS DOUBLE)),
                list_transform(eb.embedding, x -> CAST(x AS DOUBLE))
              ) * 10000 + 0.5) AS sim_u
-      FROM cand c
+      FROM cand1 c
       JOIN embeddings ea ON ea.vec_id = c.src
       JOIN embeddings eb ON eb.vec_id = c.dst
-    )
-    SELECT src, CAST(rank AS BIGINT) AS rank, dst, sim_u / 10000 AS sim
-    FROM (
+    ),
+    top1 AS (
+      SELECT src, dst FROM (
+        SELECT src, dst,
+               row_number() OVER (PARTITION BY src
+                                  ORDER BY sim_u DESC, dst) AS rn
+        FROM scored1
+      ) WHERE rn <= {NND_K}
+    ),
+    undirected2 AS (
+      SELECT DISTINCT u, v FROM (
+        SELECT src AS u, dst AS v FROM top1
+        UNION ALL SELECT dst, src FROM top1
+      )
+    ),
+    cand2 AS (
+      SELECT DISTINCT src, dst FROM (
+        SELECT e1.u AS src, e2.v AS dst
+        FROM undirected2 e1 JOIN undirected2 e2 ON e2.u = e1.v
+        WHERE e2.v <> e1.u
+        UNION ALL
+        SELECT u, v FROM undirected2
+      )
+    ),
+    scored2 AS (
+      SELECT c.src, c.dst,
+             floor(list_cosine_similarity(
+               list_transform(ea.embedding, x -> CAST(x AS DOUBLE)),
+               list_transform(eb.embedding, x -> CAST(x AS DOUBLE))
+             ) * 10000 + 0.5) AS sim_u
+      FROM cand2 c
+      JOIN embeddings ea ON ea.vec_id = c.src
+      JOIN embeddings eb ON eb.vec_id = c.dst
+    ),
+    top2 AS (
       SELECT src, dst, sim_u,
              row_number() OVER (PARTITION BY src
                                 ORDER BY sim_u DESC, dst) AS rank
-      FROM scored
-    ) WHERE rank <= {NND_K}
+      FROM scored2
+    ),
+    exact3 AS (
+      SELECT src, dst FROM (
+        SELECT a.vec_id AS src, b.vec_id AS dst,
+               row_number() OVER (
+                 PARTITION BY a.vec_id
+                 ORDER BY floor(list_cosine_similarity(
+                   list_transform(a.embedding, x -> CAST(x AS DOUBLE)),
+                   list_transform(b.embedding, x -> CAST(x AS DOUBLE))
+                 ) * 10000 + 0.5) DESC, b.vec_id) AS rn
+        FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+      ) WHERE rn <= {NND_K}
+    ),
+    h1 AS (
+      SELECT t.src, count(*) AS hits_r1
+      FROM top1 t JOIN exact3 e ON e.src = t.src AND e.dst = t.dst
+      GROUP BY t.src
+    ),
+    h2 AS (
+      SELECT t.src, count(*) AS hits_r2
+      FROM top2 t JOIN exact3 e ON e.src = t.src AND e.dst = t.dst
+      WHERE t.rank <= {NND_K}
+      GROUP BY t.src
+    )
+    SELECT t.src, CAST(t.rank AS BIGINT) AS rank, t.dst,
+           t.sim_u / 10000 AS sim,
+           CAST(coalesce(h1.hits_r1, 0) AS BIGINT) AS hits_r1,
+           CAST(coalesce(h2.hits_r2, 0) AS BIGINT) AS hits_r2
+    FROM top2 t
+    LEFT JOIN h1 ON h1.src = t.src
+    LEFT JOIN h2 ON h2.src = t.src
+    WHERE t.rank <= {NND_K}
     """,
     tier="P1",
-    doc="One NN-descent refinement round — the graph-ANN construction "
+    doc="Multi-round NN-descent (r13: VERDICT r12 item 4 extended the "
+    "single refinement round to a bounded 2-round loop with a "
+    "per-round exact-recall witness) — the graph-ANN construction "
     "loop (NN-descent / HNSW layer building) expressed relationally: "
     "seed each vector's neighbor list from its SRP LSH bucket "
     "(q_ann_srp_buckets' data-independent assignment, integer-exact "
-    "cross-engine), then apply the NN-descent step 'my neighbor's "
-    "neighbors are my candidates' — symmetrize the seed graph, "
-    "propose all 2-hop endpoints plus the seed edges, re-score with "
-    "the quantized cosine, keep top-3 per vector. No all-pairs "
-    "product ever forms: candidate volume is O(n*k^2) graph-sparse "
-    "pairs, each scored by joining the two endpoint vectors "
-    "(pair-based mapInPandas numpy, no matrix broadcast — the gate "
-    "question doesn't even arise). Quantize-then-rank tie discipline "
-    "as q_sim_cosine_topk. At 100 TB this loop iterated to a fixed "
-    "point IS how billion-scale kNN graphs are built (NN-descent "
-    "converges in ~5 rounds); per round the shuffles are two "
+    "cross-engine) PLUS three deterministic long-range ring edges "
+    "(id-rank + n/2, n/4, n/8 mod n — classic NN-descent random "
+    "init / NSW long links made deterministic; without them the "
+    "tiny SRP components hit their fixed point before round 2), "
+    "then per round apply the NN-descent step 'my "
+    "neighbor's neighbors are my candidates' — symmetrize the "
+    "current graph, propose all 2-hop endpoints plus the current "
+    "edges, re-score with the quantized cosine, keep top-3 per "
+    "vector. No all-pairs product ever forms in the descent: "
+    "candidate volume is O(n*k^2) graph-sparse pairs per round, each "
+    "scored by joining the two endpoint vectors (pair-based "
+    "mapInPandas numpy, no matrix broadcast). The emitted rows are "
+    "the final round's graph plus per-src EXACT recall companions "
+    "hits_r1/hits_r2 = |round-k top-3 ∩ exact top-3| (ground truth = "
+    "q_emb_knn_graph's all-pairs construction — at 100 TB that side "
+    "is the sampled recall-monitoring job, not the build path). "
+    "hits_r2 >= hits_r1 holds per src BY CONSTRUCTION: round r's "
+    "top-k is a candidate subset of round r+1, and an exact-top-3 "
+    "member can never be outranked by three others, so descent "
+    "recall is monotone non-decreasing — pytest asserts it and the "
+    "driver hashes the exact counts. Quantize-then-rank tie "
+    "discipline as q_sim_cosine_topk; per round the shuffles are two "
     "edge-list self-joins and one groupBy(src) top-k, all keyed by "
     "vector id, and the LSH seed bounds round-0 candidate skew.",
 )
 def q_emb_nn_descent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
     per = _srp_per_vec(spark, sf_dir)
-    seed_pairs = (
+    seed_srp = (
         per.alias("a")
         .join(per.alias("c"), F.col("a.srp_bucket") == F.col("c.srp_bucket"))
         .where(F.col("a.vec_id") != F.col("c.vec_id"))
@@ -1770,31 +1866,100 @@ def q_emb_nn_descent(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("a.vec_id").alias("src"), F.col("c.vec_id").alias("dst")
         )
     )
-    seed_topk = _nnd_topk(
+    # Deterministic long-range ring edges (r13): rank every vector by
+    # vec_id and link each to the vectors n/2, n/4 and n/8 positions
+    # ahead (mod n) — the descent-graph connector. SRP buckets alone
+    # average ~2.3 vectors at sf0.01, so the seed graph's components
+    # were too small for 2-hop proposals to reach anything new and
+    # round 2 hit its fixed point immediately (measured: 24 -> 24
+    # truth hits). The rings are classic NN-descent random init /
+    # NSW long links made deterministic and SQL-expressible; with
+    # them the measured curve is seed 31 -> r1 73 -> r2 115 hits.
+    # The global row_number runs over vec_ids ONLY (n rows of one
+    # long) — at 100 TB this is a zipWithIndex-style id-rank pass,
+    # not a data sort.
+    e_ids = load_table(spark, sf_dir, "embeddings").select("vec_id")
+    ranked = e_ids.withColumn(
+        "r", F.row_number().over(Window.orderBy("vec_id")) - 1
+    ).localCheckpoint()  # joined three times; AQE sees the tiny size
+    n = ranked.count()
+    rings = None
+    for off in (n // 2, n // 4, n // 8):
+        ring = (
+            ranked.alias("a")
+            .join(
+                ranked.alias("bb"),
+                F.col("bb.r") == (F.col("a.r") + F.lit(off)) % F.lit(n),
+            )
+            .select(
+                F.col("a.vec_id").alias("src"), F.col("bb.vec_id").alias("dst")
+            )
+        )
+        rings = ring if rings is None else rings.unionAll(ring)
+    seed_pairs = (
+        seed_srp.unionAll(rings)
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    edges = _nnd_topk(
         _score_pairs(spark, sf_dir, seed_pairs), NND_SEED_K
     ).select("src", "dst")
-    undirected = (
-        seed_topk.select(F.col("src").alias("u"), F.col("dst").alias("v"))
-        .unionAll(
-            seed_topk.select(F.col("dst").alias("u"), F.col("src").alias("v"))
+
+    rounds: list[DataFrame] = []
+    for _ in range(NND_ROUNDS):
+        undirected = (
+            edges.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+            .unionAll(
+                edges.select(F.col("dst").alias("u"), F.col("src").alias("v"))
+            )
+            .distinct()
+            .localCheckpoint()  # joined twice below; prior round runs once
         )
-        .distinct()
-        .localCheckpoint()  # joined twice below; seed scan runs once
+        two_hop = (
+            undirected.alias("e1")
+            .join(undirected.alias("e2"), F.col("e2.u") == F.col("e1.v"))
+            .where(F.col("e2.v") != F.col("e1.u"))
+            .select(F.col("e1.u").alias("src"), F.col("e2.v").alias("dst"))
+        )
+        cand = two_hop.unionAll(
+            undirected.select(F.col("u").alias("src"), F.col("v").alias("dst"))
+        ).distinct()
+        topk = _nnd_topk(_score_pairs(spark, sf_dir, cand), NND_K)
+        rounds.append(topk)
+        edges = topk.select("src", "dst")
+
+    # exact ground truth for the recall companions: the kNN graph's
+    # top-NND_K edges (hash-proven construction, sampled at scale)
+    truth = (
+        q_emb_knn_graph(spark, sf_dir)
+        .where(F.col("rank") <= NND_K)
+        .select("src", "dst")
     )
-    two_hop = (
-        undirected.alias("e1")
-        .join(undirected.alias("e2"), F.col("e2.u") == F.col("e1.v"))
-        .where(F.col("e2.v") != F.col("e1.u"))
-        .select(F.col("e1.u").alias("src"), F.col("e2.v").alias("dst"))
-    )
-    cand = two_hop.unionAll(
-        undirected.select(F.col("u").alias("src"), F.col("v").alias("dst"))
-    ).distinct()
-    return _nnd_topk(_score_pairs(spark, sf_dir, cand), NND_K).select(
-        "src",
-        F.col("rank").cast("long").alias("rank"),
-        "dst",
-        (F.col("sim_u") / 1e4).alias("sim"),
+
+    def hits(topk: DataFrame, col: str) -> DataFrame:
+        return (
+            topk.select("src", "dst")
+            .join(truth, ["src", "dst"], "left_semi")
+            .groupBy("src")
+            .agg(F.count(F.lit(1)).alias(col))
+        )
+
+    final = rounds[-1]
+    return (
+        final.join(hits(rounds[0], "hits_r1"), "src", "left")
+        .join(hits(final, "hits_r2"), "src", "left")
+        .select(
+            "src",
+            F.col("rank").cast("long").alias("rank"),
+            "dst",
+            (F.col("sim_u") / 1e4).alias("sim"),
+            F.coalesce(F.col("hits_r1"), F.lit(0))
+            .cast("long")
+            .alias("hits_r1"),
+            F.coalesce(F.col("hits_r2"), F.lit(0))
+            .cast("long")
+            .alias("hits_r2"),
+        )
     )
 
 

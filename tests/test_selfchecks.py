@@ -212,6 +212,24 @@ def test_lsh_promotion_witness_shape(spark):
         assert r["recall_ok"] is True
 
 
+def test_nn_descent_recall_monotone(spark):
+    """r13 multi-round NN-descent: per-src recall vs the exact top-3
+    must be monotone non-decreasing round-over-round (guaranteed by
+    the candidate-superset construction — an exact-top-3 member can
+    never be outranked by three others once proposed), and the second
+    round must actually add recall somewhere (else the extra round is
+    dead weight)."""
+    rows = all_specs()["q_emb_nn_descent"].fn(spark, SF_T2).collect()
+    per_src = {r["src"]: (r["hits_r1"], r["hits_r2"]) for r in rows}
+    assert per_src
+    assert all(h2 >= h1 for h1, h2 in per_src.values())
+    total_r1 = sum(h1 for h1, _ in per_src.values())
+    total_r2 = sum(h2 for _, h2 in per_src.values())
+    assert total_r2 > total_r1, (
+        f"round 2 added no recall: {total_r1} -> {total_r2}"
+    )
+
+
 def test_ivfpq_recall_margin(spark):
     """The composed IVF+PQ query's hashed hits10 companion must show
     real routing quality: macro recall@10 vs the full-ADC top-10 at
