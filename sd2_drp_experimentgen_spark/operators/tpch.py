@@ -1224,3 +1224,104 @@ def q_tpch_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("ps_partkey", "value_cents")
     )
+
+
+# --- Q12 (r13): completes TPC-H 22/22 -----------------------------------
+
+# The fixture schema carries neither shipmode nor commit/receipt dates
+# (SURVEY module docstring), so Q12's columns derive from keys with
+# pure integer functions both engines compute identically — the same
+# recipe that closed Q2/Q9/Q11 via the derived partsupp in r9.
+_Q12_MODES = ("AIR", "FOB", "MAIL", "RAIL", "REG AIR", "SHIP", "TRUCK")
+_Q12_HIGH = ("1-URGENT", "2-HIGH")
+
+
+@register(
+    "q_tpch_q12_shipmode_priority",
+    oracle=f"""
+    WITH ext AS (
+      SELECT l_orderkey,
+             (['AIR','FOB','MAIL','RAIL','REG AIR','SHIP','TRUCK'])
+               [CAST((l_orderkey * 7 + l_linenumber * 131) % 7 AS INT) + 1]
+               AS l_shipmode,
+             l_shipdate + INTERVAL 1 DAY *
+               ((l_orderkey * 31 + l_linenumber * 17) % 30 + 1)
+               AS l_commitdate,
+             l_shipdate + INTERVAL 1 DAY *
+               ((l_orderkey * 13 + l_linenumber * 29) % 45 + 1)
+               AS l_receiptdate,
+             l_shipdate
+      FROM lineitem
+    )
+    SELECT l_shipmode,
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM ext JOIN orders ON o_orderkey = l_orderkey
+    WHERE l_shipmode IN ('MAIL', 'SHIP')
+      AND l_commitdate < l_receiptdate
+      AND l_shipdate < l_commitdate
+      AND l_receiptdate >= TIMESTAMP '1998-01-01'
+      AND l_receiptdate <  TIMESTAMP '1999-01-01'
+    GROUP BY l_shipmode
+    """,
+    tier="P1",
+    doc="TPC-H Q12 (shipping modes / order priority) — the last of the "
+    "22 TPC-H archetypes, completing 22/22 coverage: late-line "
+    "counting by priority class over two ship modes. shipmode and "
+    "commit/receipt dates derive from (l_orderkey, l_linenumber) "
+    "with pure integer key functions (the r9 derived-partsupp "
+    "recipe), so both engines see identical columns; date arithmetic "
+    "is whole-day interval adds on ntz timestamps, exact in both. "
+    "Plan: the derived-column filter reduces lineitem ~8x BEFORE the "
+    "orders join (priority arrives by one equi-join on orderkey — "
+    "AQE broadcasts the filtered side locally; at 100 TB both sides "
+    "shuffle once on the join key), then a 2-group conditional "
+    "count rollup with map-side partials.",
+)
+def q_tpch_q12_shipmode_priority(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_shipdate"
+    )
+    modes = F.array(*[F.lit(m) for m in _Q12_MODES])
+    ext = li.select(
+        "l_orderkey",
+        F.element_at(
+            modes,
+            (
+                (F.col("l_orderkey") * 7 + F.col("l_linenumber") * 131) % 7
+                + 1
+            ).cast("int"),
+        ).alias("l_shipmode"),
+        F.expr(
+            "timestampadd(DAY, CAST((l_orderkey * 31 + l_linenumber * 17) "
+            "% 30 + 1 AS INT), l_shipdate)"
+        ).alias("l_commitdate"),
+        F.expr(
+            "timestampadd(DAY, CAST((l_orderkey * 13 + l_linenumber * 29) "
+            "% 45 + 1 AS INT), l_shipdate)"
+        ).alias("l_receiptdate"),
+        "l_shipdate",
+    )
+    late = ext.where(
+        F.col("l_shipmode").isin("MAIL", "SHIP")
+        & (F.col("l_commitdate") < F.col("l_receiptdate"))
+        & (F.col("l_shipdate") < F.col("l_commitdate"))
+        & (F.col("l_receiptdate") >= F.lit("1998-01-01").cast("timestamp_ntz"))
+        & (F.col("l_receiptdate") < F.lit("1999-01-01").cast("timestamp_ntz"))
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    high = F.col("o_orderpriority").isin(*_Q12_HIGH)
+    return (
+        late.join(o, late.l_orderkey == o.o_orderkey)
+        .groupBy("l_shipmode")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+    )

@@ -108,24 +108,47 @@ VERIFY_REP_CAP = {"q_neardup_containment": 16, "q_neardup_jaccard": 16}
 BP_HEADER = " ".join(f"bptok{i:02d}" for i in range(64))
 
 
-def scaled_dir(rep: int, boilerplate: bool = False) -> str:
+def scaled_dir(
+    rep: int, boilerplate: bool = False, capped_vocab: bool = False
+) -> str:
     root = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "..", ".scratch",
         "scale_docs",
     )
-    suffix = "bp" if boilerplate else ""
+    suffix = "bp" if boilerplate else "cv" if capped_vocab else ""
     return os.path.abspath(os.path.join(root, f"x{rep}{suffix}"))
 
 
-def replicate_documents(spark, docs, rep: int, boilerplate: bool = False):
+def replicate_documents(
+    spark, docs, rep: int, boilerplate: bool = False,
+    capped_vocab: bool = False,
+):
     """THE replica transform — rep copies with replica-distinct bodies
     (every token suffixed ``_r<r>``, doc_id shifted by DOC_STRIDE) and,
     with ``boilerplate``, the UNsuffixed shared 64-token header
     prepended so one fingerprint/band bucket spans the whole corpus.
     Shared by :func:`build` and the CI cap smoke
     (tests/test_boilerplate_cap_smoke.py), so the corpus shape the
-    round reports measure is BY CONSTRUCTION the one CI checks."""
+    round reports measure is BY CONSTRUCTION the one CI checks.
+
+    ``capped_vocab`` (VERDICT r12 item 8): suffix the SOURCE instead of
+    the tokens. The near-dup pair definition is same-source, so
+    source-distinct replicas contribute zero cross-replica pairs —
+    exactly like token suffixing — while the GLOBAL vocabulary stays
+    the base corpus's, keeping the int64-bitset gate
+    (ND_BITSET_VOCAB_MAX) open at every replica factor. This is the
+    corpus shape that gives the mask path its own decade curve (token
+    suffixing pushed vocab past 63 from x4 up, SCALE.md r12)."""
     reps = spark.range(rep).select(F.col("id").alias("rep"))
+    if capped_vocab:
+        return (
+            docs.crossJoin(F.broadcast(reps))
+            .withColumn("doc_id", F.col("doc_id") + F.col("rep") * DOC_STRIDE)
+            .withColumn(
+                "source", F.concat(F.col("source"), F.lit("_r"), F.col("rep"))
+            )
+            .drop("rep")
+        )
     suffixed = F.array_join(
         F.transform(
             F.split(F.col("text"), " "),
@@ -144,10 +167,12 @@ def replicate_documents(spark, docs, rep: int, boilerplate: bool = False):
     )
 
 
-def build(spark, rep: int, boilerplate: bool = False) -> str:
+def build(
+    spark, rep: int, boilerplate: bool = False, capped_vocab: bool = False
+) -> str:
     """Replicate documents rep-fold with DISTINCT texts; copy the other
     tables unscaled so loaders and preflight see a complete fixture."""
-    out = scaled_dir(rep, boilerplate)
+    out = scaled_dir(rep, boilerplate, capped_vocab)
     marker = os.path.join(out, "_BUILT")
     if os.path.exists(marker):
         return out
@@ -158,7 +183,7 @@ def build(spark, rep: int, boilerplate: bool = False) -> str:
         dst = os.path.join(out, f"{t}.parquet")
         df = spark.read.parquet(src)
         if t == "documents":
-            df = replicate_documents(spark, df, rep, boilerplate)
+            df = replicate_documents(spark, df, rep, boilerplate, capped_vocab)
         df.write.mode("overwrite").parquet(dst)
     open(marker, "w").write("ok")
     return out
@@ -273,16 +298,125 @@ def run_boilerplate(spark, reps: list[int]) -> int:
     return 0
 
 
+def run_capped_vocab(spark, reps: list[int]) -> int:
+    """Capped-vocabulary decade study (VERDICT r12 item 8): source-
+    suffixed replicas keep the global vocabulary at the base corpus's,
+    so the int64-bitset mask path stays gated IN at every replica
+    factor. Per rung: vocab size, mask-path wall, forced-ppjoin wall
+    on the SAME corpus (gate monkeypatched to -1), and a pair-count
+    equality check between the two paths."""
+    from sd2_drp_experimentgen_spark.functions.helpers import (
+        release_persisted,
+    )
+    from sd2_drp_experimentgen_spark.operators import text as text_mod
+
+    result: dict = {"mode": "capped_vocab", "scales": {}}
+    for rep in [1] + [r for r in reps if r != 1]:
+        d = BASE_SF if rep == 1 else build(spark, rep, capped_vocab=True)
+        docs = spark.read.parquet(f"{d}/documents.parquet")
+        vocab = (
+            docs.select(F.explode(F.split(F.col("text"), " ")).alias("t"))
+            .distinct()
+            .count()
+        )
+        assert vocab <= text_mod.ND_BITSET_VOCAB_MAX, (
+            f"capped-vocab build leaked vocabulary: {vocab}"
+        )
+        t_mask, n_mask = run_query(spark, "q_neardup_jaccard", d)
+        orig = text_mod.ND_BITSET_VOCAB_MAX
+        try:
+            text_mod.ND_BITSET_VOCAB_MAX = -1  # force the ppjoin path
+            t_pp, n_pp = run_query(spark, "q_neardup_jaccard", d)
+        finally:
+            text_mod.ND_BITSET_VOCAB_MAX = orig
+        release_persisted()
+        row = {
+            "vocab": vocab,
+            "mask_sec": t_mask,
+            "ppjoin_sec": t_pp,
+            "rows": n_mask,
+            "speedup": round(t_pp / max(t_mask, 1e-9), 2),
+        }
+        if n_mask != n_pp:
+            print(f"FAIL x{rep}: mask {n_mask} rows != ppjoin {n_pp} rows")
+            return 1
+        result["scales"][rep] = row
+        print(
+            f"CV x{rep:<3} vocab={vocab} mask={t_mask}s ppjoin={t_pp}s "
+            f"({row['speedup']}x) rows={n_mask} (paths agree)",
+            flush=True,
+        )
+    print(json.dumps(result))
+    return 0
+
+
+# The two signature pipelines (VERDICT r12 item 5) and the waypoint
+# sub-jobs that decompose the LLM pipeline's wall: each waypoint times
+# a PREFIX of the pipeline (waypoint deltas ≈ stage costs; shared
+# subtree recomputation makes them approximate, which the SCALE.md
+# section states).
+def run_pipelines(spark, reps: list[int]) -> int:
+    from sd2_drp_experimentgen_spark.functions.helpers import (
+        release_persisted,
+    )
+    from sd2_drp_experimentgen_spark.operators.text import (
+        exact_dedup_losers,
+    )
+    from sd2_drp_experimentgen_spark.sources.tables import (
+        fan_out,
+        load_table,
+    )
+
+    def llm_waypoints(sf_dir: str) -> dict:
+        """Prefix jobs of q_llm_corpus_pipeline: quality gate ->
+        dedup losers -> (timed inside the full query) the rest."""
+        out = {}
+        t0 = time.perf_counter()
+        d = fan_out(load_table(spark, sf_dir, "documents"), spark, sf_dir)
+        toks = F.split(F.col("text"), " ")
+        gated = d.select(
+            "doc_id", "text", "lang", "n_chars",
+            F.size(toks).alias("n_tok"),
+        ).where((F.col("n_tok") >= 20) & F.col("n_chars").between(100, 1000))
+        out["gate_rows"] = gated.count()
+        out["gate_sec"] = round(time.perf_counter() - t0, 3)
+        t0 = time.perf_counter()
+        out["loser_rows"] = exact_dedup_losers(gated).count()
+        out["dedup_sec"] = round(time.perf_counter() - t0, 3)
+        release_persisted()
+        return out
+
+    result: dict = {"mode": "pipelines", "scales": {}}
+    for rep in [1] + [r for r in reps if r != 1]:
+        d = BASE_SF if rep == 1 else build(spark, rep)
+        row: dict = {}
+        for q in ("q_llm_corpus_pipeline", "q_mm_corpus_pipeline"):
+            t, n = run_query(spark, q, d)
+            row[q] = {"sec": t, "rows": n}
+            print(f"PIPE x{rep:<3} {q}: {t}s, {n} rows", flush=True)
+        row["llm_waypoints"] = llm_waypoints(d)
+        print(f"PIPE x{rep:<3} waypoints: {row['llm_waypoints']}", flush=True)
+        result["scales"][rep] = row
+    print(json.dumps(result))
+    return 0
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--reps", nargs="*", type=int, default=[4, 16])
     ap.add_argument("--verify", action="store_true")
     ap.add_argument("--boilerplate", action="store_true")
+    ap.add_argument("--capped-vocab", action="store_true")
+    ap.add_argument("--pipelines", action="store_true")
     args = ap.parse_args()
 
     spark = get_spark(app_name="sd2drp-dedup-scale", shuffle_partitions=32)
     if args.boilerplate:
         return run_boilerplate(spark, args.reps)
+    if args.capped_vocab:
+        return run_capped_vocab(spark, args.reps)
+    if args.pipelines:
+        return run_pipelines(spark, args.reps)
     result: dict = {"base": {}, "scales": {}}
     for q in LADDER:
         t, n = run_query(spark, q, BASE_SF)
