@@ -74,6 +74,10 @@ ALLOWED: dict[tuple[str, str], str] = {
         "per-distinct-score histogram maintained as streaming state",
     ("text.py", "q_text_vocab_growth"):
         "10-row decile rollup — constant",
+    ("vectors.py", "_id_rank"):
+        "prefix-sum over the 32-bucket offset table (<= 33 rows by "
+        "construction) — the distributed two-phase id-rank; the "
+        "per-id window below it IS partitioned (by bucket)",
 }
 
 
