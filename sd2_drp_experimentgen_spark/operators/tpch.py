@@ -1231,7 +1231,12 @@ def q_tpch_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
 # The fixture schema carries neither shipmode nor commit/receipt dates
 # (SURVEY module docstring), so Q12's columns derive from keys with
 # pure integer functions both engines compute identically — the same
-# recipe that closed Q2/Q9/Q11 via the derived partsupp in r9.
+# recipe that closed Q2/Q9/Q11 via the derived partsupp in r9. The
+# shipmode coefficient on l_orderkey must be COPRIME with the 7-mode
+# modulus (11 here): the first cut used 7, which vanishes mod 7 and
+# silently degenerated shipmode to a pure l_linenumber function
+# (caught by the r13 review) — positionally-striped modes instead of
+# key-mixed ones.
 _Q12_MODES = ("AIR", "FOB", "MAIL", "RAIL", "REG AIR", "SHIP", "TRUCK")
 _Q12_HIGH = ("1-URGENT", "2-HIGH")
 
@@ -1242,7 +1247,7 @@ _Q12_HIGH = ("1-URGENT", "2-HIGH")
     WITH ext AS (
       SELECT l_orderkey,
              (['AIR','FOB','MAIL','RAIL','REG AIR','SHIP','TRUCK'])
-               [CAST((l_orderkey * 7 + l_linenumber * 131) % 7 AS INT) + 1]
+               [CAST((l_orderkey * 11 + l_linenumber * 131) % 7 AS INT) + 1]
                AS l_shipmode,
              l_shipdate + INTERVAL 1 DAY *
                ((l_orderkey * 31 + l_linenumber * 17) % 30 + 1)
@@ -1292,7 +1297,7 @@ def q_tpch_q12_shipmode_priority(
         F.element_at(
             modes,
             (
-                (F.col("l_orderkey") * 7 + F.col("l_linenumber") * 131) % 7
+                (F.col("l_orderkey") * 11 + F.col("l_linenumber") * 131) % 7
                 + 1
             ).cast("int"),
         ).alias("l_shipmode"),

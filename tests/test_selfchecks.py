@@ -180,22 +180,46 @@ def test_exact_dedup_hash_first_identity(spark):
 
     # plan witness: the full-corpus (phase-1) exchange partitions on
     # the xxhash64 key; any text-partitioned exchange belongs to the
-    # verified branch only — i.e. its subtree (printed AFTER the node
-    # in the tree dump) contains the LeftSemi restriction to
-    # multi-member buckets, so only the dup subset's text ever moves.
+    # verified branch only — i.e. its OWN SUBTREE (lines below it at
+    # strictly greater tree depth, not merely anything printed later
+    # in the dump — r13 review hardening) contains the LeftSemi
+    # restriction to multi-member buckets, so only the dup subset's
+    # text ever moves.
     plan = (
         exact_dedup_groups(frame)
         ._jdf.queryExecution()
         .executedPlan()
         .toString()
     )
-    import re
-
     assert "xxhash64" in plan
-    for m in re.finditer(r"Exchange hashpartitioning\(text#", plan):
-        assert "LeftSemi" in plan[m.start():], (
-            "text exchange outside the multi-bucket verified branch"
+
+    def node_depth(line: str) -> int:
+        # tree-dump depth = offset of the node marker ("+-"/":-");
+        # root lines (no marker) are depth -1
+        for marker in ("+- ", ":- "):
+            i = line.find(marker)
+            if i >= 0:
+                return i
+        return -1
+
+    lines = plan.splitlines()
+    found = 0
+    for i, line in enumerate(lines):
+        if "Exchange hashpartitioning(text#" not in line:
+            continue
+        found += 1
+        d = node_depth(line)
+        subtree = []
+        for nxt in lines[i + 1:]:
+            nd = node_depth(nxt)
+            if 0 <= nd <= d:
+                break  # sibling or ancestor: subtree ended
+            subtree.append(nxt)
+        assert any("LeftSemi" in s for s in subtree), (
+            "text exchange outside the multi-bucket verified branch:\n"
+            + line
         )
+    assert found >= 1, "expected the verified branch's text exchange"
 
 
 def test_lsh_promotion_witness_shape(spark):

@@ -111,6 +111,9 @@ BP_HEADER = " ".join(f"bptok{i:02d}" for i in range(64))
 def scaled_dir(
     rep: int, boilerplate: bool = False, capped_vocab: bool = False
 ) -> str:
+    assert not (boilerplate and capped_vocab), (
+        "boilerplate and capped_vocab are mutually exclusive modes"
+    )
     root = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "..", ".scratch",
         "scale_docs",
@@ -132,13 +135,19 @@ def replicate_documents(
     round reports measure is BY CONSTRUCTION the one CI checks.
 
     ``capped_vocab`` (VERDICT r12 item 8): suffix the SOURCE instead of
-    the tokens. The near-dup pair definition is same-source, so
+    the tokens. Mutually exclusive with ``boilerplate`` (asserted —
+    the two modes resolve their cache-directory suffix in different
+    orders, so a combined call would stamp one mode's corpus into the
+    other's cache). The near-dup pair definition is same-source, so
     source-distinct replicas contribute zero cross-replica pairs —
     exactly like token suffixing — while the GLOBAL vocabulary stays
     the base corpus's, keeping the int64-bitset gate
     (ND_BITSET_VOCAB_MAX) open at every replica factor. This is the
     corpus shape that gives the mask path its own decade curve (token
     suffixing pushed vocab past 63 from x4 up, SCALE.md r12)."""
+    assert not (boilerplate and capped_vocab), (
+        "boilerplate and capped_vocab are mutually exclusive modes"
+    )
     reps = spark.range(rep).select(F.col("id").alias("rep"))
     if capped_vocab:
         return (
