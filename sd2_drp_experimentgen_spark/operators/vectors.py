@@ -2005,7 +2005,7 @@ ADC_N_QUERIES = 20  # query set = the 20 lowest vec_ids (as q_ann_ivf_topk)
 
 
 def _adc_codes_lut(
-    spark: SparkSession, sf_dir: str
+    spark: SparkSession, sf_dir: str, n_queries: int = ADC_N_QUERIES
 ) -> tuple[DataFrame, DataFrame]:
     """(codes, lut) — the shared ADC machinery of q_ann_pq_adc_topk
     and q_ann_ivfpq_topk: codes melts every vector's 4-byte PQ code to
@@ -2019,7 +2019,7 @@ def _adc_codes_lut(
     )
     e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     qids = (
-        e.select("vec_id").orderBy("vec_id").limit(ADC_N_QUERIES)
+        e.select("vec_id").orderBy("vec_id").limit(n_queries)
     ).select(F.col("vec_id").alias("query_id"))
 
     def flat(df: DataFrame, id_alias: str) -> DataFrame:
@@ -2156,9 +2156,12 @@ IVFPQ_NPROBE = 4  # coarse cells probed per query (of PQ_K = 16)
 
 # Shared CTE preamble of the ADC-family oracles: quantized flats,
 # codebook distances, per-vector codes, the query set and its LUT —
-# textually identical to q_ann_pq_adc_topk's oracle so the two stay
-# provably the same machinery.
-_ADC_ORACLE_PREAMBLE = f"""
+# textually identical to q_ann_pq_adc_topk's oracle so the family
+# stays provably the same machinery. Parameterized by the query-set
+# size (q_ann_index_partitioned uses 3 so its probe union is a
+# proper subset of the 16 cells and the partition pruning is real).
+def _adc_oracle_preamble(n_queries: int = ADC_N_QUERIES) -> str:
+    return f"""
     q AS (
       SELECT vec_id, CAST(gs - 1 AS INTEGER) AS i,
              CAST(floor(CAST(e AS DOUBLE) * {PCA_UNITS} + 0.5) AS BIGINT)
@@ -2190,13 +2193,16 @@ _ADC_ORACLE_PREAMBLE = f"""
     ),
     queries AS (
       SELECT vec_id AS query_id FROM embeddings
-      ORDER BY vec_id LIMIT {ADC_N_QUERIES}
+      ORDER BY vec_id LIMIT {n_queries}
     ),
     lut AS (
       SELECT d.vec_id AS query_id, d.m, d.k, d.d2
       FROM dist d JOIN queries ON d.vec_id = queries.query_id
     )
 """
+
+
+_ADC_ORACLE_PREAMBLE = _adc_oracle_preamble()
 
 
 @register(
@@ -2330,6 +2336,123 @@ def q_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "adc_d2",
             F.coalesce(F.col("hits10"), F.lit(0)).cast("long").alias("hits10"),
         )
+    )
+
+
+IDX_N_QUERIES = 3  # small probe set => probe union < 16 cells, so the
+                   # stored-index query demonstrates REAL pruning
+                   # (bounded: <= IDX_N_QUERIES * IVFPQ_NPROBE = 12)
+
+
+@register(
+    "q_ann_index_partitioned",
+    oracle=f"""
+    WITH {_adc_oracle_preamble(IDX_N_QUERIES)},
+    probe AS (
+      SELECT query_id, k AS cell FROM (
+        SELECT query_id, k,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY d2, k) AS rn
+        FROM lut WHERE m = 0
+      ) WHERE rn <= {IVFPQ_NPROBE}
+    ),
+    cellmap AS (SELECT vec_id, k AS cell FROM codes WHERE m = 0),
+    cand AS (
+      SELECT p.query_id, cm.vec_id
+      FROM probe p JOIN cellmap cm ON cm.cell = p.cell
+      WHERE cm.vec_id <> p.query_id
+    ),
+    adc_full AS (
+      SELECT l.query_id, co.vec_id, CAST(sum(l.d2) AS BIGINT) AS adc_d2
+      FROM codes co JOIN lut l ON l.m = co.m AND l.k = co.k
+      GROUP BY l.query_id, co.vec_id
+    ),
+    probed AS (
+      SELECT c.query_id, c.vec_id, af.adc_d2,
+             row_number() OVER (PARTITION BY c.query_id
+                                ORDER BY af.adc_d2, c.vec_id) AS rn
+      FROM cand c
+      JOIN adc_full af
+        ON af.query_id = c.query_id AND af.vec_id = c.vec_id
+    )
+    SELECT query_id, CAST(rn AS BIGINT) AS rank, vec_id, adc_d2
+    FROM probed WHERE rn <= {ADC_K}
+    """,
+    tier="P2",
+    doc="The STORED ANN index (r13): every docstring in this family "
+    "claims 'at 100 TB, cell is the table's partition key and the "
+    "probe filter is partition pruning' — this query DOES it instead "
+    "of claiming it. The PQ code table is written hive-partitioned "
+    "by coarse cell (partitionBy('cell'), 16 directories), read "
+    "back, and the probe-cell restriction is applied as a static "
+    "IN-filter on the partition column, so the FileScan's "
+    "PartitionFilters prune to the probed directories — the scan "
+    "reads nprobe/n_cells of the CODE table and zero embedding "
+    "bytes (plan pinned in PLANS.md; tests/test_plans.py asserts "
+    "PartitionFilters + the pruned in-memory partition count). The "
+    "probed-cell list is collected driver-side: it is bounded by "
+    "n_queries x nprobe <= 80 cell ids by construction (the "
+    "q_ann_ivf_topk query-collect precedent), which is what makes "
+    "the pruning static rather than DPP-dependent. ADC then runs "
+    "over the pruned scan exactly as q_ann_ivfpq_topk's probed "
+    "branch — same LUT, same integer math — and the oracle is that "
+    "query's oracle minus the recall companions, so the top-10 rows "
+    "hash bit-exact. Write-once-probe-many is the production "
+    "lifecycle this models: the index build is one map-only pass "
+    "plus a 16-way partitioned write; every later query is a pruned "
+    "codes-only scan.",
+)
+def q_ann_index_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from .scans import _scratch
+
+    # index build: codes wide, hive-partitioned by coarse cell (= c0)
+    path = _scratch(sf_dir, "pq_index_by_cell")
+    q_emb_pq_encode(spark, sf_dir).select(
+        "vec_id", "c0", "c1", "c2", "c3", F.col("c0").alias("cell")
+    ).write.mode("overwrite").partitionBy("cell").parquet(path)
+    index = spark.read.parquet(path)
+
+    # codes side of the helper unused (lazy); 3-query LUT — see
+    # IDX_N_QUERIES
+    _, lut = _adc_codes_lut(spark, sf_dir, IDX_N_QUERIES)
+    lut = lut.localCheckpoint()
+    wc = Window.partitionBy("query_id").orderBy(F.asc("d2"), F.asc("k"))
+    probe = (
+        lut.where(F.col("m") == 0)
+        .withColumn("rn", F.row_number().over(wc))
+        .where(F.col("rn") <= IVFPQ_NPROBE)
+        .select("query_id", F.col("k").alias("cell"))
+        .localCheckpoint()
+    )
+    # bounded collect (<= n_queries * nprobe cell ids): a STATIC
+    # partition filter, so pruning shows in PartitionFilters instead
+    # of depending on runtime DPP
+    cells = sorted({r["cell"] for r in probe.select("cell").collect()})
+    pruned = index.where(F.col("cell").isin(cells))
+
+    codes = pruned.select(
+        "vec_id", "cell",
+        F.expr("stack(4, 0, c0, 1, c1, 2, c2, 3, c3) AS (m, k)"),
+    )
+    cand = (
+        F.broadcast(probe)
+        .join(codes, "cell")
+        .where(F.col("query_id") != F.col("vec_id"))
+    )
+    adc = (
+        cand.join(F.broadcast(lut), ["query_id", "m", "k"])
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum("d2").alias("adc_d2"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("adc_d2"), F.asc("vec_id")
+    )
+    return (
+        adc.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= ADC_K)
+        .select("query_id", "rank", "vec_id", "adc_d2")
     )
 
 

@@ -105,6 +105,38 @@ def test_partitioned_layout_prunes_partitions(spark):
     assert "Filter (" not in p or "l_returnflag" not in p.split("Filter (")[1]
 
 
+def test_ann_index_scan_prunes_to_probed_cells(spark):
+    """r13 stored-index query: the probe-cell restriction must reach
+    the hive-partitioned code table as a STATIC PartitionFilter
+    (directory pruning over the 16 cell dirs), and the pruned scan
+    must read only code columns — never embedding bytes."""
+    p = plan(all_specs()["q_ann_index_partitioned"].fn(spark, SF_T2))
+    lines = p.splitlines()
+    # formatted mode: the scan's attributes (Location, PartitionFilters,
+    # ReadSchema) are separate lines within the node's detail block —
+    # find the index table's block via its Location line
+    loc = next(
+        i for i, l in enumerate(lines)
+        if "Location" in l and "pq_index_by_cell" in l
+    )
+    block = lines[max(0, loc - 6): loc + 6]
+    part_line = next(l for l in block if "PartitionFilters" in l)
+    # static IN pruning present (Spark renders small sets as
+    # "cell#N IN (...)", larger ones as "cell#N INSET ...")
+    if " INSET " in part_line:
+        members = part_line.split(" INSET ", 1)[1].split(")")[0]
+    else:
+        assert " IN (" in part_line, part_line
+        members = part_line.split(" IN (", 1)[1].split(")")[0]
+    n_cells = len(members.split(","))
+    # probe union bounded by IDX_N_QUERIES * IVFPQ_NPROBE = 12 < 16:
+    # the pruning is real, not a full-table IN-list
+    assert 1 <= n_cells <= 12, part_line
+    read_schema = next(l for l in block if "ReadSchema" in l)
+    assert "embedding" not in read_schema
+    assert "c0" in read_schema and "c3" in read_schema
+
+
 def test_events_scan_prunes_unused_columns(spark):
     """The tumbling-window query needs ts/event_type/value only — the
     props JSON blob (the widest column) must not be read."""

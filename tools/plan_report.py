@@ -50,6 +50,7 @@ REPORT = [
     ("q_dedup_minhash_bands", "map-only signatures; the groupBy shuffles 16-byte band sigs only"),
     ("q_ann_srp_buckets", "integer SRP projections fully inside the projection — one 1-byte-key shuffle"),
     ("q_ann_ivfpq_topk", "composed IVF+PQ: probe cells broadcast into the code scan, every Exchange carries (id, m, k, d2) integers — no embedding bytes cross an exchange; LUT broadcast on both ADC branches"),
+    ("q_ann_index_partitioned", "stored ANN index: FileScan over the hive-partitioned code table with static PartitionFilters on the probed cells (directory pruning, <= 12 of 16 dirs by the probe-union bound); codes-only ReadSchema"),
     ("q_time_downsample_ohlc", "window + groupBy share one (user,hour) shuffle"),
     ("q_scd2_dimension", "lag/lead windows reuse a single custkey sort"),
     ("q_histogram_fixed_bins", "1-row extent aggregate broadcast into the binning scan"),
