@@ -1551,3 +1551,75 @@ def q_sql_unpivot_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY measure
         """
     )
+
+
+@register(
+    "q_join_bloom_runtime",
+    oracle=f"""
+    SELECT o_orderpriority,
+           count(*) AS n_items,
+           {sql_units("sum(" + sql_units("l_extendedprice * (1 - l_discount)")
+                      + ")", 0)} AS revenue_units
+    FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+    WHERE o_orderpriority = '1-URGENT'
+    GROUP BY o_orderpriority
+    """,
+    tier="P2",
+    doc="Runtime Bloom-filter join pruning (r13) — Catalyst's injected "
+    "runtime filter: with broadcast off (both sides 'big'), the "
+    "optimizer plants a bloom_filter_agg over the selective build "
+    "side (URGENT orders) and a might_contain(...) filter on the "
+    "probe side's scan, so ~80% of lineitem rows drop BEFORE the "
+    "join exchange instead of shuffling to die at the join — at "
+    "100 TB this is the difference between shuffling the whole fact "
+    "table and shuffling the matching fifth of it. Runs on an "
+    "isolated newSession (broadcast disabled + bloom thresholds "
+    "opened) so the conf never leaks into concurrent queries; "
+    "tests/test_plans.py asserts might_contain + bloom_filter_agg "
+    "land in the optimized plan. Results are conf-independent (the "
+    "filter is semantics-preserving), so the oracle is the plain "
+    "join SQL.",
+)
+def q_join_bloom_runtime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.helpers import int_units
+    from ..session import configure_session
+
+    s = spark.newSession()
+    configure_session(s)
+    s.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    # local fixtures are far below the production-tuned size gates; the
+    # injection decision itself is what this operator exercises
+    s.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+        "1GB",
+    )
+    s.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter."
+        "applicationSideScanSizeThreshold",
+        "0",
+    )
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+
+    o = load_table(s, sf_dir, "orders").where(
+        F.col("o_orderpriority") == "1-URGENT"
+    ).select("o_orderkey", "o_orderpriority")
+    li = load_table(s, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            # bounded-group unit sum -> decimal(38,0) partials (the r10
+            # rule: one priority group accumulates the whole fact side
+            # at 100 TB, past int64)
+            F.sum(
+                int_units(
+                    F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+                ).cast("decimal(38,0)")
+            )
+            .cast("long")
+            .alias("revenue_units"),
+        )
+    )

@@ -137,6 +137,23 @@ def test_ann_index_scan_prunes_to_probed_cells(spark):
     assert "c0" in read_schema and "c3" in read_schema
 
 
+def test_bloom_runtime_filter_injected(spark):
+    """r13: with broadcast off, Catalyst must plant the runtime Bloom
+    filter — a bloom_filter_agg over the selective orders side and a
+    might_contain probe filter on the lineitem side — so fact rows
+    drop BEFORE the join exchange."""
+    df = all_specs()["q_join_bloom_runtime"].fn(spark, SF_T2)
+    p = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "bloom_filter_agg" in p, p[:2000]
+    assert "might_contain" in p
+    # the probe filter sits over the lineitem relation, keyed on the
+    # join key's hash
+    probe = next(
+        l for l in p.splitlines() if "might_contain" in l
+    )
+    assert "l_orderkey" in probe
+
+
 def test_events_scan_prunes_unused_columns(spark):
     """The tumbling-window query needs ts/event_type/value only — the
     props JSON blob (the widest column) must not be read."""
