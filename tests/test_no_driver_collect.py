@@ -27,6 +27,11 @@ ALLOWED = {
     ("vectors.py", "_pq_centroids"),
     # Collects exactly n_queries (20) rows — the small side by definition.
     ("ml.py", "q_ann_ivf_topk"),
+    # Collects the probed coarse-cell ids, bounded by IDX_N_QUERIES *
+    # IVFPQ_NPROBE = 12 values by construction — the static partition
+    # filter that makes the stored-index scan prune directories
+    # instead of depending on runtime DPP.
+    ("vectors.py", "q_ann_index_partitioned"),
     # pytest-only quality helper, never in a registered query's lineage.
     ("ml.py", "kmeans_quality"),
     # Collects 5 serialized sketches + 3 hot-user rows — sketches exist
