@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.helpers import r4, sql_exact_sum, sql_r, sql_units
+from ..functions.helpers import r4, sql_exact_sum, sql_r, sql_sum_units, sql_units
 from ..plans.registry import register
 from ..sources.tables import load_events, load_table
 
@@ -1558,8 +1558,8 @@ def q_sql_unpivot_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     SELECT o_orderpriority,
            count(*) AS n_items,
-           {sql_units("sum(" + sql_units("l_extendedprice * (1 - l_discount)")
-                      + ")", 0)} AS revenue_units
+           {sql_sum_units("l_extendedprice * (1 - l_discount)")}
+             AS revenue_units
     FROM lineitem JOIN orders ON o_orderkey = l_orderkey
     WHERE o_orderpriority = '1-URGENT'
     GROUP BY o_orderpriority

@@ -2391,7 +2391,8 @@ IDX_N_QUERIES = 3  # small probe set => probe union < 16 cells, so the
     "bytes (plan pinned in PLANS.md; tests/test_plans.py asserts "
     "PartitionFilters + the pruned in-memory partition count). The "
     "probed-cell list is collected driver-side: it is bounded by "
-    "n_queries x nprobe <= 80 cell ids by construction (the "
+    "IDX_N_QUERIES x IVFPQ_NPROBE = 3 x 4 = 12 cell ids by "
+    "construction (the "
     "q_ann_ivf_topk query-collect precedent), which is what makes "
     "the pruning static rather than DPP-dependent. ADC then runs "
     "over the pruned scan exactly as q_ann_ivfpq_topk's probed "
