@@ -2,33 +2,39 @@
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
 JSON line the driver records as BENCH_r{N}.json.
 
-Protocol mirrors BASELINE.md: one shared warm SparkSession (cold start
-excluded), one warm-up run per query, then the MIN of three timed runs
-with the result fully materialized via collect(). Min-of-N is the
-noise-robust estimator for a shared machine — r1 showed ±3× swings in
-single timed runs under co-tenant load with an identical plan; the min
-converges to the true cost of the plan, which is what the gate grades.
+Protocol mirrors BASELINE.md: warm SparkSession (cold start excluded),
+one warm-up run per query, then the MIN of three timed runs with the
+result fully materialized via collect(). Min-of-N is the noise-robust
+estimator for a shared machine — r1 showed ±3× swings in single timed
+runs under co-tenant load with an identical plan; the min converges to
+the true cost of the plan, which is what the gate grades.
 (VERDICT r9 item 5: min-of-2 → min-of-3, and the JSON line now stamps
 os.getloadavg() before and after the run plus the cpu count, so a
 uniform drift across queries self-documents as ambient co-tenant load
 instead of burning a verdict cycle distinguishing noise from
 regression.)
+
+JVM recycling (VERDICT r13 item 1): the r13 session documented
+same-code drift 23.4 s → 29.4 s across a long-lived JVM — block-manager
+and code-cache residue accumulating over a build session's hundreds of
+plans inflated untouched queries' timings uniformly. The sweep now runs
+in SEGMENTS of $SPARK_GRAFT_JVM_RECYCLE queries (default 9), each in a
+FRESH subprocess JVM: residue can accumulate across at most one
+segment, and a segment's cold start stays excluded because timing
+begins after each query's own warm-up run. Set
+SPARK_GRAFT_JVM_RECYCLE=0 for the old single-JVM sweep (the scale
+studies keep their own protocol).
 """
 
 from __future__ import annotations
 
 import json
 import os
+import subprocess
 import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-
-from sd2_drp_experimentgen_spark.functions.helpers import (  # noqa: E402
-    release_persisted,
-)
-from sd2_drp_experimentgen_spark.plans import all_specs  # noqa: E402
-from sd2_drp_experimentgen_spark.session import get_spark  # noqa: E402
 
 # Headline set: the shapes BASELINE.md records probe numbers for, plus
 # flagship extensions as they land.
@@ -95,6 +101,7 @@ def build_summary(
     sf: float,
     load_before: tuple[float, ...],
     load_after: tuple[float, ...],
+    jvm_recycle: int = 0,
 ) -> dict:
     """The compact final-line payload. Everything the gate and the
     noise-band protocol need; nothing that grows with run count."""
@@ -112,28 +119,31 @@ def build_summary(
         "loadavg_after": load_after,
         "cpus": os.cpu_count(),
         "timed_runs": 3,
+        # queries per fresh JVM (0 = whole sweep in one JVM)
+        "jvm_recycle": jvm_recycle,
     }
 
 
-def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+def segments(names: list[str], size: int) -> list[list[str]]:
+    """Chunk the headline set; size <= 0 means one single-JVM segment."""
+    if size <= 0:
+        return [names]
+    return [names[i : i + size] for i in range(0, len(names), size)]
 
-    # Fixture-drift tripwire (VERDICT r3): fail with ONE clear message
-    # if the driver regenerated the parquet with an unexpected schema,
-    # instead of crashing mid-bench with an opaque analysis error.
-    from sd2_drp_experimentgen_spark.sources.preflight import (
-        assert_fixture_schemas,
+
+def run_queries(
+    names: list[str], sf_dir: str
+) -> tuple[dict[str, float], dict[str, list[float]]]:
+    """Warm-up + min-of-3 timing for the given queries in THIS
+    process's SparkSession (created on first use)."""
+    from sd2_drp_experimentgen_spark.functions.helpers import (
+        release_persisted,
     )
-
-    assert_fixture_schemas(sf_dir)
-
-    load_before = tuple(round(x, 2) for x in os.getloadavg())
+    from sd2_drp_experimentgen_spark.plans import all_specs
+    from sd2_drp_experimentgen_spark.session import get_spark
 
     spark = get_spark(app_name="sd2drp-bench", shuffle_partitions=32)
-
     specs = all_specs()
-    names = [n for n in HEADLINE if n in specs]
     timings: dict[str, float] = {}
     runs_all: dict[str, list[float]] = {}
 
@@ -146,8 +156,9 @@ def main() -> None:
     # phase bleeds into the NEXT query's timed runs) — both REJECTED.
     # The carryover it would cure is unmeasurable at sf0.1 (graph-rung
     # runs DECREASE across the three timings, [4.08, 3.87, 3.60]);
-    # where block residue genuinely mattered — x32+ in one JVM — the
-    # scale study keeps its own _drop_checkpoints between its runs.
+    # cross-SEGMENT residue is instead bounded by the subprocess
+    # recycle (module docstring), which resets the JVM without a
+    # collector phase bleeding into any timed run.
     for name in names:
         fn = specs[name].fn
         fn(spark, sf_dir).collect()  # warm-up (JIT, file listing, broadcast)
@@ -164,6 +175,63 @@ def main() -> None:
             release_persisted()
         timings[name] = min(runs)
         runs_all[name] = runs
+    return timings, runs_all
+
+
+SEGMENT_ENV = "SPARK_GRAFT_BENCH_SEGMENT"
+
+
+def child_main(sf_dir: str) -> None:
+    """Segment subprocess: time the env-given queries, emit ONE line."""
+    names = json.loads(os.environ[SEGMENT_ENV])
+    timings, runs_all = run_queries(names, sf_dir)
+    print(json.dumps({"timings": timings, "runs": runs_all}))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    if os.environ.get(SEGMENT_ENV):
+        child_main(sf_dir)
+        return
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+
+    # Fixture-drift tripwire (VERDICT r3): fail with ONE clear message
+    # if the driver regenerated the parquet with an unexpected schema,
+    # instead of crashing mid-bench with an opaque analysis error.
+    from sd2_drp_experimentgen_spark.sources.preflight import (
+        assert_fixture_schemas,
+    )
+
+    assert_fixture_schemas(sf_dir)
+
+    from sd2_drp_experimentgen_spark.plans import all_specs
+
+    load_before = tuple(round(x, 2) for x in os.getloadavg())
+    names = [n for n in HEADLINE if n in all_specs()]
+    recycle = int(os.environ.get("SPARK_GRAFT_JVM_RECYCLE", "9"))
+
+    timings: dict[str, float] = {}
+    runs_all: dict[str, list[float]] = {}
+    if recycle <= 0:
+        timings, runs_all = run_queries(names, sf_dir)
+    else:
+        for seg in segments(names, recycle):
+            env = dict(os.environ, **{SEGMENT_ENV: json.dumps(seg)})
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)],
+                env=env,
+                capture_output=True,
+                text=True,
+            )
+            if proc.returncode != 0:
+                sys.stderr.write(proc.stderr[-4000:])
+                raise SystemExit(
+                    f"bench segment {seg[0]}..{seg[-1]} failed "
+                    f"(exit {proc.returncode}); child stderr above"
+                )
+            payload = json.loads(proc.stdout.strip().splitlines()[-1])
+            timings.update(payload["timings"])
+            runs_all.update(payload["runs"])
 
     # All three timed runs per query: the in-file variance evidence
     # BASELINE.md's noise-band protocol reads when deciding whether a
@@ -187,6 +255,7 @@ def main() -> None:
         sf,
         load_before,
         tuple(round(x, 2) for x in os.getloadavg()),
+        jvm_recycle=recycle,
     )
     print(json.dumps(summary))
 

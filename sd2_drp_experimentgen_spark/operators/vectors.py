@@ -2401,7 +2401,14 @@ IDX_N_QUERIES = 3  # small probe set => probe union < 16 cells, so the
     "hash bit-exact. Write-once-probe-many is the production "
     "lifecycle this models: the index build is one map-only pass "
     "plus a 16-way partitioned write; every later query is a pruned "
-    "codes-only scan.",
+    "codes-only scan. When the query set is itself a table "
+    "(thousands of queries) and the collect stops being "
+    "constant-bounded, the stated scale path is ann_index_probe_dpp "
+    "(below): the probe relation joins the partition column and "
+    "Catalyst plants a dynamicpruningexpression subquery in the "
+    "scan's PartitionFilters — same pruning, zero collects "
+    "(plan-pinned in tests/test_plans.py::test_stored_index_dpp_"
+    "variant).",
 )
 def q_ann_index_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
@@ -2454,6 +2461,372 @@ def q_ann_index_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
         adc.withColumn("rank", F.row_number().over(w).cast("long"))
         .where(F.col("rank") <= ADC_K)
         .select("query_id", "rank", "vec_id", "adc_d2")
+    )
+
+
+def ann_index_probe_dpp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The NO-COLLECT probe variant of q_ann_index_partitioned, for
+    when the query set is itself a table (thousands of queries) and a
+    driver-side cell list is no longer constant-bounded: the probe-cell
+    relation equi-joins the hive-partitioned code table on the
+    partition column, and Catalyst's Dynamic Partition Pruning inserts
+    a ``dynamicpruningexpression`` subquery into the FileScan's
+    PartitionFilters — the same directory pruning as the static
+    IN-filter, computed executor-side from the broadcast probe
+    relation instead of a collect (pytest-pinned:
+    tests/test_plans.py::test_stored_index_dpp_variant, which also
+    proves this function's lineage contains no driver collect via the
+    AST guard — it is NOT in test_no_driver_collect's allowlist).
+    Registered-query semantics are unchanged: this returns the same
+    probed ADC top-10 as q_ann_index_partitioned, so the trade is
+    purely static-vs-dynamic pruning. Static wins while the probe set
+    is tiny (no subquery stage, prunes at planning time); DPP wins as
+    soon as the probe set is data-dependent — which is why both forms
+    exist and the docstrings state the crossover."""
+    from pyspark.sql import Window
+
+    from .scans import _scratch
+
+    path = _scratch(sf_dir, "pq_index_by_cell")
+    q_emb_pq_encode(spark, sf_dir).select(
+        "vec_id", "c0", "c1", "c2", "c3", F.col("c0").alias("cell")
+    ).write.mode("overwrite").partitionBy("cell").parquet(path)
+    index = spark.read.parquet(path)
+
+    _, lut = _adc_codes_lut(spark, sf_dir, IDX_N_QUERIES)
+    lut = lut.localCheckpoint()
+    wc = Window.partitionBy("query_id").orderBy(F.asc("d2"), F.asc("k"))
+    probe = (
+        lut.where(F.col("m") == 0)
+        .withColumn("rn", F.row_number().over(wc))
+        .where(F.col("rn") <= IVFPQ_NPROBE)
+        .select("query_id", F.col("k").alias("cell"))
+        .localCheckpoint()
+    )
+    codes = index.select(
+        "vec_id", "cell",
+        F.expr("stack(4, 0, c0, 1, c1, 2, c2, 3, c3) AS (m, k)"),
+    )
+    # the pruning join: probe (small, broadcast) x the partitioned
+    # index on its PARTITION column -> DPP subquery in the scan.
+    # PartitionPruning only plants the subquery when the probe side
+    # carries a selective-shaped predicate; the localCheckpoint above
+    # cut the lineage of probe's real filters (m == 0, rn <= nprobe),
+    # so restate one (cell >= 0 is a tautology over the codebook ids —
+    # at production scale the probe relation arrives already filtered
+    # and this restatement is unnecessary).
+    cand = (
+        F.broadcast(probe.where(F.col("cell") >= 0))
+        .join(codes, "cell")
+        .where(F.col("query_id") != F.col("vec_id"))
+    )
+    adc = (
+        cand.join(F.broadcast(lut), ["query_id", "m", "k"])
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum("d2").alias("adc_d2"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("adc_d2"), F.asc("vec_id"))
+    return (
+        adc.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= ADC_K)
+        .select("query_id", "rank", "vec_id", "adc_d2")
+    )
+
+
+IDX_DELTA_MOD = 4  # vec_id % 4 == 3 rows arrive as the delta batch (~25%)
+
+
+@register(
+    "q_ann_index_append",
+    oracle=f"""
+    WITH {_adc_oracle_preamble(IDX_N_QUERIES)},
+    probe AS (
+      SELECT query_id, k AS cell FROM (
+        SELECT query_id, k,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY d2, k) AS rn
+        FROM lut WHERE m = 0
+      ) WHERE rn <= {IVFPQ_NPROBE}
+    ),
+    cellmap AS (SELECT vec_id, k AS cell FROM codes WHERE m = 0),
+    cand AS (
+      SELECT p.query_id, cm.vec_id
+      FROM probe p JOIN cellmap cm ON cm.cell = p.cell
+      WHERE cm.vec_id <> p.query_id
+    ),
+    adc_full AS (
+      SELECT l.query_id, co.vec_id, CAST(sum(l.d2) AS BIGINT) AS adc_d2
+      FROM codes co JOIN lut l ON l.m = co.m AND l.k = co.k
+      GROUP BY l.query_id, co.vec_id
+    ),
+    probed AS (
+      SELECT c.query_id, c.vec_id, af.adc_d2,
+             row_number() OVER (PARTITION BY c.query_id
+                                ORDER BY af.adc_d2, c.vec_id) AS rn
+      FROM cand c
+      JOIN adc_full af
+        ON af.query_id = c.query_id AND af.vec_id = c.vec_id
+    )
+    SELECT query_id, CAST(rn AS BIGINT) AS rank, vec_id, adc_d2,
+           vec_id AS vec_id_rebuild, adc_d2 AS adc_d2_rebuild
+    FROM probed WHERE rn <= {ADC_K}
+    """,
+    tier="P2",
+    doc="Incremental APPEND to the stored ANN index (VERDICT r13 "
+    "item 3) — production indexes take deltas, and q_ann_index_"
+    "partitioned was write-once. The base batch (vec_id % 4 != 3) is "
+    "written hive-partitioned by coarse cell; the delta batch "
+    "(vec_id % 4 == 3) is encoded with the FROZEN codebook (the "
+    "deterministic vec_id < PQ_K centroids — per-vector encoding "
+    "depends only on the vector and the codebook, so a delta encode "
+    "is bit-identical to its slice of a full encode) and appended "
+    "with mode('append') into the SAME partition directories. The "
+    "equality witness is the q_etl_incremental_agg base⊕delta == "
+    "recompute discipline lifted to the index lifecycle: the probed "
+    "top-10 over the appended index FULL-OUTER-joins the probed "
+    "top-10 over a from-scratch rebuild on (query_id, rank), and the "
+    "oracle emits the rebuild columns as duplicates of the appended "
+    "ones — any divergence (missing row, extra row, different "
+    "neighbor or distance) surfaces as a NULL or value mismatch and "
+    "fails the hash. Probe machinery is exactly the stored-index "
+    "query's: bounded probe-cell collect (<= 12 ids), static "
+    "IN-filter, PartitionFilters pruning, ADC over codes only. At "
+    "100 TB: appends are map-only encode jobs landing new files in "
+    "existing cell directories (no read-modify-write, no shuffle); "
+    "probes never notice — which is what this query proves.",
+)
+def q_ann_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from .scans import _scratch
+
+    enc = q_emb_pq_encode(spark, sf_dir).select(
+        "vec_id", "c0", "c1", "c2", "c3", F.col("c0").alias("cell")
+    )
+    base = enc.where(F.col("vec_id") % IDX_DELTA_MOD != IDX_DELTA_MOD - 1)
+    delta = enc.where(F.col("vec_id") % IDX_DELTA_MOD == IDX_DELTA_MOD - 1)
+
+    apath = _scratch(sf_dir, "pq_index_appended")
+    base.write.mode("overwrite").partitionBy("cell").parquet(apath)
+    delta.write.mode("append").partitionBy("cell").parquet(apath)
+    rpath = _scratch(sf_dir, "pq_index_rebuilt")
+    enc.write.mode("overwrite").partitionBy("cell").parquet(rpath)
+
+    _, lut = _adc_codes_lut(spark, sf_dir, IDX_N_QUERIES)
+    lut = lut.localCheckpoint()
+    wc = Window.partitionBy("query_id").orderBy(F.asc("d2"), F.asc("k"))
+    probe = (
+        lut.where(F.col("m") == 0)
+        .withColumn("rn", F.row_number().over(wc))
+        .where(F.col("rn") <= IVFPQ_NPROBE)
+        .select("query_id", F.col("k").alias("cell"))
+        .localCheckpoint()
+    )
+    # bounded collect (<= IDX_N_QUERIES * IVFPQ_NPROBE = 12 cell ids):
+    # the same static partition filter as q_ann_index_partitioned
+    cells = sorted({r["cell"] for r in probe.select("cell").collect()})
+
+    def probed_topk(path: str) -> DataFrame:
+        index = spark.read.parquet(path).where(F.col("cell").isin(cells))
+        codes = index.select(
+            "vec_id", "cell",
+            F.expr("stack(4, 0, c0, 1, c1, 2, c2, 3, c3) AS (m, k)"),
+        )
+        cand = (
+            F.broadcast(probe)
+            .join(codes, "cell")
+            .where(F.col("query_id") != F.col("vec_id"))
+        )
+        adc = (
+            cand.join(F.broadcast(lut), ["query_id", "m", "k"])
+            .groupBy("query_id", "vec_id")
+            .agg(F.sum("d2").alias("adc_d2"))
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.asc("adc_d2"), F.asc("vec_id")
+        )
+        return (
+            adc.withColumn("rank", F.row_number().over(w).cast("long"))
+            .where(F.col("rank") <= ADC_K)
+        )
+
+    appended = probed_topk(apath).select("query_id", "rank", "vec_id", "adc_d2")
+    rebuilt = probed_topk(rpath).select(
+        "query_id", "rank",
+        F.col("vec_id").alias("vec_id_rebuild"),
+        F.col("adc_d2").alias("adc_d2_rebuild"),
+    )
+    return appended.join(rebuilt, ["query_id", "rank"], "full_outer").select(
+        "query_id", "rank", "vec_id", "adc_d2",
+        "vec_id_rebuild", "adc_d2_rebuild",
+    )
+
+
+IVFPQ_SWEEP = (2, 4, 8, 16)  # nprobe ladder (of PQ_K = 16 coarse cells)
+
+
+@register(
+    "q_ann_ivfpq_recall_curve",
+    oracle=f"""
+    WITH {_ADC_ORACLE_PREAMBLE},
+    cell_rank AS (
+      SELECT query_id, k AS cell,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY d2, k) AS crank
+      FROM lut WHERE m = 0
+    ),
+    cellmap AS (SELECT vec_id, k AS cell FROM codes WHERE m = 0),
+    cand AS (
+      SELECT cr.query_id, cm.vec_id, cr.crank
+      FROM cell_rank cr JOIN cellmap cm ON cm.cell = cr.cell
+      WHERE cm.vec_id <> cr.query_id
+    ),
+    adc_full AS (
+      SELECT l.query_id, co.vec_id, CAST(sum(l.d2) AS BIGINT) AS adc_d2
+      FROM codes co JOIN lut l ON l.m = co.m AND l.k = co.k
+      GROUP BY l.query_id, co.vec_id
+    ),
+    full10 AS (
+      SELECT query_id, vec_id FROM (
+        SELECT query_id, vec_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY adc_d2, vec_id) AS rn
+        FROM adc_full WHERE vec_id <> query_id
+      ) WHERE rn <= {ADC_K}
+    ),
+    sweep AS (
+      SELECT CAST(unnest([{", ".join(str(n) for n in IVFPQ_SWEEP)}])
+                  AS BIGINT) AS nprobe
+    ),
+    swept_cand AS (
+      SELECT s.nprobe, c.query_id, c.vec_id
+      FROM sweep s JOIN cand c ON c.crank <= s.nprobe
+    ),
+    scanned AS (
+      SELECT nprobe, CAST(count(*) AS BIGINT) AS cand_rows
+      FROM swept_cand GROUP BY nprobe
+    ),
+    swept AS (
+      SELECT sc.nprobe, sc.query_id, sc.vec_id,
+             row_number() OVER (PARTITION BY sc.nprobe, sc.query_id
+                                ORDER BY af.adc_d2, sc.vec_id) AS rn
+      FROM swept_cand sc
+      JOIN adc_full af
+        ON af.query_id = sc.query_id AND af.vec_id = sc.vec_id
+    ),
+    hits AS (
+      SELECT sw.nprobe, CAST(count(*) AS BIGINT) AS hits_total
+      FROM swept sw
+      JOIN full10 f ON f.query_id = sw.query_id AND f.vec_id = sw.vec_id
+      WHERE sw.rn <= {ADC_K}
+      GROUP BY sw.nprobe
+    )
+    SELECT sc.nprobe, sc.cand_rows,
+           CAST(coalesce(h.hits_total, 0) AS BIGINT) AS hits_total,
+           floor(CAST(coalesce(h.hits_total, 0) AS DOUBLE)
+                 / {ADC_N_QUERIES * ADC_K} * 10000 + 0.5) / 10000
+             AS recall_at10
+    FROM scanned sc LEFT JOIN hits h ON h.nprobe = sc.nprobe
+    ORDER BY sc.nprobe
+    """,
+    tier="P2",
+    doc="IVF+PQ recall ladder (VERDICT r13 item 4) — the tuning table "
+    "that turns q_ann_ivfpq_topk's single recorded recall (0.76 at "
+    "nprobe=4) into a curve: for nprobe in {2,4,8,16}, emit the "
+    "candidate-codes-scanned count and recall@10 against the exact "
+    "full-ADC top-10 (the q_dedup_minhash_estimate precedent — the "
+    "bands x rows calibration table, here cells-probed x recall). "
+    "Every quantity is exact: candidates and hits are integer counts, "
+    "and recall = hits_total * 50 / 1e4 is an exact dyadic rational, "
+    "so the whole curve hash-matches with no witness. One pass "
+    "computes all four rungs: the per-query cell ranking (crank) is "
+    "computed once, a 4-row broadcast sweep table theta-joins "
+    "crank <= nprobe, and one window per (nprobe, query) ranks the "
+    "united candidate sets — no per-rung re-scan of the codes. At "
+    "100 TB this is the sampled tuning job you run BEFORE fixing "
+    "nprobe in the stored index's probe path: the adc_full companion "
+    "is the expensive exact side, so production runs it over a query "
+    "sample (here the standard 20-query set) against the full code "
+    "table, which stays a codes-only scan — 4 B/vector, no "
+    "embeddings move.",
+)
+def q_ann_ivfpq_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    codes, lut = _adc_codes_lut(spark, sf_dir)
+    lut = lut.localCheckpoint()
+    cellmap = codes.where(F.col("m") == 0).select(
+        "vec_id", F.col("k").alias("cell")
+    )
+    wc = Window.partitionBy("query_id").orderBy(F.asc("d2"), F.asc("k"))
+    cell_rank = (
+        lut.where(F.col("m") == 0)
+        .withColumn("crank", F.row_number().over(wc))
+        .select("query_id", F.col("k").alias("cell"), "crank")
+    )
+    cand = (
+        F.broadcast(cell_rank)
+        .join(cellmap, "cell")
+        .where(F.col("query_id") != F.col("vec_id"))
+        .select("query_id", "vec_id", "crank")
+    )
+    # the exact side, shared by full10 (ground truth) and the swept
+    # ranking; one aggregation, two consumers
+    adc_full = (
+        codes.join(F.broadcast(lut), ["m", "k"])
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum("d2").alias("adc_d2"))
+        .localCheckpoint()
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("adc_d2"), F.asc("vec_id"))
+    full10 = (
+        adc_full.where(F.col("vec_id") != F.col("query_id"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= ADC_K)
+        .select("query_id", "vec_id")
+    )
+    sweep = spark.createDataFrame(
+        [(n,) for n in IVFPQ_SWEEP], "nprobe long"
+    )
+    swept_cand = F.broadcast(sweep).join(
+        cand, F.col("crank") <= F.col("nprobe")
+    ).select("nprobe", "query_id", "vec_id")
+    scanned = swept_cand.groupBy("nprobe").agg(
+        F.count(F.lit(1)).alias("cand_rows")
+    )
+    ws = Window.partitionBy("nprobe", "query_id").orderBy(
+        F.asc("adc_d2"), F.asc("vec_id")
+    )
+    swept = (
+        swept_cand.join(adc_full, ["query_id", "vec_id"])
+        .withColumn("rn", F.row_number().over(ws))
+        .where(F.col("rn") <= ADC_K)
+    )
+    hits = (
+        swept.join(full10, ["query_id", "vec_id"], "left_semi")
+        .groupBy("nprobe")
+        .agg(F.count(F.lit(1)).alias("hits_total"))
+    )
+    denom = float(ADC_N_QUERIES * ADC_K)
+    return (
+        scanned.join(hits, "nprobe", "left")
+        .select(
+            "nprobe",
+            "cand_rows",
+            F.coalesce(F.col("hits_total"), F.lit(0))
+            .cast("long")
+            .alias("hits_total"),
+            (
+                F.floor(
+                    F.coalesce(F.col("hits_total"), F.lit(0)).cast("double")
+                    / F.lit(denom)
+                    * F.lit(10000.0)
+                    + F.lit(0.5)
+                )
+                / F.lit(10000.0)
+            ).alias("recall_at10"),
+        )
+        .orderBy("nprobe")
     )
 
 

@@ -51,3 +51,22 @@ def test_summary_carries_load_stamps_and_mins():
     assert s["loadavg_before"] == (1.0, 2.0, 3.0)
     assert s["loadavg_after"] == (1.5, 2.5, 3.5)
     assert "runs" not in s, "per-run spreads must stay OFF the final line"
+
+
+def test_summary_records_jvm_recycle_mode():
+    s = bench.build_summary({"q_x": 1.0}, 0.1, (0,) * 3, (0,) * 3,
+                            jvm_recycle=9)
+    assert s["jvm_recycle"] == 9
+
+
+def test_segments_partition_headline_exactly():
+    """JVM-recycle chunking must cover every headline query exactly
+    once, in order, for any segment size — a dropped or duplicated
+    query would silently corrupt the recorded headline total."""
+    names = list(bench.HEADLINE)
+    for size in (0, 1, 5, 9, len(names), len(names) + 7):
+        segs = bench.segments(names, size)
+        flat = [n for seg in segs for n in seg]
+        assert flat == names, size
+        if size > 0:
+            assert all(len(seg) <= size for seg in segs)

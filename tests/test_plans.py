@@ -137,6 +137,48 @@ def test_ann_index_scan_prunes_to_probed_cells(spark):
     assert "c0" in read_schema and "c3" in read_schema
 
 
+def test_ann_index_append_prunes_both_scans(spark):
+    """r14 append query: BOTH stored-index scans (appended + rebuilt)
+    must keep the static PartitionFilters pruning — the append
+    lifecycle must not cost the probe path its directory pruning."""
+    p = plan(all_specs()["q_ann_index_append"].fn(spark, SF_T2))
+    lines = p.splitlines()
+    for tag in ("pq_index_appended", "pq_index_rebuilt"):
+        loc = next(
+            i for i, l in enumerate(lines) if "Location" in l and tag in l
+        )
+        block = lines[max(0, loc - 6): loc + 6]
+        part_line = next(l for l in block if "PartitionFilters" in l)
+        assert " IN (" in part_line or " INSET " in part_line, (tag, part_line)
+        read_schema = next(l for l in block if "ReadSchema" in l)
+        assert "embedding" not in read_schema, tag
+
+
+def test_stored_index_dpp_variant(spark):
+    """r14 (VERDICT r13 item 7): the stated no-collect scale path for
+    the stored-index probe — when the query set is a table, the probe
+    relation joins the partition column and Catalyst must plant a
+    dynamicpruningexpression subquery in the scan's PartitionFilters
+    (runtime directory pruning replacing the static IN-filter). The
+    helper is deliberately NOT in test_no_driver_collect's allowlist,
+    so the zero-collect property is AST-enforced too."""
+    from sd2_drp_experimentgen_spark.operators.vectors import (
+        ann_index_probe_dpp,
+    )
+
+    df = ann_index_probe_dpp(spark, SF_T2)
+    p = plan(df)
+    part_lines = [l for l in p.splitlines() if "PartitionFilters" in l]
+    assert any("dynamicpruningexpression" in l for l in part_lines), part_lines
+    # and the variant computes the same probed top-10 as the
+    # registered static-filter query (materialize the variant FIRST —
+    # the static query rewrites the same index path, invalidating the
+    # variant's file listing)
+    variant_rows = sorted(map(tuple, df.collect()))
+    static = all_specs()["q_ann_index_partitioned"].fn(spark, SF_T2)
+    assert variant_rows == sorted(map(tuple, static.collect()))
+
+
 def test_bloom_runtime_filter_injected(spark):
     """r13: with broadcast off, Catalyst must plant the runtime Bloom
     filter — a bloom_filter_agg over the selective orders side and a

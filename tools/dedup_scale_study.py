@@ -410,6 +410,76 @@ def run_pipelines(spark, reps: list[int]) -> int:
     return 0
 
 
+def run_lsh_curve(spark, reps: list[int]) -> int:
+    """VERDICT r13 item 5: the x8->x128 decade curve for the SHIPPED
+    capped q_dedup_lsh_refine — r7/r8 measured pre-cap forms, and the
+    only published cap-firing evidence is the injected-boilerplate
+    mode; this measures the cap's behavior at ORGANIC scale. Per
+    scale: wall time (min-of-2, full bucket-table rebuild each run),
+    refined-pair count, candidate-pair count, bucket-table stats
+    (count, max size) and the n_buckets_dropped audit. Expected shape:
+    pairs/candidates exactly linear (replicas share zero shingles),
+    drops 0 at every rung (organic buckets stay far under
+    LSH_BUCKET_CAP=64) — a nonzero drop or super-linear candidate
+    count here is a blocking defect, fix + _REBOOST per the verdict's
+    'done' criterion."""
+    from sd2_drp_experimentgen_spark.functions.helpers import (
+        release_persisted,
+    )
+    from sd2_drp_experimentgen_spark.operators.llmtext import (
+        LSH_BUCKET_CAP,
+        _band_buckets,
+        _band_candidates,
+        _band_frame,
+        _minhash_signatures,
+    )
+    from sd2_drp_experimentgen_spark.sources.tables import (
+        fan_out,
+        load_table,
+    )
+
+    out: dict = {}
+    base: dict | None = None
+    for rep in [1] + reps:
+        d = BASE_SF if rep == 1 else build(spark, rep)
+        t, n_pairs = run_query(spark, "q_dedup_lsh_refine", d)
+        docs = fan_out(load_table(spark, d, "documents"), spark, d)
+        buckets = _band_buckets(_band_frame(_minhash_signatures(docs)))
+        stats = buckets.agg(
+            F.count(F.lit(1)).alias("n_buckets"),
+            F.max(F.size("ids")).alias("max_bucket"),
+            F.count_if(F.size("ids") > LSH_BUCKET_CAP)
+            .cast("long")
+            .alias("n_dropped"),
+        ).first()
+        n_cand = _band_candidates(buckets).count()
+        release_persisted()
+        row = {
+            "sec": t,
+            "pairs": n_pairs,
+            "candidates": n_cand,
+            "buckets": stats["n_buckets"],
+            "max_bucket": stats["max_bucket"],
+            "n_buckets_dropped": stats["n_dropped"],
+        }
+        if base is None:
+            base = row
+        row["time_ratio"] = round(t / max(base["sec"], 1e-9), 1)
+        row["pairs_ratio"] = round(n_pairs / max(base["pairs"], 1), 2)
+        row["cand_ratio"] = round(n_cand / max(base["candidates"], 1), 2)
+        out[rep] = row
+        print(
+            f"x{rep:<4} lsh_refine: {t}s ({row['time_ratio']}x), "
+            f"pairs {n_pairs} ({row['pairs_ratio']}x), "
+            f"cand {n_cand} ({row['cand_ratio']}x), "
+            f"max_bucket {stats['max_bucket']}, "
+            f"dropped {stats['n_dropped']}",
+            flush=True,
+        )
+    print(json.dumps({"lsh_curve": out}))
+    return 0
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--reps", nargs="*", type=int, default=[4, 16])
@@ -417,6 +487,7 @@ def main() -> int:
     ap.add_argument("--boilerplate", action="store_true")
     ap.add_argument("--capped-vocab", action="store_true")
     ap.add_argument("--pipelines", action="store_true")
+    ap.add_argument("--lsh-curve", action="store_true")
     args = ap.parse_args()
 
     spark = get_spark(app_name="sd2drp-dedup-scale", shuffle_partitions=32)
@@ -426,6 +497,8 @@ def main() -> int:
         return run_capped_vocab(spark, args.reps)
     if args.pipelines:
         return run_pipelines(spark, args.reps)
+    if args.lsh_curve:
+        return run_lsh_curve(spark, args.reps)
     result: dict = {"base": {}, "scales": {}}
     for q in LADDER:
         t, n = run_query(spark, q, BASE_SF)

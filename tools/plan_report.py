@@ -129,6 +129,9 @@ REPORT = [
     # --- round 7 additions ---
     ("q_dedup_winnow_pairs", "bucket form + stop-fingerprint cap: persisted fingerprint-bucket table (one pipeline evaluation, InMemoryTableScan in pair + audit branches), capped in-bucket pair explode, pair-sized count; only join = 1-row audit broadcast"),
     ("q_crm_rfm_segments", "distributed exact ntile: cutpoint broadcast + bucket-partitioned row_number; every Window partitioned"),
+    # --- round 14 additions ---
+    ("q_ann_index_append", "append lifecycle: BOTH stored-index scans (appended + rebuilt) keep static PartitionFilters directory pruning and codes-only ReadSchema; the equality witness is one full-outer join on (query_id, rank)"),
+    ("q_ann_ivfpq_recall_curve", "one-pass nprobe sweep: per-query cell ranks computed once, 4-row sweep table broadcast into a theta-join, per-rung windows over the shared exact-ADC aggregate — no per-rung code re-scan"),
 ]
 
 
