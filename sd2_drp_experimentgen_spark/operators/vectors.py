@@ -1353,11 +1353,20 @@ def _pq_centroids(spark: SparkSession, sf_dir: str):
     "code column only.",
 )
 def q_emb_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return _pq_encode_frame(spark, sf_dir, e)
+
+
+def _pq_encode_frame(spark: SparkSession, sf_dir: str, e: DataFrame) -> DataFrame:
+    """PQ-encode any (vec_id, embedding) frame — batch OR stream —
+    with the frozen vec_id < PQ_K codebook (collected once, batch
+    side, before any stream starts). Factored out of q_emb_pq_encode
+    (r14) so the streaming index-ingest twin reuses the EXACT encode
+    kernel rather than a re-implementation that could drift."""
     import numpy as np
 
     c_ids, cent = _pq_centroids(spark, sf_dir)
     bc = spark.sparkContext.broadcast((c_ids, cent))
-    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
 
     def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cb_ids, c = bc.value
@@ -2536,6 +2545,61 @@ def ann_index_probe_dpp(spark: SparkSession, sf_dir: str) -> DataFrame:
 IDX_DELTA_MOD = 4  # vec_id % 4 == 3 rows arrive as the delta batch (~25%)
 
 
+def _index_probe_plan(spark: SparkSession, sf_dir: str):
+    """(probe, lut, cells) — the shared probe machinery of the
+    stored-index family (q_ann_index_partitioned / _append /
+    _compact): the 3-query LUT, the nprobe-lowest-d2 probe cells, and
+    the BOUNDED driver-side cell-id list (<= IDX_N_QUERIES *
+    IVFPQ_NPROBE = 12 by construction — the static partition filter;
+    the DPP variant ann_index_probe_dpp is the no-collect form)."""
+    from pyspark.sql import Window
+
+    _, lut = _adc_codes_lut(spark, sf_dir, IDX_N_QUERIES)
+    lut = lut.localCheckpoint()
+    wc = Window.partitionBy("query_id").orderBy(F.asc("d2"), F.asc("k"))
+    probe = (
+        lut.where(F.col("m") == 0)
+        .withColumn("rn", F.row_number().over(wc))
+        .where(F.col("rn") <= IVFPQ_NPROBE)
+        .select("query_id", F.col("k").alias("cell"))
+        .localCheckpoint()
+    )
+    cells = sorted({r["cell"] for r in probe.select("cell").collect()})
+    return probe, lut, cells
+
+
+def _probe_stored_index(
+    spark: SparkSession, path: str, probe: DataFrame, lut: DataFrame,
+    cells: list,
+) -> DataFrame:
+    """Probed ADC top-10 over a stored (hive-partitioned-by-cell) code
+    table: static IN-filter on the partition column (PartitionFilters
+    pruning), codes-only scan, broadcast LUT, one groupBy per
+    (query, vec)."""
+    from pyspark.sql import Window
+
+    index = spark.read.parquet(path).where(F.col("cell").isin(cells))
+    codes = index.select(
+        "vec_id", "cell",
+        F.expr("stack(4, 0, c0, 1, c1, 2, c2, 3, c3) AS (m, k)"),
+    )
+    cand = (
+        F.broadcast(probe)
+        .join(codes, "cell")
+        .where(F.col("query_id") != F.col("vec_id"))
+    )
+    adc = (
+        cand.join(F.broadcast(lut), ["query_id", "m", "k"])
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum("d2").alias("adc_d2"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("adc_d2"), F.asc("vec_id"))
+    return (
+        adc.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= ADC_K)
+    )
+
+
 @register(
     "q_ann_index_append",
     oracle=f"""
@@ -2612,46 +2676,11 @@ def q_ann_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     rpath = _scratch(sf_dir, "pq_index_rebuilt")
     enc.write.mode("overwrite").partitionBy("cell").parquet(rpath)
 
-    _, lut = _adc_codes_lut(spark, sf_dir, IDX_N_QUERIES)
-    lut = lut.localCheckpoint()
-    wc = Window.partitionBy("query_id").orderBy(F.asc("d2"), F.asc("k"))
-    probe = (
-        lut.where(F.col("m") == 0)
-        .withColumn("rn", F.row_number().over(wc))
-        .where(F.col("rn") <= IVFPQ_NPROBE)
-        .select("query_id", F.col("k").alias("cell"))
-        .localCheckpoint()
+    probe, lut, cells = _index_probe_plan(spark, sf_dir)
+    appended = _probe_stored_index(spark, apath, probe, lut, cells).select(
+        "query_id", "rank", "vec_id", "adc_d2"
     )
-    # bounded collect (<= IDX_N_QUERIES * IVFPQ_NPROBE = 12 cell ids):
-    # the same static partition filter as q_ann_index_partitioned
-    cells = sorted({r["cell"] for r in probe.select("cell").collect()})
-
-    def probed_topk(path: str) -> DataFrame:
-        index = spark.read.parquet(path).where(F.col("cell").isin(cells))
-        codes = index.select(
-            "vec_id", "cell",
-            F.expr("stack(4, 0, c0, 1, c1, 2, c2, 3, c3) AS (m, k)"),
-        )
-        cand = (
-            F.broadcast(probe)
-            .join(codes, "cell")
-            .where(F.col("query_id") != F.col("vec_id"))
-        )
-        adc = (
-            cand.join(F.broadcast(lut), ["query_id", "m", "k"])
-            .groupBy("query_id", "vec_id")
-            .agg(F.sum("d2").alias("adc_d2"))
-        )
-        w = Window.partitionBy("query_id").orderBy(
-            F.asc("adc_d2"), F.asc("vec_id")
-        )
-        return (
-            adc.withColumn("rank", F.row_number().over(w).cast("long"))
-            .where(F.col("rank") <= ADC_K)
-        )
-
-    appended = probed_topk(apath).select("query_id", "rank", "vec_id", "adc_d2")
-    rebuilt = probed_topk(rpath).select(
+    rebuilt = _probe_stored_index(spark, rpath, probe, lut, cells).select(
         "query_id", "rank",
         F.col("vec_id").alias("vec_id_rebuild"),
         F.col("adc_d2").alias("adc_d2_rebuild"),
@@ -2659,6 +2688,98 @@ def q_ann_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     return appended.join(rebuilt, ["query_id", "rank"], "full_outer").select(
         "query_id", "rank", "vec_id", "adc_d2",
         "vec_id_rebuild", "adc_d2_rebuild",
+    )
+
+
+@register(
+    "q_ann_index_compact",
+    oracle=f"""
+    WITH {_adc_oracle_preamble(IDX_N_QUERIES)},
+    probe AS (
+      SELECT query_id, k AS cell FROM (
+        SELECT query_id, k,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY d2, k) AS rn
+        FROM lut WHERE m = 0
+      ) WHERE rn <= {IVFPQ_NPROBE}
+    ),
+    cellmap AS (SELECT vec_id, k AS cell FROM codes WHERE m = 0),
+    cand AS (
+      SELECT p.query_id, cm.vec_id
+      FROM probe p JOIN cellmap cm ON cm.cell = p.cell
+      WHERE cm.vec_id <> p.query_id
+    ),
+    adc_full AS (
+      SELECT l.query_id, co.vec_id, CAST(sum(l.d2) AS BIGINT) AS adc_d2
+      FROM codes co JOIN lut l ON l.m = co.m AND l.k = co.k
+      GROUP BY l.query_id, co.vec_id
+    ),
+    probed AS (
+      SELECT c.query_id, c.vec_id, af.adc_d2,
+             row_number() OVER (PARTITION BY c.query_id
+                                ORDER BY af.adc_d2, c.vec_id) AS rn
+      FROM cand c
+      JOIN adc_full af
+        ON af.query_id = c.query_id AND af.vec_id = c.vec_id
+    )
+    SELECT query_id, CAST(rn AS BIGINT) AS rank, vec_id, adc_d2,
+           (SELECT CAST(count(*) AS BIGINT) FROM embeddings)
+             AS codes_total
+    FROM probed WHERE rn <= {ADC_K}
+    """,
+    tier="P2",
+    doc="Stored-index COMPACTION — the third rung of the index "
+    "lifecycle (build r13, append r14, compact r14): every "
+    "mode('append') delta lands new small files in existing cell "
+    "directories, and an append-heavy index degrades into the "
+    "classic small-file problem (per-file open/footer cost dominates "
+    "a 4-byte-per-vector scan). The compactor is q_maint_compact_"
+    "files' discipline applied to the partitioned index: read the "
+    "appended table, repartition BY THE PARTITION COLUMN (one "
+    "shuffle of (id, 4-byte code) rows — never embeddings), rewrite "
+    "partitionBy(cell) so every cell directory holds exactly one "
+    "file (pytest-pinned: tests/test_plans.py::test_index_compact_"
+    "merges_cell_files proves >1 file/cell before, ==1 after). "
+    "Correctness witness: the probed top-10 over the COMPACTED index "
+    "against the stored-index oracle (bit-exact — compaction must "
+    "not lose, duplicate, or alter a code), plus a codes_total "
+    "companion (count of code rows after compaction) that the "
+    "oracle pins to count(*) of embeddings, so a dropped or doubled "
+    "row fails the hash even outside the probed cells. At 100 TB "
+    "this is the periodic maintenance job an append-only index "
+    "schedules per cell partition — embarrassingly parallel across "
+    "cells, reading and writing codes only.",
+)
+def q_ann_index_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .scans import _scratch
+
+    enc = q_emb_pq_encode(spark, sf_dir).select(
+        "vec_id", "c0", "c1", "c2", "c3", F.col("c0").alias("cell")
+    )
+    base = enc.where(F.col("vec_id") % IDX_DELTA_MOD != IDX_DELTA_MOD - 1)
+    delta = enc.where(F.col("vec_id") % IDX_DELTA_MOD == IDX_DELTA_MOD - 1)
+
+    # the fragmented input: a base write plus an appended delta
+    # (own scratch path — q_ann_index_append's fixture must stay
+    # byte-stable for its equality witness)
+    fpath = _scratch(sf_dir, "pq_index_fragmented")
+    base.write.mode("overwrite").partitionBy("cell").parquet(fpath)
+    delta.write.mode("append").partitionBy("cell").parquet(fpath)
+
+    # compact: one (id, code) shuffle clustered on the partition
+    # column, then a partitioned rewrite -> one file per cell dir
+    cpath = _scratch(sf_dir, "pq_index_compacted")
+    spark.read.parquet(fpath).repartition(PQ_K, "cell").write.mode(
+        "overwrite"
+    ).partitionBy("cell").parquet(cpath)
+
+    probe, lut, cells = _index_probe_plan(spark, sf_dir)
+    probed = _probe_stored_index(spark, cpath, probe, lut, cells)
+    total = spark.read.parquet(cpath).agg(
+        F.count(F.lit(1)).cast("long").alias("codes_total")
+    )
+    return probed.crossJoin(F.broadcast(total)).select(
+        "query_id", "rank", "vec_id", "adc_d2", "codes_total"
     )
 
 

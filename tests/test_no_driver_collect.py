@@ -32,9 +32,11 @@ ALLOWED = {
     # filter that makes the stored-index scan prune directories
     # instead of depending on runtime DPP.
     ("vectors.py", "q_ann_index_partitioned"),
-    # Same bounded probe-cell collect (<= 12 ids by construction) for
-    # the append-vs-rebuild equality witness over the stored index.
-    ("vectors.py", "q_ann_index_append"),
+    # Same bounded probe-cell collect (<= 12 ids by construction),
+    # factored into the shared probe-plan helper of the stored-index
+    # lifecycle family (append / compact reuse it; the DPP variant
+    # ann_index_probe_dpp is the sanctioned no-collect form).
+    ("vectors.py", "_index_probe_plan"),
     # pytest-only quality helper, never in a registered query's lineage.
     ("ml.py", "kmeans_quality"),
     # Collects 5 serialized sketches + 3 hot-user rows — sketches exist

@@ -154,6 +154,36 @@ def test_ann_index_append_prunes_both_scans(spark):
         assert "embedding" not in read_schema, tag
 
 
+def test_index_compact_merges_cell_files(spark):
+    """r14 compaction rung: the appended (fragmented) index must hold
+    MORE THAN ONE file in at least one cell directory (base write +
+    appended delta), and the compacted rewrite must hold EXACTLY one
+    parquet file per cell directory — the small-file merge is the
+    entire point of the operator. The probe-correctness side is the
+    driver's hash check; this pins the physical layout claim."""
+    import glob
+    import os
+
+    from sd2_drp_experimentgen_spark.operators.scans import _scratch
+
+    all_specs()["q_ann_index_compact"].fn(spark, SF_T2).collect()
+
+    def files_per_cell(path):
+        out = {}
+        for cell_dir in glob.glob(os.path.join(path, "cell=*")):
+            out[os.path.basename(cell_dir)] = len(
+                glob.glob(os.path.join(cell_dir, "*.parquet"))
+            )
+        return out
+
+    frag = files_per_cell(_scratch(SF_T2, "pq_index_fragmented"))
+    comp = files_per_cell(_scratch(SF_T2, "pq_index_compacted"))
+    assert frag and comp
+    assert max(frag.values()) > 1, frag  # fragmentation is real
+    assert set(comp) == set(frag)  # no cell lost
+    assert all(n == 1 for n in comp.values()), comp  # fully compacted
+
+
 def test_stored_index_dpp_variant(spark):
     """r14 (VERDICT r13 item 7): the stated no-collect scale path for
     the stored-index probe — when the query set is a table, the probe

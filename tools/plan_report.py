@@ -132,6 +132,7 @@ REPORT = [
     # --- round 14 additions ---
     ("q_ann_index_append", "append lifecycle: BOTH stored-index scans (appended + rebuilt) keep static PartitionFilters directory pruning and codes-only ReadSchema; the equality witness is one full-outer join on (query_id, rank)"),
     ("q_ann_ivfpq_recall_curve", "one-pass nprobe sweep: per-query cell ranks computed once, 4-row sweep table broadcast into a theta-join, per-rung windows over the shared exact-ADC aggregate — no per-rung code re-scan"),
+    ("q_ann_index_compact", "compaction: one (id, code) shuffle clustered on the partition column + partitioned rewrite; probe scan keeps static PartitionFilters over the compacted dirs; 1-row codes_total broadcast"),
 ]
 
 
