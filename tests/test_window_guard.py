@@ -58,6 +58,10 @@ ALLOWED: dict[tuple[str, str], str] = {
         "daily revenue series: |days| rows, calendar-bounded",
     ("experiment.py", "q_gen_experiment_pipeline"):
         "generated concentration grid: fixed generator size, data-free",
+    ("experiment.py", "q_gen_randomized_plate_layout"):
+        "global slot order over the top-384 plate sample (LAYOUT_SAMPLES "
+        "rows by construction — the q_wellplate_labels argument); the "
+        "stratum rank and within-plate shuffle windows are partitioned",
     ("llmtext.py", "pack"):
         "DELIBERATE documented global sort (q_pack_policy_compare): "
         "offline packing-policy study needs one total order over "
