@@ -208,6 +208,79 @@ def gb(n: int) -> str:
     return f"{n / (1 << 30):.2f} GB"
 
 
+def run_index(spark, reps: list[int]) -> int:
+    """r14: the stored-index lifecycle at gate-crossing scale. The
+    write-once-probe-many claim decomposed and measured per scale:
+      - full query wall (encode + 16-way partitioned write + probe),
+        which must scale with the CORPUS;
+      - probe-only wall over the already-written index, which must
+        scale with the PROBED CELLS (static PartitionFilters pruning
+        — probed_codes/total_codes is printed as the pruning ratio);
+      - the IVFPQ recall curve (q_ann_ivfpq_recall_curve) re-run at
+        the scaled corpus, so quality-vs-nprobe is evidence at 64k
+        and 256k vectors, not just the 2k fixture.
+    Replicas are geometry-preserving (module docstring), so the
+    coarse cells keep real cluster structure at every scale."""
+    from sd2_drp_experimentgen_spark.functions.helpers import (
+        release_persisted,
+    )
+    from sd2_drp_experimentgen_spark.operators import vectors as V2
+    from sd2_drp_experimentgen_spark.operators.scans import _scratch
+
+    specs = all_specs()
+    out: dict = {}
+    for rep in [1] + reps:
+        d = BASE_SF if rep == 1 else build(spark, rep)
+        n = spark.read.parquet(f"{d}/embeddings.parquet").count()
+        fn = specs["q_ann_index_partitioned"].fn
+        fn(spark, d).collect()  # warm (writes the index)
+        release_persisted()
+        t_full = min(timed(fn, spark, d)[0] for _ in range(2))
+        release_persisted()
+
+        path = _scratch(d, "pq_index_by_cell")
+        probe, lut, cells = V2._index_probe_plan(spark, d)
+        idx = spark.read.parquet(path)
+        total_codes = idx.count()
+        probed_codes = idx.where(F.col("cell").isin(cells)).count()
+        walls = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            V2._probe_stored_index(spark, path, probe, lut, cells).collect()
+            walls.append(time.perf_counter() - t0)
+        t_probe = round(min(walls), 3)
+        release_persisted()
+
+        curve = {
+            int(r["nprobe"]): {
+                "cand": int(r["cand_rows"]),
+                "recall": float(r["recall_at10"]),
+            }
+            for r in specs["q_ann_ivfpq_recall_curve"].fn(spark, d).collect()
+        }
+        release_persisted()
+        out[rep] = {
+            "n": n,
+            "full_query_s": t_full,
+            "probe_only_s": t_probe,
+            "total_codes": total_codes,
+            "probed_codes": probed_codes,
+            "prune_ratio": round(probed_codes / max(total_codes, 1), 3),
+            "recall_curve": curve,
+        }
+        print(
+            f"x{rep:<4} n={n}: full {t_full}s, probe-only {t_probe}s, "
+            f"pruned to {probed_codes}/{total_codes} codes "
+            f"({out[rep]['prune_ratio']}), recall@10 "
+            + ", ".join(
+                f"np{k}={v['recall']:.3f}" for k, v in sorted(curve.items())
+            ),
+            flush=True,
+        )
+    print(json.dumps({"index_study": out}))
+    return 0
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--reps", nargs="*", type=int, default=[32, 128])
@@ -218,7 +291,14 @@ def main() -> int:
         help="ALSO measure the pre-r10 unchunked kernel (expects OOM "
         "at x32; contaminates later walls — run as its own process)",
     )
+    ap.add_argument("--index", action="store_true",
+                    help="stored-index lifecycle study (r14)")
     args = ap.parse_args()
+    if args.index:
+        spark = get_spark(
+            app_name="sd2drp-vec-scale", shuffle_partitions=32
+        )
+        return run_index(spark, args.reps)
 
     spark = get_spark(app_name="sd2drp-vec-scale", shuffle_partitions=32)
     specs = all_specs()
