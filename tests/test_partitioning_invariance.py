@@ -55,6 +55,16 @@ SENSITIVE = [
     # with task layout — sort_array must fully normalize it before the
     # in-bucket pair generation
     "q_dedup_winnow_pairs",
+    # round-14 additions most at risk:
+    "q_ann_index_append",     # two partitioned writes + append: file
+                              # layout and task boundaries move, yet
+                              # the append-vs-rebuild full-outer join
+                              # must stay row-identical
+    "q_ann_ivfpq_recall_curve",  # windows per (nprobe, query) over a
+                              # theta-join: tie-breaks must come from
+                              # the ORDER BY, never arrival order
+    "q_gen_randomized_plate_layout",  # three hash-order windows; the
+                              # md5 ranks must be layout-independent
 ]
 
 
