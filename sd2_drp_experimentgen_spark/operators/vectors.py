@@ -2786,9 +2786,11 @@ def q_ann_index_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
 IVFPQ_SWEEP = (2, 4, 8, 16)  # nprobe ladder (of PQ_K = 16 coarse cells)
 
 
-@register(
-    "q_ann_ivfpq_recall_curve",
-    oracle=f"""
+# The recall-curve construction as reusable CTEs ending in `curve`
+# (nprobe, cand_rows, hits_total, recall_at10): shared verbatim by
+# q_ann_ivfpq_recall_curve's oracle and the q_ann_nprobe_choose
+# selection over it, so the chooser provably reads THE tuning table.
+_IVFPQ_CURVE_CTES = f"""
     WITH {_ADC_ORACLE_PREAMBLE},
     cell_rank AS (
       SELECT query_id, k AS cell,
@@ -2841,14 +2843,23 @@ IVFPQ_SWEEP = (2, 4, 8, 16)  # nprobe ladder (of PQ_K = 16 coarse cells)
       JOIN full10 f ON f.query_id = sw.query_id AND f.vec_id = sw.vec_id
       WHERE sw.rn <= {ADC_K}
       GROUP BY sw.nprobe
+    ),
+    curve AS (
+      SELECT sc.nprobe, sc.cand_rows,
+             CAST(coalesce(h.hits_total, 0) AS BIGINT) AS hits_total,
+             floor(CAST(coalesce(h.hits_total, 0) AS DOUBLE)
+                   / {ADC_N_QUERIES * ADC_K} * 10000 + 0.5) / 10000
+               AS recall_at10
+      FROM scanned sc LEFT JOIN hits h ON h.nprobe = sc.nprobe
     )
-    SELECT sc.nprobe, sc.cand_rows,
-           CAST(coalesce(h.hits_total, 0) AS BIGINT) AS hits_total,
-           floor(CAST(coalesce(h.hits_total, 0) AS DOUBLE)
-                 / {ADC_N_QUERIES * ADC_K} * 10000 + 0.5) / 10000
-             AS recall_at10
-    FROM scanned sc LEFT JOIN hits h ON h.nprobe = sc.nprobe
-    ORDER BY sc.nprobe
+"""
+
+
+@register(
+    "q_ann_ivfpq_recall_curve",
+    oracle=_IVFPQ_CURVE_CTES + """
+    SELECT nprobe, cand_rows, hits_total, recall_at10
+    FROM curve ORDER BY nprobe
     """,
     tier="P2",
     doc="IVF+PQ recall ladder (VERDICT r13 item 4) — the tuning table "
@@ -2948,6 +2959,69 @@ def q_ann_ivfpq_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("recall_at10"),
         )
         .orderBy("nprobe")
+    )
+
+
+NPROBE_RECALL_TARGET = 0.9  # deployment floor for recall@10
+
+
+@register(
+    "q_ann_nprobe_choose",
+    oracle=_IVFPQ_CURVE_CTES + f""",
+    best AS (
+      SELECT * FROM curve
+      WHERE recall_at10 >= {NPROBE_RECALL_TARGET}
+      ORDER BY nprobe LIMIT 1
+    ),
+    fullscan AS (
+      SELECT cand_rows AS cand_full FROM curve WHERE nprobe = {PQ_K}
+    )
+    SELECT b.nprobe, b.cand_rows, b.hits_total, b.recall_at10,
+           floor(CAST(b.cand_rows AS DOUBLE) / f.cand_full
+                 * 10000 + 0.5) / 10000 AS scan_fraction
+    FROM best b CROSS JOIN fullscan f
+    """,
+    tier="P2",
+    doc="Operate the tuning table — the decision a deployment actually "
+    "makes from q_ann_ivfpq_recall_curve: the SMALLEST nprobe whose "
+    f"measured recall@10 meets the {NPROBE_RECALL_TARGET} floor, with "
+    "its cost expressed as scan_fraction = candidates at the chosen "
+    "rung / candidates at the exhaustive rung (nprobe = n_cells, "
+    "where the probed branch degenerates to full ADC and recall is "
+    "1.0 by construction — so the selection always has a feasible "
+    "fallback and the query can never return empty). The oracle is "
+    "the SAME curve CTE text as the curve query's plus a 1-row "
+    "selection, so the chooser provably decides from the table it "
+    "claims to. Spark side: the 4-row curve localCheckpoints once "
+    "and feeds both the selection and the exhaustive-rung baseline "
+    "(two consumers, one curve evaluation). At 100 TB the choice "
+    "runs on the sampled tuning job's output and the chosen nprobe "
+    "parameterizes the stored index's static probe filter — this is "
+    "the missing arrow from calibration to the probe path.",
+)
+def q_ann_nprobe_choose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    curve = q_ann_ivfpq_recall_curve(spark, sf_dir).localCheckpoint()
+    best = (
+        curve.where(F.col("recall_at10") >= NPROBE_RECALL_TARGET)
+        .orderBy("nprobe")
+        .limit(1)
+    )
+    full = curve.where(F.col("nprobe") == PQ_K).select(
+        F.col("cand_rows").alias("cand_full")
+    )
+    return best.crossJoin(F.broadcast(full)).select(
+        "nprobe",
+        "cand_rows",
+        "hits_total",
+        "recall_at10",
+        (
+            F.floor(
+                F.col("cand_rows").cast("double") / F.col("cand_full")
+                * F.lit(10000.0)
+                + F.lit(0.5)
+            )
+            / F.lit(10000.0)
+        ).alias("scan_fraction"),
     )
 
 
