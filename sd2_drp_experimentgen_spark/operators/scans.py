@@ -278,12 +278,9 @@ def q_source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     "options, partition planning, executor-side read) is hash-checked.",
 )
 def q_source_python_ds(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..sources.pyds import SyntheticSensorDataSource
+    from ..sources.pyds import SyntheticSensorDataSource, use_python_datasource
 
-    try:
-        spark.dataSource.register(SyntheticSensorDataSource)
-    except Exception:
-        pass  # already registered in this session
+    use_python_datasource(spark, SyntheticSensorDataSource)
     df = (
         spark.read.format("sd2drp_sensors")
         .option("rows", 5000)
@@ -485,12 +482,9 @@ def q_sink_python_ds(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
     import shutil
 
-    from ..sources.pyds import SensorFileSinkDataSource
+    from ..sources.pyds import SensorFileSinkDataSource, use_python_datasource
 
-    try:
-        spark.dataSource.register(SensorFileSinkDataSource)
-    except Exception:
-        pass  # already registered in this session
+    use_python_datasource(spark, SensorFileSinkDataSource)
 
     n = load_table(spark, sf_dir, "nation")
     r = load_table(spark, sf_dir, "region")

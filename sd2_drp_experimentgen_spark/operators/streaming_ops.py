@@ -370,14 +370,11 @@ if _has_protobuf():
     "aggregates hash-check against the generate_series oracle.",
 )
 def q_stream_python_source(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..sources.pyds import SensorStreamDataSource
+    from ..sources.pyds import SensorStreamDataSource, use_python_datasource
     from ..streaming.jobs import _stream_session, run_to_memory
 
     spark = _stream_session(spark)  # state tuning stays session-local
-    try:
-        spark.dataSource.register(SensorStreamDataSource)
-    except Exception:
-        pass  # already registered in this session
+    use_python_datasource(spark, SensorStreamDataSource)
     stream = (
         spark.readStream.format("sd2drp_sensor_stream")
         .option("rows", 5000)
@@ -573,7 +570,11 @@ def q_stream_sink_python_ds(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pyarrow.parquet as pq
 
     from ..functions.helpers import int_units
-    from ..sources.pyds import StreamFileSinkDataSource, committed_stream_files
+    from ..sources.pyds import (
+        StreamFileSinkDataSource,
+        committed_stream_files,
+        use_python_datasource,
+    )
     from ..streaming.jobs import _events_file_schema, _unique_name
     from ..sources.tables import normalize_events_ts
 
@@ -588,16 +589,13 @@ def q_stream_sink_python_ds(spark: SparkSession, sf_dir: str) -> DataFrame:
     pq.write_table(table.slice(0, half), os.path.join(src, "0_first.parquet"))
     pq.write_table(table.slice(half), os.path.join(src, "1_second.parquet"))
 
-    # NOT _stream_session: Python data-source registrations on a cloned
-    # newSession are invisible to the streaming sink lookup (observed:
-    # ClassNotFoundException for the format despite register() on the
-    # clone succeeding), and this query has no stateful shuffle to tune
-    # anyway — append passthrough carries no state store.
+    # NOT _stream_session: the r-era ClassNotFoundException here was the
+    # active-session lookup gap now closed by use_python_datasource
+    # (Spark resolves Python data-source names through the thread-local
+    # ACTIVE session, see sources/pyds.py) — and this query has no
+    # stateful shuffle to tune anyway, so the base session is right.
     s = spark
-    try:
-        s.dataSource.register(StreamFileSinkDataSource)
-    except Exception:
-        pass  # already registered in this session
+    use_python_datasource(s, StreamFileSinkDataSource)
     raw = (
         s.readStream.schema(_events_file_schema(s, src))
         .option("maxFilesPerTrigger", 1)

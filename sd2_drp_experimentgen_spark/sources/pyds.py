@@ -13,6 +13,7 @@ generation (`read()` runs on executors), and option handling
 
 from __future__ import annotations
 
+from pyspark.sql import SparkSession
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
@@ -22,6 +23,48 @@ from pyspark.sql.datasource import (
     SimpleDataSourceStreamReader,
     WriterCommitMessage,
 )
+
+
+def use_python_datasource(spark: SparkSession, *sources: type) -> None:
+    """Register Python data sources on ``spark`` AND pin it as the
+    JVM thread-local active session.
+
+    Spark 4.x resolves a Python data source NAME through the ACTIVE
+    session's DataSourceManager (``DataSource.lookupDataSource`` falls
+    back to ``SparkSession.getActiveSession``), not through the
+    DataFrame's own session. Registration alone is therefore not
+    enough: if an earlier operator left a CLONED session active on
+    this thread (the streaming paths run on ``newSession()`` clones,
+    whose DataSourceManager starts empty), the very next
+    ``format("sd2drp_*")`` read/write fails with
+    DATA_SOURCE_NOT_FOUND even though the source is registered on the
+    session doing the write — reproduced deterministically by
+    registering on the base session, calling ``setActiveSession`` on a
+    fresh clone, and saving (tests/test_sources.py guards this).
+    Pinning the active session to the session that owns the
+    registration makes every call site order-independent.
+    """
+    for src in sources:
+        try:
+            spark.dataSource.register(src)
+        except Exception:  # noqa: BLE001
+            pass  # already registered in this session
+    try:
+        jvm = spark._jvm  # noqa: SLF001
+        jvm.org.apache.spark.sql.classic.SparkSession.setActiveSession(
+            spark._jsparkSession  # noqa: SLF001
+        )
+    except Exception:  # noqa: BLE001
+        # Pre-4.x layouts keep the companion on sql.SparkSession; if
+        # neither is reachable the call sites degrade to the old
+        # register-only behavior (correct whenever the caller's
+        # session is already the active one).
+        try:
+            jvm.org.apache.spark.sql.SparkSession.setActiveSession(
+                spark._jsparkSession  # noqa: SLF001
+            )
+        except Exception:  # noqa: BLE001
+            pass
 
 # Integer generation constants (Knuth multiplicative hash for spread);
 # all arithmetic stays far below int64 range for cross-engine parity.

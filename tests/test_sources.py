@@ -68,12 +68,12 @@ def test_pyds_stream_multibatch(spark):
 
     from pyspark.sql import functions as F
 
-    from sd2_drp_experimentgen_spark.sources.pyds import SensorStreamDataSource
+    from sd2_drp_experimentgen_spark.sources.pyds import (
+        SensorStreamDataSource,
+        use_python_datasource,
+    )
 
-    try:
-        spark.dataSource.register(SensorStreamDataSource)
-    except Exception:
-        pass
+    use_python_datasource(spark, SensorStreamDataSource)
     stream = (
         spark.readStream.format("sd2drp_sensor_stream")
         .option("rows", 3000)
@@ -112,12 +112,10 @@ def test_pyds_batch_partition_parallelism(spark):
     from sd2_drp_experimentgen_spark.sources.pyds import (
         SyntheticSensorDataSource,
         reading_row,
+        use_python_datasource,
     )
 
-    try:
-        spark.dataSource.register(SyntheticSensorDataSource)
-    except Exception:
-        pass
+    use_python_datasource(spark, SyntheticSensorDataSource)
     df = (
         spark.read.format("sd2drp_sensors")
         .option("rows", 1000)
@@ -162,12 +160,12 @@ def test_file_sink_append_preserves_prior_job_data(spark, tmp_path):
     leave the first job's committed files (and manifest entries) intact."""
     import os
 
-    from sd2_drp_experimentgen_spark.sources.pyds import SensorFileSinkDataSource
+    from sd2_drp_experimentgen_spark.sources.pyds import (
+        SensorFileSinkDataSource,
+        use_python_datasource,
+    )
 
-    try:
-        spark.dataSource.register(SensorFileSinkDataSource)
-    except Exception:
-        pass
+    use_python_datasource(spark, SensorFileSinkDataSource)
     path = str(tmp_path / "sink")
     for tag in ("alpha", "beta"):
         (
@@ -209,6 +207,31 @@ def test_file_sink_abort_scoped_to_own_job(spark, tmp_path):
     open(orphan, "w").write("2|y\n")
     w.abort([FileCommitMessage(os.path.basename(orphan), 1)])
     assert os.path.exists(committed) and not os.path.exists(orphan)
+
+
+def test_pyds_lookup_survives_foreign_active_session(spark, tmp_path):
+    """Spark 4 resolves Python data-source names through the THREAD-
+    LOCAL active session, not the DataFrame's session. A cloned session
+    left active (the streaming operators run on newSession() clones)
+    used to make the next sd2drp_* write fail with
+    DATA_SOURCE_NOT_FOUND despite a successful register() — the r14
+    full-suite flake in test_sink_operators_are_idempotent. Force the
+    worst case (a fresh clone pinned active) and require the operator
+    path to recover via use_python_datasource's active-session pin."""
+    from sd2_drp_experimentgen_spark.plans import all_specs
+    from tests.conftest import SF_T1
+
+    clone = spark.newSession()
+    spark._jvm.org.apache.spark.sql.classic.SparkSession.setActiveSession(
+        clone._jsparkSession
+    )
+    try:
+        rows = all_specs()["q_sink_python_ds"].fn(spark, SF_T1).collect()
+        assert len(rows) == 25
+    finally:
+        spark._jvm.org.apache.spark.sql.classic.SparkSession.setActiveSession(
+            spark._jsparkSession
+        )
 
 
 def test_foreachbatch_state_swap_recovers_from_crash(spark, tmp_path):
