@@ -171,13 +171,19 @@ def test_bipartite_edges_shared_and_rebuilt_after_release(spark):
     from sd2_drp_experimentgen_spark.operators import graph
 
     _drain()
+    # r14: the returned frame is a lazy undirected MIRROR over the
+    # shared one-direction checkpointed core (_sd2drp_core); sharing
+    # and release are observed through the core, not frame identity.
     a = graph.bipartite_edges(spark, SF_T1)
     b = graph.bipartite_edges(spark, SF_T1)
-    assert a is b and touch_persisted(a)
+    assert a._sd2drp_core is b._sd2drp_core
+    assert touch_persisted(a._sd2drp_core)
     release_persisted()
-    assert not touch_persisted(a)  # unregistered: consumers rebuild
+    # unregistered: consumers rebuild
+    assert not touch_persisted(a._sd2drp_core)
     c = graph.bipartite_edges(spark, SF_T1)
-    assert c is not a and touch_persisted(c)
+    assert c._sd2drp_core is not a._sd2drp_core
+    assert touch_persisted(c._sd2drp_core)
     _drain()
 
 
