@@ -525,3 +525,64 @@ def test_histogram_numeric_mass_and_range(spark):
     assert row["n_bins_ok"] is True
     assert row["range_ok"] is True
     assert row["order_ok"] is True
+
+
+def test_minhash_arrow_kernel_matches_column_form(spark):
+    """r14: the batch minhash lane is a vectorized mapInArrow kernel;
+    the streaming lane keeps the pure-Column projection. The two must
+    stay BIT-IDENTICAL on the same input — signatures (m0..m15) and,
+    under keep_shingles, the distinct shingle-hash array including its
+    first-occurrence order. Compared on the real fixture corpus so
+    tokenization edge cases (trailing separators, short docs) ride
+    along."""
+    from sd2_drp_experimentgen_spark.operators.llmtext import (
+        _minhash_signatures_arrow,
+    )
+    from sd2_drp_experimentgen_spark.sources.tables import load_table
+
+    d = load_table(spark, SF_T1, "documents")
+
+    arrow = sorted(
+        tuple(r) for r in _minhash_signatures_arrow(d, True).collect()
+    )
+    # Column lane: the public function dispatches on isStreaming, so
+    # rebuild the streaming-lane Column construction inline on the
+    # batch frame (the DuckDB oracle in verify_local is the third
+    # independent witness); here we pin arrow == column directly.
+    from pyspark.sql import functions as F
+
+    from sd2_drp_experimentgen_spark.operators.llmtext import (
+        MINHASH_P,
+        N_MINHASH,
+    )
+
+    t = F.split(F.col("text"), " ")
+    dd = d.where(F.size(t) >= 3)
+    shingle = lambda i: F.concat_ws(  # noqa: E731
+        " ", F.element_at(t, i), F.element_at(t, i + 1), F.element_at(t, i + 2)
+    )
+    idx = F.sequence(F.lit(1), F.size(t) - 2)
+    mds = F.array_distinct(F.transform(idx, lambda i: F.md5(shingle(i))))
+    hx = lambda m, s: (  # noqa: E731
+        F.conv(F.substring(m, s, 12), 16, 10).cast("long") % MINHASH_P
+    )
+    hh = dd.select(
+        "doc_id",
+        mds.alias("mds"),
+        F.transform(mds, lambda m: hx(m, 1)).alias("h1"),
+        F.transform(mds, lambda m: hx(m, 13)).alias("h2"),
+    )
+    col_form = hh.select(
+        "doc_id",
+        "mds",
+        *[
+            F.array_min(
+                F.zip_with(
+                    "h1", "h2", lambda a, b: (a + F.lit(h) * b) % MINHASH_P
+                )
+            ).alias(f"m{h}")
+            for h in range(N_MINHASH)
+        ],
+    )
+    column = sorted(tuple(r) for r in col_form.collect())
+    assert arrow == column
