@@ -1940,6 +1940,97 @@ def q_mix_epochs_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
 WINNOW_W = 4  # fingerprint-selection window over consecutive gram hashes
 
 
+def _winnow_fps_kernel(batches):
+    """Vectorized batch kernel behind ``_winnow_fps_frame``: per Arrow
+    batch, 3-token gram hashes exactly as the Column form (hashlib md5
+    == Spark md5 byte-for-byte; first 12 hex chars -> int64 %
+    MINHASH_P), then every WINNOW_W-window minimum via W-1 shifted
+    ``np.minimum`` passes over the batch's concatenated gram vector
+    (sliced per document, so cross-document windows never exist), and
+    the per-doc distinct selection in first-occurrence order
+    (== ``F.array_distinct``). Pure integer arithmetic below 2^63 —
+    bit-identical to the Column construction on every input (guarded
+    by tests/test_round2b.py::test_winnow_arrow_kernel_matches_column_form).
+    """
+    import hashlib
+
+    import numpy as np
+    import pyarrow as pa
+
+    md5 = hashlib.md5
+    p = MINHASH_P
+    w = WINNOW_W
+    for b in batches:
+        ids = b.column("doc_id").to_pylist()
+        langs = b.column("lang").to_pylist()
+        texts = b.column("text").to_pylist()
+        out_ids: list[int] = []
+        out_langs: list[str] = []
+        n_grams: list[int] = []
+        hs: list[int] = []
+        offs = [0]
+        for did, lg, tx in zip(ids, langs, texts):
+            if tx is None:
+                continue
+            toks = tx.split(" ")
+            if len(toks) < w + 3:
+                continue
+            out_ids.append(did)
+            out_langs.append(lg)
+            for i in range(len(toks) - 2):
+                dg = md5(
+                    (toks[i] + " " + toks[i + 1] + " " + toks[i + 2]).encode()
+                ).digest()
+                hs.append(int.from_bytes(dg[:6], "big"))
+            offs.append(len(hs))
+            n_grams.append(offs[-1] - offs[-2])
+        v = np.asarray(hs, dtype=np.int64) % p
+        m = v.copy()
+        for k in range(1, w):
+            np.minimum(m[:-k], v[k:], out=m[:-k])
+        fps_out: list[list[int]] = []
+        for di in range(len(out_ids)):
+            s, e = offs[di], offs[di + 1]
+            # valid window starts: s .. e-w (m beyond that mixes docs)
+            fps_out.append(
+                list(dict.fromkeys(m[s : e - (w - 1)].tolist()))
+            )
+        yield pa.RecordBatch.from_arrays(
+            [
+                pa.array(out_ids, type=pa.int64()),
+                pa.array(out_langs, type=pa.string()),
+                pa.array(n_grams, type=pa.int32()),
+                pa.array(fps_out, type=pa.list_(pa.int64())),
+            ],
+            names=["doc_id", "lang", "n_grams", "fps"],
+        )
+
+
+def _winnow_fps_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, lang, n_grams, fps) winnowing fingerprints per doc —
+    the shared derivation of ``q_text_winnow_fingerprints`` and
+    ``_winnow_buckets``.
+
+    r14 (guide §4.2): the r13 Column form evaluated the window minima
+    as ``transform(sequence(...), j -> array_min(slice(gh, j, W)))`` —
+    an interpreted HOF lambda per window that ALLOCATES a fresh
+    W-element array per invocation (plus the md5 gram chain, another
+    interpreted transform). Both are linear per-task expression cost
+    at any scale; the mapInArrow kernel computes the same values with
+    one hashlib/numpy pass per batch, bit-identical (pytest-forced).
+    Only (doc_id, lang, text) crosses the Python boundary — explicit
+    select() before the opaque op so scan pruning survives (guide
+    §4.1). No streaming consumer exists (the streaming dedup twins
+    ride the minhash lane), so there is no Column dispatch here."""
+    from ..sources.tables import fan_out
+
+    d = fan_out(load_table(spark, sf_dir, "documents"), spark, sf_dir)
+    return d.select("doc_id", "lang", "text").mapInArrow(
+        _winnow_fps_kernel,
+        schema="doc_id long, lang string, n_grams int, fps array<long>",
+    )
+
+
 @register(
     "q_text_winnow_fingerprints",
     oracle=f"""
@@ -1979,47 +2070,25 @@ WINNOW_W = 4  # fingerprint-selection window over consecutive gram hashes
     "length >= w+k-1 yields at least one shared fingerprint "
     "(MinHash gives only probabilistic overlap), which is why "
     "plagiarism/clone detectors use it. The whole selection is "
-    "ARRAY-level Column expressions — transform over window slices, "
-    "array_min, array_distinct — so per-doc work never explodes to "
-    "rows and nothing shuffles but the final per-doc summary. The "
+    "per-doc map-side work (r14: one vectorized mapInArrow kernel, "
+    "bit-identical to the Column transform/array_min/array_distinct "
+    "form it replaced — see _winnow_fps_frame), so per-doc work "
+    "never explodes to rows before selection and nothing shuffles "
+    "but the final per-doc summary. The "
     "fingerprint SET is position-independent, hence deterministic; "
     "the checksum is an exact integer sum of distinct sub-1e9 "
     "values. The md5-derived gram hashes are the same cross-engine "
     "family the MinHash ladder uses.",
 )
 def q_text_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..sources.tables import fan_out
-
-    toks = F.split(F.col("text"), " ")
-    d = fan_out(
-        load_table(spark, sf_dir, "documents"), spark, sf_dir
-    ).where(F.size(toks) >= WINNOW_W + 3)
-    shingle = lambda i: F.concat_ws(  # noqa: E731
-        " ",
-        F.element_at(toks, i),
-        F.element_at(toks, i + 1),
-        F.element_at(toks, i + 2),
-    )
-    gh = F.transform(
-        F.sequence(F.lit(1), F.size(toks) - 2),
-        lambda i: F.conv(F.substring(F.md5(shingle(i)), 1, 12), 16, 10)
-        .cast("long")
-        % MINHASH_P,
-    )
-    with_g = d.select("doc_id", "lang", gh.alias("gh"))
-    fps = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.size(F.col("gh")) - (WINNOW_W - 1)),
-            lambda j: F.array_min(F.slice(F.col("gh"), j, WINNOW_W)),
-        )
-    )
-    return with_g.select(
+    fp = _winnow_fps_frame(spark, sf_dir)
+    return fp.select(
         "doc_id",
         "lang",
-        F.size(F.col("gh")).alias("n_grams"),
-        F.size(fps).alias("n_fps"),
+        "n_grams",
+        F.size("fps").alias("n_fps"),
         F.aggregate(
-            fps, F.lit(0).cast("long"), lambda acc, x: acc + x
+            F.col("fps"), F.lit(0).cast("long"), lambda acc, x: acc + x
         ).alias("fp_checksum"),
     )
 
@@ -2048,33 +2117,9 @@ def _winnow_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     materialized fingerprint index a production run would checkpoint
     anyway."""
     from ..functions.helpers import tracked_persist
-    from ..sources.tables import fan_out
 
-    toks = F.split(F.col("text"), " ")
-    d = fan_out(
-        load_table(spark, sf_dir, "documents"), spark, sf_dir
-    ).where(F.size(toks) >= WINNOW_W + 3)
-    shingle = lambda i: F.concat_ws(  # noqa: E731
-        " ",
-        F.element_at(toks, i),
-        F.element_at(toks, i + 1),
-        F.element_at(toks, i + 2),
-    )
-    gh = F.transform(
-        F.sequence(F.lit(1), F.size(toks) - 2),
-        lambda i: F.conv(F.substring(F.md5(shingle(i)), 1, 12), 16, 10)
-        .cast("long")
-        % MINHASH_P,
-    )
-    fps = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.size(F.col("gh")) - (WINNOW_W - 1)),
-            lambda j: F.array_min(F.slice(F.col("gh"), j, WINNOW_W)),
-        )
-    )
-    fp = (
-        d.select("doc_id", gh.alias("gh"))
-        .select("doc_id", F.explode(fps).alias("f"))
+    fp = _winnow_fps_frame(spark, sf_dir).select(
+        "doc_id", F.explode("fps").alias("f")
     )
     return tracked_persist(
         fp.groupBy("f")

@@ -586,3 +586,56 @@ def test_minhash_arrow_kernel_matches_column_form(spark):
     )
     column = sorted(tuple(r) for r in col_form.collect())
     assert arrow == column
+
+
+def test_winnow_arrow_kernel_matches_column_form(spark):
+    """r14: the winnow fingerprint selection is a vectorized
+    mapInArrow kernel (_winnow_fps_frame). It must stay BIT-IDENTICAL
+    to the r13 Column construction on the same input — gram count and
+    the distinct window-minima array INCLUDING its first-occurrence
+    order (== F.array_distinct). Compared on the real fixture corpus
+    so tokenization edge cases ride along."""
+    from pyspark.sql import functions as F
+
+    from sd2_drp_experimentgen_spark.operators.llmtext import (
+        MINHASH_P,
+        WINNOW_W,
+        _winnow_fps_frame,
+    )
+    from sd2_drp_experimentgen_spark.sources.tables import load_table
+
+    arrow = sorted(
+        (r["doc_id"], r["lang"], r["n_grams"], tuple(r["fps"]))
+        for r in _winnow_fps_frame(spark, SF_T1).collect()
+    )
+
+    toks = F.split(F.col("text"), " ")
+    d = load_table(spark, SF_T1, "documents").where(
+        F.size(toks) >= WINNOW_W + 3
+    )
+    shingle = lambda i: F.concat_ws(  # noqa: E731
+        " ",
+        F.element_at(toks, i),
+        F.element_at(toks, i + 1),
+        F.element_at(toks, i + 2),
+    )
+    gh = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - 2),
+        lambda i: F.conv(F.substring(F.md5(shingle(i)), 1, 12), 16, 10)
+        .cast("long")
+        % MINHASH_P,
+    )
+    fps = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size(F.col("gh")) - (WINNOW_W - 1)),
+            lambda j: F.array_min(F.slice(F.col("gh"), j, WINNOW_W)),
+        )
+    )
+    col_form = d.select("doc_id", "lang", gh.alias("gh")).select(
+        "doc_id", "lang", F.size("gh").alias("n_grams"), fps.alias("fps")
+    )
+    column = sorted(
+        (r["doc_id"], r["lang"], r["n_grams"], tuple(r["fps"]))
+        for r in col_form.collect()
+    )
+    assert arrow == column
