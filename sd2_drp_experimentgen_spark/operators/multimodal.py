@@ -116,6 +116,55 @@ def _decode_ppm(payload: bytes):
     return np.frombuffer(raster[: w * h * 3], dtype=np.uint8).reshape(h, w, 3)
 
 
+def _phash_batch(payloads: "pd.Series"):
+    """Vectorized 64-px perceptual hash of a batch of P6 PPM payloads:
+    returns (phash int64[n], n_px int64[n]).
+
+    The header of every payload is parsed and validated individually
+    (magic number, maxval, raster length — the same checks as
+    ``_decode_ppm``), then the 8x8 sample grid for ALL images is
+    gathered with one fancy-index over the batch's concatenated raster
+    buffer and the gradient bits are packed in one int64 matmul-free
+    pass. Per-image Python work is reduced to the header split; the
+    pixel math runs once per batch, not once per row — bit-identical
+    to the per-row ``_decode_ppm`` + np.ix_ form (pytest-forced)."""
+    import numpy as np
+
+    n = len(payloads)
+    ws = np.empty(n, np.int64)
+    hs = np.empty(n, np.int64)
+    rasters = []
+    for i, p in enumerate(payloads):
+        p = bytes(p)
+        if not p.startswith(b"P6\n"):
+            raise ValueError("not a P6 PPM payload")
+        _, dims, maxval, raster = p.split(b"\n", 3)
+        w, h = (int(t) for t in dims.split())
+        if maxval != b"255":
+            raise ValueError(f"unsupported maxval {maxval!r}")
+        if len(raster) < w * h * 3:
+            raise ValueError("truncated raster")
+        ws[i] = w
+        hs[i] = h
+        rasters.append(raster[: w * h * 3])
+    buf = np.frombuffer(b"".join(rasters), dtype=np.uint8)
+    sizes = ws * hs * 3
+    offs = np.concatenate(([0], np.cumsum(sizes)[:-1]))
+    g8 = np.arange(8)
+    ys = (g8[None, :] * hs[:, None]) // 8  # (n, 8) sampled rows
+    xs = (g8[None, :] * ws[:, None]) // 8  # (n, 8) sampled cols
+    # linear byte offset of each sampled pixel's R byte: (n, 8, 8)
+    base = (
+        ys[:, :, None] * ws[:, None, None] + xs[:, None, :]
+    ) * 3 + offs[:, None, None]
+    gray = (buf[base].astype(np.int64) + buf[base + 1] + buf[base + 2]) // 3
+    bits = gray[:, :, :7] > gray[:, :, 1:]  # horizontal gradient
+    weights = np.int64(1) << (
+        np.arange(8)[:, None] * 7 + np.arange(7)[None, :]
+    )
+    return (bits * weights).sum(axis=(1, 2)), ws * hs
+
+
 N_BINARY_FILES = 12
 
 
@@ -283,12 +332,14 @@ def q_mm_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             if pdf.empty:
                 continue
             rows = []
-            for _, r in pdf.iterrows():
-                img = _decode_ppm(bytes(r["payload"]))
+            for doc_id, payload, media in zip(
+                pdf["doc_id"], pdf["payload"], pdf["media"]
+            ):
+                img = _decode_ppm(bytes(payload))
                 h, w, _ = img.shape
-                if (w, h) != (r["media"]["width"], r["media"]["height"]):
+                if (w, h) != (media["width"], media["height"]):
                     raise ValueError(
-                        f"header {w}x{h} != metadata for doc {r['doc_id']}"
+                        f"header {w}x{h} != metadata for doc {doc_id}"
                     )
                 means = img.reshape(-1, 3).mean(axis=0)
                 # integer luminance (exact): (299 R + 587 G + 114 B)/1000
@@ -300,7 +351,7 @@ def q_mm_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                 small = img[::2, ::2]  # strided 2x downsample (resize)
                 rows.append(
                     (
-                        int(r["doc_id"]),
+                        int(doc_id),
                         int(h * w),
                         float(means[0]),
                         float(means[1]),
@@ -377,12 +428,14 @@ def q_mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             if pdf.empty:
                 continue
             doc_ids, frame_idx, checksums = [], [], []
-            for _, r in pdf.iterrows():
-                img = _decode_ppm(bytes(r["payload"])).astype(np.int64)
-                n_frames = int(r["media"]["n_frames"])
+            for doc_id, payload, media in zip(
+                pdf["doc_id"], pdf["payload"], pdf["media"]
+            ):
+                img = _decode_ppm(bytes(payload)).astype(np.int64)
+                n_frames = int(media["n_frames"])
                 bands = np.array_split(img, n_frames, axis=0)
                 for k, band in enumerate(bands):
-                    doc_ids.append(int(r["doc_id"]))
+                    doc_ids.append(int(doc_id))
                     frame_idx.append(k)
                     checksums.append(int(band.sum()))
             yield pd.DataFrame(
@@ -450,13 +503,13 @@ def q_mm_features_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
             if pdf.empty:
                 continue
             rows = []
-            for _, r in pdf.iterrows():
-                img = _decode_ppm(bytes(r["payload"]))
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                img = _decode_ppm(bytes(payload))
                 h, w, _ = img.shape
                 flat = img.reshape(-1, 3).astype(np.int64)
                 rows.append(
                     (
-                        int(r["doc_id"]),
+                        int(doc_id),
                         int(h * w),
                         int(flat[:, 0].sum()),
                         int(flat[:, 1].sum()),
@@ -612,16 +665,19 @@ def q_mm_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             if pdf.empty:
                 continue
             rows = []
-            for _, r in pdf.iterrows():
-                rate, samples = _decode_wav(bytes(r["payload"]))
-                if rate != int(r["sample_rate"]):
+            for doc_id, payload, sample_rate, n_samples in zip(
+                pdf["doc_id"], pdf["payload"], pdf["sample_rate"],
+                pdf["n_samples"],
+            ):
+                rate, samples = _decode_wav(bytes(payload))
+                if rate != int(sample_rate):
                     raise ValueError("header/metadata sample-rate mismatch")
-                if samples.size != int(r["n_samples"]):
+                if samples.size != int(n_samples):
                     raise ValueError("header/metadata length mismatch")
                 s = samples.astype(np.int64)
                 rows.append(
                     (
-                        int(r["doc_id"]),
+                        int(doc_id),
                         int(s.size),
                         int(np.abs(s).sum()),
                         int((s * s).sum()),
@@ -758,15 +814,17 @@ def q_mm_video_stride_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
             if pdf.empty:
                 continue
             rows = []
-            for _, r in pdf.iterrows():
-                frames = _decode_svid(bytes(r["payload"]))
-                if len(frames) != int(r["n_frames"]):
+            for doc_id, payload, n_frames in zip(
+                pdf["doc_id"], pdf["payload"], pdf["n_frames"]
+            ):
+                frames = _decode_svid(bytes(payload))
+                if len(frames) != int(n_frames):
                     raise ValueError("header/metadata frame-count mismatch")
                 sampled = frames[::2]
                 stacked = np.concatenate(sampled).astype(np.int64)
                 rows.append(
                     (
-                        int(r["doc_id"]),
+                        int(doc_id),
                         len(frames),
                         len(sampled),
                         int(stacked.sum()),
@@ -872,21 +930,10 @@ def q_mm_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in batches:
             if pdf.empty:
                 continue
-            ids, hashes = [], []
-            for _, r in pdf.iterrows():
-                img = _decode_ppm(bytes(r["payload"]))
-                h, w, _ = img.shape
-                ys = (np.arange(8) * h) // 8
-                xs = (np.arange(8) * w) // 8
-                patch = img[np.ix_(ys, xs)].astype(np.int64)
-                gray = patch.sum(axis=2) // 3  # exact (R+G+B)//3
-                bits = gray[:, :7] > gray[:, 1:]  # horizontal gradient
-                weights = np.int64(1) << (
-                    np.arange(8)[:, None] * 7 + np.arange(7)[None, :]
-                )
-                ids.append(int(r["doc_id"]))
-                hashes.append(int((bits * weights).sum()))
-            yield pd.DataFrame({"doc_id": ids, "phash": hashes})
+            hashes, _ = _phash_batch(pdf["payload"])
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].to_numpy(np.int64), "phash": hashes}
+            )
 
     hashed = src.select("doc_id", "payload").mapInPandas(
         phash, schema="doc_id long, phash long"
@@ -975,22 +1022,14 @@ def q_mm_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in batches:
             if pdf.empty:
                 continue
-            ids, hashes, px = [], [], []
-            for _, r in pdf.iterrows():
-                img = _decode_ppm(bytes(r["payload"]))
-                h, w, _ = img.shape
-                ys = (np.arange(8) * h) // 8
-                xs = (np.arange(8) * w) // 8
-                patch = img[np.ix_(ys, xs)].astype(np.int64)
-                gray = patch.sum(axis=2) // 3
-                bits = gray[:, :7] > gray[:, 1:]
-                weights = np.int64(1) << (
-                    np.arange(8)[:, None] * 7 + np.arange(7)[None, :]
-                )
-                ids.append(int(r["doc_id"]))
-                hashes.append(int((bits * weights).sum()))
-                px.append(int(h * w))
-            yield pd.DataFrame({"doc_id": ids, "phash": hashes, "n_px": px})
+            hashes, px = _phash_batch(pdf["payload"])
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].to_numpy(np.int64),
+                    "phash": hashes,
+                    "n_px": px,
+                }
+            )
 
     hashed = src.select("doc_id", "payload").mapInPandas(
         phash_px, schema="doc_id long, phash long, n_px long"

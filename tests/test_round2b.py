@@ -639,3 +639,39 @@ def test_winnow_arrow_kernel_matches_column_form(spark):
         for r in col_form.collect()
     )
     assert arrow == column
+
+
+def test_phash_batch_kernel_matches_per_row_decode(spark):
+    """r14: the perceptual-hash kernel shared by q_mm_phash_dedup and
+    q_mm_corpus_pipeline is vectorized across the batch (_phash_batch:
+    one fancy-index gather over the concatenated raster buffer). It
+    must stay BIT-IDENTICAL to the per-row reference — a real
+    _decode_ppm of every payload followed by the np.ix_ 8x8 sample,
+    exact (R+G+B)//3 gray, horizontal-gradient bit packing — on the
+    real fixture media table, so header edge cases (dims parsing,
+    raster truncation) ride along."""
+    import numpy as np
+
+    from sd2_drp_experimentgen_spark.operators.multimodal import (
+        _decode_ppm,
+        _phash_batch,
+        media_table,
+    )
+
+    pdf = media_table(spark, SF_T1).select("doc_id", "payload").toPandas()
+    got_hash, got_px = _phash_batch(pdf["payload"])
+
+    weights = np.int64(1) << (
+        np.arange(8)[:, None] * 7 + np.arange(7)[None, :]
+    )
+    for i, payload in enumerate(pdf["payload"]):
+        img = _decode_ppm(bytes(payload))
+        h, w, _ = img.shape
+        ys = (np.arange(8) * h) // 8
+        xs = (np.arange(8) * w) // 8
+        patch = img[np.ix_(ys, xs)].astype(np.int64)
+        gray = patch.sum(axis=2) // 3
+        bits = gray[:, :7] > gray[:, 1:]
+        assert int(got_hash[i]) == int((bits * weights).sum())
+        assert int(got_px[i]) == h * w
+    assert len(got_hash) == len(pdf)
