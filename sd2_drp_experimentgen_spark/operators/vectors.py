@@ -1233,31 +1233,36 @@ def q_emb_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("i", "j")
         .agg(F.sum("val").alias("val"))
     )
-    gram = gram.cache()  # d^2 rows; reused by every iteration
 
-    v = gram.select(F.col("i").alias("dim_idx")).distinct().select(
-        "dim_idx", F.lit(PCA_UNITS).cast("long").alias("comp")
-    )
+    # r14: the power iteration runs on the DRIVER. The gram matrix is
+    # d x d = 4096 int64 cells — DIMENSION-bounded, data-size
+    # independent (the sanctioned bounded-collect pattern of
+    # _pq_centroids' PQ_K codebook rows; allowlisted with this
+    # argument in tests/test_no_driver_collect.py). The r13 form ran
+    # each of the 3 iterations as a join+groupBy plan over those 4096
+    # rows: correctness-equivalent but each round paid full job
+    # scheduling + planning for constant-size data (measured 7.7 s vs
+    # 0.9 s at sf0.1 — and the gap GROWS with cluster size, it never
+    # shrinks with data). The distributed part is exactly the one
+    # pass that scales with rows: per-partition int64 gram tiles plus
+    # the O(d^2 x partitions) tile shuffle above. Arithmetic is
+    # bit-identical (pytest-forced): int64 matmul is order-exact, and
+    # Spark's `div` (truncate toward zero) is matched by
+    # sign(s) * (|s| // sc), since numpy's // floors.
+    rows = gram.collect()  # d^2 = 4096 rows, bounded by construction
+    d = max(r["i"] for r in rows) + 1
+    G = np.zeros((d, d), dtype=np.int64)
+    for r in rows:
+        G[r["i"], r["j"]] = r["val"]
+    comp = np.full(d, PCA_UNITS, dtype=np.int64)
     for _ in range(PCA_ITERS):
-        gv = (
-            gram.join(v, gram.j == v.dim_idx)
-            .groupBy("i")
-            .agg(F.sum(F.col("val") * F.col("comp")).alias("s"))
-        )
-        scale = gv.agg(
-            F.greatest(
-                F.expr(f"max(abs(s)) div {PCA_UNITS}"),
-                F.lit(1).cast("long"),
-            ).alias("sc")
-        )
-        # `div` is EXACT integer division truncating toward zero —
-        # verified identical to DuckDB's integer `//` (-7//3 = -2 on
-        # both engines); never a double divide, so no rounding edge
-        v = gv.crossJoin(F.broadcast(scale)).select(
-            F.col("i").alias("dim_idx"),
-            F.expr("s div sc").alias("comp"),
-        )
-    return v
+        s = G @ comp  # exact int64; |gv| <= d*max|G|*1e3 ~ 1e15 << 2^63
+        sc = max(int(np.max(np.abs(s))) // PCA_UNITS, 1)
+        comp = np.sign(s) * (np.abs(s) // sc)
+    return spark.createDataFrame(
+        [(int(i), int(c)) for i, c in enumerate(comp)],
+        "dim_idx int, comp long",
+    )
 
 
 # --- product quantization (round 5) --------------------------------------

@@ -25,6 +25,13 @@ ALLOWED = {
     # Collects exactly PQ_K (16) codebook rows — a constant-size
     # codebook regardless of data volume (KBs at any scale).
     ("vectors.py", "_pq_centroids"),
+    # Collects the d x d gram aggregate (4096 int64 cells) — bounded
+    # by the embedding DIMENSION, independent of row count; the power
+    # iteration over it is O(d^2) driver math (r14: the distributed
+    # 3-round join loop over those same 4096 rows cost 7.7 s of pure
+    # scheduling vs 0.9 s; results bit-identical, pytest-forced in
+    # tests/test_selfchecks.py).
+    ("vectors.py", "q_emb_pca_power"),
     # Collects exactly n_queries (20) rows — the small side by definition.
     ("ml.py", "q_ann_ivf_topk"),
     # Collects the probed coarse-cell ids, bounded by IDX_N_QUERIES *

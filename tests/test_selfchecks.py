@@ -587,3 +587,121 @@ def test_threshold_curve_paths_bit_identical(spark, monkeypatch):
         for r in text_mod.q_dedup_threshold_curve(spark, SF_T2).collect()
     )
     assert base and base == forced
+
+
+def test_cogrouped_bucket_form_matches_per_user_reference(spark):
+    """r14: q_udf_cogrouped cogroups on a user BUCKET and merges all of
+    a bucket's users with vectorized pandas (18.8 s -> 0.64 s at
+    sf0.1). Must stay BIT-IDENTICAL to the per-user reference merge —
+    one python call per user, scalar pandas ops — on the real fixture
+    tables, covering users with no orders and empty-side buckets."""
+    import pandas as pd
+    import pyspark.sql.functions as F
+
+    from sd2_drp_experimentgen_spark.operators.udfs import q_udf_cogrouped
+    from sd2_drp_experimentgen_spark.sources.tables import (
+        load_events,
+        load_table,
+    )
+
+    got = sorted(tuple(r) for r in q_udf_cogrouped(spark, SF_T2).collect())
+
+    ev = load_events(spark, SF_T2).select("user_id", "ts")
+    orders = load_table(spark, SF_T2, "orders").select(
+        F.col("o_custkey").alias("user_id"), "o_orderdate"
+    )
+
+    def merge(ev_pdf: pd.DataFrame, ord_pdf: pd.DataFrame) -> pd.DataFrame:
+        if ev_pdf.empty:
+            return pd.DataFrame(
+                columns=["user_id", "n_events", "n_orders", "n_after_last"]
+            )
+        n_events = len(ev_pdf)
+        n_orders = len(ord_pdf)
+        if n_orders:
+            last = ord_pdf["o_orderdate"].max()
+            n_after = int((ev_pdf["ts"] > last).sum())
+        else:
+            n_after = n_events
+        return pd.DataFrame(
+            {
+                "user_id": [int(ev_pdf["user_id"].iloc[0])],
+                "n_events": [n_events],
+                "n_orders": [n_orders],
+                "n_after_last": [n_after],
+            }
+        )
+
+    ref = (
+        ev.groupBy("user_id")
+        .cogroup(orders.groupBy("user_id"))
+        .applyInPandas(
+            merge,
+            schema="user_id long, n_events long, n_orders long,"
+            " n_after_last long",
+        )
+    )
+    want = sorted(tuple(r) for r in ref.collect())
+    assert got and got == want
+
+
+def test_pca_power_driver_iteration_matches_distributed_reference(spark):
+    """r14: q_emb_pca_power collects the dimension-bounded gram (d^2 =
+    4096 int64 cells) and runs the 3-round power iteration in driver
+    numpy. Must stay BIT-IDENTICAL to the r13 distributed reference —
+    the same gram as a DataFrame, each round a join+groupBy plan with
+    Spark `div` rescaling — on the real fixture embeddings (negative
+    s values exercise the truncate-toward-zero vs floor divide edge)."""
+    import pyspark.sql.functions as F
+
+    from sd2_drp_experimentgen_spark.operators.vectors import (
+        PCA_ITERS,
+        PCA_UNITS,
+        q_emb_pca_power,
+    )
+
+    got = sorted(tuple(r) for r in q_emb_pca_power(spark, SF_T2).collect())
+
+    # Distributed reference: rebuild the gram from the exact int64
+    # quantized embeddings entirely in Spark SQL (posexplode twin of
+    # the operator's mapInPandas tile kernel), then iterate in-plan.
+    from sd2_drp_experimentgen_spark.sources.tables import load_table
+
+    q = (
+        load_table(spark, SF_T2, "embeddings")
+        .select("vec_id", F.posexplode("embedding").alias("i", "e"))
+        .select(
+            "vec_id",
+            "i",
+            F.floor(F.col("e") * PCA_UNITS + F.lit(0.5))
+            .cast("long")
+            .alias("qv"),
+        )
+    )
+    a, b = q.alias("a"), q.alias("b")
+    gram = (
+        a.join(b, F.col("a.vec_id") == F.col("b.vec_id"))
+        .groupBy(F.col("a.i").alias("i"), F.col("b.i").alias("j"))
+        .agg(F.sum(F.col("a.qv") * F.col("b.qv")).alias("val"))
+    ).localCheckpoint()
+    v = gram.select(F.col("i").alias("dim_idx")).distinct().select(
+        "dim_idx", F.lit(PCA_UNITS).cast("long").alias("comp")
+    )
+    for _ in range(PCA_ITERS):
+        gv = (
+            gram.join(v, gram.j == v.dim_idx)
+            .groupBy("i")
+            .agg(F.sum(F.col("val") * F.col("comp")).alias("s"))
+        )
+        scale = gv.agg(
+            F.greatest(
+                F.expr(f"max(abs(s)) div {PCA_UNITS}"),
+                F.lit(1).cast("long"),
+            ).alias("sc")
+        )
+        v = gv.crossJoin(F.broadcast(scale)).select(
+            F.col("i").alias("dim_idx"),
+            F.expr("s div sc").alias("comp"),
+        )
+    want = sorted(tuple(r) for r in v.collect())
+    assert got and got == want
