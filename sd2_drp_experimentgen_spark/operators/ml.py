@@ -129,34 +129,63 @@ def lsh_refined_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "drops that below 1e-8 per source while the pytest self-check "
     "still asserts EXACT coverage with a readable message (measured "
     "exact at sf0.001/0.01/0.1: 1540/1540, 1506/1506, sf0.1 green). "
-    "100 TB: approxSimilarityJoin shuffles signatures "
-    "(never token sets) through band buckets — candidates, not "
-    "all-pairs; the exact companion reuses q_neardup_jaccard's "
-    "prefix-filtered plan, quadratic only inside blocked candidate "
-    "buckets.",
+    "r14: candidate membership is PROBED per ground-truth pair "
+    "(compare the two docs' 8-value MinHash signatures from the same "
+    "seeded model fit) instead of materializing approxSimilarityJoin "
+    "over the whole corpus — provably the same covered_08 (a J>=0.8 "
+    "pair passes the dist<=0.4 refinement by definition, so "
+    "membership reduces to sharing >=1 hash table bucket), "
+    "pytest-forced equal to the approxSimilarityJoin form and "
+    "measured 328 s -> 3.4 s at sf0.1: the fixture vocabulary's hot "
+    "tokens make every table's min-hash bucket hold ~78% of all docs, "
+    "so the join form enumerated 123M candidate struct rows to answer "
+    "a question about ~1500 pairs. 100 TB: the probe touches "
+    "O(ground-truth pairs), never the O(sum k^2) bucket join; "
+    "lsh_refined_pairs keeps the approxSimilarityJoin form for the "
+    "pytest self-check that audits the RAW candidate set.",
 )
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.ml.feature import MinHashLSH
+    from pyspark.ml.functions import vector_to_array
+
     from .text import q_neardup_jaccard
 
-    cand = (
-        lsh_refined_pairs(spark, sf_dir)
-        .select("id_lo", "id_hi")
-        .distinct()
-        .withColumn("hit", F.lit(1))
-    )
     exact = q_neardup_jaccard(spark, sf_dir)  # same-source, J >= 0.6
     src = load_table(spark, sf_dir, "documents").select(
         F.col("doc_id").alias("id_lo"), "source"
     )
+    # The SAME seeded model draw as lsh_refined_pairs: fit defines the
+    # hash family, transform emits each doc's 8-value signature.
+    vecs = _token_vectors(spark, sf_dir)
+    lsh = MinHashLSH(
+        inputCol="features", outputCol="hashes", numHashTables=8, seed=SEED
+    )
+    model = lsh.fit(vecs)
+    sig = model.transform(vecs).select(
+        "doc_id",
+        F.transform("hashes", lambda v: vector_to_array(v)[0]).alias("sig"),
+    )
+    a = sig.select(F.col("doc_id").alias("id_lo"), F.col("sig").alias("sig_lo"))
+    b = sig.select(F.col("doc_id").alias("id_hi"), F.col("sig").alias("sig_hi"))
+    # (id_lo, id_hi) is an approxSimilarityJoin candidate iff the two
+    # signatures collide in >=1 of the 8 tables; the dist <= threshold
+    # refinement is implied for every pair covered_08 reads (J >= 0.8
+    # -> jaccard_dist = 0.2).
+    shared = F.exists(
+        F.zip_with(F.col("sig_lo"), F.col("sig_hi"), lambda x, y: x == y),
+        lambda v: v,
+    )
     j8 = (F.col("jaccard") >= 0.8).cast("long")
     return (
         exact.join(src, "id_lo")
-        .join(cand, ["id_lo", "id_hi"], "left")
+        .join(a, "id_lo")
+        .join(b, "id_hi")
+        .withColumn("hit", shared.cast("long"))
         .groupBy("source")
         .agg(
             F.count(F.lit(1)).alias("n_pairs_06"),
             F.sum(j8).alias("n_pairs_08"),
-            F.sum(j8 * F.coalesce(F.col("hit"), F.lit(0))).alias("covered_08"),
+            F.sum(j8 * F.col("hit")).alias("covered_08"),
         )
         .withColumn(
             "recall_ok", F.col("covered_08") + 1 >= F.col("n_pairs_08")

@@ -705,3 +705,56 @@ def test_pca_power_driver_iteration_matches_distributed_reference(spark):
         )
     want = sorted(tuple(r) for r in v.collect())
     assert got and got == want
+
+
+def test_lsh_probe_form_matches_similarity_join_form(spark):
+    """r14: q_dedup_minhash_lsh probes candidate membership per
+    ground-truth pair (signature collision in >=1 of 8 tables) instead
+    of materializing approxSimilarityJoin (328 s -> 3.4 s at sf0.1:
+    degenerate hot-token buckets made the join enumerate 123M struct
+    rows). Within one session both forms see the same seeded model
+    draw, so the FULL output — including the seed-dependent
+    covered_08-derived witness — must match the r13
+    approxSimilarityJoin form exactly."""
+    import pyspark.sql.functions as F
+
+    from sd2_drp_experimentgen_spark.operators.ml import (
+        lsh_refined_pairs,
+        q_dedup_minhash_lsh,
+    )
+    from sd2_drp_experimentgen_spark.operators.text import q_neardup_jaccard
+    from sd2_drp_experimentgen_spark.sources.tables import load_table
+
+    got = sorted(
+        tuple(r) for r in q_dedup_minhash_lsh(spark, SF_T2).collect()
+    )
+
+    cand = (
+        lsh_refined_pairs(spark, SF_T2)
+        .select("id_lo", "id_hi")
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    exact = q_neardup_jaccard(spark, SF_T2)
+    src = load_table(spark, SF_T2, "documents").select(
+        F.col("doc_id").alias("id_lo"), "source"
+    )
+    j8 = (F.col("jaccard") >= 0.8).cast("long")
+    ref = (
+        exact.join(src, "id_lo")
+        .join(cand, ["id_lo", "id_hi"], "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs_06"),
+            F.sum(j8).alias("n_pairs_08"),
+            F.sum(j8 * F.coalesce(F.col("hit"), F.lit(0))).alias(
+                "covered_08"
+            ),
+        )
+        .withColumn(
+            "recall_ok", F.col("covered_08") + 1 >= F.col("n_pairs_08")
+        )
+        .drop("covered_08")
+    )
+    want = sorted(tuple(r) for r in ref.collect())
+    assert got and got == want
