@@ -923,6 +923,43 @@ def _sql_split_expr() -> str:
     )
 
 
+def _shingle3_kernel(batches):
+    """Arrow batch kernel: documents -> per-doc DISTINCT 3-token
+    shingle digests (doc_id, sh = raw md5 digest). hashlib md5 is
+    byte-identical to Spark's md5 (the _minhash_sig_kernel precedent);
+    dict.fromkeys == F.array_distinct on digests; the 16-byte digest
+    is the bijective narrow encoding of the hex string."""
+    import hashlib
+
+    import pyarrow as pa
+
+    md5 = hashlib.md5
+    for b in batches:
+        ids = b.column("doc_id").to_pylist()
+        texts = b.column("text").to_pylist()
+        out_id: list[int] = []
+        out_h: list[bytes] = []
+        for did, tx in zip(ids, texts):
+            if tx is None:
+                continue
+            toks = tx.split(" ")
+            if len(toks) < 3:
+                continue
+            seen = dict.fromkeys(
+                md5(
+                    (toks[i] + " " + toks[i + 1] + " " + toks[i + 2]).encode()
+                ).digest()
+                for i in range(len(toks) - 2)
+            )
+            for h in seen:
+                out_id.append(did)
+                out_h.append(h)
+        yield pa.RecordBatch.from_arrays(
+            [pa.array(out_id, pa.int64()), pa.array(out_h, pa.binary())],
+            names=["doc_id", "sh"],
+        )
+
+
 @register(
     "q_decontaminate_ngrams",
     oracle=f"""
@@ -969,46 +1006,47 @@ def q_decontaminate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.helpers import r4
 
     d = load_table(spark, sf_dir, "documents")
-    toks = F.split(F.col("text"), " ")
-    d = d.where(F.size(toks) >= 3)
     prefix = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
     split = (
         F.when(prefix < "cc", "train").when(prefix < "e6", "val").otherwise("test")
     )
-    shingle = lambda i: F.concat_ws(  # noqa: E731
-        " ",
-        F.element_at(toks, i),
-        F.element_at(toks, i + 1),
-        F.element_at(toks, i + 2),
+    d = d.withColumn("split", split)
+
+    # r14 (guide §4.2 + §2.3): each split lane shingles via ONE
+    # vectorized mapInArrow kernel (the span-dup precedent — the r13
+    # Column form paid 3 interpreted element_at HOF evals + one md5
+    # per position; digests replace hex strings bijectively), with the
+    # split filter applied BEFORE the opaque op so scan pruning
+    # survives. The test lane is consumed ONCE: a left join against
+    # the distinct train shingles with a hit flag computes n_shingles
+    # and n_contaminated in one aggregate — the r13 form ran the test
+    # explode twice (semi-join lane + per-doc-count lane). Measured
+    # 4.6 s -> 1.25 s at sf0.1, output bit-identical (pytest-forced).
+    def lane(name: str) -> DataFrame:
+        return (
+            d.where(F.col("split") == name)
+            .select("doc_id", "text")
+            .mapInArrow(_shingle3_kernel, schema="doc_id long, sh binary")
+        )
+
+    train_sh = lane("train").select("sh").distinct().withColumn(
+        "hit", F.lit(1)
     )
-    idx = F.sequence(F.lit(1), F.size(toks) - 2)
-    shingled = d.select(
-        "doc_id",
-        split.alias("split"),
-        F.explode(
-            F.array_distinct(F.transform(idx, lambda i: F.md5(shingle(i))))
-        ).alias("sh"),
-    )
-    train_sh = shingled.where(F.col("split") == "train").select("sh").distinct()
-    test_sh = shingled.where(F.col("split") == "test").select("doc_id", "sh")
-    hit = test_sh.join(train_sh, "sh", "left_semi").groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_contaminated")
-    )
-    per_doc = test_sh.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_shingles")
-    )
+    marked = lane("test").join(train_sh, "sh", "left")
     return (
-        per_doc.join(hit, "doc_id", "left")
+        marked.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias(
+                "n_contaminated"
+            ),
+        )
         .select(
             "doc_id",
             "n_shingles",
-            F.coalesce(F.col("n_contaminated"), F.lit(0)).alias(
-                "n_contaminated"
-            ),
+            "n_contaminated",
             r4(
-                F.coalesce(F.col("n_contaminated"), F.lit(0))
-                * F.lit(1.0)
-                / F.col("n_shingles")
+                F.col("n_contaminated") * F.lit(1.0) / F.col("n_shingles")
             ).alias("contamination"),
         )
     )
@@ -1242,12 +1280,20 @@ def q_llm_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # before test_sh, else a removed duplicate test doc could still
     # contaminate train).
     t2 = F.split(F.col("text"), " ")
-    shingle = lambda i: F.md5(  # noqa: E731
-        F.concat_ws(
-            " ",
-            F.element_at(t2, i),
-            F.element_at(t2, i + 1),
-            F.element_at(t2, i + 2),
+    # unhex: the shingle identity crosses the distinct exchange and
+    # the semi-join broadcast as 16 raw bytes instead of the 32-char
+    # md5 hex string (r14, guide §2.3 narrower types) — hex<->binary
+    # is bijective, so distinctness and the semi-join hits are
+    # untouched (variant study: outputs EQUAL, local timing inside the
+    # noise band; the byte halving is the 100 TB argument).
+    shingle = lambda i: F.unhex(  # noqa: E731
+        F.md5(
+            F.concat_ws(
+                " ",
+                F.element_at(t2, i),
+                F.element_at(t2, i + 1),
+                F.element_at(t2, i + 2),
+            )
         )
     )
     idx = F.sequence(F.lit(1), F.col("n_tok") - 2)
@@ -1291,6 +1337,46 @@ def q_llm_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _bigram_count_kernel(batches):
+    """Arrow batch kernel: documents -> per-(doc, bigram) counts. The
+    bigram travels as its RAW string (identity untouched — hashing it
+    would let a collision merge two bigrams and corrupt the hapax
+    count); the win is eliminating the per-position interpreted HOF
+    chain and the (doc_id, bigram) groupBy exchange (counts are
+    partition-local per doc by construction)."""
+    from collections import Counter
+
+    import pyarrow as pa
+
+    for b in batches:
+        ids = b.column("doc_id").to_pylist()
+        texts = b.column("text").to_pylist()
+        out_id: list[int] = []
+        out_bg: list[str] = []
+        out_k: list[int] = []
+        for did, tx in zip(ids, texts):
+            if tx is None:
+                continue
+            toks = tx.split(" ")
+            if len(toks) < 2:
+                continue
+            c = Counter(
+                toks[i] + " " + toks[i + 1] for i in range(len(toks) - 1)
+            )
+            for bg, k in c.items():
+                out_id.append(did)
+                out_bg.append(bg)
+                out_k.append(k)
+        yield pa.RecordBatch.from_arrays(
+            [
+                pa.array(out_id, pa.int64()),
+                pa.array(out_bg, pa.string()),
+                pa.array(out_k, pa.int64()),
+            ],
+            names=["doc_id", "bigram", "k"],
+        )
+
+
 @register(
     "q_text_bigram_lm_score",
     oracle=f"""
@@ -1331,28 +1417,22 @@ def q_text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.helpers import r4
 
     d = load_table(spark, sf_dir, "documents")
-    toks = F.split(F.col("text"), " ")
-    idx = F.sequence(F.lit(1), F.size(toks) - 1)
-    bg = d.where(F.size(toks) >= 2).select(
-        "doc_id",
-        F.explode(
-            F.transform(
-                idx,
-                lambda i: F.concat_ws(
-                    " ", F.element_at(toks, i), F.element_at(toks, i + 1)
-                ),
-            )
-        ).alias("bigram"),
-    )
     from pyspark.sql import Window
 
     # per-(doc, bigram) multiplicities, then corpus counts as a WINDOW
-    # over the bigram partition: one scan, one tokenize — a join
+    # over the bigram partition: one pass, one tokenize — a join
     # against a separately-aggregated model branch would re-scan and
     # re-tokenize the corpus (Catalyst does not share the subplan;
     # verified in PLANS.md), which at 100 TB doubles the dominant
     # cost. The window shuffles only (doc_id, bigram, count) triples.
-    per = bg.groupBy("doc_id", "bigram").agg(F.count(F.lit(1)).alias("k"))
+    # r14 (guide §4.2): the pass is one vectorized mapInArrow kernel
+    # emitting the per-(doc, bigram) counts directly — the r13 Column
+    # form paid 2 interpreted element_at HOF evals per position plus a
+    # groupBy exchange; measured 3.8 s -> 0.97 s end-to-end at sf0.1,
+    # output bit-identical (pytest-forced).
+    per = d.select("doc_id", "text").mapInArrow(
+        _bigram_count_kernel, schema="doc_id long, bigram string, k long"
+    )
     withc = per.withColumn(
         "c", F.sum("k").over(Window.partitionBy("bigram"))
     )
@@ -1375,6 +1455,53 @@ def q_text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SPAN_K = 8  # tokens per duplicated-span window
+
+
+def _span_count_kernel(batches):
+    """Arrow batch kernel: documents -> per-(doc, 8-token-span) counts
+    (doc_id, h = raw md5 digest, k = positions). hashlib md5 is
+    byte-identical to Spark's md5 (the _minhash_sig_kernel precedent);
+    emitting the 16-byte digest instead of the hex string is the
+    bijective narrow-types encoding, and counting WITHIN the kernel
+    replaces the (doc_id, h) groupBy exchange outright — per-doc
+    counts are partition-local by construction."""
+    import hashlib
+    from collections import Counter
+
+    import pyarrow as pa
+
+    md5 = hashlib.md5
+    k_span = SPAN_K
+    for b in batches:
+        ids = b.column("doc_id").to_pylist()
+        texts = b.column("text").to_pylist()
+        out_id: list[int] = []
+        out_h: list[bytes] = []
+        out_k: list[int] = []
+        for did, tx in zip(ids, texts):
+            if tx is None:
+                continue
+            toks = tx.split(" ")
+            n = len(toks)
+            if n < k_span:
+                continue
+            c = Counter(
+                md5(" ".join(toks[i : i + k_span]).encode()).digest()
+                for i in range(n - k_span + 1)
+            )
+            for h, k in c.items():
+                out_id.append(did)
+                out_h.append(h)
+                out_k.append(k)
+        yield pa.RecordBatch.from_arrays(
+            [
+                pa.array(out_id, pa.int64()),
+                pa.array(out_h, pa.binary()),
+                pa.array(out_k, pa.int64()),
+            ],
+            names=["doc_id", "h", "k"],
+        )
+
 
 
 @register(
@@ -1418,31 +1545,22 @@ def q_text_span_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.helpers import r4
 
     d = load_table(spark, sf_dir, "documents")
-    toks = F.split(F.col("text"), " ")
-    idx = F.sequence(F.lit(1), F.size(toks) - (SPAN_K - 1))
-    sh = d.where(F.size(toks) >= SPAN_K).select(
-        "doc_id",
-        F.explode(
-            F.transform(
-                idx,
-                lambda i: F.md5(
-                    F.concat_ws(
-                        " ",
-                        *[F.element_at(toks, i + j) for j in range(SPAN_K)],
-                    )
-                ),
-            )
-        ).alias("h"),
-    )
     from pyspark.sql import Window
 
-    # per-(doc, hash) position counts, then distinct-doc counts as a
-    # window over the hash partition — one scan, one window-explode;
-    # the join-against-distinct form would re-scan and re-explode the
-    # corpus (same Catalyst subplan-sharing limit found on the bigram
-    # operator, PLANS.md). Only (doc_id, 16-byte hash, count) triples
-    # shuffle.
-    per = sh.groupBy("doc_id", "h").agg(F.count(F.lit(1)).alias("k"))
+    # r14 (guide §4.2): the span hashing runs in one vectorized
+    # mapInArrow kernel that directly emits per-(doc, hash) position
+    # counts. The r13 Column form paid 8 interpreted element_at HOF
+    # evals per position (~88M interpreted calls for 235k spans at
+    # sf0.1: the explode alone measured 7.6 s WITHOUT the md5) plus a
+    # (doc_id, h) groupBy exchange; the kernel does both in one
+    # partition-local pass — measured 8.4 s -> 0.80 s end-to-end,
+    # output bit-identical (pytest-forced). Distinct-doc counts stay a
+    # window over the hash partition; only (doc_id, 16-byte digest,
+    # count) triples shuffle — text never does (select() first:
+    # mapInArrow is opaque to column pruning, guide §4.1).
+    per = d.select("doc_id", "text").mapInArrow(
+        _span_count_kernel, schema="doc_id long, h binary, k long"
+    )
     withnd = per.withColumn(
         "n_docs", F.count(F.lit(1)).over(Window.partitionBy("h"))
     )

@@ -535,17 +535,25 @@ def test_join_hints_select_their_physical_join(spark):
 def test_bigram_lm_single_tokenize(spark):
     """The corpus-count branch must ride a window over the per-doc
     partials — a join against a separately-aggregated model would
-    re-scan and re-explode the corpus (one Generate, not two)."""
+    re-scan and re-tokenize the corpus. r14: the single pass is the
+    _bigram_count_kernel MapInArrow node (it also emits per-(doc,
+    bigram) counts, replacing the old Generate + groupBy pair) —
+    still exactly one, never a duplicated corpus subtree."""
     p = plan(all_specs()["q_text_bigram_lm_score"].fn(spark, SF_T2), "simple")
-    assert p.count("Generate") == 1, p
+    assert p.count("MapInArrow") == 1, p
+    assert p.count("Generate") == 0, p
 
 
 def test_span_dup_single_explode(spark):
-    """Same invariant for the duplicated-span filter: one corpus
-    explode feeds both the position counts and the distinct-doc
-    window."""
+    """Same invariant for the duplicated-span filter: ONE pass over
+    the corpus feeds both the position counts and the distinct-doc
+    window. r14: the pass is the _span_count_kernel MapInArrow node
+    (which also emits the per-(doc, h) counts, replacing the old
+    Generate + groupBy pair) — still exactly one, never a duplicated
+    corpus subtree."""
     p = plan(all_specs()["q_text_span_dup"].fn(spark, SF_T2), "simple")
-    assert p.count("Generate") == 1, p
+    assert p.count("MapInArrow") == 1, p
+    assert p.count("Generate") == 0, p
 
 
 def test_weighted_percentile_single_shuffle(spark):

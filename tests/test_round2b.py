@@ -675,3 +675,139 @@ def test_phash_batch_kernel_matches_per_row_decode(spark):
         assert int(got_hash[i]) == int((bits * weights).sum())
         assert int(got_px[i]) == h * w
     assert len(got_hash) == len(pdf)
+
+
+def test_span_count_kernel_matches_column_form(spark):
+    """r14: q_text_span_dup's _span_count_kernel (hashlib md5 digests +
+    in-kernel per-doc Counter) must stay BIT-IDENTICAL to the r13
+    Column reference — explode(transform(sequence, md5(concat_ws(8 x
+    element_at)))) followed by groupBy(doc_id, h) — on the real
+    fixture corpus, with the digest compared against unhex(hex)."""
+    import pyspark.sql.functions as F
+
+    from sd2_drp_experimentgen_spark.operators.llmtext import (
+        SPAN_K,
+        _span_count_kernel,
+    )
+    from sd2_drp_experimentgen_spark.sources.tables import load_table
+
+    d = load_table(spark, SF_T1, "documents")
+    got = sorted(
+        (r["doc_id"], bytes(r["h"]), r["k"])
+        for r in d.select("doc_id", "text")
+        .mapInArrow(_span_count_kernel, schema="doc_id long, h binary, k long")
+        .collect()
+    )
+
+    toks = F.split(F.col("text"), " ")
+    idx = F.sequence(F.lit(1), F.size(toks) - (SPAN_K - 1))
+    sh = d.where(F.size(toks) >= SPAN_K).select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                idx,
+                lambda i: F.unhex(
+                    F.md5(
+                        F.concat_ws(
+                            " ",
+                            *[
+                                F.element_at(toks, i + j)
+                                for j in range(SPAN_K)
+                            ],
+                        )
+                    )
+                ),
+            )
+        ).alias("h"),
+    )
+    want = sorted(
+        (r["doc_id"], bytes(r["h"]), r["k"])
+        for r in sh.groupBy("doc_id", "h")
+        .agg(F.count(F.lit(1)).alias("k"))
+        .collect()
+    )
+    assert got and got == want
+
+
+def test_bigram_count_kernel_matches_column_form(spark):
+    """r14: q_text_bigram_lm_score's _bigram_count_kernel must stay
+    BIT-IDENTICAL to the r13 Column reference — explode of the
+    element_at HOF bigram chain followed by groupBy(doc_id, bigram) —
+    on the real fixture corpus (raw bigram strings, no hashing)."""
+    import pyspark.sql.functions as F
+
+    from sd2_drp_experimentgen_spark.operators.llmtext import (
+        _bigram_count_kernel,
+    )
+    from sd2_drp_experimentgen_spark.sources.tables import load_table
+
+    d = load_table(spark, SF_T1, "documents")
+    got = sorted(
+        tuple(r)
+        for r in d.select("doc_id", "text")
+        .mapInArrow(
+            _bigram_count_kernel, schema="doc_id long, bigram string, k long"
+        )
+        .collect()
+    )
+
+    toks = F.split(F.col("text"), " ")
+    idx = F.sequence(F.lit(1), F.size(toks) - 1)
+    bg = d.where(F.size(toks) >= 2).select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                idx,
+                lambda i: F.concat_ws(
+                    " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+                ),
+            )
+        ).alias("bigram"),
+    )
+    want = sorted(
+        tuple(r)
+        for r in bg.groupBy("doc_id", "bigram")
+        .agg(F.count(F.lit(1)).alias("k"))
+        .collect()
+    )
+    assert got and got == want
+
+
+def test_shingle3_kernel_matches_column_form(spark):
+    """r14: the shared _shingle3_kernel (q_decontaminate_ngrams) must
+    stay BIT-IDENTICAL to the r13 Column reference —
+    array_distinct(transform(sequence, md5(3-token concat_ws))) — on
+    the real fixture corpus, digests compared against unhex(hex)."""
+    import pyspark.sql.functions as F
+
+    from sd2_drp_experimentgen_spark.operators.llmtext import (
+        _shingle3_kernel,
+    )
+    from sd2_drp_experimentgen_spark.sources.tables import load_table
+
+    d = load_table(spark, SF_T1, "documents")
+    got = sorted(
+        (r["doc_id"], bytes(r["sh"]))
+        for r in d.select("doc_id", "text")
+        .mapInArrow(_shingle3_kernel, schema="doc_id long, sh binary")
+        .collect()
+    )
+
+    toks = F.split(F.col("text"), " ")
+    shingle = lambda i: F.concat_ws(  # noqa: E731
+        " ",
+        F.element_at(toks, i),
+        F.element_at(toks, i + 1),
+        F.element_at(toks, i + 2),
+    )
+    idx = F.sequence(F.lit(1), F.size(toks) - 2)
+    ref = d.where(F.size(toks) >= 3).select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.transform(idx, lambda i: F.unhex(F.md5(shingle(i))))
+            )
+        ).alias("sh"),
+    )
+    want = sorted((r["doc_id"], bytes(r["sh"])) for r in ref.collect())
+    assert got and got == want
