@@ -170,6 +170,52 @@ def q_text_token_bpe_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _fp_shingle_kernel(batches):
+    """Arrow batch kernel: documents -> (doc_id, md5(text) hex, min
+    3-token shingle md5 hex). hashlib md5 hexdigest is byte-identical
+    to Spark's md5; min over 32-char hex strings equals min over raw
+    digests (the 0-9a-f charset is ascii-monotone in the nibble
+    value), so the Column form's array_min is reproduced exactly."""
+    import hashlib
+
+    import pyarrow as pa
+
+    md5 = hashlib.md5
+    for b in batches:
+        ids = b.column("doc_id").to_pylist()
+        texts = b.column("text").to_pylist()
+        out_id: list[int] = []
+        out_fp: list[str] = []
+        out_min: list[str | None] = []
+        for did, tx in zip(ids, texts):
+            if tx is None:
+                continue
+            toks = tx.split(" ")
+            out_id.append(did)
+            out_fp.append(md5(tx.encode()).hexdigest())
+            if len(toks) < 3:
+                out_min.append(None)
+            else:
+                out_min.append(
+                    min(
+                        md5(
+                            (
+                                toks[i] + " " + toks[i + 1] + " " + toks[i + 2]
+                            ).encode()
+                        ).hexdigest()
+                        for i in range(len(toks) - 2)
+                    )
+                )
+        yield pa.RecordBatch.from_arrays(
+            [
+                pa.array(out_id, pa.int64()),
+                pa.array(out_fp, pa.string()),
+                pa.array(out_min, pa.string()),
+            ],
+            names=["doc_id", "fp", "min_shingle_sig"],
+        )
+
+
 @register(
     "q_doc_fingerprint_shingle",
     oracle="""
@@ -191,24 +237,53 @@ def q_text_token_bpe_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     "identical across engines, so this hash-checks exactly.",
 )
 def q_doc_fingerprint_shingle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # r14 (guide §4.2): one vectorized mapInArrow pass — the r13
+    # Column form paid 3 interpreted element_at HOF evals + one md5
+    # per shingle position (Spark does not codegen HOF lambdas);
+    # measured 3.9 s -> 0.65 s at sf0.1, output bit-identical
+    # (pytest-forced). Map-side only, zero exchanges either way.
     d = load_table(spark, sf_dir, "documents")
-    toks = F.split(F.col("text"), " ")
-    shingles = F.transform(
-        F.sequence(F.lit(1), F.size(toks) - 2),
-        lambda i: F.md5(
-            F.concat_ws(
-                " ",
-                F.element_at(toks, i),
-                F.element_at(toks, i + 1),
-                F.element_at(toks, i + 2),
-            )
-        ),
+    return d.select("doc_id", "text").mapInArrow(
+        _fp_shingle_kernel,
+        schema="doc_id long, fp string, min_shingle_sig string",
     )
-    return d.select(
-        "doc_id",
-        F.md5(F.col("text")).alias("fp"),
-        F.array_min(shingles).alias("min_shingle_sig"),
-    )
+
+
+def _simhash_kernel(batches):
+    """Arrow batch kernel: documents -> (doc_id, simhash16). Per
+    distinct token ONE hashlib md5 (byte-identical to Spark's md5),
+    votes weighted by the token's occurrence count — exactly the
+    per-occurrence vote sum of the Column form; bit b is the parity
+    of hex digit b."""
+    import hashlib
+    from collections import Counter
+
+    import pyarrow as pa
+
+    md5 = hashlib.md5
+    for b in batches:
+        ids = b.column("doc_id").to_pylist()
+        texts = b.column("text").to_pylist()
+        out_id: list[int] = []
+        out_sh: list[int] = []
+        for did, tx in zip(ids, texts):
+            if tx is None:
+                continue
+            votes = [0] * 16
+            for token, k in Counter(tx.split(" ")).items():
+                hx = md5(token.encode()).hexdigest()
+                for bi in range(16):
+                    votes[bi] += k if ord(hx[bi]) % 2 == 1 else -k
+            sh = 0
+            for bi in range(16):
+                if votes[bi] > 0:
+                    sh |= 1 << bi
+            out_id.append(did)
+            out_sh.append(sh)
+        yield pa.RecordBatch.from_arrays(
+            [pa.array(out_id, pa.int64()), pa.array(out_sh, pa.int64())],
+            names=["doc_id", "simhash16"],
+        )
 
 
 @register(
@@ -238,25 +313,16 @@ def q_doc_fingerprint_shingle(spark: SparkSession, sf_dir: str) -> DataFrame:
     "100 TB the groupBy shuffles 2-byte signatures only.",
 )
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # r14 (guide §4.2 + §2.4): one vectorized mapInArrow pass. The r13
+    # Column form exploded every token OCCURRENCE x16 bits (~30M rows
+    # at sf0.1) through a (doc_id, b) groupBy exchange plus a second
+    # (doc_id) exchange; the signature is a per-doc map-side value, so
+    # both exchanges are removable outright. One md5 per DISTINCT
+    # token per doc, votes weighted by occurrence count — measured
+    # 3.9 s -> 0.91 s at sf0.1, output bit-identical (pytest-forced).
     d = load_table(spark, sf_dir, "documents")
-    tok = d.select(
-        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("token")
-    )
-    bits = tok.select(
-        "doc_id",
-        F.explode(F.sequence(F.lit(0), F.lit(15))).alias("b"),
-        F.col("token"),
-    )
-    vote = F.when(
-        F.ascii(F.substring(F.md5(F.col("token")), F.col("b") + 1, 1)) % 2 == 1, 1
-    ).otherwise(-1)
-    per_bit = (
-        bits.select("doc_id", "b", vote.alias("v"))
-        .groupBy("doc_id", "b")
-        .agg(F.when(F.sum("v") > 0, 1).otherwise(0).alias("bit"))
-    )
-    return per_bit.groupBy("doc_id").agg(
-        F.sum(F.col("bit") * F.expr("shiftleft(1, b)")).alias("simhash16")
+    return d.select("doc_id", "text").mapInArrow(
+        _simhash_kernel, schema="doc_id long, simhash16 long"
     )
 
 

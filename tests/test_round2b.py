@@ -811,3 +811,92 @@ def test_shingle3_kernel_matches_column_form(spark):
     )
     want = sorted((r["doc_id"], bytes(r["sh"])) for r in ref.collect())
     assert got and got == want
+
+
+def test_simhash_kernel_matches_column_form(spark):
+    """r14: q_dedup_simhash's kernel (one hashlib md5 per distinct
+    token, occurrence-weighted votes) must stay BIT-IDENTICAL to the
+    r13 Column reference — per-occurrence token explode x 16 bit rows,
+    parity votes, sign per (doc, bit) — on the real fixture corpus."""
+    import pyspark.sql.functions as F
+
+    from sd2_drp_experimentgen_spark.operators.llmtext import (
+        _simhash_kernel,
+    )
+    from sd2_drp_experimentgen_spark.sources.tables import load_table
+
+    d = load_table(spark, SF_T1, "documents")
+    got = sorted(
+        tuple(r)
+        for r in d.select("doc_id", "text")
+        .mapInArrow(_simhash_kernel, schema="doc_id long, simhash16 long")
+        .collect()
+    )
+
+    tok = d.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("token")
+    )
+    bits = tok.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(15))).alias("b"),
+        F.col("token"),
+    )
+    vote = F.when(
+        F.ascii(F.substring(F.md5(F.col("token")), F.col("b") + 1, 1)) % 2
+        == 1,
+        1,
+    ).otherwise(-1)
+    per_bit = (
+        bits.select("doc_id", "b", vote.alias("v"))
+        .groupBy("doc_id", "b")
+        .agg(F.when(F.sum("v") > 0, 1).otherwise(0).alias("bit"))
+    )
+    ref = per_bit.groupBy("doc_id").agg(
+        F.sum(F.col("bit") * F.expr("shiftleft(1, b)")).alias("simhash16")
+    )
+    want = sorted(tuple(r) for r in ref.collect())
+    assert got and got == want
+
+
+def test_fp_shingle_kernel_matches_column_form(spark):
+    """r14: q_doc_fingerprint_shingle's kernel must stay BIT-IDENTICAL
+    to the r13 Column reference (md5(text) + array_min of 3-token
+    shingle md5 hex strings) on the real fixture corpus — including
+    the NULL min for docs with < 3 tokens."""
+    import pyspark.sql.functions as F
+
+    from sd2_drp_experimentgen_spark.operators.llmtext import (
+        _fp_shingle_kernel,
+    )
+    from sd2_drp_experimentgen_spark.sources.tables import load_table
+
+    d = load_table(spark, SF_T1, "documents")
+    got = sorted(
+        tuple(r)
+        for r in d.select("doc_id", "text")
+        .mapInArrow(
+            _fp_shingle_kernel,
+            schema="doc_id long, fp string, min_shingle_sig string",
+        )
+        .collect()
+    )
+
+    toks = F.split(F.col("text"), " ")
+    shingles = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - 2),
+        lambda i: F.md5(
+            F.concat_ws(
+                " ",
+                F.element_at(toks, i),
+                F.element_at(toks, i + 1),
+                F.element_at(toks, i + 2),
+            )
+        ),
+    )
+    ref = d.select(
+        "doc_id",
+        F.md5(F.col("text")).alias("fp"),
+        F.array_min(shingles).alias("min_shingle_sig"),
+    )
+    want = sorted(tuple(r) for r in ref.collect())
+    assert got and got == want
