@@ -751,6 +751,37 @@ def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _trigram_partial_kernel(batches):
+    """Arrow batch kernel: (lang, text) -> PARTIAL per-(lang, char
+    trigram) counts, one Counter per batch — a map-side partial
+    aggregate (guide §2.3) that replaces the per-position interpreted
+    substring HOF and shrinks both the Python->JVM transfer and the
+    exchange to distinct-gram rows."""
+    from collections import Counter
+
+    import pyarrow as pa
+
+    for b in batches:
+        langs = b.column("lang").to_pylist()
+        texts = b.column("text").to_pylist()
+        c: Counter = Counter()
+        for lang, tx in zip(langs, texts):
+            if tx is None or len(tx) < 3:
+                continue
+            for i in range(len(tx) - 2):
+                c[(lang, tx[i : i + 3])] += 1
+        if c:
+            ks = list(c.keys())
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array([k[0] for k in ks], pa.string()),
+                    pa.array([k[1] for k in ks], pa.string()),
+                    pa.array([c[k] for k in ks], pa.int64()),
+                ],
+                names=["lang", "gram", "pn"],
+            )
+
+
 @register(
     "q_text_ngram_profile",
     oracle="""
@@ -788,14 +819,14 @@ def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_text_ngram_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
+    # r14 (guide §4.2 + §2.3): batch-local partial trigram counts in
+    # one mapInArrow kernel, final sum per (lang, gram) — measured
+    # 2.3 s -> 1.3 s at sf0.1, output bit-identical (pytest-forced).
     d = load_table(spark, sf_dir, "documents").where(F.length("text") >= 3)
-    grams = d.select(
-        "lang",
-        F.explode(
-            F.expr("transform(sequence(1, length(text) - 2), i -> substring(text, i, 3))")
-        ).alias("gram"),
+    partial = d.select("lang", "text").mapInArrow(
+        _trigram_partial_kernel, schema="lang string, gram string, pn long"
     )
-    counted = grams.groupBy("lang", "gram").agg(F.count(F.lit(1)).alias("n"))
+    counted = partial.groupBy("lang", "gram").agg(F.sum("pn").alias("n"))
     w = Window.partitionBy("lang").orderBy(F.desc("n"), F.asc("gram"))
     return (
         counted.withColumn("rn", F.row_number().over(w))

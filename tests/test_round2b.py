@@ -900,3 +900,45 @@ def test_fp_shingle_kernel_matches_column_form(spark):
     )
     want = sorted(tuple(r) for r in ref.collect())
     assert got and got == want
+
+
+def test_trigram_partial_kernel_matches_column_form(spark):
+    """r14: q_text_ngram_profile's partial-count kernel summed per
+    (lang, gram) must stay BIT-IDENTICAL to the r13 Column reference —
+    explode of the substring HOF chain with a count aggregate — on the
+    real fixture corpus."""
+    import pyspark.sql.functions as F
+
+    from sd2_drp_experimentgen_spark.operators.llmtext import (
+        _trigram_partial_kernel,
+    )
+    from sd2_drp_experimentgen_spark.sources.tables import load_table
+
+    d = load_table(spark, SF_T1, "documents").where(F.length("text") >= 3)
+    got = sorted(
+        tuple(r)
+        for r in d.select("lang", "text")
+        .mapInArrow(
+            _trigram_partial_kernel, schema="lang string, gram string, pn long"
+        )
+        .groupBy("lang", "gram")
+        .agg(F.sum("pn").alias("n"))
+        .collect()
+    )
+
+    grams = d.select(
+        "lang",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(text) - 2),"
+                " i -> substring(text, i, 3))"
+            )
+        ).alias("gram"),
+    )
+    want = sorted(
+        tuple(r)
+        for r in grams.groupBy("lang", "gram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    assert got and got == want
