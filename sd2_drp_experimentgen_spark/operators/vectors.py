@@ -1152,6 +1152,44 @@ def _pca_iter_sql(prev: str, out: str) -> str:
     )"""
 
 
+def _pca_gram_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The one data-scaling pass of PCA: per-partition int64 gram
+    tiles via mapInPandas, combined map-side (partial_sum) so the
+    shuffle is O(d^2 x partitions) regardless of row count —
+    plan-pinned by tests/test_plans.py::test_pca_gram_partials_combine_map_side."""
+    import numpy as np
+
+    e = load_table(spark, sf_dir, "embeddings").select("embedding")
+
+    def local_gram(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        acc = None
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            mat = np.array(
+                [list(v) for v in pdf["embedding"]], dtype=np.float64
+            )
+            quant = np.floor(mat * PCA_UNITS + 0.5).astype(np.int64)
+            g = quant.T @ quant  # exact int64 matmul
+            acc = g if acc is None else acc + g
+        if acc is not None:
+            d = acc.shape[0]
+            ii, jj = np.meshgrid(np.arange(d), np.arange(d), indexing="ij")
+            yield pd.DataFrame(
+                {
+                    "i": ii.ravel().astype(np.int32),
+                    "j": jj.ravel().astype(np.int32),
+                    "val": acc.ravel(),
+                }
+            )
+
+    return (
+        e.mapInPandas(local_gram, schema="i int, j int, val long")
+        .groupBy("i", "j")
+        .agg(F.sum("val").alias("val"))
+    )
+
+
 @register(
     "q_emb_pca_power",
     oracle=f"""
@@ -1204,35 +1242,7 @@ def _pca_iter_sql(prev: str, out: str) -> str:
 def q_emb_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
 
-    e = load_table(spark, sf_dir, "embeddings").select("embedding")
-
-    def local_gram(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        acc = None
-        for pdf in batches:
-            if pdf.empty:
-                continue
-            mat = np.array(
-                [list(v) for v in pdf["embedding"]], dtype=np.float64
-            )
-            quant = np.floor(mat * PCA_UNITS + 0.5).astype(np.int64)
-            g = quant.T @ quant  # exact int64 matmul
-            acc = g if acc is None else acc + g
-        if acc is not None:
-            d = acc.shape[0]
-            ii, jj = np.meshgrid(np.arange(d), np.arange(d), indexing="ij")
-            yield pd.DataFrame(
-                {
-                    "i": ii.ravel().astype(np.int32),
-                    "j": jj.ravel().astype(np.int32),
-                    "val": acc.ravel(),
-                }
-            )
-
-    gram = (
-        e.mapInPandas(local_gram, schema="i int, j int, val long")
-        .groupBy("i", "j")
-        .agg(F.sum("val").alias("val"))
-    )
+    gram = _pca_gram_frame(spark, sf_dir)
 
     # r14: the power iteration runs on the DRIVER. The gram matrix is
     # d x d = 4096 int64 cells — DIMENSION-bounded, data-size

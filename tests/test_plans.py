@@ -253,8 +253,12 @@ def test_ngram_topk_limit_pushed_below_shuffle(spark):
     p = plan(df, "simple")
     assert "WindowGroupLimit" in p, p
     assert "Partial" in p.split("Exchange hashpartitioning(lang")[1], p
-    # counts combine map-side before the first shuffle too
-    assert "partial_count(1)" in p
+    # counts combine map-side before the first shuffle too — r14: the
+    # kernel emits batch-local partial counts (pn) and the JVM adds a
+    # partial_sum combine on top, so the exchange still moves at most
+    # one row per (task, lang, gram)
+    assert "MapInArrow" in p, p
+    assert "partial_sum(pn" in p, p
 
 
 def test_blocked_nn_plan_shape(spark):
@@ -759,8 +763,15 @@ def test_pipe_syntax_pushes_filter_and_partial_aggregates(spark):
 def test_pca_gram_partials_combine_map_side(spark):
     """The PCA gram aggregation must show partial_sum below its
     exchange: each partition's 64x64 tile combines map-side, so the
-    shuffle is O(d^2 x partitions) regardless of row count."""
-    p = plan(all_specs()["q_emb_pca_power"].fn(spark, SF_T2), "simple")
+    shuffle is O(d^2 x partitions) regardless of row count. r14: the
+    power iteration moved to the driver (the gram is dimension-bounded),
+    so the pin targets _pca_gram_frame — the one pass that scales with
+    rows and the only distributed plan the operator executes."""
+    from sd2_drp_experimentgen_spark.operators.vectors import (
+        _pca_gram_frame,
+    )
+
+    p = plan(_pca_gram_frame(spark, SF_T2), "simple")
     assert "MapInPandas" in p, p
     assert "partial_sum" in p, p
 
