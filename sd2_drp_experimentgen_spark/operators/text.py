@@ -1065,6 +1065,48 @@ def q_text_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _gram5_count_kernel(batches):
+    """Arrow batch kernel: (doc_id, text) -> per-(doc, 5-gram digest)
+    position counts (doc_id, h, k). hashlib md5 == Spark md5 byte for
+    byte; digests are the bijective narrow encoding of the hex
+    strings, and in-kernel counting removes per-position explode rows
+    from the Python->JVM transfer."""
+    import hashlib
+    from collections import Counter
+
+    import pyarrow as pa
+
+    md5 = hashlib.md5
+    for b in batches:
+        ids = b.column("doc_id").to_pylist()
+        texts = b.column("text").to_pylist()
+        out_id: list[int] = []
+        out_h: list[bytes] = []
+        out_k: list[int] = []
+        for did, tx in zip(ids, texts):
+            if tx is None:
+                continue
+            w = tx.split(" ")
+            if len(w) < 5:
+                continue
+            c = Counter(
+                md5(" ".join(w[i : i + 5]).encode()).digest()
+                for i in range(len(w) - 4)
+            )
+            for h, k in c.items():
+                out_id.append(did)
+                out_h.append(h)
+                out_k.append(k)
+        yield pa.RecordBatch.from_arrays(
+            [
+                pa.array(out_id, pa.int64()),
+                pa.array(out_h, pa.binary()),
+                pa.array(out_k, pa.int64()),
+            ],
+            names=["doc_id", "h", "k"],
+        )
+
+
 @register(
     "q_corpus_novelty_curve",
     oracle="""
@@ -1119,19 +1161,17 @@ def q_text_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_corpus_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     mx = d.agg(F.max("doc_id").cast("long").alias("max_id"))
+    # r14 (guide §4.2 + §2.3): per-(doc, 5-gram) counts come from one
+    # vectorized mapInArrow kernel and are localCheckpointed — the r13
+    # Column form's explode subtree was consumed TWICE (first-seen min
+    # + the decile join), re-running the 5-wide interpreted HOF chain
+    # per consumer; measured 1.9/2.7 s -> 1.3/1.6 s at sf0.1, output
+    # bit-identical (pytest-forced). Checkpoint rows are (8-byte id,
+    # 16-byte digest, count) — text never persists or shuffles.
     sh = (
-        d.select("doc_id", F.split("text", " ").alias("w"))
-        .where(F.size("w") >= 5)
-        .select(
-            "doc_id",
-            F.explode(
-                F.expr(
-                    "transform(sequence(0, size(w) - 5), "
-                    "i -> md5(concat_ws(' ', w[i], w[i+1], w[i+2], "
-                    "w[i+3], w[i+4])))"
-                )
-            ).alias("h"),
-        )
+        d.select("doc_id", "text")
+        .mapInArrow(_gram5_count_kernel, schema="doc_id long, h binary, k long")
+        .localCheckpoint()
     )
     first_seen = sh.groupBy("h").agg(
         F.min("doc_id").cast("long").alias("fs")
@@ -1141,9 +1181,9 @@ def q_corpus_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(mx))
         .groupBy(F.expr("doc_id * 10 div (max_id + 1)").alias("decile"))
         .agg(
-            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum("k").alias("n_shingles"),
             F.sum(
-                F.when(F.col("fs") == F.col("doc_id"), 1).otherwise(0)
+                F.when(F.col("fs") == F.col("doc_id"), F.col("k")).otherwise(0)
             )
             .cast("long")
             .alias("n_novel"),

@@ -942,3 +942,46 @@ def test_trigram_partial_kernel_matches_column_form(spark):
         .collect()
     )
     assert got and got == want
+
+
+def test_gram5_count_kernel_matches_column_form(spark):
+    """r14: q_corpus_novelty_curve's _gram5_count_kernel must stay
+    BIT-IDENTICAL to the r13 Column reference — explode of the 5-gram
+    md5 transform with a (doc_id, h) count — on the real fixture
+    corpus, digests compared against unhex(hex)."""
+    import pyspark.sql.functions as F
+
+    from sd2_drp_experimentgen_spark.operators.text import (
+        _gram5_count_kernel,
+    )
+    from sd2_drp_experimentgen_spark.sources.tables import load_table
+
+    d = load_table(spark, SF_T1, "documents")
+    got = sorted(
+        (r["doc_id"], bytes(r["h"]), r["k"])
+        for r in d.select("doc_id", "text")
+        .mapInArrow(_gram5_count_kernel, schema="doc_id long, h binary, k long")
+        .collect()
+    )
+
+    sh = (
+        d.select("doc_id", F.split("text", " ").alias("w"))
+        .where(F.size("w") >= 5)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(w) - 5), "
+                    "i -> unhex(md5(concat_ws(' ', w[i], w[i+1], w[i+2], "
+                    "w[i+3], w[i+4]))))"
+                )
+            ).alias("h"),
+        )
+    )
+    want = sorted(
+        (r["doc_id"], bytes(r["h"]), r["k"])
+        for r in sh.groupBy("doc_id", "h")
+        .agg(F.count(F.lit(1)).alias("k"))
+        .collect()
+    )
+    assert got and got == want
