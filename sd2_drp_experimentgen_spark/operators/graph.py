@@ -903,26 +903,36 @@ def _tri_counts_id_oriented(e: DataFrame) -> DataFrame:
 def q_graph_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources.tables import load_events
 
-    e = (
-        load_events(spark, sf_dir)
-        .select("user_id", "event_type")
-        .distinct()
+    # r14 (guide §2.3/§2.4 — aggregate before you shuffle; remove the
+    # self-join): event types are a bounded enum (|types| = 5), so the
+    # per-user TYPE SET is bounded and ONE exchange on user_id with
+    # map-side partial collect_set replaces the r13 distinct + user_id
+    # self-join (which shuffled the distinct edge list two more times
+    # and re-ran the distinct subtree per join side). Singleton
+    # markers (type_a = type_b) ride the same explode as the ordered
+    # pairs, so degrees and pair counts fall out of one groupBy; the
+    # result is bounded by |types| + C(|types|, 2) rows and a
+    # localCheckpoint lets both consumers split it without re-running
+    # the event subtree. Output bit-identical: the sorted set's
+    # (i < j) pairs are exactly the join's a.event_type < b.event_type
+    # rows, and n_users is the same distinct-(user, type) count. Same
+    # single-pass shape as q_corpus_overlap_matrix (r14).
+    e = load_events(spark, sf_dir).select("user_id", "event_type")
+    sets = e.groupBy("user_id").agg(
+        F.array_sort(F.collect_set("event_type")).alias("ss")
     )
-    deg = e.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_users"))
-    a = e.alias("a")
-    b = e.alias("b")
-    p = (
-        a.join(
-            b,
-            (F.col("a.user_id") == F.col("b.user_id"))
-            & (F.col("a.event_type") < F.col("b.event_type")),
-        )
-        .groupBy(
-            F.col("a.event_type").alias("type_a"),
-            F.col("b.event_type").alias("type_b"),
-        )
-        .agg(F.count(F.lit(1)).alias("common_users"))
+    from .text import _set_pair_counts
+
+    cnt = (
+        _set_pair_counts(sets, "ss", "type_a", "type_b")
+        .withColumnRenamed("n", "common_users")
+        .localCheckpoint()
     )
+    deg = cnt.where(F.col("type_a") == F.col("type_b")).select(
+        F.col("type_a").alias("event_type"),
+        F.col("common_users").alias("n_users"),
+    )
+    p = cnt.where(F.col("type_a") != F.col("type_b"))
     da = F.broadcast(deg.select(F.col("event_type").alias("type_a"),
                                 F.col("n_users").alias("n_users_a")))
     db = F.broadcast(deg.select(F.col("event_type").alias("type_b"),

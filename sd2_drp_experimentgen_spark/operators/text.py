@@ -869,6 +869,40 @@ def q_dedup_source_precedence(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _set_pair_counts(
+    sets: DataFrame, col: str, lo: str, hi: str
+) -> DataFrame:
+    """(lo, hi, count) over a frame of sorted distinct-value arrays:
+    one row per ordered pair (i < j) of each array PLUS one singleton
+    marker row (lo = hi = v) per element, counted across the frame in
+    a single groupBy. The single-pass core of the r14 overlap-matrix /
+    common-neighbors rewrites: pair co-occurrence counts AND per-value
+    totals fall out of one aggregation over a bounded key space
+    (|values| + C(|values|, 2) groups), replacing a distinct +
+    self-join that shuffled the full relation twice more and re-ran
+    its subtree per consumer. The sorted array's (i < j) pairs are
+    exactly the self-join's a < b rows; singletons cannot collide with
+    pairs because pair rows are strictly lo < hi."""
+    return (
+        sets.select(
+            F.explode(
+                F.expr(
+                    f"concat("
+                    f"transform({col}, a -> struct(a AS {lo}, a AS {hi})), "
+                    f"flatten(transform({col}, (a, i) -> "
+                    f"transform(slice({col}, i + 2, size({col})), "
+                    f"b -> struct(a AS {lo}, b AS {hi})))))"
+                )
+            ).alias("pair")
+        )
+        .groupBy(
+            F.col(f"pair.{lo}").alias(lo),
+            F.col(f"pair.{hi}").alias(hi),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
 @register(
     "q_corpus_overlap_matrix",
     oracle="""
@@ -925,34 +959,52 @@ def q_corpus_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = d.select(
         "source", F.split("text", " ").alias("w")
     ).where(F.size("w") >= 5)
-    sh = (
+    # r14 (guide §2.3/§2.4 — aggregate before you shuffle; remove the
+    # payload self-join): the r13 form DISTINCTed (source, h) and then
+    # SELF-JOINED it on h, which (a) executed the explode+md5 shingle
+    # subtree FOUR times (tf lane a/b + both denominator lanes — four
+    # Generate nodes in the before-plan) and (b) broadcast the
+    # corpus-sized distinct relation, a shape that flips to a double
+    # SMJ of exploded rows the moment the corpus outgrows the
+    # broadcast cap. Sources are a bounded enum (|sources| ~ 20), so
+    # the per-hash source SET is itself bounded: ONE exchange on the
+    # 16-byte digest with map-side partial collect_set replaces the
+    # distinct + self-join, and both the pair counts and the
+    # per-source denominators derive from that single aggregated
+    # frame. Shingle identities cross the exchange as unhex(md5)
+    # digests — half the bytes of the hex string, bijective (the r14
+    # corpus-pipeline precedent). Output bit-identical: the sorted
+    # set's (i < j) pairs are exactly the join's a.source < b.source
+    # rows, and n_shingles is the same distinct-(source, h) count.
+    sets = (
         toks.select(
             "source",
             F.explode(
                 F.expr(
                     "transform(sequence(0, size(w) - 5), "
-                    "i -> md5(concat_ws(' ', w[i], w[i+1], w[i+2], "
-                    "w[i+3], w[i+4])))"
+                    "i -> unhex(md5(concat_ws(' ', w[i], w[i+1], w[i+2], "
+                    "w[i+3], w[i+4]))))"
                 )
             ).alias("h"),
         )
-        .distinct()
+        .groupBy("h")
+        .agg(F.array_sort(F.collect_set("source")).alias("ss"))
     )
-    tot = sh.groupBy("source").agg(F.count(F.lit(1)).alias("n_shingles"))
-    a = sh.alias("a")
-    b = sh.alias("b")
-    p = (
-        a.join(
-            b,
-            (F.col("a.h") == F.col("b.h"))
-            & (F.col("a.source") < F.col("b.source")),
-        )
-        .groupBy(
-            F.col("a.source").alias("src_a"),
-            F.col("b.source").alias("src_b"),
-        )
-        .agg(F.count(F.lit(1)).alias("shared"))
+    # Singleton markers (src_a = src_b = s, impossible for a pair row
+    # where src_a < src_b strictly) ride the SAME explode as the
+    # pairs, so denominators and pair counts fall out of one groupBy;
+    # the result is bounded by |sources| + C(|sources|, 2) rows and a
+    # localCheckpoint lets both consumers split it without re-running
+    # the corpus subtree.
+    cnt = (
+        _set_pair_counts(sets, "ss", "src_a", "src_b")
+        .withColumnRenamed("n", "shared")
+        .localCheckpoint()
     )
+    tot = cnt.where(F.col("src_a") == F.col("src_b")).select(
+        F.col("src_a").alias("source"), F.col("shared").alias("n_shingles")
+    )
+    p = cnt.where(F.col("src_a") != F.col("src_b"))
     ta = F.broadcast(tot.select(F.col("source").alias("src_a"),
                                 F.col("n_shingles").alias("n_a")))
     tb = F.broadcast(tot.select(F.col("source").alias("src_b"),

@@ -985,3 +985,44 @@ def test_gram5_count_kernel_matches_column_form(spark):
         .collect()
     )
     assert got and got == want
+
+
+def test_set_pair_counts_matches_self_join_reference(spark):
+    """r14 continuation: the single-pass set-pair kernel behind
+    q_corpus_overlap_matrix / q_graph_common_neighbors must stay
+    BIT-IDENTICAL to the r13 distinct + self-join form on the real
+    fixture corpus — pair counts (lo < hi) AND the singleton
+    denominators (lo = hi) in one frame."""
+    import pyspark.sql.functions as F
+
+    from sd2_drp_experimentgen_spark.operators.text import _set_pair_counts
+    from sd2_drp_experimentgen_spark.sources.tables import load_events
+
+    e = load_events(spark, SF_T1).select("user_id", "event_type")
+    sets = e.groupBy("user_id").agg(
+        F.array_sort(F.collect_set("event_type")).alias("ss")
+    )
+    got = sorted(
+        tuple(r)
+        for r in _set_pair_counts(sets, "ss", "lo", "hi").collect()
+    )
+
+    de = e.distinct()
+    pairs = (
+        de.alias("a")
+        .join(
+            de.alias("b"),
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("lo"),
+            F.col("b.event_type").alias("hi"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    singles = de.groupBy(
+        F.col("event_type").alias("lo"), F.col("event_type").alias("hi")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    want = sorted(tuple(r) for r in pairs.unionAll(singles).collect())
+    assert got and got == want
