@@ -33,6 +33,7 @@ MAX_ROUNDS = 25
 # sources/tables._RELATION_CACHE's invalidation discipline.
 _ND_PAIRS_CACHE: weakref.WeakKeyDictionary = weakref.WeakKeyDictionary()
 _BIP_EDGES_CACHE: weakref.WeakKeyDictionary = weakref.WeakKeyDictionary()
+_CC_LABELS_CACHE: weakref.WeakKeyDictionary = weakref.WeakKeyDictionary()
 
 
 def _shared_persisted(
@@ -247,74 +248,113 @@ _PAIRS_SQL = """
 def q_dedup_components(
     spark: SparkSession, sf_dir: str, _telemetry: dict | None = None
 ) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    pairs = nd_pairs(spark, sf_dir)
-    edges = (
-        pairs.select(F.col("id_lo").alias("src"), F.col("id_hi").alias("dst"))
-        .unionAll(
-            pairs.select(F.col("id_hi").alias("src"), F.col("id_lo").alias("dst"))
-        )
-        .localCheckpoint()
-    )
-
-    labels = docs.select(
-        F.col("doc_id").alias("node"), F.col("doc_id").alias("label")
-    ).localCheckpoint()
-
-    # Convergence check: labels are MONOTONE NON-INCREASING per node
-    # (propagate is a min over a set containing the node's own label;
-    # jumping replaces a label by the label of a smaller-or-equal
-    # node, itself <= that node by induction), so the exact integer
-    # sum of all labels strictly decreases until the fixpoint. One
-    # cheap scan-aggregate over the just-checkpointed labels replaces
-    # the r1-r10 form's per-round join+count against the previous
-    # generation — the x8 graph scale study measured that extra join
-    # as a full per-round stage at every scale (tools/
-    # graph_scale_study.py). Summed in decimal(38,0): node ids reach
-    # rep*DOC_STRIDE at study scale and 100 TB corpora push the int64
-    # sum's headroom. Convergence-round telemetry goes to the CALLER'S
-    # dict when one is passed (_telemetry — the scale study's probe),
-    # never to module state: VERDICT r11 item 8, operators must not
-    # mutate globals per execution.
-    prev_sum = labels.agg(
-        F.sum(F.col("label").cast("decimal(38,0)"))
-    ).first()[0]
-    for rnd in range(MAX_ROUNDS):
-        if _telemetry is not None:
-            _telemetry["rounds"] = rnd + 1
-        # propagate: min label over the closed neighborhood
-        neighbor = (
-            edges.join(labels, edges.dst == labels.node)
-            .select(F.col("src").alias("node"), "label")
-        )
-        propagated = (
-            labels.unionAll(neighbor)
-            .groupBy("node")
-            .agg(F.min("label").alias("label"))
-        )
-        # pointer jumping: label(v) <- label(label(v))
-        l2 = propagated.select(
-            F.col("node").alias("jnode"), F.col("label").alias("jlabel")
-        )
-        jumped = (
-            propagated.join(l2, propagated.label == l2.jnode)
-            .select("node", F.col("jlabel").alias("label"))
-            .localCheckpoint()
-        )
-        labels = jumped
-        new_sum = labels.agg(
-            F.sum(F.col("label").cast("decimal(38,0)"))
-        ).first()[0]
-        if new_sum == prev_sum:
-            break
-        prev_sum = new_sum
-
+    labels = cc_labels(spark, sf_dir, _telemetry)
     return labels.select(
         F.col("node").alias("doc_id"),
         F.col("label").alias("component_id"),
         F.when(F.col("node") == F.col("label"), 1).otherwise(0).alias(
             "is_survivor"
         ),
+    )
+
+
+def cc_labels(
+    spark: SparkSession, sf_dir: str, _telemetry: dict | None = None
+) -> DataFrame:
+    """The CONVERGED (node, label) min-label fixpoint over the J>=0.6
+    near-dup graph — the dedup DECISION relation consumed by
+    q_dedup_components / q_dedup_cluster_stats /
+    q_dedup_survivor_quality. r14 continuation: the registry timing
+    sweep put the trio at 6.1 / 7.7 / 6.9 s with EACH consumer
+    re-running the full pointer-jumping iteration from scratch; one
+    tracked build per (session, corpus) now serves all three — the
+    nd_pairs / bipartite_edges sharing precedent moved one level up
+    (share the fixpoint, not just the edges). The iteration itself is
+    byte-for-byte the r11-studied loop; a _telemetry probe always runs
+    a FRESH build (the scale studies count rounds, which a cache hit
+    would hide). Lifecycle/eviction: _shared_persisted —
+    release_persisted() drops it, the next consumer rebuilds, so every
+    bench/driver timed run that releases between runs still pays the
+    full iteration."""
+
+    def build() -> DataFrame:
+        docs = load_table(spark, sf_dir, "documents").select("doc_id")
+        pairs = nd_pairs(spark, sf_dir)
+        edges = (
+            pairs.select(
+                F.col("id_lo").alias("src"), F.col("id_hi").alias("dst")
+            )
+            .unionAll(
+                pairs.select(
+                    F.col("id_hi").alias("src"), F.col("id_lo").alias("dst")
+                )
+            )
+            .localCheckpoint()
+        )
+
+        labels = docs.select(
+            F.col("doc_id").alias("node"), F.col("doc_id").alias("label")
+        ).localCheckpoint()
+
+        # Convergence check: labels are MONOTONE NON-INCREASING per
+        # node (propagate is a min over a set containing the node's
+        # own label; jumping replaces a label by the label of a
+        # smaller-or-equal node, itself <= that node by induction), so
+        # the exact integer sum of all labels strictly decreases until
+        # the fixpoint. One cheap scan-aggregate over the
+        # just-checkpointed labels replaces the r1-r10 form's
+        # per-round join+count against the previous generation — the
+        # x8 graph scale study measured that extra join as a full
+        # per-round stage at every scale (tools/graph_scale_study.py).
+        # Summed in decimal(38,0): node ids reach rep*DOC_STRIDE at
+        # study scale and 100 TB corpora push the int64 sum's
+        # headroom. Convergence-round telemetry goes to the CALLER'S
+        # dict when one is passed (_telemetry — the scale study's
+        # probe), never to module state: VERDICT r11 item 8, operators
+        # must not mutate globals per execution.
+        prev_sum = labels.agg(
+            F.sum(F.col("label").cast("decimal(38,0)"))
+        ).first()[0]
+        for rnd in range(MAX_ROUNDS):
+            if _telemetry is not None:
+                _telemetry["rounds"] = rnd + 1
+            # propagate: min label over the closed neighborhood
+            neighbor = (
+                edges.join(labels, edges.dst == labels.node)
+                .select(F.col("src").alias("node"), "label")
+            )
+            propagated = (
+                labels.unionAll(neighbor)
+                .groupBy("node")
+                .agg(F.min("label").alias("label"))
+            )
+            # pointer jumping: label(v) <- label(label(v))
+            l2 = propagated.select(
+                F.col("node").alias("jnode"), F.col("label").alias("jlabel")
+            )
+            jumped = (
+                propagated.join(l2, propagated.label == l2.jnode)
+                .select("node", F.col("jlabel").alias("label"))
+                .localCheckpoint()
+            )
+            labels = jumped
+            new_sum = labels.agg(
+                F.sum(F.col("label").cast("decimal(38,0)"))
+            ).first()[0]
+            if new_sum == prev_sum:
+                break
+            prev_sum = new_sum
+        return labels
+
+    if _telemetry is not None:
+        return build()
+    return _shared_persisted(
+        spark,
+        sf_dir,
+        _CC_LABELS_CACHE,
+        ("documents.parquet",),
+        build,
+        checkpoint=True,
     )
 
 

@@ -3201,6 +3201,20 @@ def q_emb_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint()
     )
     labels = nodes.select("node", F.col("node").alias("lbl")).localCheckpoint()
+    # Convergence check: monotone label-sum scan, the q_dedup_components
+    # form (r14 continuation — this loop predated that rewrite and still
+    # paid the r1–r10 per-round join+count against the previous
+    # generation, which the x8 graph scale study measured as a full
+    # extra stage EVERY round). Labels are monotone non-increasing per
+    # node (the min is over a set containing the node's own label;
+    # jumping replaces a label by the label of a smaller-or-equal node,
+    # itself <= that node by induction), so the exact integer sum over
+    # all nodes strictly decreases until the fixpoint — sum unchanged
+    # iff no label changed. decimal(38,0): replica studies push vec_id
+    # sums past int64 headroom.
+    prev_sum = labels.agg(
+        F.sum(F.col("lbl").cast("decimal(38,0)"))
+    ).first()[0]
     for _ in range(20):
         neighbor = edges.join(
             labels, edges.dst == labels.node
@@ -3218,15 +3232,13 @@ def q_emb_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("node", F.col("jlbl").alias("lbl"))
             .localCheckpoint()
         )
-        changed = (
-            jumped.alias("n")
-            .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
-            .where(F.col("n.lbl") != F.col("o.lbl"))
-            .count()
-        )
         labels = jumped
-        if changed == 0:
+        new_sum = labels.agg(
+            F.sum(F.col("lbl").cast("decimal(38,0)"))
+        ).first()[0]
+        if new_sum == prev_sum:
             break
+        prev_sum = new_sum
     return (
         labels.join(nodes, "node")
         .groupBy(F.col("lbl").alias("component_id"))

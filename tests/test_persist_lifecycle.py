@@ -211,3 +211,39 @@ def test_shared_build_eviction_releases_stale_frame(spark, tmp_path):
     assert b.is_cached
     assert sum(1 for d in _TRACKED_PERSISTS if d is a) == 0
     _drain()
+
+
+def test_cc_labels_shared_and_rebuilt_after_release(spark):
+    """r14 continuation: the three dedup-decision queries
+    (q_dedup_components / q_dedup_cluster_stats /
+    q_dedup_survivor_quality) source the converged min-label fixpoint
+    from ONE shared localCheckpointed build per (session, corpus) —
+    the registry sweep timed each consumer re-running the full
+    pointer-jumping iteration (6.1 / 7.7 / 6.9 s at sf0.1). Repeated
+    consumers get the identical frame; a release invalidates the memo
+    and the next consumer rebuilds, preserving bench's
+    pay-the-build-every-timed-run contract. A _telemetry probe (the
+    scale study's round counter) must BYPASS the cache — a cache hit
+    would report zero rounds."""
+    from sd2_drp_experimentgen_spark.functions.helpers import (
+        touch_persisted,
+    )
+    from sd2_drp_experimentgen_spark.operators import graph
+
+    _drain()
+    a = graph.cc_labels(spark, SF_T1)
+    b = graph.cc_labels(spark, SF_T1)
+    assert a is b
+    assert touch_persisted(a)
+    release_persisted()
+    assert not touch_persisted(a)
+    c = graph.cc_labels(spark, SF_T1)
+    assert c is not a
+    assert touch_persisted(c)
+    # telemetry probe: fresh build (rounds counted), cache untouched
+    tel: dict = {}
+    d = graph.cc_labels(spark, SF_T1, _telemetry=tel)
+    assert d is not c
+    assert tel.get("rounds", 0) >= 1
+    assert graph.cc_labels(spark, SF_T1) is c
+    _drain()
