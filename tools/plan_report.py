@@ -107,7 +107,7 @@ REPORT = [
     ("q_ml_target_encoding", "category rollup map-side combined; 1-row global broadcast for smoothing"),
     ("q_ts_changepoint_cusum", "daily rollup below the |days|-sized CUSUM window; raw events touched once"),
     ("q_ts_autocorrelation", "hourly rollup + gap-fill sequence; integer lag equi-join over |hours| rows"),
-    ("q_graph_common_neighbors", "distinct-edge self-join; KB degree tables broadcast twice"),
+    ("q_graph_common_neighbors", "r14 single-pass form: bounded checkpointed pair counts; KB degree tables broadcast twice"),
     ("q_ml_calibration_bins", "broadcast [min,max] extent; exact integer-div binning in one 10-group rollup"),
     ("q_dq_benford", "9-group digit rollup + 1-row total broadcast; chi2 from literals, no engine log10"),
     ("q_emb_silhouette", "10-row centroid table broadcast; distance folds inside the row — vectors never shuffle"),
@@ -123,7 +123,7 @@ REPORT = [
     ("q_ts_stl_residuals", "hourly rollup + 48-cell broadcast; exact-int residual ranking, TakeOrdered(5)"),
     ("q_sql_unpivot_clause", "native UNPIVOT plans as Expand feeding a map-side partial aggregate"),
     ("q_ml_auc_by_group", "group-partitioned prefix window — zero SinglePartition exchanges"),
-    ("q_corpus_overlap_matrix", "per-source DISTINCT shingles; self-join carries 16-byte hashes"),
+    ("q_corpus_overlap_matrix", "r14 single-pass form: bounded checkpointed pair counts; broadcast-only joins, no shuffled merge"),
     ("q_text_vocab_growth", "single tokenize explode; first-seen min-agg + 10-row prefix rollup"),
     ("q_stream_drift_monitor", "live 2xK contingency state; chi2 epilogue over the K-row sink"),
     # --- round 7 additions ---
