@@ -43,6 +43,7 @@ def _shared_persisted(
     files: tuple[str, ...],
     build,
     checkpoint: bool = False,
+    build_checkpoints: bool = False,
     wrap=None,
 ) -> DataFrame:
     """One live materialized build per (session, sf_dir, backing-file
@@ -99,7 +100,13 @@ def _shared_persisted(
     df = ref() if ref is not None else None
     if df is not None and touch_persisted(df):
         return _out(df)
-    if checkpoint:
+    if build_checkpoints:
+        # the builder's own loop already localCheckpoints the frame it
+        # returns (cc_labels' last jumped round) — re-checkpointing it
+        # here ran one extra full job over the labels per build
+        # (ADVICE r14 item 2); just register the existing blocks
+        df = track_materialized(build())
+    elif checkpoint:
         df = track_materialized(build().localCheckpoint())
     else:
         df = tracked_persist(build())
@@ -354,7 +361,7 @@ def cc_labels(
         _CC_LABELS_CACHE,
         ("documents.parquet",),
         build,
-        checkpoint=True,
+        build_checkpoints=True,
     )
 
 

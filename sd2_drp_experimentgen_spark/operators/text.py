@@ -882,7 +882,17 @@ def _set_pair_counts(
     self-join that shuffled the full relation twice more and re-ran
     its subtree per consumer. The sorted array's (i < j) pairs are
     exactly the self-join's a < b rows; singletons cannot collide with
-    pairs because pair rows are strictly lo < hi."""
+    pairs because pair rows are strictly lo < hi.
+
+    PRECONDITIONS (ADVICE r14 item 1): the grouping key and array
+    values must be NON-NULL, and per-hash value arrays must be a
+    BOUNDED enum (|values| small — ~8 sources / 5 event types here).
+    Equivalence to the distinct + self-join breaks under NULLs:
+    collect_set upstream drops NULL values (losing their singleton
+    rows) and groupBy merges NULL keys into one group (pairing rows an
+    equi-join could never pair, since NULL == NULL is false). An
+    UNBOUNDED value domain would make the per-array pair explosion the
+    quadratic anti-pattern this helper exists to avoid."""
     return (
         sets.select(
             F.explode(
@@ -900,6 +910,46 @@ def _set_pair_counts(
             F.col(f"pair.{hi}").alias(hi),
         )
         .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def _source_shingle_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(h, ss) — per 5-token shingle digest, the sorted SET of corpus
+    sources containing it. The corpus subtree of the r14 overlap-matrix
+    rewrite, factored out so tests/test_plans.py pins the OPERATOR'S
+    subtree rather than a copy-pasted rebuild (ADVICE r14 item 3).
+
+    Plan rationale (guide §2.3/§2.4 — aggregate before you shuffle;
+    remove the payload self-join): the r13 form DISTINCTed (source, h)
+    and then SELF-JOINED it on h, which (a) executed the explode+md5
+    shingle subtree FOUR times (tf lane a/b + both denominator lanes —
+    four Generate nodes in the before-plan) and (b) broadcast the
+    corpus-sized distinct relation, a shape that flips to a double SMJ
+    of exploded rows the moment the corpus outgrows the broadcast cap.
+    Sources are a bounded enum (|sources| ~ 20), so the per-hash source
+    SET is itself bounded: ONE exchange on the 16-byte digest with
+    map-side partial collect_set replaces the distinct + self-join, and
+    both the pair counts and the per-source denominators derive from
+    that single aggregated frame. Shingle identities cross the exchange
+    as unhex(md5) digests — half the bytes of the hex string, bijective
+    (the r14 corpus-pipeline precedent)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "source", F.split("text", " ").alias("w")
+    ).where(F.size("w") >= 5)
+    return (
+        toks.select(
+            "source",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(w) - 5), "
+                    "i -> unhex(md5(concat_ws(' ', w[i], w[i+1], w[i+2], "
+                    "w[i+3], w[i+4]))))"
+                )
+            ).alias("h"),
+        )
+        .groupBy("h")
+        .agg(F.array_sort(F.collect_set("source")).alias("ss"))
     )
 
 
@@ -955,41 +1005,10 @@ def _set_pair_counts(
 def q_corpus_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.helpers import r6
 
-    d = load_table(spark, sf_dir, "documents")
-    toks = d.select(
-        "source", F.split("text", " ").alias("w")
-    ).where(F.size("w") >= 5)
-    # r14 (guide §2.3/§2.4 — aggregate before you shuffle; remove the
-    # payload self-join): the r13 form DISTINCTed (source, h) and then
-    # SELF-JOINED it on h, which (a) executed the explode+md5 shingle
-    # subtree FOUR times (tf lane a/b + both denominator lanes — four
-    # Generate nodes in the before-plan) and (b) broadcast the
-    # corpus-sized distinct relation, a shape that flips to a double
-    # SMJ of exploded rows the moment the corpus outgrows the
-    # broadcast cap. Sources are a bounded enum (|sources| ~ 20), so
-    # the per-hash source SET is itself bounded: ONE exchange on the
-    # 16-byte digest with map-side partial collect_set replaces the
-    # distinct + self-join, and both the pair counts and the
-    # per-source denominators derive from that single aggregated
-    # frame. Shingle identities cross the exchange as unhex(md5)
-    # digests — half the bytes of the hex string, bijective (the r14
-    # corpus-pipeline precedent). Output bit-identical: the sorted
+    # Output bit-identical to the r13 distinct + self-join: the sorted
     # set's (i < j) pairs are exactly the join's a.source < b.source
     # rows, and n_shingles is the same distinct-(source, h) count.
-    sets = (
-        toks.select(
-            "source",
-            F.explode(
-                F.expr(
-                    "transform(sequence(0, size(w) - 5), "
-                    "i -> unhex(md5(concat_ws(' ', w[i], w[i+1], w[i+2], "
-                    "w[i+3], w[i+4]))))"
-                )
-            ).alias("h"),
-        )
-        .groupBy("h")
-        .agg(F.array_sort(F.collect_set("source")).alias("ss"))
-    )
+    sets = _source_shingle_sets(spark, sf_dir)
     # Singleton markers (src_a = src_b = s, impossible for a pair row
     # where src_a < src_b strictly) ride the SAME explode as the
     # pairs, so denominators and pair counts fall out of one groupBy;

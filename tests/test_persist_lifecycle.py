@@ -247,3 +247,79 @@ def test_cc_labels_shared_and_rebuilt_after_release(spark):
     assert tel.get("rounds", 0) >= 1
     assert graph.cc_labels(spark, SF_T1) is c
     _drain()
+
+
+def test_no_untracked_persist_outside_helpers():
+    """Grep-level persist hygiene (VERDICT r14 item 5): every
+    .persist()/.cache() call in the operator modules must either route
+    through helpers.tracked_persist/_shared_persisted or appear in the
+    allowlist below — and every allowlisted function must unpersist its
+    frame in a try/finally, so no code path (including a failing
+    self-test assert) leaves an untracked frame pinned for the rest of
+    a driver session. Walks the AST, not the runtime, so the guard
+    costs nothing and cannot flake."""
+    import ast
+    from pathlib import Path
+
+    ops = (
+        Path(__file__).resolve().parent.parent
+        / "sd2_drp_experimentgen_spark"
+        / "operators"
+    )
+    # (module, enclosing function) pairs sanctioned to self-manage an
+    # untracked persist, each bounded by an unpersist-in-finally:
+    allowed = {
+        # CrossValidator input reused by 12 sequential fold fits; the
+        # finally unpersists even when a self-test assert fires.
+        ("ml.py", "q_mllib_cross_validation"),
+        # The midplan-caching DEMONSTRATION query — persist +
+        # InMemoryTableScan is its declared subject; the returned
+        # frame is localCheckpointed while the cache is live and the
+        # finally unpersists.
+        ("storage.py", "q_cache_reuse"),
+    }
+
+    found: set[tuple[str, str]] = set()
+    missing_finally: list[tuple[str, str]] = []
+    for py in sorted(ops.glob("*.py")):
+        tree = ast.parse(py.read_text())
+        for fn in ast.walk(tree):
+            if not isinstance(fn, (ast.FunctionDef, ast.AsyncFunctionDef)):
+                continue
+            persists = [
+                node
+                for node in ast.walk(fn)
+                if isinstance(node, ast.Call)
+                and isinstance(node.func, ast.Attribute)
+                and node.func.attr in ("persist", "cache")
+            ]
+            if not persists:
+                continue
+            found.add((py.name, fn.name))
+            has_finally_unpersist = any(
+                isinstance(t, ast.Try)
+                and any(
+                    isinstance(n, ast.Call)
+                    and isinstance(n.func, ast.Attribute)
+                    and n.func.attr == "unpersist"
+                    for stmt in t.finalbody
+                    for n in ast.walk(stmt)
+                )
+                for t in ast.walk(fn)
+            )
+            if not has_finally_unpersist:
+                missing_finally.append((py.name, fn.name))
+
+    rogue = found - allowed
+    assert not rogue, (
+        f"untracked persist/cache outside the allowlist: {sorted(rogue)} — "
+        "route it through helpers.tracked_persist (or graph._shared_"
+        "persisted) so release_persisted() can reclaim it, or allowlist "
+        "it here WITH an unpersist-in-finally"
+    )
+    assert not missing_finally, (
+        f"allowlisted persists without unpersist-in-finally: "
+        f"{sorted(missing_finally)}"
+    )
+    gone = allowed - found
+    assert not gone, f"stale allowlist entries: {sorted(gone)}"
