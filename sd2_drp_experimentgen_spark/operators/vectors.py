@@ -2679,8 +2679,18 @@ def q_ann_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from .scans import _scratch
 
-    enc = q_emb_pq_encode(spark, sf_dir).select(
-        "vec_id", "c0", "c1", "c2", "c3", F.col("c0").alias("cell")
+    # r15 (guide §5 — consumed-thrice): the three index writes below
+    # (base overwrite, delta append, from-scratch rebuild) each
+    # re-executed the full PQ-encode kernel over the embeddings scan.
+    # The encode output is six longs per vector, so one localCheckpoint
+    # materializes it once and all three writes read the narrow blocks
+    # (interleaved stash-toggled A/B, fresh-JVM noop min over 6 runs:
+    # 4.26 -> 3.73 s at sf0.1; at 100 TB this is two saved full passes
+    # over the vector corpus).
+    enc = (
+        q_emb_pq_encode(spark, sf_dir)
+        .select("vec_id", "c0", "c1", "c2", "c3", F.col("c0").alias("cell"))
+        .localCheckpoint()
     )
     base = enc.where(F.col("vec_id") % IDX_DELTA_MOD != IDX_DELTA_MOD - 1)
     delta = enc.where(F.col("vec_id") % IDX_DELTA_MOD == IDX_DELTA_MOD - 1)
@@ -2768,8 +2778,17 @@ def q_ann_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_ann_index_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .scans import _scratch
 
-    enc = q_emb_pq_encode(spark, sf_dir).select(
-        "vec_id", "c0", "c1", "c2", "c3", F.col("c0").alias("cell")
+    # r15 (guide §5 — consumed-twice): base + delta writes shared one
+    # encode subtree; checkpoint the six-long rows once (the append
+    # query's rationale, minus the rebuild lane). Honest pricing: the
+    # interleaved A/B read NEUTRAL at sf0.1 (min 2.81 vs 2.74 s,
+    # spreads fully overlapping — compact's probe re-reads from disk,
+    # so only one encode pass was redundant here); kept because the
+    # saved pass is over the full vector corpus at 100 TB.
+    enc = (
+        q_emb_pq_encode(spark, sf_dir)
+        .select("vec_id", "c0", "c1", "c2", "c3", F.col("c0").alias("cell"))
+        .localCheckpoint()
     )
     base = enc.where(F.col("vec_id") % IDX_DELTA_MOD != IDX_DELTA_MOD - 1)
     delta = enc.where(F.col("vec_id") % IDX_DELTA_MOD == IDX_DELTA_MOD - 1)
@@ -2901,6 +2920,14 @@ def q_ann_ivfpq_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     codes, lut = _adc_codes_lut(spark, sf_dir)
+    # r15 (guide §5): the melted code rows ((vec_id, m, k) — three
+    # longs, 4 rows/vector) feed adc_full AND cellmap, and cellmap's
+    # candidate frame is itself consumed twice (scanned + swept), so
+    # the PQ-encode kernel executed 3x per run (the before-plan shows
+    # 4 MapInPandas nodes). One narrow checkpoint runs it once;
+    # checkpointed HERE rather than inside _adc_codes_lut because
+    # q_ann_pq_adc_topk consumes codes once and its r6 plan is pinned.
+    codes = codes.localCheckpoint()
     lut = lut.localCheckpoint()
     cellmap = codes.where(F.col("m") == 0).select(
         "vec_id", F.col("k").alias("cell")
