@@ -730,6 +730,28 @@ def q_dedup_survivor_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 # measured-best id path everywhere.
 TRI_ID_HUB_WEDGE_CAP = 40_000_000
 
+# r15 adjacency-intersection gate (guide §1.2 — fix the algorithm
+# before the per-task work): on hub-free graphs the id-oriented wedge
+# join still MATERIALIZES every wedge as a row (21M at sf0.1) and
+# hash-probes each against the edge set; intersecting the two
+# endpoints' sorted in-below adjacency arrays per EDGE does the same
+# counting with zero wedge rows (interleaved A/B on the fixture:
+# 2.13 -> 1.48 s min-of-4, all-runs spread 1.48-1.66 vs 2.13-3.54;
+# bit-identity pytest-forced). The form is only safe when
+#  (a) the largest in-below adjacency array is bounded — an
+#      in-degree hub (a star toward one high id) passes the
+#      OUT-degree wedge gate with ~0 wedges but would carry an
+#      |E|-long array once per incident edge, a quadratic blowup the
+#      wedge join does not have; and
+#  (b) the adjacency table fits a broadcast — the no-hint plain-join
+#      variant measured 5.2 s vs 1.48 s (AQE re-materializes the
+#      exchange), and past broadcast size the shuffled wedge join IS
+#      the scale path.
+# Both scalars read from the one checkpointed adjacency build, which
+# the intersection then consumes — the gate adds no extra pass.
+TRI_ADJ_MAX_IN_DEG = 65_536        # 512 KB max array row
+TRI_ADJ_BROADCAST_EDGES = 16_000_000  # ~128 MB broadcast of packed ids
+
 
 def degree_oriented_edges(e: DataFrame) -> DataFrame:
     """(src, dst, ddst): each undirected (id_lo, id_hi) edge oriented
@@ -848,13 +870,21 @@ def _tri_counts_degree_oriented(e: DataFrame) -> DataFrame:
     "degree form's extra degree join (1.34 s vs 5.11 s), while a "
     "C(16384,2)=135M hub flipped it (12.83 s vs 5.29 s). This "
     "corpus (r11 study, sf0.1: 354k edges, max degree 221, <=24k "
-    "wedges per node at every replica scale) stays on the id form — "
+    "wedges per node at every replica scale) sits below the cap — "
     "degree orientation would cut TOTAL wedges only 21.1M -> 19.3M "
     "(-9%), and the x64 sweep pushed 1.35G well-spread wedges "
     "through it in 96 s (concentration, not volume, is what breaks "
-    "the form). Edges (two longs) are all that shuffles; the "
-    "candidate-pair generation reuses q_neardup_jaccard's ppjoin "
-    "prefix filter via the shared nd_pairs build.",
+    "the form). r15: the hub-free branch now intersects the two "
+    "endpoints' sorted in-below adjacency arrays per edge instead of "
+    "materializing every wedge as a row — bit-identical counts "
+    "(smallest-corner-once from the closing edge's side; "
+    "pytest-forced), 2.13 -> 1.48 s at sf0.1 — guarded by its own "
+    "array-size and broadcast caps (TRI_ADJ_*; an in-degree hub or "
+    "an unbroadcastable adjacency table falls back to the id-wedge "
+    "join, which remains the all-shuffle scale path). Edges (two "
+    "longs) are all that shuffles; the candidate-pair generation "
+    "reuses q_neardup_jaccard's ppjoin prefix filter via the shared "
+    "nd_pairs build.",
 )
 def q_graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The shared persisted pair build serves the "computed once,
@@ -877,7 +907,82 @@ def q_graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     if hub_wedges > TRI_ID_HUB_WEDGE_CAP:
         return _tri_counts_degree_oriented(e)
+    # r15: hub-free branch — prefer the zero-wedge-row adjacency
+    # intersection when its own guards hold (array bound + broadcast
+    # bound; constants above carry the A/B numbers). The gate scalars
+    # read from the checkpointed adjacency the form then consumes, so
+    # choosing costs one ~50k-row aggregate, not an extra corpus pass.
+    adj = _tri_in_below_adj(e)
+    st = adj.agg(
+        F.max(F.size("nbrs")).alias("mx"),
+        F.sum(F.size("nbrs")).alias("ne"),
+    ).first()
+    if (
+        st["mx"] is not None
+        and st["mx"] <= TRI_ADJ_MAX_IN_DEG
+        and st["ne"] <= TRI_ADJ_BROADCAST_EDGES
+    ):
+        return _tri_counts_adj_intersect(e, adj)
     return _tri_counts_id_oriented(e)
+
+
+def _tri_counts_adj_intersect(e: DataFrame, adj: DataFrame) -> DataFrame:
+    """Per-node triangle counts via per-edge adjacency intersection —
+    the zero-wedge-row form for hub-free, broadcastable graphs (gate
+    and A/B numbers at TRI_ADJ_MAX_IN_DEG above). ``adj`` is the
+    checkpointed in-below adjacency: (node, sorted array of a < node
+    with (a, node) in e). A triangle (a, b, c), a < b < c, is counted
+    exactly once at edge (b, c) as a ∈ in(b) ∩ in(c) — the same
+    smallest-corner-once discipline as the wedge forms, so counts are
+    bit-identical (pytest-forced). Inner joins cannot drop a
+    triangle: both endpoints of its closing edge have `a` in-below.
+    Each edge's corner contributions explode as one concat
+    (the a's, b×|∩|, c×|∩|) — 3·T rows, T = triangles, vs 21M wedge
+    rows through the close join."""
+    withn = (
+        e.join(
+            F.broadcast(
+                adj.select(
+                    F.col("node").alias("id_lo"), F.col("nbrs").alias("nb_b")
+                )
+            ),
+            "id_lo",
+        )
+        .join(
+            F.broadcast(
+                adj.select(
+                    F.col("node").alias("id_hi"), F.col("nbrs").alias("nb_c")
+                )
+            ),
+            "id_hi",
+        )
+        .select(
+            F.col("id_lo").alias("b"),
+            F.col("id_hi").alias("c"),
+            F.array_intersect("nb_b", "nb_c").alias("cs"),
+        )
+    )
+    corners = withn.where(F.size("cs") > 0).select(
+        F.explode(
+            F.expr(
+                "concat(cs, array_repeat(b, size(cs)), "
+                "array_repeat(c, size(cs)))"
+            )
+        ).alias("doc_id")
+    )
+    return corners.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_triangles")
+    )
+
+
+def _tri_in_below_adj(e: DataFrame) -> DataFrame:
+    """The checkpointed in-below adjacency (node, nbrs) consumed by
+    the intersection form AND by the gate scalars that choose it."""
+    return (
+        e.groupBy(F.col("id_hi").alias("node"))
+        .agg(F.array_sort(F.collect_list("id_lo")).alias("nbrs"))
+        .localCheckpoint()
+    )
 
 
 def _tri_counts_id_oriented(e: DataFrame) -> DataFrame:

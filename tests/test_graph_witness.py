@@ -178,3 +178,48 @@ def test_triangle_gate_picks_id_form_on_fixture(spark, monkeypatch):
     )
     release_persisted()
     assert base == forced
+
+
+def test_triangle_adj_intersect_bit_identical(spark):
+    """r15 intersection form: per-edge intersection of the endpoints'
+    in-below adjacency arrays must reproduce the id-oriented wedge
+    join's per-node counts bit-for-bit (a triangle (a, b, c), a<b<c,
+    is counted exactly once at its closing edge (b, c) as
+    a in in(b) ∩ in(c) — same smallest-corner-once discipline)."""
+    from sd2_drp_experimentgen_spark.functions.helpers import (
+        release_persisted,
+    )
+    from sd2_drp_experimentgen_spark.operators import graph
+
+    e = graph.nd_pairs(spark, SF)
+    a = sorted(tuple(r) for r in graph._tri_counts_id_oriented(e).collect())
+    b = sorted(
+        tuple(r)
+        for r in graph._tri_counts_adj_intersect(
+            e, graph._tri_in_below_adj(e)
+        ).collect()
+    )
+    release_persisted()
+    assert a and a == b
+
+
+def test_triangle_adj_gate_falls_back_to_wedge_join(spark, monkeypatch):
+    """The intersection form's own guards: forcing either cap to 0
+    (an in-degree hub / an unbroadcastable adjacency) must route the
+    registered query back to the id-oriented wedge join with
+    identical output."""
+    from sd2_drp_experimentgen_spark.functions.helpers import (
+        release_persisted,
+    )
+    from sd2_drp_experimentgen_spark.operators import graph
+    from sd2_drp_experimentgen_spark.plans import all_specs
+
+    fn = all_specs()["q_graph_triangle_count"].fn
+    base = sorted(tuple(r) for r in fn(spark, SF).collect())
+    monkeypatch.setattr(graph, "TRI_ADJ_MAX_IN_DEG", 0)
+    forced_wedge = sorted(tuple(r) for r in fn(spark, SF).collect())
+    monkeypatch.setattr(graph, "TRI_ADJ_MAX_IN_DEG", 65_536)
+    monkeypatch.setattr(graph, "TRI_ADJ_BROADCAST_EDGES", 0)
+    forced_wedge2 = sorted(tuple(r) for r in fn(spark, SF).collect())
+    release_persisted()
+    assert base and base == forced_wedge == forced_wedge2
