@@ -700,9 +700,12 @@ def _ingest_neardup_oracle() -> str:
     "the streaming dedup story q_stream_ingest_dedup opens: the same "
     "LIVE run (readStream over documents, AvailableNow, memory sink) "
     "computes the full 16-hash Carter-Wegman MinHash signature and "
-    "4x4 band keys as PURE COLUMN PROJECTIONS on the stream (the "
-    "batch construction is reused verbatim — nothing about "
-    "signatures is batch-specific), then dropDuplicates on "
+    "4x4 band keys with the SAME vectorized mapInArrow kernel as the "
+    "batch lane (r15 — the batch construction is reused verbatim; "
+    "the r14 pure-Column streaming posture was re-priced with a "
+    "stage decomposition: signature 81% of the standing query's "
+    "wall, 5.40 -> 1.70 s live with identical results, see "
+    "_minhash_signatures), then dropDuplicates on "
     "(band_idx, band_sig) suppresses any later arrival that LSH-"
     "collides with an already-admitted document, and a complete-mode "
     "rollup counts surviving buckets per band. Which doc is admitted "
