@@ -366,7 +366,17 @@ def q_mllib_train_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from .aggregates import q_train_features_wide
 
-    feats = q_train_features_wide(spark, sf_dir)
+    # r15 (guide §5 — cache only frames reused >= 2x): the wide-feature
+    # aggregate re-executed its 4-join build per consumer — the
+    # StringIndexer fit, the LR fit (which persists only its OWN
+    # assembled instances), the scoring transform + evaluator pass,
+    # the n_features head, and the count: ~5 executions per query
+    # (interleaved stash-toggled A/B, min over 6 fresh-JVM runs:
+    # 5.86 -> 3.74 s at sf0.1, every after-run under every before-run).
+    # Same cache +
+    # unpersist-in-finally discipline as q_mllib_cross_validation;
+    # the persist-hygiene guard test allowlists both.
+    feats = q_train_features_wide(spark, sf_dir).cache()
     pipe = Pipeline(
         stages=[
             StringIndexer(inputCol="n_name", outputCol="nation_idx"),
@@ -392,14 +402,18 @@ def q_mllib_train_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ]
     )
-    model = pipe.fit(feats)
-    scored = model.transform(feats)
-    auc = BinaryClassificationEvaluator(
-        labelCol="label", metricName="areaUnderROC"
-    ).evaluate(scored)
-    n_features = scored.select("features").head()["features"].size
+    try:
+        model = pipe.fit(feats)
+        scored = model.transform(feats)
+        auc = BinaryClassificationEvaluator(
+            labelCol="label", metricName="areaUnderROC"
+        ).evaluate(scored)
+        n_features = scored.select("features").head()["features"].size
+        n_train = feats.count()
+    finally:
+        feats.unpersist()
     return spark.createDataFrame(
-        [(feats.count(), n_features, bool(auc > PIPELINE_AUC_MIN))],
+        [(n_train, n_features, bool(auc > PIPELINE_AUC_MIN))],
         schema="n_train long, n_features int, auc_ok boolean",
     )
 

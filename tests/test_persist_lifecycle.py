@@ -272,6 +272,9 @@ def test_no_untracked_persist_outside_helpers():
         # CrossValidator input reused by 12 sequential fold fits; the
         # finally unpersists even when a self-test assert fires.
         ("ml.py", "q_mllib_cross_validation"),
+        # Same discipline for the single-fit pipeline (r15): the wide
+        # features feed ~5 consumers (stage fits, scoring, head, count).
+        ("ml.py", "q_mllib_train_pipeline"),
         # The midplan-caching DEMONSTRATION query — persist +
         # InMemoryTableScan is its declared subject; the returned
         # frame is localCheckpointed while the cache is live and the
