@@ -910,19 +910,23 @@ def q_graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     # r15: hub-free branch — prefer the zero-wedge-row adjacency
     # intersection when its own guards hold (array bound + broadcast
     # bound; constants above carry the A/B numbers). The gate scalars
-    # read from the checkpointed adjacency the form then consumes, so
-    # choosing costs one ~50k-row aggregate, not an extra corpus pass.
-    adj = _tri_in_below_adj(e)
-    st = adj.agg(
-        F.max(F.size("nbrs")).alias("mx"),
-        F.sum(F.size("nbrs")).alias("ne"),
-    ).first()
+    # are COUNT-ONLY (one aggregate over the persisted pairs) and run
+    # BEFORE any adjacency array exists, so a pathological in-degree
+    # hub never materializes an |E|-long collect_list row just to be
+    # rejected — the bucket-guard discipline applied to the gate
+    # itself.
+    st = (
+        e.groupBy("id_hi")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(F.max("n").alias("mx"), F.sum("n").alias("ne"))
+        .first()
+    )
     if (
         st["mx"] is not None
         and st["mx"] <= TRI_ADJ_MAX_IN_DEG
         and st["ne"] <= TRI_ADJ_BROADCAST_EDGES
     ):
-        return _tri_counts_adj_intersect(e, adj)
+        return _tri_counts_adj_intersect(e, _tri_in_below_adj(e))
     return _tri_counts_id_oriented(e)
 
 
@@ -976,8 +980,10 @@ def _tri_counts_adj_intersect(e: DataFrame, adj: DataFrame) -> DataFrame:
 
 
 def _tri_in_below_adj(e: DataFrame) -> DataFrame:
-    """The checkpointed in-below adjacency (node, nbrs) consumed by
-    the intersection form AND by the gate scalars that choose it."""
+    """The checkpointed in-below adjacency (node, nbrs) consumed
+    twice (both broadcast sides) by the intersection form. Built ONLY
+    after the count-only gate has bounded every bucket at
+    TRI_ADJ_MAX_IN_DEG — no array here can exceed 512 KB."""
     return (
         e.groupBy(F.col("id_hi").alias("node"))
         .agg(F.array_sort(F.collect_list("id_lo")).alias("nbrs"))

@@ -61,6 +61,12 @@ ALLOWED: dict[tuple[str, str], str] = {
         "collects lineitems per l_orderkey: TPC-H bounds "
         "lines-per-order at 7 — constant bucket; linear consumer "
         "(inline re-flatten)",
+    ("graph.py", "_tri_in_below_adj"):
+        "collects the in-below adjacency per node for the r15 "
+        "triangle intersection form — built ONLY after a count-only "
+        "gate has proven every bucket <= TRI_ADJ_MAX_IN_DEG (65,536; "
+        "512 KB row), so no unbounded array can ever materialize; "
+        "past the cap the query routes to the wedge join instead",
 }
 
 
